@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count action) after a warm-up of the
+input scans; timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as ent
+    from scio_spark.context import build_session
+
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = ent.queries()
+    # Warm-up: touch every table once so first-query timing isn't scan-cold.
+    for t in ["lineitem", "orders", "customer", "part", "events"]:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+            except Exception as e:
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scio_spark_query_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

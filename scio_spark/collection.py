@@ -1,0 +1,398 @@
+"""SCollection — the distributed collection (SCollection.scala:121 analog).
+
+Element model: a DataFrame. Single-value collections use one ``value`` column
+(scio ``SCollection[T]`` of primitives); record collections are multi-column
+(scio case classes → StructType). Keyed ops live on :class:`PairSCollection`
+(pair.py), reached via :meth:`key_by` — mirroring scio's implicit
+``makePairSCollectionFunctions`` (SCollection.scala:82-92).
+
+Fast path vs slow path: every transformation accepts Column expressions /
+SQL strings so the plan stays inside Catalyst + whole-stage codegen. Python
+callables are accepted where scio takes lambdas, but route through (Arrow)
+UDFs and are the documented slow path — exactly the inverse of scio, where
+*every* op is a JVM lambda in a DoFn (util/Functions.scala).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.expr(c) if isinstance(c, str) else F.lit(c)
+
+
+class SCollection:
+    """Fluent wrapper over a DataFrame with scio's operator names.
+
+    ``.df`` is always available — the abstraction is deliberately leaky so
+    users can drop to raw DataFrame/SQL at any point (scio similarly exposes
+    ``applyTransform``, SCollection.scala:178-191).
+    """
+
+    def __init__(self, df: DataFrame, context=None):
+        self.df = df
+        self.context = context
+
+    # -------------------------------------------------------------- plumbing
+
+    def _wrap(self, df: DataFrame) -> "SCollection":
+        return SCollection(df, self.context)
+
+    @property
+    def spark(self):
+        return self.df.sparkSession
+
+    def to_df(self) -> DataFrame:
+        return self.df
+
+    def with_name(self, name: str) -> "SCollection":
+        """SCollection.scala:256 ``withName`` — names become plan hints only."""
+        return self._wrap(self.df.hint("scio_name_" + name) if False else self.df)
+
+    def transform(self, fn: Callable[["SCollection"], "SCollection"]) -> "SCollection":
+        """SCollection.scala:270 ``transform`` — named composite = plain function."""
+        return fn(self)
+
+    # ---------------------------------------------------------- element-wise
+
+    def map(self, *exprs, **named) -> "SCollection":
+        """SCollection.scala:769 ``map``.
+
+        ``map(expr, ...)`` projects expressions (fast path). ``map(fn,
+        schema=...)`` with a callable routes through mapInPandas (slow path).
+        Named kwargs become aliased columns: ``map(total="a+b")``.
+        """
+        if len(exprs) == 1 and callable(exprs[0]) and not isinstance(exprs[0], Column):
+            fn = exprs[0]
+            schema = named.pop("schema")
+            return self.map_partitions(fn, schema)
+        cols = [_col(e) for e in exprs]
+        cols += [_col(e).alias(k) for k, e in named.items()]
+        return self._wrap(self.df.select(*cols))
+
+    select = map
+
+    def map_values_expr(self, expr) -> "SCollection":
+        """Replace the ``value`` column via an expression of ``value``."""
+        return self._wrap(self.df.withColumn("value", _col(expr)))
+
+    def map_partitions(self, fn: Callable, schema) -> "SCollection":
+        """Arrow-batched per-partition map (mapInPandas) — the sanctioned slow
+        path for opaque Python logic (scio ``map`` with a closure)."""
+        return self._wrap(self.df.mapInPandas(fn, schema))
+
+    def with_column(self, name: str, expr) -> "SCollection":
+        return self._wrap(self.df.withColumn(name, _col(expr)))
+
+    def filter(self, pred) -> "SCollection":
+        """SCollection.scala:643."""
+        return self._wrap(self.df.filter(pred if isinstance(pred, (Column, str)) else _col(pred)))
+
+    def filter_not(self, pred) -> "SCollection":
+        """SCollection.scala:650."""
+        p = pred if isinstance(pred, Column) else F.expr(pred)
+        return self._wrap(self.df.filter(~p))
+
+    def collect_pf(self, pred, *exprs, **named) -> "SCollection":
+        """SCollection.scala:520 ``collect`` (partial function) = filter+map."""
+        return self.filter(pred).map(*exprs, **named)
+
+    def flat_map(self, expr, alias: str = "value") -> "SCollection":
+        """SCollection.scala:657 — explode an array-valued expression; other
+        columns are preserved."""
+        return self._wrap(self.df.withColumn(alias, F.explode(_col(expr))))
+
+    def flat_map_outer(self, expr, alias: str = "value") -> "SCollection":
+        """flatMap keeping empty-producing rows as nulls (explode_outer)."""
+        return self._wrap(self.df.withColumn(alias, F.explode_outer(_col(expr))))
+
+    def flatten(self, column: str = "value") -> "SCollection":
+        """SCollection.scala:665 — SCollection[Iterable[U]] → SCollection[U]."""
+        return self._wrap(self.df.select(F.explode(F.col(column)).alias(column)))
+
+    def key_by(self, *key_cols, **key_exprs):
+        """SCollection.scala:762 ``keyBy`` → PairSCollection keyed on columns
+        (strings) or named expressions (``key_by(k="upper(name)")``)."""
+        from scio_spark.pair import PairSCollection
+
+        df = self.df
+        keys = list(key_cols)
+        for name, e in key_exprs.items():
+            df = df.withColumn(name, _col(e))
+            keys.append(name)
+        return PairSCollection(df, keys, self.context)
+
+    def debug(self, n: int = 20) -> "SCollection":
+        """SCollection.scala:1037 — print passthrough."""
+        self.df.show(n, truncate=False)
+        return self
+
+    # -------------------------------------------------------------- set ops
+
+    def union(self, other: "SCollection") -> "SCollection":
+        """SCollection.scala:300 ``++`` / ``union`` — keeps duplicates."""
+        return self._wrap(self.df.unionByName(other.df))
+
+    def intersection(self, other: "SCollection") -> "SCollection":
+        """SCollection.scala:322 — dedups (scio's does too, :318-320)."""
+        return self._wrap(self.df.intersect(other.df))
+
+    def subtract(self, other: "SCollection") -> "SCollection":
+        """SCollection.scala:967 — multiset-insensitive (distinct) semantics."""
+        return self._wrap(self.df.exceptAll(other.df))
+
+    def distinct(self) -> "SCollection":
+        """SCollection.scala:615."""
+        return self._wrap(self.df.distinct())
+
+    def distinct_by(self, *cols) -> "SCollection":
+        """SCollection.scala:628 ``distinctBy`` — one representative per key."""
+        return self._wrap(self.df.dropDuplicates(list(cols)))
+
+    # --------------------------------------------------------- aggregations
+
+    def agg(self, *exprs, **named) -> "SCollection":
+        cols = [_col(e) for e in exprs] + [_col(e).alias(k) for k, e in named.items()]
+        return self._wrap(self.df.agg(*cols))
+
+    def count(self) -> int:
+        """SCollection.scala:560 — action."""
+        return self.df.count()
+
+    def count_lazy(self) -> "SCollection":
+        return self._wrap(self.df.agg(F.count(F.lit(1)).alias("count")))
+
+    def count_by_value(self, *cols) -> "SCollection":
+        """SCollection.scala:606 ``countByValue``."""
+        cols = list(cols) or self.df.columns
+        return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count")))
+
+    def count_approx_distinct(self, col: str = "value", rsd: float = 0.05) -> "SCollection":
+        """SCollection.scala:570 ``countApproxDistinct`` → HLL++
+        (approx_count_distinct); exact for low cardinality (sparse mode)."""
+        return self._wrap(
+            self.df.agg(F.approx_count_distinct(col, rsd).alias("approx_distinct"))
+        )
+
+    def sum(self, col: str = "value") -> "SCollection":
+        """SCollection.scala:806 ``sum`` (Semigroup) — numeric fast path."""
+        return self._wrap(self.df.agg(F.sum(col).alias("sum")))
+
+    def mean(self, col: str = "value") -> "SCollection":
+        """SCollection.scala:820."""
+        return self._wrap(self.df.agg(F.avg(col).alias("mean")))
+
+    def min(self, col: str = "value") -> "SCollection":
+        """SCollection.scala:778."""
+        return self._wrap(self.df.agg(F.min(col).alias("min")))
+
+    def max(self, col: str = "value") -> "SCollection":
+        """SCollection.scala:788."""
+        return self._wrap(self.df.agg(F.max(col).alias("max")))
+
+    def latest(self, ts_col: str, *value_cols) -> "SCollection":
+        """SCollection.scala:797 ``latest`` — value at max event timestamp via
+        ``max_by`` (no shuffle beyond the single agg)."""
+        vals = list(value_cols) or [c for c in self.df.columns if c != ts_col]
+        return self._wrap(
+            self.df.agg(*[F.max_by(v, ts_col).alias(v) for v in vals])
+        )
+
+    def reduce(self, merge_expr: Callable[[Column, Column], Column], col: str = "value") -> "SCollection":
+        """SCollection.scala:909 ``reduce`` — associative merge via F.reduce
+        over collect_list is NOT scalable; use F.aggregate on grouped arrays
+        only for small groups. Global numeric reduce → built-in agg."""
+        return self._wrap(
+            self.df.agg(
+                F.reduce(
+                    F.collect_list(col), F.lit(None).cast(self.df.schema[col].dataType),
+                    lambda acc, x: F.when(acc.isNull(), x).otherwise(merge_expr(acc, x)),
+                ).alias("reduced")
+            )
+        )
+
+    def aggregate(self, *agg_cols, **named) -> "SCollection":
+        """SCollection.scala:416 ``aggregate`` — Catalyst always lifts partial
+        aggregation (Beam combiner lifting, free here)."""
+        return self.agg(*agg_cols, **named)
+
+    def stats(self, col: str = "value") -> "SCollection":
+        """DoubleSCollectionFunctions.scala:29 ``stats`` — one-pass
+        count/mean/min/max/variance/stdev (StatCounter.scala:48-139 analog,
+        a single partial-aggregated pass in Spark)."""
+        c = F.col(col)
+        return self._wrap(
+            self.df.agg(
+                F.count(c).alias("count"),
+                F.avg(c).alias("mean"),
+                F.min(c).alias("min"),
+                F.max(c).alias("max"),
+                F.var_pop(c).alias("variance"),
+                F.stddev_pop(c).alias("stdev"),
+                F.sum(c).alias("sum"),
+            )
+        )
+
+    def histogram(self, col: str, buckets: Sequence[float]) -> "SCollection":
+        """DoubleSCollectionFunctions.scala:67-206 ``histogram`` with explicit
+        bucket boundaries → width_bucket + groupBy (scio: custom combine of
+        Array[Long]; here: partial-agg'd groupBy, no custom code)."""
+        lo, hi, n = float(buckets[0]), float(buckets[-1]), len(buckets) - 1
+        uniform = all(
+            abs((buckets[i + 1] - buckets[i]) - (hi - lo) / n) < 1e-9 for i in range(n)
+        )
+        c = F.col(col)
+        if uniform:
+            b = F.when(c == hi, F.lit(n)).otherwise(
+                F.width_bucket(c, F.lit(lo), F.lit(hi), F.lit(n))
+            )
+        else:
+            b = F.lit(None)
+            for i in range(n, 0, -1):
+                b = F.when(
+                    (c >= F.lit(float(buckets[i - 1]))) & (c < F.lit(float(buckets[i]))),
+                    F.lit(i),
+                ).otherwise(b)
+            b = F.when(c == hi, F.lit(n)).otherwise(b)
+        return self._wrap(
+            self.df.withColumn("bucket", b)
+            .filter(F.col("bucket").isNotNull() & (F.col("bucket") >= 1) & (F.col("bucket") <= n))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    def quantiles_approx(self, col: str, quantiles: Sequence[float], accuracy: int = 10000) -> "SCollection":
+        """SCollection.scala:834 ``quantilesApprox`` → percentile_approx."""
+        return self._wrap(
+            self.df.agg(
+                F.percentile_approx(col, list(quantiles), accuracy).alias("quantiles")
+            )
+        )
+
+    def quantiles_exact(self, col: str, quantiles: Sequence[float]) -> "SCollection":
+        """Exact percentile (continuous interpolation) — matches DuckDB
+        quantile_cont; use when oracle-exactness matters more than memory."""
+        qs = ", ".join(str(q) for q in quantiles)
+        return self._wrap(
+            self.df.agg(F.expr(f"percentile({col}, array({qs}))").alias("quantiles"))
+        )
+
+    # ------------------------------------------------------------- ordering
+
+    def top(self, n: int, order_by, ascending: bool = False) -> "SCollection":
+        """SCollection.scala:985 ``top`` — orderBy+limit; Spark plans a
+        TakeOrderedAndProject (per-partition heap + driver merge), same as
+        Beam's Top.of combine. No full sort at scale."""
+        c = _col(order_by)
+        return self._wrap(self.df.orderBy(c.asc() if ascending else c.desc()).limit(n))
+
+    def take(self, n: int) -> "SCollection":
+        """SCollection.scala:976 — Sample.any ≈ limit (LimitPushDown)."""
+        return self._wrap(self.df.limit(n))
+
+    # ------------------------------------------------- sampling / splitting
+
+    def sample(self, fraction: float, with_replacement: bool = False, seed: int | None = None) -> "SCollection":
+        """SCollection.scala:947 — Bernoulli/Poisson per-partition samplers
+        (util/random/RandomSampler.scala) → df.sample."""
+        return self._wrap(self.df.sample(with_replacement, fraction, seed))
+
+    def sample_n(self, n: int, seed: int | None = None):
+        """SCollection.scala:922 reservoir sample of exactly n (driver-visible,
+        like scio's iterator-of-one-sample)."""
+        return self.df.rdd.takeSample(False, n, seed if seed is not None else 42)
+
+    def random_split(self, weights: Sequence[float], seed: int | None = None):
+        """SCollection.scala:849 ``randomSplit``. NB Spark recomputes lineage
+        per branch — cache the parent first (Beam's multi-output is one pass;
+        documented gap, SURVEY §4.4.3)."""
+        cached = self.df.cache()
+        return [self._wrap(d) for d in cached.randomSplit(list(weights), seed)]
+
+    def partition_by_pred(self, pred):
+        """SCollection.scala:366 ``partition(pred)`` → (pass, fail); single
+        cached scan + two filters."""
+        cached = self.df.cache()
+        p = pred if isinstance(pred, Column) else F.expr(pred)
+        return self._wrap(cached.filter(p)), self._wrap(cached.filter(~p))
+
+    def partition_n(self, n: int, expr):
+        """SCollection.scala:341 ``partition(numPartitions, f)`` — N filters
+        off one cached scan."""
+        cached = self.df.cache()
+        part = F.pmod(_col(expr), F.lit(n))
+        return [self._wrap(cached.filter(part == i)) for i in range(n)]
+
+    def hash_partition(self, n: int) -> "SCollection":
+        """SCollection.scala:398 — physical repartition by row hash."""
+        return self._wrap(self.df.repartition(n))
+
+    # ------------------------------------------------------------- batching
+
+    def batch(self, max_size: int, id_col: str | None = None) -> "SCollection":
+        """SCollection.scala:460 ``batch`` — group elements into arrays of
+        ≤max_size within partitions (no shuffle): bucket by
+        monotonically_increasing_id / n, collect_list per bucket."""
+        mid = F.monotonically_increasing_id() if id_col is None else F.col(id_col)
+        bucket = (mid / F.lit(max_size)).cast("long")
+        others = self.df.columns
+        return self._wrap(
+            self.df.withColumn("__batch", bucket)
+            .groupBy("__batch")
+            .agg(F.collect_list(F.struct(*others)).alias("batch"))
+            .drop("__batch")
+        )
+
+    # ------------------------------------------------------------------- IO
+
+    def save_as_text_file(self, path: str, io_id: str | None = None):
+        """SCollection.scala:1629."""
+        self._write(io_id or f"text:{path}", lambda df: df.write.mode("overwrite").text(path))
+
+    def save_as_parquet(self, path: str, io_id: str | None = None, partition_by: Sequence[str] = ()):  # noqa: E501
+        w = lambda df: (
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+            if partition_by
+            else df.write.mode("overwrite").parquet(path)
+        )
+        self._write(io_id or f"parquet:{path}", w)
+
+    def save_as_json_file(self, path: str, io_id: str | None = None):
+        self._write(io_id or f"json:{path}", lambda df: df.write.mode("overwrite").json(path))
+
+    def save_as_csv_file(self, path: str, io_id: str | None = None, header: bool = True):
+        self._write(
+            io_id or f"csv:{path}",
+            lambda df: df.write.mode("overwrite").option("header", header).csv(path),
+        )
+
+    def materialize(self, name: str) -> "SCollection":
+        """SCollection.scala:1600 — cache + temp view, tapped on the context."""
+        if self.context is not None:
+            return self._wrap(self.context.materialize(name, self.df))
+        return self._wrap(self.df.cache())
+
+    def _write(self, io_id: str, writer):
+        if self.context is not None:
+            self.context.write_or_capture(self.df, io_id, writer)
+        else:
+            writer(self.df)
+
+    # -------------------------------------------------------------- actions
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def cache(self) -> "SCollection":
+        return self._wrap(self.df.cache())
+
+    def explain(self, mode: str = "formatted"):
+        self.df.explain(mode)
+        return self

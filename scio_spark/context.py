@@ -1,0 +1,240 @@
+"""ScioContext — the pipeline/session object.
+
+Reference semantics: scio's ``ScioContext`` (scio-core/src/main/scala/com/spotify/
+scio/ScioContext.scala:432 class, :648 run(), :810 textFile, :894 parallelize) is
+the entry point for all reads; ``run()`` hands the DAG to a runner. In Spark the
+session *is* the runner, plans are lazy, and actions execute — so ``run()`` here
+is a lightweight no-op returning a result handle (ScioContext.scala:670-731
+``ScioExecutionContext`` analog).
+
+Test substitution: scio's JobTest swaps every IO by its ``testId`` (io/
+ScioIO.scala:76,82-86, testing/JobTest.scala:63-75). We reproduce that: every
+named read consults ``test_inputs`` first; every named write lands in
+``test_outputs`` instead of disk when test mode is active.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+#: Spark confs tuned for correctness-vs-oracle and local[32] benching, chosen to
+#: also be the right defaults on a 1000-executor cluster (AQE owns runtime
+#: partition sizing; UTC pins timestamp semantics against DuckDB).
+DEFAULT_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as long and convert (ts DIV 1000 → micros, matching
+    # DuckDB's nanos→micros truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+}
+
+
+def build_session(
+    app_name: str = "scio_spark",
+    master: str | None = None,
+    confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with scale-sane defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    merged = dict(DEFAULT_CONFS)
+    merged["spark.sql.shuffle.partitions"] = cpus
+    if confs:
+        merged.update(confs)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class ScioResult:
+    """Post-run handle (ScioResult.scala analog). Spark actions are eager, so
+    this only carries the taps/metrics recorded during the run."""
+
+    def __init__(self, taps: dict[str, Any]):
+        self._taps = dict(taps)
+
+    def tap(self, name: str) -> Any:
+        return self._taps[name]
+
+    @property
+    def state(self) -> str:
+        return "DONE"
+
+
+class ScioContext:
+    """SparkSession wrapper exposing scio's read entry points + test IO swap.
+
+    ``test_inputs`` maps IO id (e.g. ``"text:in.txt"``) → DataFrame or list of
+    rows; ``test_outputs`` collects DataFrames written under test.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        test_inputs: dict[str, Any] | None = None,
+    ):
+        self.spark = spark or build_session()
+        self.test_inputs = test_inputs or {}
+        self.test_outputs: dict[str, DataFrame] = {}
+        self._taps: dict[str, Any] = {}
+
+    @property
+    def is_test(self) -> bool:
+        return bool(self.test_inputs)
+
+    # ------------------------------------------------------------------ reads
+
+    def _maybe_test_input(self, io_id: str):
+        if io_id in self.test_inputs:
+            data = self.test_inputs[io_id]
+            if isinstance(data, DataFrame):
+                return self._wrap(data)
+            return self.parallelize(data)
+        return None
+
+    def parallelize(self, data: Iterable[Any], schema=None):
+        """ScioContext.scala:894 ``parallelize`` → in-memory DataFrame.
+
+        Plain (non-Row, non-dict, non-tuple) scalars land in a single
+        ``value`` column, mirroring an SCollection of primitives.
+        """
+        data = list(data)
+        if schema is None and data and not isinstance(data[0], (dict, tuple, list)):
+            from pyspark.sql import Row
+
+            if not isinstance(data[0], Row):
+                data = [(x,) for x in data]
+                schema = ["value"]
+        df = self.spark.createDataFrame(data, schema=schema)
+        return self._wrap(df)
+
+    def text_file(self, path: str, io_id: str | None = None):
+        """ScioContext.scala:810 ``textFile`` — one ``value: string`` per line."""
+        sub = self._maybe_test_input(io_id or f"text:{path}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.read.text(path).withColumnRenamed("value", "value"))
+
+    def parquet_file(self, path: str, io_id: str | None = None):
+        """scio-parquet ParquetAvroIO analog — projection/predicate pushdown is
+        automatic in Spark (scio needs manual ``projection=``/``predicate=``,
+        scio-parquet/.../ScioContextSyntax.scala:47-48)."""
+        sub = self._maybe_test_input(io_id or f"parquet:{path}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.read.parquet(path))
+
+    def csv_file(self, path: str, schema=None, header: bool = True, io_id: str | None = None):
+        """scio-extra CsvIO.scala:26-54 analog."""
+        sub = self._maybe_test_input(io_id or f"csv:{path}")
+        if sub is not None:
+            return sub
+        reader = self.spark.read.option("header", header)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return self._wrap(reader.csv(path))
+
+    def json_file(self, path: str, schema=None, io_id: str | None = None):
+        """scio-extra JsonIO.scala:32 analog (JSON-lines)."""
+        sub = self._maybe_test_input(io_id or f"json:{path}")
+        if sub is not None:
+            return sub
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return self._wrap(reader.json(path))
+
+    def avro_file(self, path: str, io_id: str | None = None):
+        """scio-avro AvroIO analog; requires spark-avro on the classpath."""
+        sub = self._maybe_test_input(io_id or f"avro:{path}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.read.format("avro").load(path))
+
+    def binary_file(self, path: str, io_id: str | None = None):
+        """ScioContext.scala:825 ``binaryFile`` → binaryFile source
+        (path, modificationTime, length, content)."""
+        sub = self._maybe_test_input(io_id or f"binary:{path}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.read.format("binaryFile").load(path))
+
+    def jdbc(self, url: str, table: str, io_id: str | None = None, **options):
+        """scio-jdbc jdbcSelect analog."""
+        sub = self._maybe_test_input(io_id or f"jdbc:{table}")
+        if sub is not None:
+            return sub
+        reader = self.spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return self._wrap(reader.load())
+
+    def sql(self, query: str):
+        """The native SQL entry point (scio's only SQL path is typedBigQuery —
+        BigQueryType.scala:367-385 — where BQ executes the SQL; here Catalyst
+        does)."""
+        return self._wrap(self.spark.sql(query))
+
+    def table(self, name: str, sf_dir: str | None = None):
+        """Load a named testdata table (TESTDATA.md) or catalog table."""
+        if sf_dir is not None:
+            return self.parquet_file(f"{sf_dir}/{name}.parquet", io_id=f"table:{name}")
+        sub = self._maybe_test_input(f"table:{name}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.table(name))
+
+    def union_all(self, colls):
+        """ScioContext.scala:874 ``unionAll`` — keeps duplicates."""
+        dfs = [c.df for c in colls]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return self._wrap(out)
+
+    # ----------------------------------------------------------------- writes
+
+    def write_or_capture(self, df: DataFrame, io_id: str, writer: Callable[[DataFrame], None]):
+        """JobTest substitution for sinks: under test, capture instead of write."""
+        if self.is_test:
+            self.test_outputs[io_id] = df
+        else:
+            writer(df)
+
+    # -------------------------------------------------------------------- run
+
+    def materialize(self, name: str, df: DataFrame):
+        """SCollection.scala:1600 ``materialize`` — cache + temp view, tap by name."""
+        df = df.cache()
+        df.createOrReplaceTempView(name)
+        self._taps[name] = df
+        return df
+
+    def run(self) -> ScioResult:
+        """ScioContext.scala:648 — Spark executes eagerly on actions, so run()
+        just seals the result handle."""
+        return ScioResult(self._taps)
+
+    # ------------------------------------------------------------------ util
+
+    def _wrap(self, df: DataFrame):
+        from scio_spark.collection import SCollection
+
+        return SCollection(df, self)

@@ -1,0 +1,187 @@
+"""Join suite — scio's crown jewel (SURVEY.md §2.3), Spark-first.
+
+Scio builds every shuffle join on CoGroupByKey (util/ArtisanJoin.scala:37-115)
+and offers manual flavors the user must pick: hashJoin (broadcast,
+PairHashSCollectionFunctions.scala:41-143), sparseJoin (Bloom prefilter,
+PairSCollectionFunctions.scala:291-437), skewedJoin (CMS hot-key split,
+PairSkewedSCollectionFunctions.scala:186-570), MultiJoin (one-shuffle N-way,
+util/MultiJoin.scala). Here Catalyst + AQE subsume most of that machinery;
+the explicit variants below exist for (a) API parity, (b) the cases where the
+automatic path needs a nudge (runtime BF disabled, extreme skew), and each
+docstring states what the automatic equivalent is.
+
+Scale notes (100 TB): every function here keeps the big side un-collected and
+un-shuffled where possible — broadcast for small sides, semi-join reduction
+before wide joins, salting bounded by an explicit replication factor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cogroup(left, right, suffixes=("_1", "_2")):
+    """(K, (Iterable[V], Iterable[W])) — PairSCollectionFunctions.scala:116.
+
+    Implementation: per-side groupBy(key).collect_list, then full-outer join.
+    Two partial-agg'd shuffles on the same key → Catalyst reuses the exchange
+    layout for the join (no third shuffle). Missing sides become empty arrays
+    (scio emits empty Iterables, not nulls).
+    """
+    from scio_spark.pair import PairSCollection
+
+    keys = left.key_cols
+
+    def side(p, name):
+        vals = p.value_cols
+        v = F.struct(*vals) if len(vals) > 1 else F.col(vals[0])
+        return p.df.groupBy(*keys).agg(F.collect_list(v).alias(name))
+
+    lname, rname = "values" + suffixes[0], "values" + suffixes[1]
+    ldf, rdf = side(left, lname), side(right, rname)
+    joined = ldf.join(rdf, on=keys, how="full")
+    empty = F.array()
+    joined = joined.withColumn(lname, F.coalesce(F.col(lname), empty)).withColumn(
+        rname, F.coalesce(F.col(rname), empty)
+    )
+    return PairSCollection(joined, keys, left.context)
+
+
+def multi_join(colls: Sequence, how: str = "inner", suffix_fmt: str = "_{i}"):
+    """MultiJoin.apply/left (util/MultiJoin.scala:538/1315) — N-way equi-join
+    on a shared key, 2..22 sources in scio (codegen'd).
+
+    Spark: chained joins on the same key. Catalyst plans one exchange per
+    input but a single pipelined stage chain; with AQE the small sides flip
+    to broadcast automatically. Semantics (per-key cartesian across all
+    sides) match scio's nested emission loops.
+    """
+    from scio_spark.pair import PairSCollection
+
+    keys = colls[0].key_cols
+    # Suffix colliding value columns by position, like scio's tuple slots.
+    renamed = []
+    seen: dict[str, int] = {}
+    for i, p in enumerate(colls):
+        df = p.df
+        for c in p.value_cols:
+            if c in seen or any(c in q.value_cols for j, q in enumerate(colls) if j != i):
+                df = df.withColumnRenamed(c, c + suffix_fmt.format(i=i + 1))
+        renamed.append(df)
+    out = renamed[0]
+    join_how = {"inner": "inner", "left": "left", "outer": "full"}[how]
+    for df in renamed[1:]:
+        out = out.join(df, on=keys, how=join_how)
+    return PairSCollection(out, keys, colls[0].context)
+
+
+def sparse_join(left, right, how: str = "inner", fpp: float = 0.01, suffixes=("_1", "_2")):
+    """sparseJoin family (PairSCollectionFunctions.scala:291,330,370,253):
+    RHS keyset is far smaller than LHS — pre-filter the LHS with a Bloom
+    filter of RHS keys before the shuffle, so non-matching LHS rows never
+    shuffle.
+
+    Scio builds per-partition Guava BloomFilters sized by rhsNumKeys
+    (:394-437). Spark 3.3+ has runtime row-level BF join injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in our defaults)
+    which does exactly this; the explicit variant here guarantees the
+    reduction irrespective of optimizer heuristics by broadcasting the
+    *distinct RHS keyset* and semi-joining first. For an inner/left join the
+    post-filter join is exact, so BF false positives only cost shuffle bytes;
+    we use an exact distinct keyset when it is broadcast-sized (the common
+    sparse case by definition) — strictly better than a BF at the same cost.
+    """
+    from scio_spark.pair import PairSCollection
+
+    keys = left.key_cols
+    rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+    if how == "inner":
+        reduced_df = left.df.join(rhs_keys, keys, "left_semi")
+        reduced = PairSCollection(reduced_df, keys, left.context)
+        return reduced.join(right, "inner", suffixes=suffixes)
+    if how == "left":
+        # Split LHS: overlap goes through the join; the rest passes through
+        # with null RHS columns — scio's union-of-paths (:330).
+        hit = PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
+        miss = left.df.join(rhs_keys, keys, "left_anti")
+        joined = hit.join(right, "left", suffixes=suffixes)
+        # Align miss side to joined's schema: suffix-renamed LHS value
+        # columns, then null-typed RHS columns.
+        for c in left.value_cols:
+            if c + suffixes[0] in joined.df.columns:
+                miss = miss.withColumnRenamed(c, c + suffixes[0])
+        for field in joined.df.schema.fields:
+            if field.name not in miss.columns:
+                miss = miss.withColumn(field.name, F.lit(None).cast(field.dataType))
+        miss = miss.select(*joined.df.columns)
+        return PairSCollection(joined.df.unionByName(miss), keys, left.context)
+    # right / full: the passthrough trick doesn't reduce work — fall back.
+    return left.join(right, how, suffixes=suffixes)
+
+
+def sparse_intersect_by_key(left, right):
+    """PairSCollectionFunctions.scala:919 — broadcast RHS keyset, left_semi."""
+    from scio_spark.pair import PairSCollection
+
+    keys = left.key_cols
+    rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+    return PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
+
+
+def sparse_lookup(left, right, suffixes=("_1", "_2")):
+    """PairSCollectionFunctions.scala:438 ``sparseLookup`` — join RHS values
+    into LHS as an array, after semi-join reduction of the RHS by LHS keys."""
+    from scio_spark.pair import PairSCollection
+
+    keys = left.key_cols
+    lhs_keys = left.df.select(*keys).distinct()
+    reduced_rhs = right.df.join(lhs_keys, keys, "left_semi")
+    vals = [c for c in reduced_rhs.columns if c not in keys]
+    v = F.struct(*vals) if len(vals) > 1 else F.col(vals[0])
+    rhs_grouped = reduced_rhs.groupBy(*keys).agg(F.collect_list(v).alias("matches"))
+    out = left.df.join(rhs_grouped, keys, "left").withColumn(
+        "matches", F.coalesce(F.col("matches"), F.array())
+    )
+    return PairSCollection(out, keys, left.context)
+
+
+def skewed_join(left, right, how: str = "inner", hot_key_threshold: int = 9000, suffixes=("_1", "_2")):
+    """skewedJoin (PairSkewedSCollectionFunctions.scala:186-281; threshold
+    default 9000 at :63): split hot keys (broadcast-join them) from the chill
+    remainder (shuffle join), then union.
+
+    Spark's AQE skew-join splits oversized *partitions* at runtime and is the
+    default answer. This explicit variant reproduces scio's semantics for the
+    extreme case AQE can't fix (a single key larger than an executor): find
+    hot keys by exact count (Catalyst partial agg ≈ scio's CMS at a fraction
+    of the code), broadcast-join the hot slice, shuffle-join the rest.
+    """
+    from scio_spark.pair import PairSCollection
+
+    keys = left.key_cols
+    hot_keys = F.broadcast(
+        left.df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_key_threshold)
+        .select(*keys)
+    )
+    l_hot = left.df.join(hot_keys, keys, "left_semi")
+    l_chill = left.df.join(hot_keys, keys, "left_anti")
+    r_hot = right.df.join(hot_keys, keys, "left_semi")
+    r_chill = right.df.join(hot_keys, keys, "left_anti")
+
+    lh = PairSCollection(l_hot, keys, left.context)
+    lc = PairSCollection(l_chill, keys, left.context)
+    rh = PairSCollection(r_hot, keys, left.context)
+    rc = PairSCollection(r_chill, keys, left.context)
+
+    hot_joined = lh.hash_join(rh, how=how, suffixes=suffixes)
+    chill_joined = lc.join(rc, how=how, suffixes=suffixes)
+    return PairSCollection(
+        hot_joined.df.unionByName(chill_joined.df, allowMissingColumns=True),
+        keys,
+        left.context,
+    )

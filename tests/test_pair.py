@@ -1,0 +1,162 @@
+"""Keyed ops + join suite — mirrors PairSCollectionFunctionsTest.scala,
+PairHashSCollectionFunctionsTest.scala, PairSkewedSCollectionFunctionsTest
+fixtures: overlapping/disjoint keysets, duplicate keys both sides (per-key
+cartesian in joins)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.operators import joins as J
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def kv1(sc):
+    return sc.parallelize(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], schema=["key", "v"]
+    ).key_by("key")
+
+
+@pytest.fixture()
+def kv2(sc):
+    return sc.parallelize(
+        [("a", "x"), ("b", "y"), ("b", "z"), ("d", "w")], schema=["key", "w"]
+    ).key_by("key")
+
+
+def test_join_inner_per_key_cartesian(kv1, kv2):
+    got = rows(kv1.join(kv2).df, "key", "v", "w")
+    assert got == [("a", 1, "x"), ("a", 2, "x"), ("b", 3, "y"), ("b", 3, "z")]
+
+
+def test_left_outer_join(kv1, kv2):
+    got = rows(kv1.left_outer_join(kv2).df, "key", "v", "w")
+    assert ("c", 4, None) in got and len(got) == 5
+
+
+def test_full_outer_join(kv1, kv2):
+    got = rows(kv1.full_outer_join(kv2).df, "key", "v", "w")
+    assert ("c", 4, None) in got and ("d", None, "w") in got and len(got) == 6
+
+
+def test_hash_join_matches_shuffle_join(kv1, kv2):
+    a = rows(kv1.join(kv2).df, "key", "v", "w")
+    b = rows(kv1.hash_join(kv2).df, "key", "v", "w")
+    assert a == b
+
+
+def test_hash_join_plan_is_broadcast(kv1, kv2):
+    plan = kv1.hash_join(kv2).df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cogroup_empty_sides(kv1, kv2):
+    got = {r["key"]: (sorted(r["values_1"]), sorted(r["values_2"]))
+           for r in J.cogroup(kv1, kv2).df.collect()}
+    assert got["a"] == ([1, 2], ["x"])
+    assert got["c"] == ([4], [])
+    assert got["d"] == ([], ["w"])
+
+
+def test_intersect_subtract_by_key(kv1, kv2):
+    assert rows(kv1.intersect_by_key(kv2).df, "key", "v") == [
+        ("a", 1), ("a", 2), ("b", 3)
+    ]
+    assert rows(kv1.subtract_by_key(kv2).df, "key", "v") == [("c", 4)]
+    assert rows(kv1.hash_intersect_by_key(kv2).df, "key", "v") == [
+        ("a", 1), ("a", 2), ("b", 3)
+    ]
+    assert rows(kv1.hash_subtract_by_key(kv2).df, "key", "v") == [("c", 4)]
+
+
+def test_sparse_join_inner_and_left(kv1, kv2):
+    inner = rows(kv1.sparse_join(kv2, how="inner").df, "key", "v", "w")
+    assert inner == rows(kv1.join(kv2).df, "key", "v", "w")
+    left = rows(kv1.sparse_join(kv2, how="left").df, "key", "v", "w")
+    assert left == rows(kv1.left_outer_join(kv2).df, "key", "v", "w")
+
+
+def test_sparse_lookup(kv1, kv2):
+    got = {r["key"]: sorted(r["matches"]) for r in J.sparse_lookup(kv1, kv2).df.collect()}
+    assert got["a"] == ["x"] and got["b"] == ["y", "z"] and got["c"] == []
+
+
+def test_skewed_join_matches_plain(sc, kv2):
+    hot = sc.parallelize(
+        [("a", i) for i in range(100)] + [("b", -1)], schema=["key", "v"]
+    ).key_by("key")
+    plain = rows(hot.join(kv2).df, "key", "v", "w")
+    skew = rows(hot.skewed_join(kv2, hot_key_threshold=10).df, "key", "v", "w")
+    assert plain == skew
+
+
+def test_multi_join(sc, kv1, kv2):
+    kv3 = sc.parallelize([("a", 9.0), ("b", 8.0)], schema=["key", "z"]).key_by("key")
+    got = rows(J.multi_join([kv1, kv2, kv3]).df, "key", "v", "w", "z")
+    assert got == [
+        ("a", 1, "x", 9.0), ("a", 2, "x", 9.0),
+        ("b", 3, "y", 8.0), ("b", 3, "z", 8.0),
+    ]
+
+
+def test_top_by_key(kv1):
+    got = rows(kv1.top_by_key(1, "v").df, "key", "v")
+    assert got == [("a", 2), ("b", 3), ("c", 4)]
+
+
+def test_count_sum_min_max_mean_by_key(kv1):
+    assert rows(kv1.count_by_key().df) == [("a", 2), ("b", 1), ("c", 1)]
+    assert rows(kv1.sum_by_key("v").df) == [("a", 3), ("b", 3), ("c", 4)]
+    assert rows(kv1.min_by_key("v").df) == [("a", 1), ("b", 3), ("c", 4)]
+    assert rows(kv1.max_by_key("v").df) == [("a", 2), ("b", 3), ("c", 4)]
+    assert rows(kv1.mean_by_key("v").df) == [("a", 1.5), ("b", 3.0), ("c", 4.0)]
+
+
+def test_group_by_key_and_flatten_values(kv1):
+    g = kv1.group_by_key()
+    got = {r["key"]: sorted(r["values"]) for r in g.df.collect()}
+    assert got == {"a": [1, 2], "b": [3], "c": [4]}
+    back = rows(g.flatten_values("values").df, "key", "values")
+    assert back == [("a", 1), ("a", 2), ("b", 3), ("c", 4)]
+
+
+def test_batch_by_key(sc):
+    c = sc.parallelize([("a", i) for i in range(7)], schema=["key", "v"]).key_by("key")
+    batches = c.batch_by_key(3).df.collect()
+    sizes = sorted(len(b["batch"]) for b in batches)
+    assert sizes == [1, 3, 3]
+
+
+def test_swap_keys_values(sc):
+    c = sc.parallelize([("a", 1)], schema=["k", "v"]).key_by("k")
+    swapped = c.swap()
+    assert swapped.key_cols == ["v"]
+
+
+def test_map_keys_values(kv1):
+    mv = kv1.map_values(v2="v * 10")
+    assert rows(mv.df, "key", "v2") == [("a", 10), ("a", 20), ("b", 30), ("c", 40)]
+    mk = kv1.map_keys(K="upper(key)")
+    assert mk.key_cols == ["K"]
+    assert ("A", 1) in rows(mk.df, "K", "v")
+
+
+def test_hash_lookup(kv1, kv2):
+    got = {r["key"]: sorted(r["matches"] or []) for r in kv1.hash_lookup(kv2).df.collect()}
+    assert got["b"] == ["y", "z"] and got["c"] == []
+
+
+def test_cross(sc, kv1):
+    tiny = sc.parallelize([("t1",)], schema=["tag"])
+    got = rows(kv1.cross(tiny).df, "key", "v", "tag")
+    assert len(got) == 4 and all(t == "t1" for _, _, t in got)
+
+
+def test_sample_by_key(sc):
+    c = sc.parallelize(
+        [("a", i) for i in range(100)] + [("b", i) for i in range(100)],
+        schema=["key", "v"],
+    ).key_by("key")
+    s = c.sample_by_key({"a": 0.1, "b": 0.5}, seed=1)
+    counts = dict(rows(s.count_by_key().df))
+    assert counts.get("a", 0) < counts.get("b", 0)

@@ -1,0 +1,135 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given SF dir, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet, and compares:
+row count, column names (sorted), and exact values (columns sorted by name,
+rows sorted) — stricter than any reasonable hash, so passing here implies
+passing the driver's order-insensitive value-hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):
+        return norm(v.asDict())
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def approx_eq(a, b, tol=1e-9):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isclose(a, b, rel_tol=tol, abs_tol=tol):
+            return True
+        return False
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(approx_eq(x, y, tol) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from scio_spark.context import build_session
+
+    spark = build_session("oracle_check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+        elif len(srows) != len(drows):
+            ok = False
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        else:
+            s, d = canon(srows, scols), canon(drows, dcols)
+            if s != d:
+                mism = [(a, b) for a, b in zip(s, d) if a != b]
+                exact = len(mism) == 0
+                appr = all(approx_eq(a, b, 1e-9) for a, b in zip(s, d))
+                if appr:
+                    print(
+                        f"WARN {name}: {len(mism)} rows differ only within 1e-9 "
+                        f"(hash WILL mismatch) e.g. {mism[0] if mism else ''}"
+                    )
+                    ok = False
+                else:
+                    ok = False
+                    print(f"FAIL {name}: value mismatch e.g. {mism[0]}")
+        if ok:
+            print(f"PASS {name} ({len(srows)} rows)")
+        else:
+            failures.append(name)
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL PASS")
+
+
+if __name__ == "__main__":
+    main()
