@@ -467,6 +467,279 @@ SELECT bucket, COUNT(*) AS count FROM (
 """
 
 
+# ----------------------------------------------- LLM-pipeline extensions
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality components (scio_spark.functions.text) —
+    single JVM-side pass over documents, no UDFs."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_m"),
+        T.mean_word_len("text").alias("mean_wlen"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+ORACLE_TEXT_FEATURES = r"""
+SELECT doc_id,
+  CASE WHEN len(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  len(text) AS n_chars_m,
+  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0
+       ELSE len(regexp_replace(trim(text), '\s+', '', 'g'))
+            / (CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END AS mean_wlen,
+  CASE WHEN len(text) = 0 THEN 0.0
+       ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / len(text) END AS punct_ratio
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (functions/text.py quality_score)."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+# the same arithmetic, spelled out for DuckDB (n>0 for every fixture doc)
+ORACLE_TEXT_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS sw,
+    len(regexp_replace(trim(text), '\s+', '', 'g')) AS chars_nospace,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / len(text) END AS pr
+  FROM documents
+)
+SELECT doc_id,
+  least(n / 200.0, 1.0) * 0.25
+  + least((CASE WHEN n = 0 THEN 0.0 ELSE sw / n END) / 0.4, 1.0) * 0.35
+  + (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE chars_nospace / n END) >= 3.0
+           AND (CASE WHEN n = 0 THEN 0.0 ELSE chars_nospace / n END) <= 10.0
+      THEN 1.0 ELSE 0.4 END) * 0.25
+  + (1.0 - least(pr * 4.0, 1.0)) * 0.15 AS quality
+FROM f
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword argmax + CJK check) per doc."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def _sw_hits(lang_list: str) -> str:
+    return (
+        r"len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+        f"t -> list_contains([{lang_list}], lower(t))))"
+    )
+
+
+_HITS = {
+    "en": _sw_hits("'the','a','of','and','to','in','is','it'"),
+    "de": _sw_hits("'der','die','das','und','ist','nicht','ein','zu'"),
+    "fr": _sw_hits("'le','la','et','les','des','un','une','est'"),
+    "es": _sw_hits("'el','los','las','y','es','un','una','que'"),
+}
+
+ORACLE_LANG_ID = rf"""
+WITH h AS (
+  SELECT doc_id,
+    {_HITS['en']} AS en, {_HITS['de']} AS de, {_HITS['fr']} AS fr, {_HITS['es']} AS es,
+    len(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS has_cjk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN en + de + fr + es = 0 THEN 'und'
+       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de >= fr AND de >= es THEN 'de'
+       WHEN fr >= es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort fingerprint (functions/text.py) as a fuzzy-exact dedup key:
+    groups by fingerprint, keeps min doc_id."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return (
+        d.select("doc_id", T.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT md5(array_to_string(list_sort(list_distinct(
+         regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups (functions/dedup.py exact_dedup_groups)."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    return D.exact_dedup_groups(_t(sc, sf_dir, "documents").df)
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM toks,
+  UNNEST(list_transform(generate_series(1, len(w) - 2),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) u(s)),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (SELECT id_1, id_2, inter / (ca.n + cb.n - inter) AS jaccard
+        FROM pairs JOIN cnt ca ON ca.doc_id = id_1 JOIN cnt cb ON cb.doc_id = id_2)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs ≥ 0.8 via shingle inverted-index
+    join (functions/dedup.py ngram_jaccard_dedup)."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    return D.ngram_jaccard_dedup(_t(sc, sf_dir, "documents").df, min_jaccard=0.8)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SHINGLE_CTE}
+SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
+    rpb = k // bands
+    mins = ", ".join(f"MIN(md5(concat('{i}|', s))) AS mh{i}" for i in range(k))
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bucket FROM sig".format(
+            b=b, cc=" || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+cands AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT j.id_1, j.id_2, j.jaccard
+FROM jac j JOIN cands c ON j.id_1 = c.id_1 AND j.id_2 = c.id_2
+WHERE j.jaccard >= {thr}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates, exact-Jaccard-verified ≥ 0.8
+    (functions/dedup.py minhash_lsh_dedup)."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    return D.minhash_lsh_dedup(
+        _t(sc, sf_dir, "documents").df, k=16, bands=4, min_jaccard=0.8
+    )
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    hexs = "0123456789abcdef"
+    v = " + ".join(
+        f"(instr('{hexs}', substring(md5(t), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    bit_sums = ", ".join(
+        f"SUM(2 * (CAST(FLOOR(v / POW(2, {kk})) AS INT) % 2) - 1) AS b{kk}"
+        for kk in range(16)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{kk} >= 0 THEN 1 ELSE 0 END) * {2 ** kk}" for kk in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents)
+),
+v AS (SELECT doc_id, {v} AS v FROM toks),
+sums AS (SELECT doc_id, {bit_sums} FROM v GROUP BY doc_id),
+sh AS (SELECT doc_id, {sh_expr} AS simhash FROM sums)
+SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 near-dup pairs, Hamming ≤ 3. Spark side uses exact banded
+    candidates (pigeonhole); oracle is the full pairwise check — equality
+    proves the banding loses nothing."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    return D.simhash_dedup(_t(sc, sf_dir, "documents").df, max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for a 10% query sample vs the full corpus
+    (functions/similarity.py cosine_topk — the ANN correctness baseline)."""
+    from scio_spark.functions import similarity as S
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    qs = emb.filter("vec_id % 10 = 0")
+    return S.cosine_topk(emb, qs, k=3)
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -495,6 +768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join": q_multi_join,
         "union_agg": q_union_distinct_by,
         "histogram": q_histogram,
+        "text_features": q_text_features,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
     }
 
 
@@ -518,4 +800,13 @@ def oracle_sql() -> dict[str, str]:
         "multi_join": ORACLE_MULTI_JOIN,
         "union_agg": ORACLE_UNION,
         "histogram": ORACLE_HISTOGRAM,
+        "text_features": ORACLE_TEXT_FEATURES,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        "lang_id": ORACLE_LANG_ID,
+        "fingerprint_dedup": ORACLE_FINGERPRINT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
+        "dedup_simhash": _simhash_oracle(3),
+        "embedding_topk": ORACLE_EMBEDDING_TOPK,
     }

@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-frugal and expressed in built-in DataFrame ops
+(no Python in the hot path):
+
+- **exact**: hash-groupBy on normalized text (one shuffle on a 32-byte key).
+- **n-gram Jaccard**: shingle inverted-index self-join — the exact method;
+  candidate pairs are only docs sharing ≥1 shingle.
+- **MinHash + LSH**: k lexicographic-min md5 hashes per doc → band buckets →
+  bucket self-join for candidates → exact-Jaccard verification. The standard
+  100 TB path: candidate generation touches only same-bucket pairs.
+- **SimHash**: 16-bit sign-sum signature; banded self-join (4 bands × 4 bits)
+  is *exact* for Hamming ≤ 3 by pigeonhole, then verified with bit_count.
+
+Cross-engine determinism: hashes are md5 strings (identical in Spark and
+DuckDB); minhash = lexicographic MIN over md5 strings, which is a valid
+min-hash under any total order on a uniform hash family.
+
+Scale notes: the shingle join's fan-out is bounded by shingle document
+frequency; for web-scale corpora add a frequency cap on shingles (drops only
+near-universal shingles) and/or rely on LSH candidates exclusively. All
+group-bys here partial-aggregate map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scio_spark.functions.text import normalized_text
+
+HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group docs by md5(normalized text): (text_hash, n_docs, keep_id).
+    ``keep_id`` = min id is the canonical survivor."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized-text group (the min-id row)."""
+    h = F.md5(normalized_text(text_col)).alias("__h")
+    ranked = df.withColumn("__h", h)
+    keep = ranked.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return ranked.join(keep, ["__h", id_col], "left_semi").drop("__h")
+
+
+# ----------------------------------------------------------------- shingles
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, s). Single-space word
+    split (documents fixture is single-spaced); joined with spaces."""
+    w = F.split(F.col(text_col), " ")
+    # guard: Spark sequence(0, -1) DESCENDS — short docs need an empty array
+    sh = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for every co-shingled doc pair via inverted-index
+    self-join: (id_1, id_2, jaccard), id_1 < id_2.
+
+    One shuffle on shingle for the pair counts + one broadcast of per-doc
+    shingle counts (small: one row per doc)."""
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed(id_col, "id_1")
+    b = sh.withColumnRenamed(id_col, "id_2")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
+    cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
+    j = (
+        inter.join(F.broadcast(ca), "id_1")
+        .join(F.broadcast(cb), "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= min_jaccard).select("id_1", "id_2", "jaccard")
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs with exact n-gram Jaccard ≥ threshold."""
+    return jaccard_pairs(shingles(df, id_col, text_col, n), id_col, min_jaccard)
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def minhash_signature(sh: DataFrame, id_col: str = "doc_id", k: int = 16) -> DataFrame:
+    """k min-hashes per doc: mh_i = MIN(md5(i || '|' || shingle)) as strings
+    (lexicographic min over a uniform hash ⇒ valid MinHash). One partial-agg
+    shuffle; signature is k×32 bytes per doc."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands × k/bands rows), bucket by md5 of the band's
+    concatenated minhashes, self-join within buckets → distinct candidate
+    pairs (id_1 < id_2)."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bucket"))
+        )
+    exploded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = exploded.withColumnRenamed(id_col, "id_1")
+    b = exploded.withColumnRenamed(id_col, "id_2")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: LSH candidates ∩ exact-Jaccard verify.
+    (Verification joins the exact pair-Jaccard only for candidate pairs.)"""
+    # shingles feed both the signature and the verification join — persist
+    # once (at cluster scale: MEMORY_AND_DISK, or a checkpointed table)
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(minhash_signature(sh, id_col, k), id_col, k, bands)
+    verified = jaccard_pairs(sh, id_col, min_jaccard)
+    return verified.join(cands, ["id_1", "id_2"], "left_semi")
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the distinct token set: bit_k = sign of
+    Σ_tokens (2·bit_k(h(token)) − 1), h = first 16 bits of md5.
+
+    Built as pure SQL expressions (floor/pow/instr) with exact DuckDB
+    parity. One explode + one partial-agg shuffle."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
+    ).distinct()
+    v = (
+        f"(instr('{HEX}', substring(md5(t), 1, 1)) - 1) * 4096 + "
+        f"(instr('{HEX}', substring(md5(t), 2, 1)) - 1) * 256 + "
+        f"(instr('{HEX}', substring(md5(t), 3, 1)) - 1) * 16 + "
+        f"(instr('{HEX}', substring(md5(t), 4, 1)) - 1)"
+    )
+    withv = toks.withColumn("v", F.expr(v))
+    bit_sums = [
+        F.sum(
+            F.expr(f"2 * (CAST(FLOOR(v / POW(2, {k})) AS INT) % 2) - 1")
+        ).alias(f"b{k}")
+        for k in range(16)
+    ]
+    sums = withv.groupBy(id_col).agg(*bit_sums)
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{k} >= 0 THEN 1 ELSE 0 END) * {2 ** k}" for k in range(16)
+    )
+    return sums.select(F.col(id_col), F.expr(sh_expr).alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming (≤ 3).
+
+    Candidates via 4 nibble-bands (pigeonhole: d ≤ 3 ⇒ ≥1 band equal — the
+    banded join is exact, not approximate), verified with bit_count(xor)."""
+    sh = simhash16(df, id_col, text_col)
+    nibbles = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"CAST(FLOOR(simhash / POW(16, {b})) AS INT) % 16").alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(nibbles).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib"))
+    a = banded.withColumnRenamed(id_col, "id_1").withColumnRenamed("simhash", "sh_1")
+    b = banded.withColumnRenamed(id_col, "id_2").withColumnRenamed("simhash", "sh_2")
+    cands = (
+        a.join(b, ["band", "nib"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

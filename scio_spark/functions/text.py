@@ -1,0 +1,127 @@
+"""Text analysis for large-scale training-data pipelines.
+
+These go beyond the scio reference surface (BASELINE.json north star): language
+ID (stopword-hit heuristic), quality scoring (length/punct/stopword ratios),
+token counting (whitespace + regex), and document fingerprinting. Everything is
+built from pyspark.sql.functions expressions — JVM-side, whole-stage-codegen,
+zero Python UDFs — so a 100 TB corpus scan stays a single vectorized pass.
+
+Every helper returns a Column; the constructions deliberately use only
+functions with exact DuckDB equivalents (md5, instr, regexp splits, array
+ops) so results are oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "que"],
+}
+
+#: default quality-score weights (length, stopword, word-length, punct)
+QUALITY_WEIGHTS = (0.25, 0.35, 0.25, 0.15)
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (regex split of trimmed text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Token count; empty/blank text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    clean = F.regexp_replace(c, r"[A-Za-z0-9 ]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(clean) / F.length(c)
+    )
+
+
+def stopword_hits(col, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(col, lang) / n)
+
+
+def mean_word_len(col) -> Column:
+    n = token_count(col)
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+
+def quality_score(col, weights=QUALITY_WEIGHTS) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    length factor (saturating at 200 tokens), stopword factor (target ~0.4),
+    mean-word-length factor (target 3-10 chars), low-punctuation factor."""
+    w_len, w_stop, w_wlen, w_punct = weights
+    n = token_count(col)
+    len_f = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_f = F.least(stopword_ratio(col) / F.lit(0.4), F.lit(1.0))
+    wl = mean_word_len(col)
+    wlen_f = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.4))
+    punct_f = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return (
+        len_f * w_len + stop_f * w_stop + wlen_f * w_wlen + punct_f * w_punct
+    )
+
+
+def lang_id(col) -> Column:
+    """Language ID heuristic: CJK script check, else argmax of stopword hits
+    with deterministic preference order en > de > fr > es; 'und' when no
+    stopword hits at all."""
+    c = F.col(col) if isinstance(col, str) else col
+    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    hits = {lang: stopword_hits(c, lang) for lang in ["en", "de", "fr", "es"]}
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), F.lit("de"))
+        .when(hits["fr"] >= hits["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    total = hits["en"] + hits["de"] + hits["fr"] + hits["es"]
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(total == 0, F.lit("und"))
+        .otherwise(best)
+    )
+
+
+def fingerprint(col) -> Column:
+    """Token-sort fingerprint: md5 over the sorted distinct token set — the
+    classic key for fuzzy exact-dedup (case/word-order insensitive)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(c))))
+    return F.md5(F.array_join(toks, " "))
+
+
+def normalized_text(col) -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")

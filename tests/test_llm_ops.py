@@ -1,0 +1,144 @@
+"""LLM-data-pipeline operators: text analysis, dedup families, similarity.
+
+Fixture style mirrors the reference's PipelineSpec (small in-memory data,
+order-insensitive asserts); near-dup tests use planted duplicates so expected
+pairs are known a priori.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.functions import dedup as D
+from scio_spark.functions import similarity as S
+from scio_spark.functions import text as T
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark engines and data planes"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",)], ["text"])
+    got = [r[0] for r in df.select(T.token_count("text")).collect()]
+    assert got == [3, 0, 0]
+
+
+def test_quality_score_bounds(docs):
+    vals = [r[0] for r in docs.select(T.quality_score("text")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in a house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la maison des amis"),
+            (4, "el perro y los gatos que corren"),
+            (5, "这是 中文 文本"),
+            (6, "xxxx yyyy zzzz"),
+        ],
+        ["id", "text"],
+    )
+    got = dict(rows(df.select("id", T.lang_id("text"))))
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_word_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma ALPHA beta"), (3, "alpha beta delta")],
+        ["id", "text"],
+    )
+    fps = dict(rows(df.select("id", T.fingerprint("text"))))
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs)
+    dup = [r for r in groups.collect() if r["n_docs"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0 and dup[0]["n_docs"] == 2
+    kept = D.exact_dedup(docs)
+    assert kept.count() == 4  # doc 3 removed
+    assert 3 not in [r["doc_id"] for r in kept.collect()]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = rows(D.ngram_jaccard_dedup(docs, min_jaccard=0.5).df if hasattr(
+        D.ngram_jaccard_dedup(docs, min_jaccard=0.5), "df")
+        else D.ngram_jaccard_dedup(docs, min_jaccard=0.5), "id_1", "id_2")
+    assert (0, 3) in pairs  # exact dup: jaccard 1.0
+    assert (0, 1) in pairs  # near dup
+    assert all(p != (0, 2) for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    got = rows(D.minhash_lsh_dedup(docs, min_jaccard=0.99), "id_1", "id_2")
+    assert (0, 3) in got  # identical docs always collide in every band
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    got = {(r["id_1"], r["id_2"]): r["hamming"] for r in D.simhash_dedup(docs, max_hamming=3).collect()}
+    assert got.get((0, 3)) == 0
+
+
+def test_simhash_banding_equals_bruteforce(spark):
+    import itertools
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i%3} common words here and there") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash16(df).collect()}
+    brute = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    )
+    banded = rows(D.simhash_dedup(df, max_hamming=3), "id_1", "id_2")
+    assert brute == sorted(banded)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import math
+    import random
+
+    random.seed(7)
+    data = []
+    for i in range(60):
+        v = [random.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        data.append((i, [x / n for x in v]))
+    # plant a near-identical neighbor of vec 0
+    base = data[0][1]
+    data.append((60, [x for x in base]))
+    return spark.createDataFrame(data, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(embeddings):
+    out = S.cosine_topk(embeddings, embeddings.filter("vec_id = 0"), k=1)
+    r = out.collect()[0]
+    assert r["neighbor_id"] == 60 and abs(r["score"] - 1.0) < 1e-4
+
+
+def test_cosine_topk_lsh_recall(embeddings):
+    qs = embeddings.filter("vec_id < 10")
+    brute = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(embeddings, qs, k=1).collect()
+    )
+    approx = set(
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_lsh(embeddings, qs, k=1, bits=2, dim=16).collect()
+    )
+    # recall@1 with 2-bit buckets on 60 vecs should be substantial
+    assert len(brute & approx) >= len(brute) * 0.5
