@@ -740,6 +740,270 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# --------------------------------------------------- windowing / sketches / smb
+
+
+def q_window_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed/tumbling windows (SCollection.scala:1229 withFixedWindows) —
+    1h windows × event_type."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    return W.fixed_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").alias("total"),
+        ],
+    ).select("window_start", "event_type", "n", "total")
+
+
+ORACLE_WINDOW_FIXED = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (:1240) — 1h size / 30m slide (every event in exactly
+    2 windows)."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    slid = W.with_sliding_windows(ev, "ts", "1 hour", "30 minutes")
+    return (
+        slid.groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_WINDOW_SLIDING = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT window_start, COUNT(*) AS n FROM assigned GROUP BY 1
+"""
+
+
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (:1258) — 30min gap per user (session_window in batch;
+    oracle = gaps-and-islands)."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    return W.session_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    ).select("user_id", "session_start", "n_events")
+
+
+ORACLE_WINDOW_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sid
+"""
+
+
+def q_window_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar windows (:1275 windowByMonths) — monthly order revenue."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").df
+    return (
+        W.with_calendar_window(o, "o_orderdate", "month")
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLE_WINDOW_CALENDAR = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollupAndCount (scio-extra rollup SCollectionSyntax.scala:47) →
+    native ROLLUP over (region, nation) with distinct-customer counts."""
+    from scio_spark.functions import sketches as K
+
+    sc = _ctx(spark)
+    c = _t(sc, sf_dir, "customer").df
+    n = _t(sc, sf_dir, "nation").df
+    r = _t(sc, sf_dir, "region").df
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return K.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        [
+            F.count(F.lit(1)).alias("n_cust"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        ],
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus)."""
+    from scio_spark.functions import sketches as K
+
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").df
+    return K.cube_agg(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        ],
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (scio-extra zetasketch sumHll analog): per-type
+    user sketches → union → estimate; exact at this cardinality (coupon
+    mode), oracled against COUNT(DISTINCT)."""
+    from scio_spark.functions import sketches as K
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    return K.approx_distinct_via_merge(ev, "event_type", "user_id")
+
+
+ORACLE_HLL_MERGE = "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events"
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (PairSkewedSCollectionFunctions.scala:26-55 CMS
+    hot-key path, exact-count variant)."""
+    from scio_spark.functions import sketches as K
+
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").df
+    n = li.count()
+    return K.heavy_hitters(li, "l_suppkey", threshold=int(n / 150))
+
+
+def _heavy_oracle() -> str:
+    return """
+WITH c AS (SELECT l_suppkey, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+     t AS (SELECT CAST(COUNT(*) / 150 AS BIGINT) AS thr FROM lineitem)
+SELECT l_suppkey, freq FROM c, t WHERE freq > thr
+"""
+
+
+def q_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMB: write orders+customer bucketed/sorted by custkey, then a
+    shuffle-free sort-merge join + agg (scio-smb sortMergeJoin analog;
+    plan shape verified in tests/test_plans.py)."""
+    from scio_spark.operators import smb
+
+    sc = _ctx(spark)
+    orders = _t(sc, sf_dir, "orders").df.withColumn("custkey", F.col("o_custkey"))
+    cust = _t(sc, sf_dir, "customer").df.withColumn("custkey", F.col("c_custkey"))
+    smb.save_sorted_bucket(orders, "smb_orders", "custkey", 8)
+    smb.save_sorted_bucket(cust, "smb_customer", "custkey", 8)
+    joined = smb.sort_merge_join(spark, "smb_orders", "smb_customer", "custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+ORACLE_SMB_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: readStream over the events parquet,
+    watermark + tumbling window count, update-mode memory sink driven to
+    completion (streaming/core.py). Single-batch input ⇒ output equals the
+    batch aggregation, so the DuckDB oracle applies."""
+    from scio_spark.streaming.core import run_to_memory, windowed_stream_agg
+
+    sc = _ctx(spark)
+    batch = _t(sc, sf_dir, "events").df
+    # file-stream source needs a directory: scope sf_dir to the events file
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    res = windowed_stream_agg(
+        stream, "ts", "1 hour", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    ).select("window_start", "event_type", "n")
+    return run_to_memory(res, output_mode="update")
+
+
+ORACLE_STREAMING_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -777,6 +1041,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
+        "window_fixed": q_window_fixed,
+        "window_sliding": q_window_sliding,
+        "window_session": q_window_session,
+        "window_calendar": q_window_calendar,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "hll_merge": q_hll_merge,
+        "heavy_hitters": q_heavy_hitters,
+        "smb_join": q_smb_join,
+        "streaming_window": q_streaming_window,
     }
 
 
@@ -809,4 +1083,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
         "dedup_simhash": _simhash_oracle(3),
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "window_fixed": ORACLE_WINDOW_FIXED,
+        "window_sliding": ORACLE_WINDOW_SLIDING,
+        "window_session": ORACLE_WINDOW_SESSION,
+        "window_calendar": ORACLE_WINDOW_CALENDAR,
+        "rollup": ORACLE_ROLLUP,
+        "cube": ORACLE_CUBE,
+        "hll_merge": ORACLE_HLL_MERGE,
+        "heavy_hitters": _heavy_oracle(),
+        "smb_join": ORACLE_SMB_JOIN,
+        "streaming_window": ORACLE_STREAMING_WINDOW,
     }

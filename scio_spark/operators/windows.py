@@ -1,0 +1,80 @@
+"""Windowing — scio/Beam windowing re-expressed on event-time columns.
+
+Reference: SCollection.scala windowing entry points — withFixedWindows:1229,
+withSlidingWindows:1240, withSessionWindows:1258, calendar windows
+windowByYears/Months/Weeks/Days:1275-1300, timestampBy:1359, withTimestamp:1322.
+Beam attaches timestamps/windows as element *metadata*; Spark-first design
+carries them as explicit columns (SURVEY §1.3), which makes windows visible to
+Catalyst (partition pruning on window_start, pushdown, AQE).
+
+Batch and streaming share these helpers — the same ``F.window``/
+``F.session_window`` expressions work on bounded DataFrames and on
+``readStream`` inputs (Structured Streaming's own batch/stream unification,
+mirroring scio's single SCollection API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def timestamp_by(df: DataFrame, expr, ts_col: str = "event_time") -> DataFrame:
+    """SCollection.scala:1359 ``timestampBy`` — assign/replace event time."""
+    return df.withColumn(ts_col, expr if isinstance(expr, Column) else F.expr(expr))
+
+
+def with_fixed_windows(df: DataFrame, ts_col: str, duration: str) -> DataFrame:
+    """Tumbling windows (:1229): adds window_start / window_end columns."""
+    w = F.window(F.col(ts_col), duration)
+    return df.withColumn("window_start", w.start).withColumn("window_end", w.end)
+
+
+def with_sliding_windows(df: DataFrame, ts_col: str, size: str, slide: str) -> DataFrame:
+    """Sliding windows (:1240): one output row per (element, window) pair —
+    same multiplicity as Beam's sliding-window assignment."""
+    w = F.window(F.col(ts_col), size, slide)
+    return (
+        df.withColumn("__w", w)
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
+def with_session_windows(df: DataFrame, ts_col: str, gap: str, *key_cols: str) -> DataFrame:
+    """Session windows (:1258) for batch+streaming grouping: returns the
+    grouped frame keyed by (keys..., session_window). Aggregate on top."""
+    return df.groupBy(F.session_window(F.col(ts_col), gap), *key_cols)
+
+
+def with_calendar_window(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame:
+    """Calendar windows (:1275-1300) — date_trunc-derived window column
+    (years/months/weeks/days)."""
+    return df.withColumn("window_start", F.date_trunc(unit, F.col(ts_col)))
+
+
+def fixed_window_agg(df: DataFrame, ts_col: str, duration: str, key_cols, aggs) -> DataFrame:
+    """groupBy(window, keys).agg — the canonical windowed aggregation; in
+    streaming add .withWatermark(ts_col, delay) upstream."""
+    w = F.window(F.col(ts_col), duration)
+    out = df.groupBy(w.alias("window"), *key_cols).agg(*aggs)
+    return (
+        out.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str, gap: str, key_cols, aggs) -> DataFrame:
+    """Session aggregation: (keys, session_start, session_end, aggs...).
+    Session end here is last-event + gap (Spark semantics; Beam's session
+    windows are identical)."""
+    out = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("session"), *key_cols
+    ).agg(*aggs)
+    return (
+        out.withColumn("session_start", F.col("session.start"))
+        .withColumn("session_end", F.col("session.end"))
+        .drop("session")
+    )

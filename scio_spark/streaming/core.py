@@ -1,0 +1,130 @@
+"""Structured Streaming layer — scio/Beam streaming semantics on Spark.
+
+Mapping (SURVEY §2.5): scio exposes Beam windowing/triggers; Structured
+Streaming expresses the watermark-representable subset:
+
+- event timestamps           → explicit ts column (timestampBy → withColumn)
+- allowedLateness            → ``withWatermark(ts, delay)``
+- fixed/sliding/session agg  → same window exprs as batch (operators/windows)
+- ACCUMULATING panes         → output mode ``update``
+- DISCARDING + final pane    → output mode ``append`` (emit on watermark pass)
+- early/late firing triggers → micro-batch cadence (Trigger.ProcessingTime);
+  per-pane firing control has NO Spark analog — documented gap (SURVEY §4.4.1)
+
+Late-data caveat (differs subtly from Beam): Spark drops a late row
+*best-effort* while its window's state is alive, and *guarantees* the drop
+only after the watermark evicted that state (one trigger after the watermark
+passes the window end). Beam with allowedLateness=0 drops at assignment time.
+Tests pin the guaranteed behavior.
+- stateful DoFn (@StateId)   → applyInPandasWithState (state.py)
+- TestStream                 → StreamFixture below (scripted micro-batches;
+  watermark advances with each batch's max event time)
+
+Reference: scio streaming/package.scala:31-35 (accumulation aliases),
+LeaderBoard.scala:111-170 (trigger exemplar), testing/package.scala:27-34
+(testStreamOf).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_stream_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    key_cols: Sequence[str],
+    aggs,
+) -> DataFrame:
+    """The canonical streaming windowed aggregation: watermark + tumbling
+    window + keyed aggs. Append mode emits each window once, when the
+    watermark passes its end (Beam: default trigger, DISCARDING)."""
+    w = F.window(F.col(ts_col), window_duration)
+    out = (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(w.alias("window"), *key_cols)
+        .agg(*aggs)
+    )
+    return (
+        out.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    output_mode: str = "update",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion against current source data
+    (processAllAvailable) into a memory sink; returns the sink as a batch
+    DataFrame. Local-test helper — production sinks go via writeStream."""
+    name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+class StreamFixture:
+    """TestStream analog (testing/package.scala:27-34): scripted micro-batches
+    with watermark advancement between them.
+
+    Each ``add_batch`` writes one file into a staging dir; with
+    ``maxFilesPerTrigger=1`` the file source replays them as separate
+    micro-batches in order, so the watermark (max event time − delay)
+    advances batch by batch — late rows arriving after the watermark passed
+    their window are dropped, exactly the Beam TestStream late-data scenario.
+    """
+
+    def __init__(self, spark: SparkSession, schema: str):
+        self.spark = spark
+        self.schema = schema
+        self.dir = tempfile.mkdtemp(prefix="scio_spark_stream_")
+        self._n = 0
+
+    def add_batch(self, rows: list) -> "StreamFixture":
+        df = self.spark.createDataFrame(rows, self.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.dir, f"batch_{self._n:05d}")
+        )
+        self._n += 1
+        return self
+
+    def stream(self) -> DataFrame:
+        """One micro-batch per staged batch-dir (ordered by path)."""
+        paths = [
+            os.path.join(self.dir, d) for d in sorted(os.listdir(self.dir))
+        ]
+        return (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.dir + "/batch_*")
+        )
+
+    def run(
+        self,
+        pipeline: Callable[[DataFrame], DataFrame],
+        output_mode: str = "append",
+    ) -> DataFrame:
+        return run_to_memory(pipeline(self.stream()), output_mode)
+
+    def close(self):
+        shutil.rmtree(self.dir, ignore_errors=True)

@@ -1,0 +1,104 @@
+"""Plan-efficiency asserts (SURVEY §7 step 5: EXPLAIN asserts in tests).
+
+These pin the *physical* properties the 100 TB design depends on: broadcast
+joins stay broadcast, parquet predicates reach the scan, bucketed (SMB)
+layouts join and aggregate without exchanges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.operators import smb
+from scio_spark.plans import lint
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def no_broadcast(spark):
+    """Force SMJ paths so bucketing (not broadcast) explains shuffle-freedom."""
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_partkey") == 7
+    ).select("l_partkey", "l_quantity")
+    assert any("l_partkey" in p for p in lint.scan_pushed_filters(df))
+    # column pruning: scan must not read all 11 lineitem columns
+    schemas = lint.scan_read_schemas(df)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
+
+
+def test_broadcast_join_no_shuffle_on_big_side(spark):
+    big = spark.read.parquet(f"{SF}/lineitem.parquet")
+    small = spark.read.parquet(f"{SF}/part.parquet")
+    joined = big.join(F.broadcast(small), big.l_partkey == small.p_partkey)
+    assert lint.has_broadcast_join(joined)
+    assert lint.count_shuffles(joined) == 0
+
+
+def test_smb_join_is_shuffle_free(spark, no_broadcast):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "custkey", F.col("o_custkey")
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").withColumn(
+        "custkey", F.col("c_custkey")
+    )
+    smb.save_sorted_bucket(orders, "t_smb_orders", "custkey", 4)
+    smb.save_sorted_bucket(cust, "t_smb_cust", "custkey", 4)
+    joined = smb.sort_merge_join(spark, "t_smb_orders", "t_smb_cust", "custkey")
+    assert lint.has_sort_merge_join(joined)
+    lint.assert_no_shuffle(joined, "bucketed SMB join")
+    # correctness too
+    assert joined.count() == orders.count()
+
+
+def test_smb_group_by_key_is_shuffle_free(spark, no_broadcast):
+    agg = smb.sort_merge_group_by_key(
+        spark, "t_smb_orders", "custkey", F.count(F.lit(1)).alias("n")
+    )
+    lint.assert_no_shuffle(agg, "bucketed groupBy")
+
+
+def test_smb_cogroup_and_bucket_metadata(spark, no_broadcast):
+    assert smb.bucket_count(spark, "t_smb_orders") == 4
+    cg = smb.sort_merge_cogroup(spark, "t_smb_orders", "t_smb_cust", "custkey")
+    lint.assert_no_shuffle(cg, "bucketed cogroup")
+    row = cg.filter(F.size("values_1") > 0).limit(1).collect()[0]
+    assert isinstance(row["values_1"], list)
+
+
+def test_smb_transform_preserves_bucketing(spark, no_broadcast):
+    smb.sort_merge_transform(
+        spark,
+        "t_smb_orders",
+        "t_smb_orders_x",
+        lambda df: df.withColumn("big", F.col("o_totalprice") > 100000),
+        "custkey",
+    )
+    assert smb.bucket_count(spark, "t_smb_orders_x") == 4
+    joined = smb.sort_merge_join(spark, "t_smb_orders_x", "t_smb_cust", "custkey")
+    lint.assert_no_shuffle(joined, "transform kept bucket layout")
+
+
+def test_sparse_join_reduces_before_shuffle(spark):
+    """sparse_join must semi-join-reduce the big side with a broadcast before
+    the shuffle join (the whole point of the operator)."""
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    li = sc.parquet_file(f"{SF}/lineitem.parquet").key_by(partkey="l_partkey")
+    rare = (
+        sc.parquet_file(f"{SF}/part.parquet")
+        .filter("p_size = 1")
+        .key_by(partkey="p_partkey")
+    )
+    out = li.sparse_join(rare, how="inner")
+    plan = lint.executed_plan(out.df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -1,0 +1,109 @@
+"""Streaming semantics — TestStream-style scripted micro-batches
+(scio testing/package.scala:27-34; game-example windowed tests).
+
+Covers: watermark window finalization (append mode), late-data drop beyond
+the watermark, update-mode accumulation, and stateful running counts across
+batches (applyInPandasWithState)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.streaming.core import StreamFixture, run_to_memory, windowed_stream_agg
+from scio_spark.streaming.state import running_counter
+
+
+def ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+SCHEMA = "user string, team string, score int, event_time timestamp"
+
+
+@pytest.fixture()
+def fixture(spark):
+    f = StreamFixture(spark, SCHEMA)
+    yield f
+    f.close()
+
+
+def test_append_mode_emits_finalized_windows_and_drops_late(fixture):
+    # NB Spark's late-data drop is best-effort while window state is alive;
+    # it is GUARANTEED once the watermark evicted the window's state — so the
+    # late row arrives two watermark advances after its window.
+    fixture.add_batch([("u1", "red", 5, ts(1)), ("u2", "blue", 3, ts(4))])
+    fixture.add_batch([("u3", "red", 7, ts(30))])  # watermark → 10:30
+    fixture.add_batch([("u5", "red", 1, ts(45))])  # window 1 emitted + evicted
+    fixture.add_batch([("u4", "red", 100, ts(2))])  # guaranteed-late → dropped
+
+    def pipe(stream):
+        return windowed_stream_agg(
+            stream, "event_time", "10 minutes", "0 seconds", ["team"],
+            [F.sum("score").alias("total")],
+        )
+
+    out = fixture.run(pipe, output_mode="append")
+    rows = {(r["team"], r["window_start"].minute): r["total"] for r in out.collect()}
+    # finalized window [10:00,10:10): late u4 score NOT included
+    assert rows.get(("red", 0)) == 5
+    assert rows.get(("blue", 0)) == 3
+    # late row must not re-open the evicted window (exactly one red row @ :00)
+    red_zero = [
+        r for r in out.collect() if r["team"] == "red" and r["window_start"].minute == 0
+    ]
+    assert len(red_zero) == 1
+
+
+def test_update_mode_emits_running_updates(fixture):
+    fixture.add_batch([("u1", "red", 5, ts(1))])
+    fixture.add_batch([("u2", "red", 3, ts(2))])
+
+    def pipe(stream):
+        return windowed_stream_agg(
+            stream, "event_time", "10 minutes", "10 minutes", ["team"],
+            [F.sum("score").alias("total")],
+        )
+
+    out = fixture.run(pipe, output_mode="update")
+    totals = [r["total"] for r in out.collect() if r["team"] == "red"]
+    # two micro-batches → two updates, accumulating (5 then 8)
+    assert sorted(totals) == [5, 8]
+
+
+def test_stateful_running_counter_across_batches(fixture):
+    fixture.add_batch([("u1", "red", 1, ts(1)), ("u1", "red", 1, ts(2))])
+    fixture.add_batch([("u1", "red", 1, ts(3)), ("u2", "blue", 1, ts(4))])
+
+    def pipe(stream):
+        return running_counter(stream.groupBy("user"))
+
+    out = fixture.run(pipe, output_mode="update")
+    per_key = {}
+    for r in out.collect():
+        per_key.setdefault(r["key"], []).append(r["total"])
+    # u1: 2 after batch1, 3 after batch2 (state persisted); u2: 1
+    assert sorted(per_key["u1"]) == [2, 3]
+    assert per_key["u2"] == [1]
+
+
+def test_session_window_streaming(fixture):
+    fixture.add_batch(
+        [("u1", "red", 1, ts(0)), ("u1", "red", 1, ts(5)), ("u1", "red", 1, ts(40))]
+    )
+    fixture.add_batch([("u1", "red", 1, ts(59))])  # advance watermark
+
+    def pipe(stream):
+        return (
+            stream.withWatermark("event_time", "0 seconds")
+            .groupBy(F.session_window("event_time", "10 minutes"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user", F.col("session_window.start").alias("start"), "n")
+        )
+
+    out = fixture.run(pipe, output_mode="append")
+    finalized = {(r["start"].minute): r["n"] for r in out.collect()}
+    # session 1 = events at 10:00+10:05 (closed by the 10:40 event)
+    assert finalized.get(0) == 2
+    # session 2 (10:40) closed by watermark at 10:59
+    assert finalized.get(40) == 1
