@@ -971,6 +971,134 @@ GROUP BY c_mktsegment
 """
 
 
+def q_skewed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewedJoin (PairSkewedSCollectionFunctions.scala:186): explicit
+    hot/chill split — hot keys broadcast-joined, rest shuffle-joined;
+    result must equal a plain join (oracle)."""
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").map("l_orderkey", "l_quantity", suppkey="l_suppkey").key_by("suppkey")
+    sup = _t(sc, sf_dir, "supplier").map("s_name", suppkey="s_suppkey").key_by("suppkey")
+    out = li.skewed_join(sup, hot_key_threshold=400)
+    return (
+        out.to_scollection()
+        .key_by("s_name")
+        .agg_by_key(
+            F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n")
+        )
+        .df
+    )
+
+
+ORACLE_SKEWED_JOIN = """
+SELECT s_name, SUM(l_quantity) AS qty, COUNT(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+def q_sparse_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparseLookup (PairSCollectionFunctions.scala:438): join RHS values
+    into LHS as arrays after semi-join reduction; materialized as counts."""
+    from scio_spark.operators.joins import sparse_lookup
+
+    sc = _ctx(spark)
+    cust = (
+        _t(sc, sf_dir, "customer")
+        .filter("c_acctbal > 9000")
+        .map("c_name", custkey="c_custkey")
+        .key_by("custkey")
+    )
+    orders = _t(sc, sf_dir, "orders").map("o_orderkey", custkey="o_custkey").key_by("custkey")
+    out = sparse_lookup(cust, orders)
+    return out.df.select(
+        "custkey", "c_name", F.size("matches").alias("n_orders")
+    )
+
+
+ORACLE_SPARSE_LOOKUP = """
+SELECT c_custkey AS custkey, c_name,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+FROM customer WHERE c_acctbal > 9000
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (rollupAndCount generalization): {(priority,status),
+    (priority), ()} in one pass."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").df
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantilesApprox (SCollection.scala:834) — exact-percentile variant for
+    oracle parity (continuous interpolation matches quantile_cont)."""
+    sc = _ctx(spark)
+    return (
+        _t(sc, sf_dir, "orders")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+        .df
+    )
+
+
+ORACLE_QUANTILES = """
+SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75
+FROM orders
+"""
+
+
+def q_flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatMap (SCollection.scala:657) = explode: tokenize documents, top 20
+    tokens with total order."""
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents")
+    return (
+        d.flat_map(F.split(F.col("text"), " "), alias="token")
+        .map("token")
+        .count_by_value()
+        .df.orderBy(F.desc("count"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_FLAT_MAP = """
+SELECT token, COUNT(*) AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY count DESC, token ASC LIMIT 20
+"""
+
+
+def q_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cross (SCollection.scala:999): cartesian with broadcast tiny side."""
+    sc = _ctx(spark)
+    nation = _t(sc, sf_dir, "nation").key_by("n_nationkey")
+    region = _t(sc, sf_dir, "region").map("r_name")
+    return nation.cross(region).df.select("n_name", "r_name")
+
+
+ORACLE_CROSS = "SELECT n_name, r_name FROM nation CROSS JOIN region"
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: readStream over the events parquet,
     watermark + tumbling window count, update-mode memory sink driven to
@@ -1051,6 +1179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "smb_join": q_smb_join,
         "streaming_window": q_streaming_window,
+        "skewed_join": q_skewed_join,
+        "sparse_lookup": q_sparse_lookup,
+        "grouping_sets": q_grouping_sets,
+        "quantiles": q_quantiles,
+        "flat_map": q_flat_map_tokens,
+        "cross": q_cross,
     }
 
 
@@ -1093,4 +1227,10 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_oracle(),
         "smb_join": ORACLE_SMB_JOIN,
         "streaming_window": ORACLE_STREAMING_WINDOW,
+        "skewed_join": ORACLE_SKEWED_JOIN,
+        "sparse_lookup": ORACLE_SPARSE_LOOKUP,
+        "grouping_sets": ORACLE_GROUPING_SETS,
+        "quantiles": ORACLE_QUANTILES,
+        "flat_map": ORACLE_FLAT_MAP,
+        "cross": ORACLE_CROSS,
     }

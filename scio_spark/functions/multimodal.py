@@ -1,0 +1,160 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+Design (BASELINE.json north star; no direct scio analog — scio stops at
+``binaryFile``/TFRecord): a multimodal table is
+
+    asset_id: long, modality: string, content: binary,
+    meta: struct<mime: string, width: int, height: int,
+                 sample_rate: int, duration_ms: long>
+
+Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
+signatures) is real and tested; the *codec* step (PIL/libsndfile/ffmpeg) is
+image/audio-library work this container doesn't ship, so decoders are
+import-gated: with the libs absent they run a deterministic fake (tested) or
+raise NotImplementedError (strict mode).
+
+Scale notes: binary payloads dominate row size — the helpers repartition by
+byte budget, not row count (maxPartitionBytes analog for in-flight data), and
+feature extraction runs in mapInPandas so payload bytes cross the Python
+boundary once per batch, Arrow-packed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MULTIMODAL_SCHEMA = (
+    "asset_id long, modality string, content binary, "
+    "meta struct<mime: string, width: int, height: int, "
+    "sample_rate: int, duration_ms: long>"
+)
+
+try:  # pragma: no cover - not in this image
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def repartition_by_bytes(df: DataFrame, size_col_expr, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Partition so each task holds ~target_bytes of payload (binary rows are
+    wildly non-uniform; row-count partitioning over/under-packs executors)."""
+    total = df.agg(F.sum(F.expr(size_col_expr)).alias("b")).collect()[0]["b"] or 0
+    n = max(1, int(total / target_bytes) + 1)
+    return df.repartition(n)
+
+
+def content_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap JVM-side facts about the payload (no decode, no Python):
+    byte length + digest for exact-dup detection of assets."""
+    return df.withColumn("n_bytes", F.length(F.col(content_col))).withColumn(
+        "digest", F.sha2(F.col(content_col), 256)
+    )
+
+
+def _fake_image_features(content: bytes) -> dict:
+    """Deterministic stand-in for a real decoder: derives pseudo-features
+    from a sha256 of the bytes. Replaces PIL in this container; the Spark
+    plumbing (batching, schema) is identical either way."""
+    h = hashlib.sha256(content or b"").digest()
+    return {
+        "width": 64 + h[0],
+        "height": 64 + h[1],
+        "mean_luma": h[2] / 255.0,
+    }
+
+
+def decode_image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Image decode → features over mapInPandas (Arrow-batched, one Python
+    crossing). With PIL absent: strict → NotImplementedError; else the
+    deterministic fake decoder (marked in the ``decoder`` column)."""
+    if strict and not HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow (not in this container); "
+            "use strict=False for the deterministic fake decoder"
+        )
+    schema = f"{id_col} long, width int, height int, mean_luma double, decoder string"
+    use_pil = HAS_PIL
+
+    def gen(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = r[content_col]
+                if use_pil:  # pragma: no cover
+                    import io
+
+                    from PIL import Image as _I
+
+                    img = _I.open(io.BytesIO(content))
+                    feats = {
+                        "width": img.width,
+                        "height": img.height,
+                        "mean_luma": 0.0,
+                    }
+                    dec = "pil"
+                else:
+                    feats = _fake_image_features(content)
+                    dec = "fake"
+                rows.append({id_col: r[id_col], **feats, "decoder": dec})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    duration_col: str = "meta.duration_ms",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (asset, frame_ts_ms) — the
+    shuffle-level work of frame extraction, with the ffmpeg decode stubbed at
+    the edge. JVM-side sequence/explode, no Python."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthetic_assets(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic binary fixture (no external data needed): payload bytes
+    derived from sha256(asset_id||seed)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+        rows.append(
+            {
+                "asset_id": i,
+                "modality": ["image", "audio", "video"][i % 3],
+                "content": payload,
+                "meta": {
+                    "mime": "application/octet-stream",
+                    "width": None,
+                    "height": None,
+                    "sample_rate": 16000 if i % 3 == 1 else None,
+                    "duration_ms": 4000 + 250 * i if i % 3 == 2 else None,
+                },
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), MULTIMODAL_SCHEMA)

@@ -1,0 +1,233 @@
+"""Enrichment & escape-hatch operators — scio's Python-logic surface.
+
+Covers the SCollection syntax extensions that wrap imperative per-element
+logic (SURVEY §2.1 tail). These are the *sanctioned slow paths*: everything
+here runs Arrow-batched (mapInPandas) or per-partition (mapPartitions), never
+row-at-a-time Python UDFs.
+
+| scio | here | citation |
+|---|---|---|
+| side inputs (asSingletonSideInput, asMapSideInput, ...) | ``side_input_*`` broadcasts | values/SideInput.scala:31-125 |
+| SideOutput / multi-output ParDo | ``partition_by_pred`` (collection.py) + ``safe_flat_map`` error channel | values/SideOutput.scala |
+| safeFlatMap (errors → (input, error) side output) | ``safe_map_partitions`` | transforms/syntax/SCollectionSafeSyntax.scala:46 |
+| pipe (subprocess per element) | ``pipe`` (rdd.pipe) | transforms/syntax/SCollectionPipeSyntax.scala:45,71 |
+| mapWithResource (per-worker setup) | ``map_with_resource`` | transforms/syntax/SCollectionWithResourceSyntax.scala:37-64 |
+| map/flatMapWithParallelism | ``map_with_parallelism`` | SCollectionParallelismSyntax.scala:43-71, util/ParallelLimitedFn.scala |
+| ScalaAsyncLookupDoFn / ScalaAsyncBatchLookupDoFn / grpc lookups | ``async_lookup`` | transforms/ScalaAsyncLookupDoFn.scala; scio-grpc SCollectionSyntax.scala:38-151 |
+| DistCache (per-worker files) | ``dist_cache`` | values/DistCache.scala:1-100 |
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- side inputs
+
+
+def side_input_singleton(df: DataFrame):
+    """asSingletonSideInput (SideInput.scala:100): exactly-one-row DataFrame
+    → broadcast python value."""
+    rows = df.collect()
+    if len(rows) != 1:
+        raise ValueError(f"singleton side input has {len(rows)} rows")
+    val = rows[0][0] if len(rows[0]) == 1 else rows[0].asDict()
+    return df.sparkSession.sparkContext.broadcast(val)
+
+
+def side_input_list(df: DataFrame):
+    """asListSideInput (:105)."""
+    rows = [r[0] if len(r) == 1 else tuple(r) for r in df.collect()]
+    return df.sparkSession.sparkContext.broadcast(rows)
+
+
+def side_input_map(df: DataFrame, key_col: str, value_col: str):
+    """asMapSideInput (:117) — unique keys."""
+    m = {}
+    for r in df.select(key_col, value_col).collect():
+        if r[0] in m:
+            raise ValueError(f"duplicate key in map side input: {r[0]}")
+        m[r[0]] = r[1]
+    return df.sparkSession.sparkContext.broadcast(m)
+
+
+def side_input_multimap(df: DataFrame, key_col: str, value_col: str):
+    """asMultiMapSideInput (:123) — the hashJoin substrate
+    (PairHashSCollectionFunctions.scala:62-73)."""
+    m: dict[Any, list] = {}
+    for r in df.select(key_col, value_col).collect():
+        m.setdefault(r[0], []).append(r[1])
+    return df.sparkSession.sparkContext.broadcast(m)
+
+
+def with_side_input(df: DataFrame, broadcast_var, fn: Callable, schema) -> DataFrame:
+    """SCollectionWithSideInput analog: ``fn(pdf, side_value) -> pdf`` over
+    Arrow batches with the broadcast side value in scope."""
+
+    def gen(batches: Iterator):
+        side = broadcast_var.value
+        for pdf in batches:
+            yield fn(pdf, side)
+
+    return df.mapInPandas(gen, schema)
+
+
+# ------------------------------------------------------- safe / error channel
+
+
+def safe_map_partitions(df: DataFrame, fn: Callable, ok_schema) -> tuple[DataFrame, DataFrame]:
+    """safeFlatMap (SCollectionSafeSyntax.scala:46): apply ``fn(row_dict) ->
+    dict`` per element; failures land in an error channel of
+    (input_json, error) instead of failing the job.
+
+    Returns (ok, errors). Implemented as one Arrow-batched pass emitting a
+    status column, then two filters off a cached intermediate (Beam's
+    multi-output ParDo is one pass; Spark needs the cache — SURVEY §4.4.3)."""
+    import json
+
+    import pandas as pd
+
+    ok_fields = [f.strip().split(" ")[0] for f in ok_schema.split(",")]
+    full_schema = ok_schema + ", __error string, __input string"
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                try:
+                    res = fn(rec)
+                    res = {**{k: None for k in ok_fields}, **res}
+                    res["__error"] = None
+                    res["__input"] = None
+                    out_rows.append(res)
+                except Exception as e:  # noqa: BLE001 — the whole point
+                    out_rows.append(
+                        {
+                            **{k: None for k in ok_fields},
+                            "__error": f"{type(e).__name__}: {e}",
+                            "__input": json.dumps(rec, default=str),
+                        }
+                    )
+            yield pd.DataFrame(out_rows)
+
+    tagged = df.mapInPandas(gen, full_schema).cache()
+    ok = tagged.filter(F.col("__error").isNull()).drop("__error", "__input")
+    errors = tagged.filter(F.col("__error").isNotNull()).select(
+        F.col("__input").alias("input"), F.col("__error").alias("error")
+    )
+    return ok, errors
+
+
+# ------------------------------------------------------------------ pipe
+
+
+def pipe(df: DataFrame, command: str, input_col: str = "value") -> DataFrame:
+    """pipe (SCollectionPipeSyntax.scala:45): element per stdin line through a
+    subprocess; stdout lines become the output collection. RDD path — the
+    one legitimate RDD use (per-partition subprocess lifecycle)."""
+    rdd = df.select(input_col).rdd.map(lambda r: str(r[0]))
+    out = rdd.pipe(command)
+    return df.sparkSession.createDataFrame(out.map(lambda x: (x,)), [input_col])
+
+
+# ------------------------------------------------------------- resources
+
+
+def map_with_resource(
+    df: DataFrame,
+    create_resource: Callable[[], Any],
+    fn: Callable,
+    schema,
+    close_resource: Callable[[Any], None] | None = None,
+) -> DataFrame:
+    """mapWithResource (SCollectionWithResourceSyntax.scala:37-64): resource
+    created once per partition/task (e.g. a client, a model), applied to
+    Arrow batches, optionally closed."""
+
+    def gen(batches: Iterator):
+        res = create_resource()
+        try:
+            for pdf in batches:
+                yield fn(res, pdf)
+        finally:
+            if close_resource is not None:
+                close_resource(res)
+
+    return df.mapInPandas(gen, schema)
+
+
+def map_with_parallelism(
+    df: DataFrame, fn: Callable, schema, max_parallelism: int
+) -> DataFrame:
+    """mapWithParallelism (SCollectionParallelismSyntax.scala:43, util/
+    ParallelLimitedFn.scala): cap concurrent calls per executor with a
+    semaphore (for rate-limited services)."""
+    sem = threading.BoundedSemaphore(max_parallelism)
+
+    def gen(batches: Iterator):
+        for pdf in batches:
+            with sem:
+                yield fn(pdf)
+
+    return df.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------- async
+
+
+def async_lookup(
+    df: DataFrame,
+    lookup_fn: Callable,
+    schema,
+    batch_size: int = 64,
+    max_concurrency: int = 16,
+) -> DataFrame:
+    """Async batched lookup (ScalaAsyncBatchLookupDoFn / grpcBatchLookup
+    analog): ``lookup_fn`` is an async callable taking a list of row dicts
+    and returning a list of result dicts; executed with asyncio.gather under
+    a concurrency cap, Arrow batch in/out."""
+    import asyncio
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        async def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            sem = asyncio.Semaphore(max_concurrency)
+            recs = pdf.to_dict("records")
+            chunks = [recs[i : i + batch_size] for i in range(0, len(recs), batch_size)]
+
+            async def call(chunk):
+                async with sem:
+                    return await lookup_fn(chunk)
+
+            results = await asyncio.gather(*[call(c) for c in chunks])
+            flat = [r for chunk in results for r in chunk]
+            return pd.DataFrame(flat)
+
+        for pdf in batches:
+            yield asyncio.run(run_batch(pdf))
+
+    return df.mapInPandas(gen, schema)
+
+
+# -------------------------------------------------------------- dist cache
+
+
+def dist_cache(spark, path: str) -> Callable[[], str]:
+    """DistCache (values/DistCache.scala): distribute a file to every worker;
+    returns a thunk resolving to the worker-local path (SparkFiles)."""
+    spark.sparkContext.addFile(path)
+    import os
+
+    name = os.path.basename(path)
+
+    def get() -> str:
+        from pyspark import SparkFiles
+
+        return SparkFiles.get(name)
+
+    return get

@@ -1,0 +1,224 @@
+"""Enrichment ops, side inputs, JobTest harness, IO formats, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.operators import enrich as E
+from tests.conftest import rows
+
+
+def test_side_input_singleton_and_map(spark):
+    one = spark.createDataFrame([(42,)], ["v"])
+    bc = E.side_input_singleton(one)
+    assert bc.value == 42
+    kv = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    assert E.side_input_map(kv, "k", "v").value == {"a": 1, "b": 2}
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], ["k", "v"])
+    with pytest.raises(ValueError):
+        E.side_input_map(dup, "k", "v")
+    assert E.side_input_multimap(dup, "k", "v").value == {"a": [1, 2]}
+
+
+def test_with_side_input(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    bc = spark.sparkContext.broadcast(10)
+
+    def add(pdf, side):
+        pdf["x"] = pdf["x"] + side
+        return pdf
+
+    out = E.with_side_input(df, bc, add, "x long")
+    assert rows(out) == [(11,), (12,)]
+
+
+def test_safe_map_partitions_error_channel(spark):
+    df = spark.createDataFrame([(1,), (0,), (4,)], ["x"])
+
+    def inv(rec):
+        return {"y": 100 // rec["x"]}
+
+    ok, errors = E.safe_map_partitions(df, inv, "y long")
+    assert sorted(r["y"] for r in ok.collect()) == [25, 100]
+    errs = errors.collect()
+    assert len(errs) == 1 and "ZeroDivisionError" in errs[0]["error"]
+
+
+def test_pipe_subprocess(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], ["value"])
+    out = E.pipe(df, "tr a-z A-Z")
+    assert rows(out) == [("HELLO",), ("WORLD",)]
+
+
+def test_map_with_resource(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    log = []
+
+    def mk():
+        return {"factor": 3}
+
+    def use(res, pdf):
+        pdf["x"] = pdf["x"] * res["factor"]
+        return pdf
+
+    out = E.map_with_resource(df, mk, use, "x long")
+    assert rows(out) == [(3,), (6,)]
+
+
+def test_async_lookup(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+
+    async def lookup(chunk):
+        return [{"x": r["x"], "doubled": r["x"] * 2} for r in chunk]
+
+    out = E.async_lookup(df, lookup, "x long, doubled long", batch_size=3)
+    got = dict(rows(out))
+    assert got == {i: i * 2 for i in range(10)}
+
+
+def test_dist_cache(spark, tmp_path):
+    p = tmp_path / "lookup.txt"
+    p.write_text("cached-content")
+    get = E.dist_cache(spark, str(p))
+    df = spark.createDataFrame([(1,)], ["x"])
+
+    def gen(batches):
+        with open(get()) as f:
+            content = f.read()
+        for pdf in batches:
+            pdf["content"] = content
+            yield pdf
+
+    out = df.mapInPandas(gen, "x long, content string")
+    assert out.collect()[0]["content"] == "cached-content"
+
+
+# ------------------------------------------------------------------ JobTest
+
+
+def test_jobtest_swaps_io(spark):
+    from scio_spark.sources.registry import JobTest
+
+    def wordcount_job(ctx):
+        lines = ctx.text_file("gs://bucket/in.txt", io_id="text:in")
+        counts = (
+            lines.flat_map(F.split(F.col("value"), r"\s+"), alias="word")
+            .filter("word != ''")
+            .map("word")
+            .count_by_value()
+        )
+        counts.save_as_text_file("gs://bucket/out.txt", io_id="text:out")
+        return counts
+
+    result = (
+        JobTest(wordcount_job)
+        .input("text:in", ["a b c", "a b", ""])
+        .run(spark)
+    )
+    captured = result.output("text:out")
+    got = dict((r[0], r[1]) for r in captured.collect())
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+# ---------------------------------------------------------------- formats
+
+
+def test_object_file_roundtrip(spark, tmp_path):
+    from scio_spark.sources import formats as FM
+
+    objs = [{"a": 1}, [1, 2, 3], ("x", 4.5), "plain"]
+    path = str(tmp_path / "objs")
+    FM.save_as_object_file(spark, objs, path)
+    assert FM.read_object_file(spark, path) == objs
+
+
+def test_tfrecord_codec_roundtrip():
+    from scio_spark.sources import formats as FM
+
+    recs = [b"one", b"", b"three" * 100]
+    blob = FM.tfrecord_encode(recs)
+    assert FM.tfrecord_decode(blob) == recs
+    # corrupt a payload byte → checksum failure
+    bad = bytearray(blob)
+    bad[14] ^= 0xFF
+    with pytest.raises(ValueError):
+        FM.tfrecord_decode(bytes(bad))
+
+
+def test_tfrecord_spark_roundtrip(spark, tmp_path):
+    from scio_spark.sources import formats as FM
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}".encode()) for i in range(20)], "i long, payload binary"
+    )
+    path = str(tmp_path / "tfr")
+    FM.save_as_tfrecord(df, "payload", path)
+    back = FM.read_tfrecord(spark, path)
+    got = sorted(bytes(r["record"]) for r in back.collect())
+    assert got == sorted(f"payload-{i}".encode() for i in range(20))
+
+
+def test_dynamic_destinations(spark, tmp_path):
+    import os
+
+    from scio_spark.sources import formats as FM
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], ["part", "v"]
+    )
+    path = str(tmp_path / "dyn")
+    FM.save_dynamic(df, path, ["part"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=a", "part=b"]
+    back = spark.read.parquet(path)
+    assert back.filter("part = 'a'").count() == 2
+
+
+def test_zstd_dict_gated(spark):
+    from scio_spark.sources import formats as FM
+
+    df = spark.createDataFrame([(b"x" * 100,)], "payload binary")
+    with pytest.raises(NotImplementedError):
+        FM.train_zstd_dictionary(df, "payload")
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_schema_and_stats(spark):
+    from scio_spark.functions import multimodal as M
+
+    assets = M.synthetic_assets(spark, n=32)
+    stats = M.content_stats(assets)
+    r = stats.filter("asset_id = 0").collect()[0]
+    assert r["n_bytes"] == len(bytes(r["content"])) and len(r["digest"]) == 64
+    # exact-dup detection on digests: all synthetic payloads unique
+    assert stats.select("digest").distinct().count() == 32
+
+
+def test_multimodal_decode_stub_and_strict(spark):
+    from scio_spark.functions import multimodal as M
+
+    assets = M.synthetic_assets(spark, n=8)
+    feats = M.decode_image_features(assets.filter("modality = 'image'"))
+    got = feats.collect()
+    assert all(r["decoder"] == "fake" and r["width"] >= 64 for r in got)
+    # deterministic across runs
+    again = {r["asset_id"]: r["width"] for r in M.decode_image_features(
+        assets.filter("modality = 'image'")).collect()}
+    assert again == {r["asset_id"]: r["width"] for r in got}
+    if not M.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image_features(assets, strict=True)
+
+
+def test_frame_sample_plan(spark):
+    from scio_spark.functions import multimodal as M
+
+    assets = M.synthetic_assets(spark, n=9).filter("modality = 'video'")
+    plan = M.frame_sample_plan(assets, every_ms=1000)
+    counts = {r["asset_id"]: r["n"] for r in plan.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    durations = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.collect()}
+    for aid, n in counts.items():
+        assert n == (durations[aid] - 1) // 1000 + 1
