@@ -308,8 +308,8 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _ctx(spark)
     li = _t(sc, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_returnflag", 0.01).alias("n_flags"),
-        F.approx_count_distinct("l_linestatus", 0.01).alias("n_status"),
+        F.approx_count_distinct("l_returnflag", 0.05).alias("n_flags"),
+        F.approx_count_distinct("l_linestatus", 0.05).alias("n_status"),
     ).df
 
 

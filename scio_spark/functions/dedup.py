@@ -175,8 +175,28 @@ def minhash_lsh_dedup(
 
     sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_signature(sh, id_col, k), id_col, k, bands)
-    verified = jaccard_pairs(sh, id_col, min_jaccard)
-    return verified.join(cands, ["id_1", "id_2"], "left_semi")
+    # verify exact Jaccard ONLY for candidate pairs (work scales with
+    # |candidates|, not with all co-shingled pairs — the LSH point at 100 TB)
+    a = sh.withColumnRenamed(id_col, "id_1")
+    b = sh.withColumnRenamed(id_col, "id_2")
+    inter = (
+        cands.join(a, "id_1")
+        .join(b, ["id_2", "s"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
+    cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
+    return (
+        inter.join(F.broadcast(ca), "id_1")
+        .join(F.broadcast(cb), "id_2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_1", "id_2", "jaccard")
+    )
 
 
 # ------------------------------------------------------------------ SimHash
@@ -237,14 +257,13 @@ def simhash_dedup(
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib"))
     a = banded.withColumnRenamed(id_col, "id_1").withColumnRenamed("simhash", "sh_1")
     b = banded.withColumnRenamed(id_col, "id_2").withColumnRenamed("simhash", "sh_2")
-    cands = (
+    # filter on hamming BEFORE the distinct: the band join's fan-out is the
+    # big intermediate; post-filter dedup shuffles only surviving pairs
+    return (
         a.join(b, ["band", "nib"])
         .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2", "sh_1", "sh_2")
-        .distinct()
-    )
-    return (
-        cands.withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)"))
+        .withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+        .distinct()
     )
