@@ -1099,6 +1099,60 @@ def q_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CROSS = "SELECT n_name, r_name FROM nation CROSS JOIN region"
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py asof_join): each event matched to the
+    user's latest order at-or-before the event time — single window pass, one
+    shuffle on key. Right side pre-deduped per (key, ts) for determinism."""
+    from scio_spark.operators.joins import asof_join
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df.select("event_id", "user_id", "ts")
+    orders = (
+        _t(sc, sf_dir, "orders")
+        .df.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ots")
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(ev, orders, "user_id", "ts", "ots", ["last_orderkey"])
+    return out.select(
+        "event_id", "user_id", F.col("matched_ts").alias("last_order_date"), "last_orderkey"
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.ots AS last_order_date, r.last_orderkey
+FROM events e ASOF JOIN r ON e.user_id = r.user_id AND e.ts >= r.ots
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed field, keyed
+    agg (events.props is a JSON object)."""
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: readStream over the events parquet,
     watermark + tumbling window count, update-mode memory sink driven to
@@ -1185,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "flat_map": q_flat_map_tokens,
         "cross": q_cross,
+        "asof_join": q_asof_join,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1233,4 +1289,6 @@ def oracle_sql() -> dict[str, str]:
         "quantiles": ORACLE_QUANTILES,
         "flat_map": ORACLE_FLAT_MAP,
         "cross": ORACLE_CROSS,
+        "asof_join": ORACLE_ASOF_JOIN,
+        "json_extract": ORACLE_JSON_EXTRACT,
     }

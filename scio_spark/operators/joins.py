@@ -148,6 +148,75 @@ def sparse_lookup(left, right, suffixes=("_1", "_2")):
     return PairSCollection(out, keys, left.context)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols=None,
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts per key. Not in scio (SURVEY §2.3 note: inherited
+    from the Spark ecosystem); a training-data staple (align events to the
+    most recent snapshot/label).
+
+    Spark-first implementation — union both sides tagged, one window pass
+    per key ordered by (ts, side) carrying the last seen right values
+    forward (``last(..., ignorenulls=True)``). ONE shuffle on key, no
+    per-group Python (contrast `pd.merge_asof` via applyInPandas, which
+    pulls groups into pandas). Right side should be unique per (key, ts)
+    for determinism — pre-aggregate ties.
+    """
+    from pyspark.sql import Window
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in key_cols + [right_ts]
+    ]
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in right_value_cols:
+        l = l.withColumn("__r_" + c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r = right.withColumn("__ts", F.col(right_ts)).withColumn("__side", F.lit(0))
+    for c in right_value_cols:
+        r = r.withColumn("__r_" + c, F.col(c))
+    lcols = list(left.columns)
+    union_cols = lcols + ["__ts", "__side"] + ["__r_" + c for c in right_value_cols]
+    l_sel = l.select(*dict.fromkeys(union_cols))
+    ltypes = dict(left.dtypes)
+    r_exprs = []
+    for c in l_sel.columns:
+        if c in key_cols or c in ("__ts", "__side") or c.startswith("__r_"):
+            r_exprs.append(F.col(c))
+        else:  # left-only column → typed null on the right arm
+            r_exprs.append(F.lit(None).cast(ltypes[c]).alias(c))
+    u = l_sel.unionByName(r.select(*r_exprs))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last("__r_" + c, ignorenulls=True).over(w).alias("__m_" + c)
+            for c in right_value_cols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        F.col("__m_ts").alias("matched_ts"),
+        *[F.col("__m_" + c).alias(c) for c in right_value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("matched_ts").isNotNull())
+    return out
+
+
 def skewed_join(left, right, how: str = "inner", hot_key_threshold: int = 9000, suffixes=("_1", "_2")):
     """skewedJoin (PairSkewedSCollectionFunctions.scala:186-281; threshold
     default 9000 at :63): split hot keys (broadcast-join them) from the chill
