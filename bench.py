@@ -28,12 +28,30 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = ent.queries()
-    # Warm-up: touch every table once so first-query timing isn't scan-cold.
+    # Warm-up: touch every table once so first-query timing isn't scan-cold,
+    # and run one representative agg+join+window so the codegen compiler,
+    # shuffle and broadcast machinery are JIT-warm before the first
+    # measurement (otherwise query #1 absorbs ~2-3s of JVM warmup).
     for t in ["lineitem", "orders", "customer", "part", "events"]:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:
             pass
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+        warm = (
+            li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("q"))))
+        )
+        warm.write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
