@@ -1099,6 +1099,51 @@ def q_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CROSS = "SELECT n_name, r_name FROM nation CROSS JOIN region"
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 family: 6-way join (customer⋈orders⋈lineitem⋈supplier⋈nation
+    ⋈region) with the local-supplier predicate (c_nationkey = s_nationkey),
+    region filter pushed to the scan, dims broadcast."""
+    sc = _ctx(spark)
+    cust = _t(sc, sf_dir, "customer").df
+    orders = _t(sc, sf_dir, "orders").df
+    li = _t(sc, sf_dir, "lineitem").df
+    sup = _t(sc, sf_dir, "supplier").df
+    nat = _t(sc, sf_dir, "nation").df
+    reg = _t(sc, sf_dir, "region").df.filter("r_name = 'ASIA'")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            sup,
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py asof_join): each event matched to the
     user's latest order at-or-before the event time — single window pass, one
@@ -1241,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross": q_cross,
         "asof_join": q_asof_join,
         "json_extract": q_json_extract,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -1291,4 +1337,5 @@ def oracle_sql() -> dict[str, str]:
         "cross": ORACLE_CROSS,
         "asof_join": ORACLE_ASOF_JOIN,
         "json_extract": ORACLE_JSON_EXTRACT,
+        "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
     }

@@ -1,0 +1,93 @@
+"""ScioContext IO surface: readers/writers, round-trips, materialize/taps,
+union_all — mirrors the reference's IO tap tests (io/Tap.scala, TextTap)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark import ScioContext
+from tests.conftest import rows
+
+
+@pytest.fixture()
+def ctx(spark):
+    return ScioContext(spark)
+
+
+def test_text_roundtrip(ctx, tmp_path):
+    path = str(tmp_path / "txt")
+    c = ctx.parallelize(["line one", "line two"])
+    c.save_as_text_file(path)
+    back = ctx.text_file(path)
+    assert sorted(r[0] for r in back.collect()) == ["line one", "line two"]
+
+
+def test_csv_roundtrip_with_schema(ctx, tmp_path):
+    path = str(tmp_path / "csv")
+    c = ctx.parallelize([(1, "a"), (2, "b")], schema=["id", "name"])
+    c.save_as_csv_file(path)
+    back = ctx.csv_file(path, schema="id int, name string")
+    assert rows(back.df) == [(1, "a"), (2, "b")]
+
+
+def test_json_roundtrip(ctx, tmp_path):
+    path = str(tmp_path / "json")
+    c = ctx.parallelize([(1, [1, 2]), (2, [3])], schema=["id", "vals"])
+    c.save_as_json_file(path)
+    back = ctx.json_file(path, schema="id long, vals array<long>")
+    got = {r["id"]: r["vals"] for r in back.collect()}
+    assert got == {1: [1, 2], 2: [3]}
+
+
+def test_parquet_partitioned_write(ctx, tmp_path):
+    import os
+
+    path = str(tmp_path / "pq")
+    c = ctx.parallelize([("a", 1), ("b", 2)], schema=["part", "v"])
+    c.save_as_parquet(path, partition_by=["part"])
+    assert any(d.startswith("part=") for d in os.listdir(path))
+    assert ctx.parquet_file(path).count() == 2
+
+
+def test_binary_file_source(ctx, tmp_path):
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00\x01payload")
+    coll = ctx.binary_file(str(tmp_path))
+    r = coll.df.collect()[0]
+    assert bytes(r["content"]) == b"\x00\x01payload" and r["length"] == 9
+
+
+def test_materialize_and_taps(ctx):
+    c = ctx.parallelize([1, 2, 3]).map(doubled="value * 2")
+    c.materialize("tap_doubled")
+    result = ctx.run()
+    tapped = result.tap("tap_doubled")
+    assert sorted(r[0] for r in tapped.collect()) == [2, 4, 6]
+    # re-openable via SQL (temp view), like reopening a Tap in a later job
+    assert ctx.spark.sql("SELECT SUM(doubled) s FROM tap_doubled").collect()[0]["s"] == 12
+    assert result.state == "DONE"
+
+
+def test_union_all_context(ctx):
+    a = ctx.parallelize([1])
+    b = ctx.parallelize([2])
+    c = ctx.parallelize([1])
+    assert sorted(r[0] for r in ctx.union_all([a, b, c]).collect()) == [1, 1, 2]
+
+
+def test_sql_entry_point(ctx):
+    ctx.parallelize([(1,), (2,)], schema=["x"]).df.createOrReplaceTempView("sql_t")
+    out = ctx.sql("SELECT SUM(x) AS s FROM sql_t")
+    assert out.collect()[0]["s"] == 3
+
+
+def test_table_loader_sf_dir(ctx):
+    nation = ctx.table("nation", sf_dir="/root/testdata/sf0.001")
+    assert nation.count() == 25
+
+
+def test_write_capture_under_test_mode(spark):
+    ctx = ScioContext(spark, test_inputs={"parquet:in": [(1,), (2,)]})
+    data = ctx.parquet_file("ignored", io_id="parquet:in")
+    data.save_as_parquet("/nonexistent/should/not/write", io_id="parquet:out")
+    assert "parquet:out" in ctx.test_outputs
+    assert ctx.test_outputs["parquet:out"].count() == 2

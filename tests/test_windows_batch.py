@@ -1,0 +1,124 @@
+"""Batch windowing helpers (operators/windows.py) + remaining SCollection ops."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.operators import windows as W
+from tests.conftest import rows
+
+
+def t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, t(0)),
+            ("a", 2, t(4)),
+            ("b", 3, t(11)),
+            ("a", 4, t(59)),
+        ],
+        ["k", "v", "ts"],
+    )
+
+
+def test_fixed_windows_assignment(events):
+    out = W.with_fixed_windows(events, "ts", "10 minutes")
+    starts = sorted(r["window_start"].minute for r in out.collect())
+    assert starts == [0, 0, 10, 50]
+
+
+def test_sliding_windows_multiplicity(events):
+    out = W.with_sliding_windows(events, "ts", "10 minutes", "5 minutes")
+    # each event lands in exactly size/slide = 2 windows
+    assert out.count() == events.count() * 2
+
+
+def test_session_agg_batch(events):
+    out = W.session_agg(
+        events, "ts", "10 minutes", ["k"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = {(r["k"], r["session_start"].minute): r["n"] for r in out.collect()}
+    # a: events at :00 and :04 in one session, :59 in another; b: one session
+    assert got == {("a", 0): 2, ("a", 59): 1, ("b", 11): 1}
+
+
+def test_calendar_window(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15),), (dt.datetime(2024, 3, 2),), (dt.datetime(2024, 4, 1),)],
+        ["d"],
+    )
+    out = W.with_calendar_window(df, "d", "month")
+    months = sorted(r["window_start"].month for r in out.collect())
+    assert months == [3, 3, 4]
+
+
+def test_timestamp_by(spark):
+    df = spark.createDataFrame([(1, 1700000000)], ["id", "epoch"])
+    out = W.timestamp_by(df, F.timestamp_seconds(F.col("epoch")))
+    assert out.schema["event_time"].dataType.typeName() == "timestamp"
+
+
+# --------------------------------------------------- leftover collection ops
+
+
+def test_map_partitions_slow_path(sc):
+    c = sc.parallelize([1, 2, 3])
+
+    def double(batches):
+        for pdf in batches:
+            pdf["value"] = pdf["value"] * 2
+            yield pdf
+
+    assert sorted(r[0] for r in c.map_partitions(double, "value long").collect()) == [2, 4, 6]
+
+
+def test_map_callable_routes_to_pandas(sc):
+    c = sc.parallelize([1, 2])
+
+    def inc(batches):
+        for pdf in batches:
+            pdf["value"] = pdf["value"] + 1
+            yield pdf
+
+    assert sorted(r[0] for r in c.map(inc, schema="value long").collect()) == [2, 3]
+
+
+def test_count_approx_distinct_low_cardinality(sc):
+    c = sc.parallelize([1, 2, 3, 1, 2, 3, 1])
+    assert c.count_approx_distinct("value").collect()[0][0] == 3
+
+
+def test_quantiles_approx(sc):
+    c = sc.parallelize([float(i) for i in range(101)])
+    q = c.quantiles_approx("value", [0.5]).collect()[0][0]
+    assert abs(q[0] - 50.0) <= 1.0
+
+
+def test_partition_n(sc):
+    parts = sc.parallelize(list(range(10))).partition_n(3, "value")
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == 10 and len(sizes) == 3
+
+
+def test_collect_pf(sc):
+    c = sc.parallelize([1, 2, 3, 4])
+    out = c.collect_pf("value > 2", squared="value * value")
+    assert rows(out.df) == [(16,), (9,)]
+
+
+def test_sample_n(sc):
+    got = sc.parallelize(list(range(100))).sample_n(5, seed=1)
+    assert len(got) == 5
+
+
+def test_intersect_subtract_multiset(sc):
+    a = sc.parallelize([1, 1, 2])
+    b = sc.parallelize([1])
+    # exceptAll keeps multiplicity (scio subtract is distinct-based per Beam
+    # Distinct? — we follow Spark exceptAll: one 1 survives)
+    assert sorted(r[0] for r in a.subtract(b).collect()) == [1, 2]
