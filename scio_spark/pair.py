@@ -215,6 +215,37 @@ class PairSCollection:
         """PairSCollectionFunctions.scala:719 — one representative per key."""
         return self._wrap(self.df.dropDuplicates(self.key_cols))
 
+    def salted_agg_by_key(self, n_salt: int, partial: dict, final: dict) -> "PairSCollection":
+        """withHotKeyFanout (PairSCollectionFunctions.scala:95,
+        SCollectionWithHotKeyFanout.scala:45-70): two-level aggregation for
+        extreme key skew — pre-aggregate on (key, salt), then merge per key.
+
+        Catalyst's partial aggregation already gives two-level combining for
+        simple aggs; this explicit variant exists for the case scio built it
+        for: a handful of keys so hot that even their *partial* groups
+        overwhelm one reducer (e.g. collect_list/percentile state). ``partial``
+        maps column name → agg expr over rows; ``final`` maps output name →
+        agg expr over the partial columns.
+
+        Example::
+
+            pair.salted_agg_by_key(
+                64,
+                partial={"s": "SUM(v)", "c": "COUNT(*)"},
+                final={"total": "SUM(s)", "n": "SUM(c)"},
+            )
+        """
+        salted = self.df.withColumn(
+            "__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salt))
+        )
+        level1 = salted.groupBy(*self.key_cols, "__salt").agg(
+            *[F.expr(e).alias(name) for name, e in partial.items()]
+        )
+        level2 = level1.groupBy(*self.key_cols).agg(
+            *[F.expr(e).alias(name) for name, e in final.items()]
+        )
+        return self._wrap(level2)
+
     # ------------------------------------------------------------- sampling
 
     def sample_by_key(self, fractions: dict, seed: int = 42, col: str | None = None) -> "PairSCollection":

@@ -1,0 +1,87 @@
+"""Plan-shape audit of the actual contract queries (__spark_entry__) —
+the '.explain and iterate' loop pinned as asserts so regressions show up.
+
+These run at sf0.001 (plan shape is scale-invariant for these checks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as ent
+from scio_spark.plans import lint
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = ent.q_pricing_summary(spark, SF)
+    # shipdate predicate reaches the parquet scan
+    assert any("l_shipdate" in p for p in lint.scan_pushed_filters(df))
+    # only the 7 needed columns read, not all 11
+    schemas = lint.scan_read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    # exactly one shuffle (the groupBy) before AQE
+    assert lint.count_shuffles(df) == 1
+
+
+def test_top_orders_filter_pushdown(spark):
+    df = ent.q_top_orders(spark, SF)
+    assert any("c_mktsegment" in p for p in lint.scan_pushed_filters(df))
+
+
+def test_hash_join_query_broadcasts(spark):
+    df = ent.q_hash_join(spark, SF)
+    assert lint.has_broadcast_join(df)
+    assert lint.count_shuffles(df) == 0
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    df = ent.q_local_supplier_volume(spark, SF)
+    plan = lint.executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle
+    assert any("r_name" in p for p in lint.scan_pushed_filters(df))
+
+
+def test_sparse_join_query_semi_reduces(spark):
+    df = ent.q_sparse_join(spark, SF)
+    plan = lint.executed_plan(df)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert any("p_size" in p for p in lint.scan_pushed_filters(df))
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    df = ent.q_embedding_topk(spark, SF)
+    # cross join with a broadcast query set → nested-loop on the broadcast,
+    # corpus side never shuffles before the scoring
+    assert "BroadcastNestedLoopJoin" in lint.executed_plan(df)
+
+
+# --------------------------------------------------------- salted fanout
+
+
+def test_salted_agg_matches_plain(sc):
+    hot = sc.parallelize(
+        [("hot", i) for i in range(1000)] + [("cold", 1)], schema=["k", "v"]
+    ).key_by("k")
+    plain = dict(
+        (r["k"], (r["total"], r["n"]))
+        for r in hot.agg_by_key(total="SUM(v)", n="COUNT(*)").collect()
+    )
+    salted = dict(
+        (r["k"], (r["total"], r["n"]))
+        for r in hot.salted_agg_by_key(
+            16,
+            partial={"s": "SUM(v)", "c": "COUNT(*)"},
+            final={"total": "SUM(s)", "n": "SUM(c)"},
+        ).collect()
+    )
+    assert plain == salted
+
+
+def test_salted_agg_collect_list_size(sc):
+    hot = sc.parallelize([("k", i) for i in range(100)], schema=["k", "v"]).key_by("k")
+    out = hot.salted_agg_by_key(
+        8,
+        partial={"vals": "COLLECT_LIST(v)"},
+        final={"all_vals": "FLATTEN(COLLECT_LIST(vals))"},
+    ).collect()
+    assert len(out) == 1 and sorted(out[0]["all_vals"]) == list(range(100))
