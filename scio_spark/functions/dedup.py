@@ -202,34 +202,46 @@ def minhash_lsh_dedup(
 # ------------------------------------------------------------------ SimHash
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over the distinct token set: bit_k = sign of
-    Σ_tokens (2·bit_k(h(token)) − 1), h = first 16 bits of md5.
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over the distinct token set: bit_k = sign of
+    Σ_tokens (2·bit_k(h(token)) − 1), h = first ``bits`` bits of md5
+    (bits ≤ 60 so the signature fits a BIGINT exactly).
 
     Built as pure SQL expressions (floor/pow/instr) with exact DuckDB
-    parity. One explode + one partial-agg shuffle."""
+    parity (16-bit form is oracle-checked). One explode + one partial-agg
+    shuffle; 64-ish-bit signatures cost ``bits`` sum-aggs — still one
+    map-side-combined pass."""
+    if bits > 60:
+        raise ValueError("bits must be ≤ 60 (BIGINT-exact signature)")
+    n_hex = (bits + 3) // 4
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
     ).distinct()
-    v = (
-        f"(instr('{HEX}', substring(md5(t), 1, 1)) - 1) * 4096 + "
-        f"(instr('{HEX}', substring(md5(t), 2, 1)) - 1) * 256 + "
-        f"(instr('{HEX}', substring(md5(t), 3, 1)) - 1) * 16 + "
-        f"(instr('{HEX}', substring(md5(t), 4, 1)) - 1)"
+    v = " + ".join(
+        f"(instr('{HEX}', substring(md5(t), {i + 1}, 1)) - 1) * CAST(POW(16, {n_hex - 1 - i}) AS BIGINT)"
+        for i in range(n_hex)
     )
     withv = toks.withColumn("v", F.expr(v))
     bit_sums = [
         F.sum(
-            F.expr(f"2 * (CAST(FLOOR(v / POW(2, {k})) AS INT) % 2) - 1")
+            F.expr(f"2 * (CAST(FLOOR(v / POW(2, {k})) AS BIGINT) % 2) - 1")
         ).alias(f"b{k}")
-        for k in range(16)
+        for k in range(bits)
     ]
     sums = withv.groupBy(id_col).agg(*bit_sums)
     sh_expr = " + ".join(
-        f"(CASE WHEN b{k} >= 0 THEN 1 ELSE 0 END) * {2 ** k}" for k in range(16)
+        f"(CASE WHEN b{k} >= 0 THEN 1 ELSE 0 END) * CAST({2 ** k} AS BIGINT)"
+        for k in range(bits)
     )
     return sums.select(F.col(id_col), F.expr(sh_expr).alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (the oracle-checked form)."""
+    return simhash(df, id_col, text_col, bits=16)
 
 
 def simhash_dedup(
@@ -237,17 +249,24 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    bits: int = 16,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming (≤ 3).
 
-    Candidates via 4 nibble-bands (pigeonhole: d ≤ 3 ⇒ ≥1 band equal — the
-    banded join is exact, not approximate), verified with bit_count(xor)."""
-    sh = simhash16(df, id_col, text_col)
+    Candidates via 4 equal bands (pigeonhole: d ≤ 3 ⇒ ≥1 band equal — the
+    banded join is exact, not approximate), verified with bit_count(xor).
+    Band extraction uses integer DIV (double division is inexact past 2^53
+    for wide signatures)."""
+    band_width = bits // 4
+    sh = simhash(df, id_col, text_col, bits)
     nibbles = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.expr(f"CAST(FLOOR(simhash / POW(16, {b})) AS INT) % 16").alias("nib"),
+                F.expr(
+                    f"(simhash DIV CAST({2 ** (b * band_width)} AS BIGINT)) "
+                    f"% CAST({2 ** band_width} AS BIGINT)"
+                ).alias("nib"),
             )
             for b in range(4)
         ]
