@@ -1231,6 +1231,67 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withHotKeyFanout analog (salted_agg_by_key): two-level salted
+    aggregation must equal the plain aggregation (oracle)."""
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem")
+    return (
+        li.key_by("l_returnflag")
+        .salted_agg_by_key(
+            16,
+            partial={"s": "SUM(l_quantity)", "c": "COUNT(*)"},
+            final={"total_qty": "SUM(s)", "n": "SUM(c)"},
+        )
+        .df
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag, SUM(l_quantity) AS total_qty, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via hyperplane LSH buckets (similarity.cosine_topk_lsh)
+    — approximate by design: rows-only driver check; recall pinned vs brute
+    force in tests/test_llm_ops.py."""
+    from scio_spark.functions.similarity import cosine_topk_lsh
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    qs = emb.filter("vec_id % 10 = 0")
+    return cosine_topk_lsh(emb, qs, k=3, bits=4)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF k-means ANN (functions/ivf.py) — approximate: rows-only check;
+    recall pinned in tests/test_ann_simhash64.py."""
+    from scio_spark.functions.ivf import cosine_topk_ivf
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    qs = emb.filter("vec_id % 10 = 0")
+    return cosine_topk_ivf(emb, qs, k=3, n_clusters=8, n_probe=2)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end on the deterministic binary fixture:
+    content stats (JVM) + stubbed image decode (mapInPandas) — rows-only
+    check (binary fixtures aren't DuckDB-visible)."""
+    from scio_spark.functions import multimodal as M
+
+    assets = M.synthetic_assets(spark, n=64)
+    stats = M.content_stats(assets)
+    feats = M.decode_image_features(assets.filter("modality = 'image'"))
+    return (
+        stats.select("asset_id", "modality", "n_bytes", "digest")
+        .join(feats.select("asset_id", "width", "height", "decoder"), "asset_id", "left")
+        .orderBy("asset_id")
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1287,6 +1348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "json_extract": q_json_extract,
         "local_supplier_volume": q_local_supplier_volume,
+        "salted_agg": q_salted_agg,
+        # approximate / fixture-backed ops: no oracle entry → the driver
+        # records the weaker rows-only check (accuracy pinned in tests)
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1338,4 +1405,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": ORACLE_ASOF_JOIN,
         "json_extract": ORACLE_JSON_EXTRACT,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
+        "salted_agg": ORACLE_SALTED_AGG,
     }

@@ -35,6 +35,9 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # SMB: join differently-bucketed tables shuffle-free when counts divide
+    # (scio's power-of-2 bucket compat, Sort-Merge-Bucket.md:30-33)
+    "spark.sql.bucketing.coalesceBucketsInJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",

@@ -87,6 +87,23 @@ def test_smb_transform_preserves_bucketing(spark, no_broadcast):
     lint.assert_no_shuffle(joined, "transform kept bucket layout")
 
 
+def test_smb_divisible_bucket_counts_join_shuffle_free(spark, no_broadcast):
+    """scio's power-of-2 bucket compat (Sort-Merge-Bucket.md:30-33):
+    4-bucket ⋈ 8-bucket joins without exchanges when
+    coalesceBucketsInJoin is on (the 8-bucket side coalesces to 4)."""
+    part = spark.read.parquet(f"{SF}/part.parquet").withColumn(
+        "pk", F.col("p_partkey")
+    )
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumn(
+        "pk", F.col("l_partkey")
+    )
+    smb.save_sorted_bucket(part, "t_smb_part4", "pk", 4)
+    smb.save_sorted_bucket(li, "t_smb_li8", "pk", 8)
+    joined = smb.sort_merge_join(spark, "t_smb_li8", "t_smb_part4", "pk")
+    lint.assert_no_shuffle(joined, "divisible bucket counts (8 vs 4)")
+    assert joined.count() > 0
+
+
 def test_sparse_join_reduces_before_shuffle(spark):
     """sparse_join must semi-join-reduce the big side with a broadcast before
     the shuffle join (the whole point of the operator)."""
