@@ -347,6 +347,43 @@ class SCollection:
             .drop("__batch")
         )
 
+    def batch_weighted(self, max_weight: float, weight_expr) -> "SCollection":
+        """SCollection.scala:505 ``batchWeighted`` (and :484 byteSized with a
+        byte-length weight): group rows into arrays whose summed weight stays
+        ≤ max_weight, within partitions (no shuffle) via a running-sum window
+        keyed by physical partition."""
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(F.spark_partition_id())
+            .orderBy(F.monotonically_increasing_id())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum(_col(weight_expr)).over(w)
+        bucket = F.ceil(cum / F.lit(max_weight)).cast("long")
+        others = self.df.columns
+        return self._wrap(
+            self.df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__b", bucket)
+            .groupBy("__pid", "__b")
+            .agg(F.collect_list(F.struct(*others)).alias("batch"))
+            .drop("__pid", "__b")
+        )
+
+    def fold(self, zero, merge_expr: str, col: str = "value") -> "SCollection":
+        """SCollection.scala:674 ``fold(zero)(op)`` — associative fold via an
+        aggregate expression with an explicit zero (cast to the column type:
+        Spark requires the accumulator type to match the merge output)."""
+        dt = self.df.schema[col].dataType.simpleString()
+        return self._wrap(
+            self.df.agg(
+                F.expr(
+                    f"aggregate(collect_list({col}), CAST({zero!r} AS {dt}), "
+                    f"(acc, x) -> {merge_expr})"
+                ).alias("folded")
+            )
+        )
+
     # ------------------------------------------------------------------- IO
 
     def save_as_text_file(self, path: str, io_id: str | None = None):

@@ -177,6 +177,21 @@ class PairSCollection:
         v = F.struct(*vals) if len(vals) > 1 else F.col(vals[0])
         return self._wrap(self._gb().agg(F.collect_list(v).alias("values")))
 
+    def group_map(self, expr, alias: str = "mapped") -> "PairSCollection":
+        """SCollection.scala:716 ``groupMap`` — per-key list of a mapped
+        expression (GBK + element map in one agg)."""
+        return self._wrap(self._gb().agg(F.collect_list(_col(expr)).alias(alias)))
+
+    def fold_by_key(self, **named) -> "PairSCollection":
+        """PairSCollectionFunctions.scala:763 ``foldByKey`` — associative agg
+        exprs per key (zero handled by the agg function's identity)."""
+        return self.agg_by_key(**named)
+
+    combine_by_key = fold_by_key
+    """SCollection.scala:641 ``combineByKey`` — Catalyst partial agg performs
+    createCombiner/mergeValue/mergeCombiners automatically for agg exprs;
+    opaque Python combiners go via :meth:`combine_by_key_pandas`."""
+
     def group_map_reduce(self, merge_expr: str) -> "PairSCollection":
         """SCollection.scala:738 ``groupMapReduce`` — reduce per key via expr."""
         return self.agg_by_key(reduced=merge_expr)

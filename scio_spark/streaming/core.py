@@ -83,6 +83,29 @@ def run_to_memory(
     return result.sparkSession.table(name)
 
 
+def run_foreach_batch(
+    result: DataFrame,
+    batch_fn,
+    output_mode: str = "update",
+) -> list:
+    """Exactly-once custom sink via foreachBatch: ``batch_fn(df, epoch_id)``
+    per micro-batch (idempotent writes keyed by epoch_id give end-to-end
+    exactly-once — the Spark analog of Beam's sink transactions). Drives the
+    stream to completion; returns the epoch ids processed."""
+    epochs: list[int] = []
+
+    def wrapper(df: DataFrame, epoch_id: int):
+        epochs.append(epoch_id)
+        batch_fn(df, epoch_id)
+
+    q = result.writeStream.outputMode(output_mode).foreachBatch(wrapper).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return epochs
+
+
 class StreamFixture:
     """TestStream analog (testing/package.scala:27-34): scripted micro-batches
     with watermark advancement between them.

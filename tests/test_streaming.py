@@ -107,3 +107,23 @@ def test_session_window_streaming(fixture):
     assert finalized.get(0) == 2
     # session 2 (10:40) closed by watermark at 10:59
     assert finalized.get(40) == 1
+
+
+def test_foreach_batch_exactly_once_sink(fixture, tmp_path):
+    from scio_spark.streaming.core import run_foreach_batch
+
+    fixture.add_batch([("u1", "red", 5, ts(1))])
+    fixture.add_batch([("u2", "blue", 3, ts(2))])
+
+    out_dir = str(tmp_path / "epochs")
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    stream = fixture.stream().groupBy("team").count()
+    epochs = run_foreach_batch(stream, sink, output_mode="update")
+    assert epochs == [0, 1]
+    spark = fixture.spark
+    last = spark.read.parquet(f"{out_dir}/epoch=1")
+    got = {r["team"]: r["count"] for r in last.collect()}
+    assert got.get("blue") == 1

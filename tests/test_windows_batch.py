@@ -122,3 +122,21 @@ def test_intersect_subtract_multiset(sc):
     # exceptAll keeps multiplicity (scio subtract is distinct-based per Beam
     # Distinct? — we follow Spark exceptAll: one 1 survives)
     assert sorted(r[0] for r in a.subtract(b).collect()) == [1, 2]
+
+
+def test_batch_weighted(sc):
+    c = sc.parallelize([(i, 10) for i in range(10)], schema=["id", "w"])
+    batches = c.batch_weighted(30, "w").df.collect()
+    sizes = [len(b["batch"]) for b in batches]
+    assert sum(sizes) == 10 and max(sizes) <= 3
+
+
+def test_fold_with_zero(sc):
+    c = sc.parallelize([1, 2, 3])
+    assert c.fold(100, "acc + x").collect()[0]["folded"] == 106
+
+
+def test_group_map(sc):
+    keyed = sc.parallelize([("a", 1), ("a", 2), ("b", 5)], schema=["k", "v"]).key_by("k")
+    got = {r["k"]: sorted(r["mapped"]) for r in keyed.group_map("v * 10").collect()}
+    assert got == {"a": [10, 20], "b": [50]}
