@@ -29,10 +29,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _ctx(spark: SparkSession) -> ScioContext:
+    import os
+
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }.items():
         try:
             spark.conf.set(k, v)
@@ -1231,6 +1235,60 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_quantiles_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approxQuantilesByKey (PairSCollectionFunctions.scala:620) — exact
+    percentile per key for oracle parity."""
+    sc = _ctx(spark)
+    return (
+        _t(sc, sf_dir, "orders")
+        .key_by("o_orderpriority")
+        .agg_by_key(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .df
+    )
+
+
+ORACLE_QUANTILES_BY_KEY = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sorted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort within key groups (sortValues): first-3 order dates per
+    customer in date order, emitted flat for hashing."""
+    sc = _ctx(spark)
+    g = (
+        _t(sc, sf_dir, "orders")
+        .map("o_custkey", "o_orderdate", "o_orderkey")
+        .key_by("o_custkey")
+        .grouped_sorted_values("o_orderdate", "o_orderkey")
+    )
+    first3 = g.df.select(
+        "o_custkey", F.posexplode(F.slice("values", 1, 3)).alias("pos", "v")
+    )
+    return first3.select(
+        "o_custkey",
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("v.o_orderdate").alias("o_orderdate"),
+        F.col("v.o_orderkey").alias("o_orderkey"),
+    )
+
+
+ORACLE_SORTED_GROUPS = """
+SELECT o_custkey, rnk, o_orderdate, o_orderkey FROM (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """withHotKeyFanout analog (salted_agg_by_key): two-level salted
     aggregation must equal the plain aggregation (oracle)."""
@@ -1349,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "local_supplier_volume": q_local_supplier_volume,
         "salted_agg": q_salted_agg,
+        "quantiles_by_key": q_quantiles_by_key,
+        "sorted_groups": q_sorted_groups,
         # approximate / fixture-backed ops: no oracle entry → the driver
         # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
@@ -1406,4 +1466,6 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": ORACLE_JSON_EXTRACT,
         "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
         "salted_agg": ORACLE_SALTED_AGG,
+        "quantiles_by_key": ORACLE_QUANTILES_BY_KEY,
+        "sorted_groups": ORACLE_SORTED_GROUPS,
     }

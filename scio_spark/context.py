@@ -133,6 +133,17 @@ class ScioContext:
             return sub
         return self._wrap(self.spark.read.text(path).withColumnRenamed("value", "value"))
 
+    def text_files_with_path(self, path: str, io_id: str | None = None):
+        """readTextFilesWithPath (FileSCollectionFunctions.scala:1-237 /
+        SCollection.scala:1372-1503 readFiles family): (path, line) via
+        ``input_file_name()`` — the per-file provenance column scio threads
+        through its readFilesWithPath."""
+        sub = self._maybe_test_input(io_id or f"textpath:{path}")
+        if sub is not None:
+            return sub
+        df = self.spark.read.text(path).withColumn("path", F.input_file_name())
+        return self._wrap(df.select("path", "value"))
+
     def parquet_file(self, path: str, io_id: str | None = None):
         """scio-parquet ParquetAvroIO analog — projection/predicate pushdown is
         automatic in Spark (scio needs manual ``projection=``/``predicate=``,

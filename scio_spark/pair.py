@@ -230,6 +230,30 @@ class PairSCollection:
         """PairSCollectionFunctions.scala:719 — one representative per key."""
         return self._wrap(self.df.dropDuplicates(self.key_cols))
 
+    def sort_values(self, *secondary_cols, ascending: bool = True) -> "PairSCollection":
+        """Secondary sort within key groups (scio-extra sorter
+        SCollectionSyntax.scala:57 ``sortValues``; scio-smb secondary keys
+        BucketMetadata.java:76-79): repartition by key, sort within
+        partitions by (key, secondary) — Beam needs an external sorter;
+        Spark's shuffle sorts with spill natively."""
+        cols = [F.col(c) for c in self.key_cols] + [
+            (F.col(c).asc() if ascending else F.col(c).desc()) for c in secondary_cols
+        ]
+        return self._wrap(
+            self.df.repartition(*[F.col(c) for c in self.key_cols]).sortWithinPartitions(*cols)
+        )
+
+    def grouped_sorted_values(self, *secondary_cols) -> "PairSCollection":
+        """(K, values sorted by secondary) — sorted-group iteration without
+        an external sorter: collect_list of (secondary, value) structs then
+        array_sort (per-key state must fit an executor, as in scio's
+        sortValues(memoryMB))."""
+        vals = [c for c in self.value_cols if c not in secondary_cols]
+        s = F.struct(*[F.col(c) for c in secondary_cols], *[F.col(c) for c in vals])
+        return self._wrap(
+            self._gb().agg(F.array_sort(F.collect_list(s)).alias("values"))
+        )
+
     def salted_agg_by_key(self, n_salt: int, partial: dict, final: dict) -> "PairSCollection":
         """withHotKeyFanout (PairSCollectionFunctions.scala:95,
         SCollectionWithHotKeyFanout.scala:45-70): two-level aggregation for

@@ -160,3 +160,37 @@ def test_sample_by_key(sc):
     s = c.sample_by_key({"a": 0.1, "b": 0.5}, seed=1)
     counts = dict(rows(s.count_by_key().df))
     assert counts.get("a", 0) < counts.get("b", 0)
+
+
+def test_sort_values_within_partitions(sc):
+    c = sc.parallelize(
+        [("a", 3), ("a", 1), ("b", 2), ("a", 2)], schema=["k", "v"]
+    ).key_by("k")
+    out = c.sort_values("v")
+    # each physical partition holds whole key groups in (k, v) order
+    def check(it):
+        rows = list(it)
+        keys_seen = [r["k"] for r in rows]
+        for k in set(keys_seen):
+            vs = [r["v"] for r in rows if r["k"] == k]
+            assert vs == sorted(vs)
+        yield len(rows)
+    total = sum(out.df.rdd.mapPartitions(lambda it: check(it)).collect())
+    assert total == 4
+
+
+def test_grouped_sorted_values(sc):
+    c = sc.parallelize(
+        [("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z")], schema=["k", "s", "v"]
+    ).key_by("k")
+    g = c.grouped_sorted_values("s").df.collect()[0]
+    assert [t["s"] for t in g["values"]] == [1, 2, 3]
+    assert [t["v"] for t in g["values"]] == ["y", "z", "x"]
+
+
+def test_text_files_with_path(sc, tmp_path):
+    (tmp_path / "a.txt").write_text("one\n")
+    (tmp_path / "b.txt").write_text("two\n")
+    out = sc.text_files_with_path(str(tmp_path / "*.txt"))
+    got = {r["value"]: r["path"].split("/")[-1] for r in out.collect()}
+    assert got == {"one": "a.txt", "two": "b.txt"}
