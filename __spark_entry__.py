@@ -1311,6 +1311,29 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4 (similarity.embedding_dedup_pairs)
+    — the 5th dedup family."""
+    from scio_spark.functions.similarity import embedding_dedup_pairs
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    return embedding_dedup_pairs(emb, threshold=0.4)
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(a.embedding)),
+                            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_1, id_2, score FROM pairs WHERE score >= 0.4
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via hyperplane LSH buckets (similarity.cosine_topk_lsh)
     — approximate by design: rows-only driver check; recall pinned vs brute
@@ -1409,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "quantiles_by_key": q_quantiles_by_key,
         "sorted_groups": q_sorted_groups,
+        "dedup_embedding": q_dedup_embedding,
         # approximate / fixture-backed ops: no oracle entry → the driver
         # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
@@ -1468,4 +1492,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": ORACLE_SALTED_AGG,
         "quantiles_by_key": ORACLE_QUANTILES_BY_KEY,
         "sorted_groups": ORACLE_SORTED_GROUPS,
+        "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     }

@@ -71,6 +71,30 @@ def cosine_topk(
     )
 
 
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 5,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs (id_1 < id_2) with
+    cosine ≥ threshold — the 5th dedup family (exact/MinHash/SimHash/
+    n-gram/embedding). Brute-force all-pairs here (the correctness
+    baseline); the scale path buckets with hyperplane_signature or IVF
+    centroids first, so only same-bucket pairs are scored."""
+    a = corpus.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a"))
+    b = corpus.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__b"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn("score", _dot(F.col("__a"), F.col("__b")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    return scored.filter(F.col("score") >= threshold).select("id_1", "id_2", "score")
+
+
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str, bits: int = 8, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH signature: bit_i = sign(v · h_i), with h_i[j]
     = ±1 derived from md5(f"{i}:{j}") parity — deterministic, no RNG state.
