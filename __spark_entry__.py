@@ -1373,6 +1373,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (applyInPandasWithState running counter,
+    streaming/state.py) driven to completion; single-batch input ⇒ the
+    running total equals the exact per-key count (oracle-checkable)."""
+    from scio_spark.streaming.core import run_to_memory
+    from scio_spark.streaming.state import running_counter
+
+    _ctx(spark)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counted = running_counter(
+        stream.groupBy("event_type"),
+        output_schema="key string, total bigint",
+    )
+    return run_to_memory(counted, output_mode="update")
+
+
+ORACLE_STATEFUL_STREAM = """
+SELECT event_type AS key, COUNT(*) AS total FROM events GROUP BY event_type
+"""
+
+
+def q_pipe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe (SCollectionPipeSyntax.scala:45): documents' text through an
+    identity subprocess (`cat`) — per-partition process lifecycle, output
+    lines re-collected; identity makes it oracle-checkable."""
+    from scio_spark.operators.enrich import pipe
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").map(value="text")
+    return pipe(d.df, "cat")
+
+
+ORACLE_PIPE = "SELECT text AS value FROM documents"
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1433,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_key": q_quantiles_by_key,
         "sorted_groups": q_sorted_groups,
         "dedup_embedding": q_dedup_embedding,
+        "stateful_stream": q_stateful_stream,
+        "pipe_identity": q_pipe_identity,
         # approximate / fixture-backed ops: no oracle entry → the driver
         # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
@@ -1493,4 +1536,6 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_key": ORACLE_QUANTILES_BY_KEY,
         "sorted_groups": ORACLE_SORTED_GROUPS,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "stateful_stream": ORACLE_STATEFUL_STREAM,
+        "pipe_identity": ORACLE_PIPE,
     }
