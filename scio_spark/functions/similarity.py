@@ -48,15 +48,47 @@ def cosine_topk(
 
     Plan shape: broadcast(queries) ⋈ corpus (no corpus shuffle), then a
     top-k window partitioned by query — AQE sizes the single shuffle."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    # Stage 1 — GEMM candidates: per corpus Arrow batch, block × queriesᵀ;
+    # keep per-query top-(k+4) with a 1e-6 margin (GEMM-vs-fold error is
+    # ~1e-14, so the exact top-k cannot be outside the candidate set).
+    def gen(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_ids = pdf[id_col].to_numpy()
+            sims = mat @ block.T  # queries × block
+            out_q, out_n = [], []
+            kk = min(k + 4, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                keep = idx[b_ids[idx] != ids[qi]]
+                out_q.extend([ids[qi]] * len(keep))
+                out_n.extend(b_ids[keep])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    # Stage 2 — exact sequential-fold rescore of candidates only, then the
+    # global per-query top-k (candidates from every corpus block compete).
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
     )
     if score_decimals is not None:
@@ -80,14 +112,45 @@ def embedding_dedup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: all pairs (id_1 < id_2) with
     cosine ≥ threshold — the 5th dedup family (exact/MinHash/SimHash/
-    n-gram/embedding). Brute-force all-pairs here (the correctness
-    baseline); the scale path buckets with hyperplane_signature or IVF
-    centroids first, so only same-bucket pairs are scored."""
+    n-gram/embedding).
+
+    Two stages so the heavy lifting is BLAS, not per-pair expression
+    evaluation:
+    1. candidate generation — broadcast the (ids, matrix) block, numpy GEMM
+       per Arrow batch (block × corpusᵀ), keep pairs ≥ threshold − 1e-6.
+       GEMM-vs-fold float error is ~1e-14, so the margin cannot drop a true
+       pair. At 100 TB the broadcast block becomes a loop over corpus blocks
+       (block-matrix product), same code shape.
+    2. exact rescoring — the deterministic sequential fold, only for the
+       (few) candidates, so emitted scores are bit-identical to the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
+    margin = threshold - 1e-6
+
+    def gen(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_ids = pdf[id_col].to_numpy()
+            sims = block @ c_mat.T
+            bi, cj = np.where(sims >= margin)
+            keep = b_ids[bi] < c_ids[cj]
+            yield pd.DataFrame(
+                {"id_1": b_ids[bi][keep], "id_2": c_ids[cj][keep]}
+            )
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(gen, "id_1 long, id_2 long")
     a = corpus.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a"))
     b = corpus.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__b"))
     scored = (
-        a.crossJoin(b)
-        .filter(F.col("id_1") < F.col("id_2"))
+        cands.join(a, "id_1")
+        .join(b, "id_2")
         .withColumn("score", _dot(F.col("__a"), F.col("__b")))
     )
     if score_decimals is not None:
