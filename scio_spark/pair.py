@@ -38,6 +38,15 @@ class PairSCollection:
     def _wrap(self, df: DataFrame) -> "PairSCollection":
         return PairSCollection(df, self.key_cols, self.context)
 
+    def _check_join_keys(self, other: "PairSCollection"):
+        missing = [c for c in self.key_cols if c not in other.df.columns]
+        if missing:
+            raise ValueError(
+                f"join keys {missing} not present on the right side "
+                f"(right columns: {other.df.columns}); key both sides with "
+                f"matching names, e.g. .key_by({self.key_cols[0]!r}=...)"
+            )
+
     def _uncollide(self, other: "PairSCollection", suffixes=("_1", "_2")):
         """Rename colliding value columns on both sides (scio returns tuples,
         so collisions can't happen there; we suffix instead)."""
@@ -299,6 +308,7 @@ class PairSCollection:
         full). Catalyst picks broadcast/sort-merge/shuffled-hash; AQE may
         re-plan at runtime. Per-key cartesian of duplicate keys matches scio's
         ArtisanJoin emission loops (ArtisanJoin.scala:97-115)."""
+        self._check_join_keys(other)
         left, right = self._uncollide(other, suffixes)
         joined = left.join(right, on=self.key_cols, how=how)
         return self._wrap(joined)
@@ -315,6 +325,7 @@ class PairSCollection:
     def hash_join(self, other, how: str = "inner", suffixes=("_1", "_2")) -> "PairSCollection":
         """PairHashSCollectionFunctions.scala:41-143 hash*Join — RHS is small:
         explicit broadcast, no shuffle on the LHS."""
+        self._check_join_keys(other)
         left, right = self._uncollide(other, suffixes)
         return self._wrap(left.join(F.broadcast(right), on=self.key_cols, how=how))
 

@@ -194,3 +194,9 @@ def test_text_files_with_path(sc, tmp_path):
     out = sc.text_files_with_path(str(tmp_path / "*.txt"))
     got = {r["value"]: r["path"].split("/")[-1] for r in out.collect()}
     assert got == {"one": "a.txt", "two": "b.txt"}
+
+
+def test_join_key_mismatch_raises(sc, kv1):
+    other = sc.parallelize([("a", 1)], schema=["other_key", "v2"]).key_by("other_key")
+    with pytest.raises(ValueError, match="join keys"):
+        kv1.join(other)
