@@ -176,11 +176,21 @@ class ScioContext:
         return self._wrap(reader.json(path))
 
     def avro_file(self, path: str, io_id: str | None = None):
-        """scio-avro AvroIO analog; requires spark-avro on the classpath."""
+        """scio-avro AvroIO analog; spark-avro is an external module — gated
+        with an actionable error when the jar is absent (as in this image)."""
         sub = self._maybe_test_input(io_id or f"avro:{path}")
         if sub is not None:
             return sub
-        return self._wrap(self.spark.read.format("avro").load(path))
+        try:
+            return self._wrap(self.spark.read.format("avro").load(path))
+        except Exception as e:  # noqa: BLE001
+            if "Failed to find data source" in str(e):
+                raise NotImplementedError(
+                    "avro requires the spark-avro module "
+                    "(org.apache.spark:spark-avro) on the classpath; "
+                    "not present in this image"
+                ) from e
+            raise
 
     def binary_file(self, path: str, io_id: str | None = None):
         """ScioContext.scala:825 ``binaryFile`` → binaryFile source

@@ -166,14 +166,22 @@ def minhash_lsh_dedup(
     k: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.8,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: LSH candidates ∩ exact-Jaccard verify.
-    (Verification joins the exact pair-Jaccard only for candidate pairs.)"""
-    # shingles feed both the signature and the verification join — persist
-    # once (at cluster scale: MEMORY_AND_DISK, or a checkpointed table)
-    from pyspark import StorageLevel
+    (Verification joins the exact pair-Jaccard only for candidate pairs.)
 
-    sh = shingles(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    ``persist_shingles``: the shingle table feeds both the signature and the
+    verification join. Materializing it wins when the pipeline is re-executed
+    (iterative tuning, multi-query reuse) or shingling is expensive; for a
+    one-shot run recomputation is cheaper than the materialize round-trip —
+    measured 2× either way at sf0.1. At cluster scale prefer writing
+    shingles to a bucketed table once and reusing it across dedup runs."""
+    sh = shingles(df, id_col, text_col, n)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(minhash_signature(sh, id_col, k), id_col, k, bands)
     # verify exact Jaccard ONLY for candidate pairs (work scales with
     # |candidates|, not with all co-shingled pairs — the LSH point at 100 TB)

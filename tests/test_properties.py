@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) — mirrors the reference's scalacheck
+suites (scio-core/src/test/.../coders, util random samplers, and
+ApproximationAssertions; SURVEY §5.5).
+
+Few examples per property (each example runs Spark jobs); properties chosen
+so the assertion is exact, not statistical."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+kv_lists = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(-100, 100)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(left=kv_lists, right=kv_lists)
+@settings(**SETTINGS)
+def test_join_matches_python_semantics(spark, left, right):
+    """Inner join == per-key cartesian product (ArtisanJoin.scala:97-115)."""
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    l = sc.parallelize(left, schema=["k", "v"]).key_by("k")
+    r = sc.parallelize([(k, str(v)) for k, v in right], schema=["k", "w"]).key_by("k")
+    got = sorted((x["k"], x["v"], x["w"]) for x in l.join(r).collect())
+    expected = sorted(
+        (k1, v, str(w)) for k1, v in left for k2, w in right if k1 == k2
+    )
+    assert got == expected
+
+
+@given(data=st.lists(st.integers(-1000, 1000), min_size=1, max_size=50))
+@settings(**SETTINGS)
+def test_stats_match_python(spark, data):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    r = sc.parallelize([float(x) for x in data]).stats().collect()[0]
+    assert r["count"] == len(data)
+    assert r["min"] == min(data) and r["max"] == max(data)
+    assert abs(r["sum"] - sum(data)) < 1e-9
+    mean = sum(data) / len(data)
+    assert abs(r["mean"] - mean) < 1e-9
+    var = sum((x - mean) ** 2 for x in data) / len(data)
+    assert abs(r["variance"] - var) < 1e-6
+
+
+@given(data=st.lists(st.integers(0, 50), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_histogram_total_and_bounds(spark, data):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    buckets = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+    hist = dict(
+        (r["bucket"], r["count"])
+        for r in sc.parallelize([float(x) for x in data])
+        .histogram("value", buckets)
+        .collect()
+    )
+    assert sum(hist.values()) == len(data)  # every in-range value lands once
+    assert all(1 <= b <= 5 for b in hist)
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30), min_size=2, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_identical_docs_collide(spark, docs):
+    """Identical token sets ⇒ identical simhash (determinism property)."""
+    from scio_spark.functions.dedup import simhash
+
+    rows = [(i, d) for i, d in enumerate(docs)] + [(len(docs), docs[0])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sh[0] == sh[len(docs)]
+
+
+@given(n=st.integers(1, 40), zero=st.integers(-5, 5))
+@settings(**SETTINGS)
+def test_fold_associativity(spark, n, zero):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    out = sc.parallelize(list(range(1, n + 1))).fold(zero, "acc + x").collect()[0]
+    assert out["folded"] == zero + n * (n + 1) // 2
+
+
+@given(
+    weights=st.lists(st.floats(0.1, 1.0), min_size=2, max_size=3),
+)
+@settings(**SETTINGS)
+def test_random_split_partitions_everything(spark, weights):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    parts = sc.parallelize(list(range(60))).random_split(weights, seed=3)
+    total = sum(p.count() for p in parts)
+    assert total == 60
+    seen = set()
+    for p in parts:
+        vals = {r[0] for r in p.collect()}
+        assert not (seen & vals)  # disjoint
+        seen |= vals
