@@ -23,13 +23,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _centroids(corpus: DataFrame, vec_col: str, n_clusters: int, seed: int, sample_fraction: float):
+def _centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    sample_fraction: float,
+    max_iter: int = 8,
+):
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     sample = corpus.sample(False, sample_fraction, seed) if sample_fraction < 1.0 else corpus
     train = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    # a coarse quantizer doesn't need convergence — a few Lloyd iterations
+    # position centroids well enough for probe routing (recall is governed by
+    # n_probe, not centroid optimality)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

@@ -48,11 +48,13 @@ def test_sparse_join_query_semi_reduces(spark):
     assert any("p_size" in p for p in lint.scan_pushed_filters(df))
 
 
-def test_embedding_topk_broadcasts_queries(spark):
+def test_embedding_topk_gemm_candidates_then_broadcast_rescore(spark):
     df = ent.q_embedding_topk(spark, SF)
-    # cross join with a broadcast query set → nested-loop on the broadcast,
-    # corpus side never shuffles before the scoring
-    assert "BroadcastNestedLoopJoin" in lint.executed_plan(df)
+    plan = lint.executed_plan(df)
+    # GEMM candidate generation (Arrow batch) + broadcast of the query set
+    # for the exact rescore: corpus side joins without shuffling on queries
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" in plan
 
 
 # --------------------------------------------------------- salted fanout
