@@ -301,6 +301,19 @@ class PairSCollection:
         key = col or self.key_cols[0]
         return self._wrap(self.df.sampleBy(key, fractions, seed))
 
+    def sample_exact_by_key(self, n: int, seed: int = 42) -> "PairSCollection":
+        """PairSCollectionFunctions.scala:1082 per-key reservoir ``sample(n)``:
+        exactly min(n, group size) rows per key, uniformly. One shuffle on
+        key (ranked window over a seeded hash order — deterministic for a
+        fixed seed, unlike a true streaming reservoir, and equally uniform)."""
+        order = F.xxhash64(*[F.col(c) for c in self.df.columns], F.lit(seed))
+        w = Window.partitionBy(*self.key_cols).orderBy(order)
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
     # ----------------------------------------------------------- join suite
 
     def join(self, other: "PairSCollection", how: str = "inner", suffixes=("_1", "_2")) -> "PairSCollection":

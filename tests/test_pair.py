@@ -200,3 +200,15 @@ def test_join_key_mismatch_raises(sc, kv1):
     other = sc.parallelize([("a", 1)], schema=["other_key", "v2"]).key_by("other_key")
     with pytest.raises(ValueError, match="join keys"):
         kv1.join(other)
+
+
+def test_sample_exact_by_key(sc):
+    c = sc.parallelize(
+        [("a", i) for i in range(50)] + [("b", 1), ("b", 2)], schema=["k", "v"]
+    ).key_by("k")
+    s = c.sample_exact_by_key(5, seed=9)
+    counts = dict(rows(s.count_by_key().df))
+    assert counts == {"a": 5, "b": 2}  # min(n, group size)
+    # deterministic for a fixed seed
+    again = sorted(rows(c.sample_exact_by_key(5, seed=9).df, "k", "v"))
+    assert again == sorted(rows(s.df, "k", "v"))

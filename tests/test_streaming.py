@@ -127,3 +127,56 @@ def test_foreach_batch_exactly_once_sink(fixture, tmp_path):
     last = spark.read.parquet(f"{out_dir}/epoch=1")
     got = {r["team"]: r["count"] for r in last.collect()}
     assert got.get("blue") == 1
+
+
+def test_stream_static_join_enrichment(fixture, spark):
+    """Stream ⋈ static dimension (the streaming side of hashJoin): each
+    event enriched with a broadcast-sized static table."""
+    from pyspark.sql import functions as F
+
+    fixture.add_batch([("u1", "red", 5, ts(1)), ("u2", "blue", 3, ts(2))])
+    dim = spark.createDataFrame(
+        [("red", "warm"), ("blue", "cool")], ["team", "palette"]
+    )
+
+    def pipe(stream):
+        return stream.join(F.broadcast(dim), "team").select("user", "team", "palette")
+
+    out = fixture.run(pipe, output_mode="append")
+    got = {r["user"]: r["palette"] for r in out.collect()}
+    assert got == {"u1": "warm", "u2": "cool"}
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """Stream-stream inner join with event-time range condition — the
+    Structured Streaming form of joining two windowed collections
+    (SURVEY §2.5). Both sides watermarked; state bounded by the interval."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from scio_spark.streaming.core import StreamFixture, run_to_memory
+
+    clicks = StreamFixture(spark, "ad string, click_time timestamp")
+    views = StreamFixture(spark, "ad string, view_time timestamp")
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views.add_batch([("a1", m(0)), ("a2", m(1))])
+    clicks.add_batch([("a1", m(5)), ("a2", m(90))])  # a2 clicks too late
+
+    v = views.stream().withWatermark("view_time", "10 minutes")
+    c = clicks.stream().withWatermark("click_time", "10 minutes")
+    joined = v.join(
+        c,
+        (v["ad"] == c["ad"])
+        & (c["click_time"] >= v["view_time"])
+        & (c["click_time"] <= v["view_time"] + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    ).select(v["ad"], "view_time", "click_time")
+    out = run_to_memory(joined, output_mode="append")
+    ads = [r["ad"] for r in out.collect()]
+    assert ads == ["a1"]  # a2's click is outside the 30-minute window
+    clicks.close(); views.close()
