@@ -45,6 +45,75 @@ def running_counter(
     )
 
 
+def value_state_processor(
+    output_schema: str,
+    state_schema,
+    update_fn,
+    emit_fn,
+):
+    """Build a StatefulProcessor (Spark 4 ``transformWithStateInPandas`` —
+    the closest analog to Beam's full @StateId/@TimerId API: named state
+    variables + timers, vs applyInPandasWithState's single state row).
+
+    ``update_fn(prev_state_tuple | None, pdf) -> state_tuple``;
+    ``emit_fn(key, state_tuple) -> dict`` (one output row per batch+key).
+    Import-gated: returns the processor class instance; raises
+    NotImplementedError if the API is unavailable in this Spark.
+    """
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        # the TWS state server speaks protobuf — absent/broken in this image
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark 4.0+ AND a working "
+            "protobuf install (its state protocol); unavailable here — use "
+            "running_counter/stateful_map (applyInPandasWithState) instead"
+        ) from e
+
+    import pandas as pd
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._state = handle.getValueState("state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get() if self._state.exists() else None
+            acc = prev
+            for pdf in rows:
+                acc = update_fn(acc, pdf)
+            self._state.update(acc)
+            yield pd.DataFrame([emit_fn(key, acc)])
+
+        def close(self):
+            pass
+
+    return _Proc()
+
+
+def transform_with_state(
+    keyed_stream,
+    output_schema: str,
+    state_schema,
+    update_fn,
+    emit_fn,
+    output_mode: str = "Update",
+    time_mode: str = "None",
+):
+    """Next-gen stateful op over transformWithStateInPandas."""
+    proc = value_state_processor(output_schema, state_schema, update_fn, emit_fn)
+    return keyed_stream.transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=output_schema,
+        outputMode=output_mode,
+        timeMode=time_mode,
+    )
+
+
 def stateful_map(
     keyed_stream,
     fn: Callable,

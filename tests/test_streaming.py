@@ -180,3 +180,37 @@ def test_stream_stream_join_with_watermarks(spark):
     ads = [r["ad"] for r in out.collect()]
     assert ads == ["a1"]  # a2's click is outside the 30-minute window
     clicks.close(); views.close()
+
+
+def test_transform_with_state_running_sum(fixture):
+    """Next-gen stateful API (transformWithStateInPandas): named ValueState
+    running sum across micro-batches."""
+    import pytest as _pytest
+
+    from scio_spark.streaming.state import transform_with_state
+
+    fixture.add_batch([("u1", "red", 5, ts(1)), ("u1", "red", 2, ts(2))])
+    fixture.add_batch([("u1", "red", 3, ts(3))])
+
+    def update(prev, pdf):
+        total = (prev[0] if prev else 0) + int(pdf["score"].sum())
+        return (total,)
+
+    def emit(key, state):
+        return {"user": key[0], "total": state[0]}
+
+    def pipe(stream):
+        try:
+            return transform_with_state(
+                stream.groupBy("user"),
+                output_schema="user string, total bigint",
+                state_schema="total bigint",
+                update_fn=update,
+                emit_fn=emit,
+            )
+        except NotImplementedError:
+            _pytest.skip("transformWithStateInPandas unavailable")
+
+    out = fixture.run(pipe, output_mode="update")
+    totals = sorted(r["total"] for r in out.collect() if r["user"] == "u1")
+    assert totals == [7, 10]  # state carried across batches
