@@ -91,3 +91,22 @@ def test_write_capture_under_test_mode(spark):
     data.save_as_parquet("/nonexistent/should/not/write", io_id="parquet:out")
     assert "parquet:out" in ctx.test_outputs
     assert ctx.test_outputs["parquet:out"].count() == 2
+
+
+def test_metrics_counters_and_distributions(spark):
+    """Job metrics (ScioResult counters/distributions analog) via observe —
+    no extra pass over the data."""
+    from pyspark.sql import functions as F
+
+    from scio_spark.metrics import Metrics
+
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, 30.0)], ["id", "price"])
+    m = Metrics()
+    df = m.count(df, "rows")
+    df = m.count(df, "priced_rows", F.col("price").isNotNull())
+    df = m.distribution(df, "price", F.col("price"))
+    df.write.format("noop").mode("overwrite").save()  # one action drives all
+    assert m.get("rows") == 3
+    assert m.get("priced_rows") == 2
+    dist = m.get("price")
+    assert dist["min"] == 10.0 and dist["max"] == 30.0 and dist["count"] == 2
