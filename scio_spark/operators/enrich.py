@@ -22,7 +22,7 @@ from __future__ import annotations
 import threading
 from typing import Any, Callable, Iterable, Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -74,6 +74,39 @@ def with_side_input(df: DataFrame, broadcast_var, fn: Callable, schema) -> DataF
             yield fn(pdf, side)
 
     return df.mapInPandas(gen, schema)
+
+
+def side_outputs(df: DataFrame, conditions: dict) -> dict:
+    """SideOutput / SCollectionWithSideOutput (values/SideOutput.scala:1-89):
+    one logical pass fanned into N tagged outputs. Beam does this in a single
+    multi-output ParDo; Spark caches the parent and filters per tag
+    (SURVEY §4.4.3 — the documented cost is one cached scan).
+
+    ``conditions``: tag → Column/SQL predicate. Rows matching several
+    conditions land in several outputs (same as emitting to several tags)."""
+    cached = df.cache()
+    out = {}
+    for tag, cond in conditions.items():
+        pred = cond if isinstance(cond, Column) else F.expr(cond)
+        out[tag] = cached.filter(pred)
+    return out
+
+
+def read_files(spark, paths, fmt: str = "text") -> DataFrame:
+    """readFiles / readTextFiles / readFilesAsBytes (SCollection.scala:
+    1372-1503, values/FileSCollectionFunctions.scala): an SCollection of
+    file paths → their contents, with per-row provenance.
+
+    ``paths``: list of path strings or a single-column DataFrame of paths
+    (collected — file lists are driver-sized). fmt: 'text' (one row per
+    line) or 'binary' (one row per file via the binaryFile source)."""
+    if isinstance(paths, DataFrame):
+        paths = [r[0] for r in paths.collect()]
+    paths = list(paths)
+    if fmt == "binary":
+        return spark.read.format("binaryFile").load(paths)
+    df = spark.read.text(paths)
+    return df.select(F.input_file_name().alias("path"), "value")
 
 
 # ------------------------------------------------------- safe / error channel

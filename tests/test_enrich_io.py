@@ -222,3 +222,29 @@ def test_frame_sample_plan(spark):
     durations = {r["asset_id"]: r["meta"]["duration_ms"] for r in assets.collect()}
     for aid, n in counts.items():
         assert n == (durations[aid] - 1) // 1000 + 1
+
+
+def test_side_outputs_one_pass_fanout(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    outs = E.side_outputs(df, {"even": "x % 2 = 0", "big": "x >= 7", "neg": "x < 0"})
+    assert outs["even"].count() == 5
+    assert outs["big"].count() == 3
+    assert outs["neg"].count() == 0
+    # overlapping tags both receive the row (multi-emit semantics)
+    assert 8 in [r["x"] for r in outs["even"].collect()]
+    assert 8 in [r["x"] for r in outs["big"].collect()]
+
+
+def test_read_files_text_and_binary(spark, tmp_path):
+    (tmp_path / "f1.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "f2.txt").write_text("gamma\n")
+    paths = [str(tmp_path / "f1.txt"), str(tmp_path / "f2.txt")]
+    txt = E.read_files(spark, paths, fmt="text")
+    got = sorted(r["value"] for r in txt.collect())
+    assert got == ["alpha", "beta", "gamma"]
+    assert all(r["path"].startswith("file:") for r in txt.collect())
+    # paths may also arrive as a DataFrame (SCollection of filenames)
+    pdf = spark.createDataFrame([(p,) for p in paths], ["p"])
+    binary = E.read_files(spark, pdf, fmt="binary")
+    assert binary.count() == 2
+    assert {len(bytes(r["content"])) for r in binary.collect()} == {11, 6}
