@@ -407,6 +407,11 @@ class SCollection:
             lambda df: df.write.mode("overwrite").option("header", header).csv(path),
         )
 
+    def save_as_custom_output(self, io_id: str, writer) -> None:
+        """saveAsCustomOutput (SCollection.scala:1740): arbitrary writer fn,
+        captured under JobTest like every named sink."""
+        self._write(io_id, writer)
+
     def materialize(self, name: str) -> "SCollection":
         """SCollection.scala:1600 — cache + temp view, tapped on the context."""
         if self.context is not None:

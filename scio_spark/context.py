@@ -210,6 +210,14 @@ class ScioContext:
             reader = reader.option(k, v)
         return self._wrap(reader.load())
 
+    def custom_input(self, io_id: str, df: DataFrame):
+        """customInput (ScioContext.scala:840): wrap an arbitrary DataFrame
+        as a named input — still JobTest-substitutable by io_id."""
+        sub = self._maybe_test_input(io_id)
+        if sub is not None:
+            return sub
+        return self._wrap(df)
+
     def sql(self, query: str):
         """The native SQL entry point (scio's only SQL path is typedBigQuery —
         BigQueryType.scala:367-385 — where BQ executes the SQL; here Catalyst

@@ -110,3 +110,20 @@ def test_metrics_counters_and_distributions(spark):
     assert m.get("priced_rows") == 2
     dist = m.get("price")
     assert dist["min"] == 10.0 and dist["max"] == 30.0 and dist["count"] == 2
+
+
+def test_custom_input_output(spark, tmp_path):
+    from scio_spark import ScioContext
+
+    # real mode: custom input wraps any DataFrame; custom output runs writer
+    ctx = ScioContext(spark)
+    df = spark.range(3).toDF("x")
+    c = ctx.custom_input("custom:src", df)
+    written = {}
+    c.save_as_custom_output("custom:sink", lambda d: written.update(n=d.count()))
+    assert written == {"n": 3}
+    # test mode: both substituted
+    t = ScioContext(spark, test_inputs={"custom:src": [(9,)]})
+    c2 = t.custom_input("custom:src", df)
+    c2.save_as_custom_output("custom:sink", lambda d: (_ for _ in ()).throw(AssertionError))
+    assert t.test_outputs["custom:sink"].collect()[0][0] == 9
