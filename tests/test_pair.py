@@ -212,3 +212,24 @@ def test_sample_exact_by_key(sc):
     # deterministic for a fixed seed
     again = sorted(rows(c.sample_exact_by_key(5, seed=9).df, "k", "v"))
     assert again == sorted(rows(s.df, "k", "v"))
+
+
+def test_skewed_join_at_reference_threshold(sc):
+    """FIXTURES.md §2 skew variant: one hot key with >9000 occurrences
+    (the reference's default skewedJoin threshold,
+    PairSkewedSCollectionFunctions.scala:63)."""
+    hot = sc.parallelize(
+        [("hot", i) for i in range(9500)] + [(f"k{i}", i) for i in range(50)],
+        schema=["key", "v"],
+    ).key_by("key")
+    rhs = sc.parallelize(
+        [("hot", "H")] + [(f"k{i}", f"r{i}") for i in range(0, 50, 2)],
+        schema=["key", "w"],
+    ).key_by("key")
+    plain = hot.join(rhs).df.count()
+    skew = hot.skewed_join(rhs).df  # default threshold 9000 → splits "hot"
+    assert skew.count() == plain == 9500 + 25
+    # the hot slice really went through the broadcast path
+    from scio_spark.plans import lint
+
+    assert "BroadcastHashJoin" in lint.executed_plan(skew)

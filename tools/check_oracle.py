@@ -74,6 +74,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if not only:
+        # driver smoke: entry() must run and return rows on sf0.001
+        n = len(ent.entry(spark).collect())
+        print(f"entry() smoke: {n} rows {'PASS' if n >= 1 else 'FAIL'}")
+
     qs, oracles = ent.queries(), ent.oracle_sql()
     failures = []
     for name, fn in qs.items():
