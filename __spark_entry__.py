@@ -17,7 +17,13 @@ Determinism conventions (so order-insensitive value hashes match):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this file by path from any cwd — make the sibling
+# scio_spark package importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
