@@ -106,6 +106,73 @@ def run_foreach_batch(
     return epochs
 
 
+def maintain_rollup(
+    stream: DataFrame,
+    path: str,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    key_cols,
+    aggs,
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained windowed rollup table (the hypertable /
+    continuous-aggregate pattern): a streaming windowed aggregation whose
+    updates are upserted into a parquet table partitioned by window start.
+
+    Mechanism: update-mode aggregation → foreachBatch writes each epoch's
+    changed window rows with DYNAMIC partition overwrite, so only the
+    partitions touched by that epoch are rewritten — idempotent per epoch
+    (exactly-once with a checkpoint), and the table stays partition-pruned
+    for readers. At 100 TB this is the standard way to keep a queryable
+    aggregate fresh without re-scanning history.
+
+    Returns the started StreamingQuery (caller stops it / lets it run).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    agg = windowed_stream_agg(
+        stream, ts_col, window_duration, watermark_delay, key_cols, aggs
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # merge semantics: keep existing rows of the affected partitions
+        # whose (window, key) was NOT updated this epoch, union the updates
+        # (update mode emits only changed keys — a bare partition overwrite
+        # would drop the unchanged ones)
+        merge_on = ["window_start"] + key_cols
+        try:
+            existing = spark.read.parquet(path)
+            affected = batch_df.select("window_start").distinct()
+            keep = (
+                existing.join(F.broadcast(affected), "window_start", "left_semi")
+                .join(batch_df.select(*merge_on), merge_on, "left_anti")
+            )
+            merged_rows = keep.select(*batch_df.columns).collect()
+        except Exception:  # first epoch: nothing on disk yet
+            merged_rows = []
+        merged = batch_df
+        if merged_rows:
+            merged = batch_df.unionByName(
+                spark.createDataFrame(merged_rows, batch_df.schema)
+            )
+        # rollup partitions are aggregate-sized: materialized above via
+        # collect, so the overwrite never reads the files it is deleting
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("window_start").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 class StreamFixture:
     """TestStream analog (testing/package.scala:27-34): scripted micro-batches
     with watermark advancement between them.
