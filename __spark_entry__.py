@@ -1379,6 +1379,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 family: HAVING-filtered aggregation (orders whose total
+    quantity exceeds a threshold) semi-joined back to customers — exercises
+    filter-on-aggregate + a two-level join pipeline."""
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem")
+    big_orders = (
+        li.key_by(orderkey="l_orderkey")
+        .agg_by_key(F.sum("l_quantity").alias("total_qty"))
+        .filter_values("total_qty > 250")
+    )
+    orders = _t(sc, sf_dir, "orders").key_by(orderkey="o_orderkey")
+    cust = _t(sc, sf_dir, "customer").key_by(custkey="c_custkey")
+    oj = orders.join(big_orders, "inner")
+    out = oj.to_scollection().key_by(custkey="o_custkey").join(cust, "inner")
+    return out.df.select(
+        "custkey",
+        F.col("c_name").alias("c_name"),
+        "orderkey",
+        F.col("o_totalprice").alias("o_totalprice"),
+        "total_qty",
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_custkey AS custkey, c_name, o_orderkey AS orderkey, o_totalprice,
+       big.total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming (applyInPandasWithState running counter,
     streaming/state.py) driven to completion; single-batch input ⇒ the
@@ -1482,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "stateful_stream": q_stateful_stream,
         "pipe_identity": q_pipe_identity,
+        "large_orders": q_large_orders,
         # approximate / fixture-backed ops: no oracle entry → the driver
         # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
@@ -1544,4 +1580,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "stateful_stream": ORACLE_STATEFUL_STREAM,
         "pipe_identity": ORACLE_PIPE,
+        "large_orders": ORACLE_LARGE_ORDERS,
     }
