@@ -24,8 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hll_sketch(col, lgk: int = 12) -> Column:
-    """Mergeable HLL sketch (binary). asZetaSketchHll analog."""
+def hll_sketch(col, lgk: int = 14) -> Column:
+    """Mergeable HLL sketch (binary). asZetaSketchHll analog. Default lgk=14
+    (16k registers, ~0.8% rsd): stays in the exact coupon regime well past
+    10^3 distincts — lgk=12 already drifted (1488 vs 1500) at sf0.1."""
     return F.hll_sketch_agg(col, lgk)
 
 
