@@ -247,6 +247,47 @@ def async_lookup(
     return df.mapInPandas(gen, schema)
 
 
+def map_file(
+    df: DataFrame,
+    uri_col: str,
+    fn: Callable,
+    schema,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """mapFile / flatMapFile (SCollectionFileDownloadSyntax.scala:43,66):
+    download each row's URI to a worker-local temp file, apply
+    ``fn(local_path) -> dict``, emit with the kept columns.
+
+    urllib handles file:// and http(s):// (fsspec would widen the scheme set
+    — not in this image). Downloads happen per Arrow batch on the executor,
+    cleaned up after fn returns."""
+    import os
+    import tempfile
+    import urllib.request
+
+    keep = keep_cols or [uri_col]
+
+    def gen(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                uri = rec[uri_col]
+                suffix = os.path.splitext(uri)[1]
+                with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tmp:
+                    local = tmp.name
+                try:
+                    urllib.request.urlretrieve(uri, local)
+                    out = fn(local)
+                    rows.append({**{k: rec[k] for k in keep}, **out})
+                finally:
+                    os.unlink(local)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema)
+
+
 # -------------------------------------------------------------- dist cache
 
 

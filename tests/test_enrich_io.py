@@ -248,3 +248,19 @@ def test_read_files_text_and_binary(spark, tmp_path):
     binary = E.read_files(spark, pdf, fmt="binary")
     assert binary.count() == 2
     assert {len(bytes(r["content"])) for r in binary.collect()} == {11, 6}
+
+
+def test_map_file_downloads_and_maps(spark, tmp_path):
+    f1 = tmp_path / "x.txt"; f1.write_text("hello file one")
+    f2 = tmp_path / "y.txt"; f2.write_text("two")
+    df = spark.createDataFrame(
+        [(f"file://{f1}",), (f"file://{f2}",)], ["uri"]
+    )
+
+    def measure(local_path):
+        with open(local_path) as fh:
+            return {"n_chars": len(fh.read())}
+
+    out = E.map_file(df, "uri", measure, "uri string, n_chars long")
+    got = {r["uri"].split("/")[-1]: r["n_chars"] for r in out.collect()}
+    assert got == {"x.txt": 14, "y.txt": 3}

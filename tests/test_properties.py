@@ -114,3 +114,11 @@ def test_random_split_partitions_everything(spark, weights):
         vals = {r[0] for r in p.collect()}
         assert not (seen & vals)  # disjoint
         seen |= vals
+
+
+@given(recs=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=20))
+@settings(max_examples=20, deadline=None)
+def test_tfrecord_codec_roundtrip_property(recs):
+    from scio_spark.sources.formats import tfrecord_decode, tfrecord_encode
+
+    assert tfrecord_decode(tfrecord_encode(recs)) == recs
