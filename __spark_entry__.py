@@ -1360,7 +1360,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _ctx(spark)
     emb = _t(sc, sf_dir, "embeddings").df
     qs = emb.filter("vec_id % 10 = 0")
-    return cosine_topk_ivf(emb, qs, k=3, n_clusters=8, n_probe=2)
+    return cosine_topk_ivf(
+        emb, qs, k=3, n_clusters=8, n_probe=2, sample_fraction=0.5
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -370,6 +370,11 @@ class SCollection:
             .drop("__pid", "__b")
         )
 
+    def batch_byte_sized(self, max_bytes: int, col: str = "value") -> "SCollection":
+        """SCollection.scala:484 ``batchByteSized`` — batch_weighted with the
+        column's serialized length as the weight."""
+        return self.batch_weighted(max_bytes, F.length(F.col(col)))
+
     def fold(self, zero, merge_expr: str, col: str = "value") -> "SCollection":
         """SCollection.scala:674 ``fold(zero)(op)`` — associative fold via an
         aggregate expression with an explicit zero (cast to the column type:

@@ -117,12 +117,13 @@ class ScioContext:
         ``value`` column, mirroring an SCollection of primitives.
         """
         data = list(data)
-        if schema is None and data and not isinstance(data[0], (dict, tuple, list)):
+        if data and not isinstance(data[0], (dict, tuple, list)):
             from pyspark.sql import Row
 
             if not isinstance(data[0], Row):
                 data = [(x,) for x in data]
-                schema = ["value"]
+                if schema is None:
+                    schema = ["value"]
         df = self.spark.createDataFrame(data, schema=schema)
         return self._wrap(df)
 

@@ -140,3 +140,13 @@ def test_group_map(sc):
     keyed = sc.parallelize([("a", 1), ("a", 2), ("b", 5)], schema=["k", "v"]).key_by("k")
     got = {r["k"]: sorted(r["mapped"]) for r in keyed.group_map("v * 10").collect()}
     assert got == {"a": [10, 20], "b": [50]}
+
+
+def test_batch_byte_sized(sc):
+    c = sc.parallelize(["aaaa", "bbbb", "cccc", "dd"], schema=["value"])
+    batches = c.batch_byte_sized(8).df.collect()
+    sizes = sorted(len(b["batch"]) for b in batches)
+    assert sum(sizes) == 4
+    # no batch exceeds ~8 bytes of payload
+    for b in batches:
+        assert sum(len(r["value"]) for r in b["batch"]) <= 8
