@@ -1381,6 +1381,61 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowByWeeks (SCollection.scala:1275-1300) — ISO-week order counts
+    (both engines truncate weeks to Monday)."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").df
+    return (
+        W.with_calendar_window(o, "o_orderdate", "week")
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_WINDOW_WEEKLY = """
+SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS window_start,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_global_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top(n) (SCollection.scala:985) — TakeOrderedAndProject plan (per-
+    partition heap + driver merge, Beam Top.of analog); total order via
+    orderkey tiebreak."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders")
+    return o.top(
+        10, F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    ).df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+ORACLE_GLOBAL_TOP = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_distinct_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key distinct count (countDistinct — the exact sibling of
+    countApproxDistinctByKey, which is HLL and deliberately NOT oracled)."""
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_BY_KEY = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 family: HAVING-filtered aggregation (orders whose total
     quantity exceeds a threshold) semi-joined back to customers — exercises
@@ -1520,6 +1575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_stream": q_stateful_stream,
         "pipe_identity": q_pipe_identity,
         "large_orders": q_large_orders,
+        "window_weekly": q_window_weekly,
+        "global_top": q_global_top,
+        "distinct_by_key": q_distinct_by_key,
         # approximate / fixture-backed ops: no oracle entry → the driver
         # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
@@ -1583,4 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "stateful_stream": ORACLE_STATEFUL_STREAM,
         "pipe_identity": ORACLE_PIPE,
         "large_orders": ORACLE_LARGE_ORDERS,
+        "window_weekly": ORACLE_WINDOW_WEEKLY,
+        "global_top": ORACLE_GLOBAL_TOP,
+        "distinct_by_key": ORACLE_DISTINCT_BY_KEY,
     }

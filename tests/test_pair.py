@@ -233,3 +233,12 @@ def test_skewed_join_at_reference_threshold(sc):
     from scio_spark.plans import lint
 
     assert "BroadcastHashJoin" in lint.executed_plan(skew)
+
+
+def test_hash_full_outer_join_falls_back_gracefully(kv1, kv2):
+    """hashFullOuterJoin (PairHashSCollectionFunctions.scala:124): Spark may
+    decline to broadcast a full-outer build side — semantics must hold
+    either way (the hint is advisory, the result identical)."""
+    a = rows(kv1.hash_join(kv2, how="full").df, "key", "v", "w")
+    b = rows(kv1.full_outer_join(kv2).df, "key", "v", "w")
+    assert a == b
