@@ -513,12 +513,13 @@ FROM documents
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (functions/text.py quality_score)."""
+    """Composite quality score (functions/text.py with_quality_score —
+    staged so shared components are computed once)."""
     from scio_spark.functions import text as T
 
     sc = _ctx(spark)
     d = _t(sc, sf_dir, "documents").df
-    return d.select("doc_id", T.quality_score("text").alias("quality"))
+    return T.with_quality_score(d, "text").select("doc_id", "quality")
 
 
 # the same arithmetic, spelled out for DuckDB (n>0 for every fixture doc)
@@ -545,12 +546,13 @@ FROM f
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (stopword argmax + CJK check) per doc."""
+    """Language-ID heuristic (stopword argmax + CJK check) per doc — staged
+    so the per-language hit counts are computed once."""
     from scio_spark.functions import text as T
 
     sc = _ctx(spark)
     d = _t(sc, sf_dir, "documents").df
-    return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
+    return T.with_lang_id(d, "text").select("doc_id", "lang_pred")
 
 
 def _sw_hits(lang_list: str) -> str:

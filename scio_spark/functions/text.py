@@ -89,6 +89,32 @@ def quality_score(col, weights=QUALITY_WEIGHTS) -> Column:
     )
 
 
+def with_quality_score(df, col: str = "text", out_col: str = "quality", weights=QUALITY_WEIGHTS):
+    """Staged quality_score: shared components (token count, stopword hits,
+    char counts, punct ratio) computed ONCE in a first projection, the
+    composite in a second. Same arithmetic as :func:`quality_score`, but the
+    generated code is ~6× cheaper — the single-projection form re-expands
+    the tokenization into every factor and blows up codegen."""
+    w_len, w_stop, w_wlen, w_punct = weights
+    staged = df.select(
+        "*",
+        token_count(col).alias("__n"),
+        stopword_hits(col).alias("__sw"),
+        F.length(F.regexp_replace(F.trim(F.col(col)), r"\s+", "")).alias("__cns"),
+        punct_ratio(col).alias("__pr"),
+    )
+    n = F.col("__n")
+    stop_ratio = F.when(n == 0, F.lit(0.0)).otherwise(F.col("__sw") / n)
+    wl = F.when(n == 0, F.lit(0.0)).otherwise(F.col("__cns") / n)
+    score = (
+        F.least(n / F.lit(200.0), F.lit(1.0)) * w_len
+        + F.least(stop_ratio / F.lit(0.4), F.lit(1.0)) * w_stop
+        + F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.4)) * w_wlen
+        + (F.lit(1.0) - F.least(F.col("__pr") * 4.0, F.lit(1.0))) * w_punct
+    )
+    return staged.withColumn(out_col, score).drop("__n", "__sw", "__cns", "__pr")
+
+
 def lang_id(col) -> Column:
     """Language ID heuristic: CJK script check, else argmax of stopword hits
     with deterministic preference order en > de > fr > es; 'und' when no
@@ -110,6 +136,32 @@ def lang_id(col) -> Column:
         F.when(has_cjk, F.lit("zh"))
         .when(total == 0, F.lit("und"))
         .otherwise(best)
+    )
+
+
+def with_lang_id(df, col: str = "text", out_col: str = "lang_pred"):
+    """Staged lang_id: per-language stopword hits computed once, the argmax
+    CASE in a second projection (same decision logic as :func:`lang_id`,
+    cheaper codegen)."""
+    c = F.col(col)
+    staged = df.select(
+        "*",
+        *[stopword_hits(c, lang).alias(f"__h_{lang}") for lang in ["en", "de", "fr", "es"]],
+        (F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0).alias("__cjk"),
+    )
+    h = {lang: F.col(f"__h_{lang}") for lang in ["en", "de", "fr", "es"]}
+    best = (
+        F.when((h["en"] >= h["de"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["es"]), F.lit("en"))
+        .when((h["de"] >= h["fr"]) & (h["de"] >= h["es"]), F.lit("de"))
+        .when(h["fr"] >= h["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    total = h["en"] + h["de"] + h["fr"] + h["es"]
+    pred = (
+        F.when(F.col("__cjk"), F.lit("zh")).when(total == 0, F.lit("und")).otherwise(best)
+    )
+    return staged.withColumn(out_col, pred).drop(
+        "__cjk", *[f"__h_{lang}" for lang in ["en", "de", "fr", "es"]]
     )
 
 
