@@ -1196,7 +1196,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
         .agg(
-            F.sum("k").alias("sum_k"),
+            # BIGINT both sides: DuckDB SUM(INT) yields HUGEINT (int128),
+            # which hash-mismatches Spark's BIGINT in the driver's
+            # type-tagged value hash (CORRECTNESS_r01 json_extract).
+            F.sum("k").cast("long").alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1204,7 +1207,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """

@@ -159,12 +159,38 @@ def safe_map_partitions(df: DataFrame, fn: Callable, ok_schema) -> tuple[DataFra
 
 
 def pipe(df: DataFrame, command: str, input_col: str = "value") -> DataFrame:
-    """pipe (SCollectionPipeSyntax.scala:45): element per stdin line through a
-    subprocess; stdout lines become the output collection. RDD path — the
-    one legitimate RDD use (per-partition subprocess lifecycle)."""
-    rdd = df.select(input_col).rdd.map(lambda r: str(r[0]))
-    out = rdd.pipe(command)
-    return df.sparkSession.createDataFrame(out.map(lambda x: (x,)), [input_col])
+    """pipe (SCollectionPipeSyntax.scala:45,71): element per stdin line through
+    a subprocess; stdout lines become the output collection.
+
+    One subprocess per Arrow batch (≈ a Beam bundle), fed via
+    ``subprocess.run`` — single-threaded write-then-read, so no feeder
+    thread races the Arrow protocol stream (the rdd.pipe path crashed its
+    feeder with ``ValueError: read length must be non-negative or -1``).
+    Non-zero exit raises with the subprocess stderr attached."""
+    import shlex
+    import subprocess
+
+    import pandas as pd
+
+    argv = shlex.split(command)
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            data = "".join(s + "\n" for s in pdf[input_col].astype(str))
+            res = subprocess.run(  # noqa: S603 — user-supplied command is the op
+                argv, input=data, capture_output=True, text=True
+            )
+            if res.returncode != 0:
+                raise RuntimeError(
+                    f"pipe command {command!r} exited {res.returncode}: "
+                    f"{res.stderr[-500:]}"
+                )
+            yield pd.DataFrame({input_col: res.stdout.splitlines()})
+
+    return (
+        df.select(F.col(input_col).cast("string").alias(input_col))
+        .mapInPandas(gen, f"{input_col} string")
+    )
 
 
 # ------------------------------------------------------------- resources
