@@ -103,49 +103,17 @@ def cosine_topk(
     )
 
 
-def embedding_dedup_pairs(
+def _exact_rescore(
     corpus: DataFrame,
+    cands: DataFrame,
     threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    score_decimals: int | None = 5,
+    id_col: str,
+    vec_col: str,
+    score_decimals: int | None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup detection: all pairs (id_1 < id_2) with
-    cosine ≥ threshold — the 5th dedup family (exact/MinHash/SimHash/
-    n-gram/embedding).
-
-    Two stages so the heavy lifting is BLAS, not per-pair expression
-    evaluation:
-    1. candidate generation — broadcast the (ids, matrix) block, numpy GEMM
-       per Arrow batch (block × corpusᵀ), keep pairs ≥ threshold − 1e-6.
-       GEMM-vs-fold float error is ~1e-14, so the margin cannot drop a true
-       pair. At 100 TB the broadcast block becomes a loop over corpus blocks
-       (block-matrix product), same code shape.
-    2. exact rescoring — the deterministic sequential fold, only for the
-       (few) candidates, so emitted scores are bit-identical to the oracle.
-    """
-    import numpy as np
-    import pandas as pd
-
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat))
-    margin = threshold - 1e-6
-
-    def gen(batches):
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            b_ids = pdf[id_col].to_numpy()
-            sims = block @ c_mat.T
-            bi, cj = np.where(sims >= margin)
-            keep = b_ids[bi] < c_ids[cj]
-            yield pd.DataFrame(
-                {"id_1": b_ids[bi][keep], "id_2": c_ids[cj][keep]}
-            )
-
-    cands = corpus.select(id_col, vec_col).mapInPandas(gen, "id_1 long, id_2 long")
+    """Stage 2 shared by both candidate generators: deterministic
+    sequential-fold rescore of candidate pairs only, so emitted scores are
+    bit-identical to the DuckDB oracle's ordered ``list_reduce`` sum."""
     a = corpus.select(F.col(id_col).alias("id_1"), F.col(vec_col).alias("__a"))
     b = corpus.select(F.col(id_col).alias("id_2"), F.col(vec_col).alias("__b"))
     scored = (
@@ -156,6 +124,161 @@ def embedding_dedup_pairs(
     if score_decimals is not None:
         scored = scored.withColumn("score", F.round("score", score_decimals))
     return scored.filter(F.col("score") >= threshold).select("id_1", "id_2", "score")
+
+
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 5,
+    num_blocks: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection, EXACT: all pairs (id_1 < id_2)
+    with cosine ≥ threshold — the 5th dedup family (exact/MinHash/SimHash/
+    n-gram/embedding). Reference analog: Voyager side-input rescoring,
+    scio-extra voyager/syntax/SCollectionSyntax.scala:47-215.
+
+    Fully distributed block-pair GEMM — nothing passes through the driver:
+
+    1. candidate generation — rows hash into ``num_blocks`` blocks; each of
+       the B·(B+1)/2 unordered block pairs becomes one cogroup whose task
+       runs a numpy GEMM (left_block × right_blockᵀ) and keeps pairs ≥
+       threshold − 1e-6 (GEMM-vs-fold float error is ~1e-14, so the margin
+       cannot drop a true pair). Each unordered id pair lands in exactly one
+       block pair, so candidates are emitted exactly once. Shuffle volume is
+       O(n·B) rows and per-task memory is O(n/B) vectors — raise
+       ``num_blocks`` with corpus size (B ≈ √tasks); exact all-pairs compute
+       is inherently O(n²), the LSH variant below is the sub-quadratic path.
+    2. exact rescoring via the shared deterministic fold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    margin = threshold - 1e-6
+    B = num_blocks
+    slim = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("__blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "blk_a int, blk_b int"
+    )
+    # left side: every row of block i, replicated to each pair (i, j≥i)
+    left = (
+        slim.alias("L")
+        .join(F.broadcast(block_pairs.alias("PL")), F.col("L.__blk") == F.col("PL.blk_a"))
+        .select("PL.blk_a", "PL.blk_b", "L.__id", "L.__v")
+    )
+    # right side: every row of block j, replicated to each pair (i≤j, j).
+    # Fresh aliases (new attribute ids) so the cogroup of two branches of
+    # the same scan passes Spark's ambiguous-self-join check; cogroup keys
+    # match positionally, names need not agree.
+    right = (
+        slim.alias("R")
+        .join(F.broadcast(block_pairs.alias("PR")), F.col("R.__blk") == F.col("PR.blk_b"))
+        .select(
+            F.col("PR.blk_a").alias("rka"),
+            F.col("PR.blk_b").alias("rkb"),
+            F.col("R.__id").alias("__rid"),
+            F.col("R.__v").alias("__rv"),
+        )
+    )
+
+    def gemm_pairs(_key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_1": [], "id_2": []}).astype("int64")
+        l_ids = lpdf["__id"].to_numpy()
+        r_ids = rpdf["__rid"].to_numpy()
+        l_mat = np.array(list(lpdf["__v"]), dtype=np.float64)
+        r_mat = np.array(list(rpdf["__rv"]), dtype=np.float64)
+        sims = l_mat @ r_mat.T
+        li, rj = np.where(sims >= margin)
+        a, b = l_ids[li], r_ids[rj]
+        keep = a != b  # diagonal blocks contain each id on both sides
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"id_1": lo, "id_2": hi})
+        # within a diagonal block each pair shows up as (x,y) and (y,x)
+        return out.drop_duplicates()
+
+    cands = (
+        left.groupBy("blk_a", "blk_b")
+        .cogroup(right.groupBy("rka", "rkb"))
+        .applyInPandas(gemm_pairs, "id_1 long, id_2 long")
+    )
+    return _exact_rescore(corpus, cands, threshold, id_col, vec_col, score_decimals)
+
+
+def embedding_dedup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 5,
+    bands: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup, sub-quadratic (the 100 TB path): banded
+    random-hyperplane LSH candidates + exact rescore.
+
+    Each vector gets ``bands`` independent ``band_bits``-bit hyperplane
+    signatures (one mapInPandas GEMM against a broadcast ±1 matrix — no
+    giant codegen literals); a pair is a candidate iff it agrees on at least
+    one whole band (self-join on (band, sig), distinct). Recall for a pair
+    at cosine c is 1 − (1 − (1−θ/π)^band_bits)^bands with θ = arccos(c) —
+    tune bands up / band_bits down for lower thresholds. Candidates are then
+    exact-rescored, so precision is exact; only recall is approximate
+    (pinned by a test against the exact operator)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    nbits = bands * band_bits
+    planes = np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16) % 2
+                else -1.0
+                for j in range(dim)
+            ]
+            for i in range(nbits)
+        ]
+    )  # (nbits, dim) — deterministic, same family as hyperplane_signature
+    weights = (2 ** np.arange(band_bits)).astype(np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((planes, weights))
+
+    def sig_gen(batches):
+        pl, w = bc.value
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ pl.T >= 0).astype(np.int64)  # (n, nbits)
+            sigs = bits.reshape(len(mat), bands, band_bits) @ w  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands), len(mat)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    sigs = corpus.select(id_col, vec_col).mapInPandas(
+        sig_gen, "__id long, band int, sig long"
+    )
+    a = sigs.select(F.col("__id").alias("id_1"), "band", "sig")
+    b = sigs.select(F.col("__id").alias("id_2"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    return _exact_rescore(corpus, cands, threshold, id_col, vec_col, score_decimals)
 
 
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str, bits: int = 8, dim: int = 64) -> DataFrame:

@@ -142,3 +142,41 @@ def test_cosine_topk_lsh_recall(embeddings):
     )
     # recall@1 with 2-bit buckets on 60 vecs should be substantial
     assert len(brute & approx) >= len(brute) * 0.5
+
+
+def test_embedding_dedup_exact_blocked(embeddings):
+    """Block-pair GEMM must equal driver-side brute force (each unordered
+    pair counted exactly once, including within diagonal blocks)."""
+    import itertools
+
+    vecs = {r["vec_id"]: r["embedding"] for r in embeddings.collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if sum(x * y for x, y in zip(vecs[a], vecs[b])) >= 0.8
+    }
+    got = rows(
+        S.embedding_dedup_pairs(embeddings, threshold=0.8, num_blocks=4),
+        "id_1", "id_2",
+    )
+    assert sorted(got) == sorted(brute)
+    assert len(got) == len(set(got))  # no duplicate emissions
+
+
+def test_embedding_dedup_lsh_recall(embeddings):
+    """LSH-banded candidates + exact rescore: precision is exact by
+    construction; recall vs the exact operator is pinned here."""
+    exact = set(
+        rows(S.embedding_dedup_pairs(embeddings, threshold=0.8, num_blocks=4),
+             "id_1", "id_2")
+    )
+    approx = set(
+        rows(
+            S.embedding_dedup_pairs_lsh(
+                embeddings, threshold=0.8, bands=16, band_bits=2, dim=16
+            ),
+            "id_1", "id_2",
+        )
+    )
+    assert approx <= exact  # exact rescore ⇒ no false positives
+    assert len(approx) >= max(1, int(len(exact) * 0.8))  # high recall
