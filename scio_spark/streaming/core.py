@@ -120,12 +120,16 @@ def maintain_rollup(
     continuous-aggregate pattern): a streaming windowed aggregation whose
     updates are upserted into a parquet table partitioned by window start.
 
-    Mechanism: update-mode aggregation → foreachBatch writes each epoch's
-    changed window rows with DYNAMIC partition overwrite, so only the
-    partitions touched by that epoch are rewritten — idempotent per epoch
-    (exactly-once with a checkpoint), and the table stays partition-pruned
-    for readers. At 100 TB this is the standard way to keep a queryable
-    aggregate fresh without re-scanning history.
+    Mechanism: update-mode aggregation → foreachBatch merges each epoch's
+    changed window rows with the surviving rows of the affected partitions,
+    writes the merged partitions to a sibling temp dir (a fully distributed
+    write — no row passes through the driver), then swaps each partition
+    directory into the table with Hadoop-FS renames. Only the partitions
+    touched by the epoch are rewritten, the table stays partition-pruned
+    for readers, and a retried epoch redoes the same swap (idempotent —
+    exactly-once with a checkpoint). At 100 TB this is the standard way to
+    keep a queryable aggregate fresh without re-scanning history; with a
+    table format available (Delta/Iceberg) the swap becomes a MERGE.
 
     Returns the started StreamingQuery (caller stops it / lets it run).
     """
@@ -138,34 +142,44 @@ def maintain_rollup(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        target = HPath(path)
+        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+        # explicit existence check — a transient read failure must propagate
+        # (and retry the micro-batch), never be mistaken for "first epoch"
+        # and destroy partition contents with a partial overwrite
+        table_exists = bool(fs.globStatus(HPath(path, "window_start=*")))
         # merge semantics: keep existing rows of the affected partitions
         # whose (window, key) was NOT updated this epoch, union the updates
         # (update mode emits only changed keys — a bare partition overwrite
         # would drop the unchanged ones)
-        merge_on = ["window_start"] + key_cols
-        try:
+        merged = batch_df
+        if table_exists:
+            merge_on = ["window_start"] + key_cols
             existing = spark.read.parquet(path)
             affected = batch_df.select("window_start").distinct()
             keep = (
                 existing.join(F.broadcast(affected), "window_start", "left_semi")
                 .join(batch_df.select(*merge_on), merge_on, "left_anti")
             )
-            merged_rows = keep.select(*batch_df.columns).collect()
-        except Exception:  # first epoch: nothing on disk yet
-            merged_rows = []
-        merged = batch_df
-        if merged_rows:
-            merged = batch_df.unionByName(
-                spark.createDataFrame(merged_rows, batch_df.schema)
-            )
-        # rollup partitions are aggregate-sized: materialized above via
-        # collect, so the overwrite never reads the files it is deleting
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("window_start").parquet(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            merged = batch_df.unionByName(keep.select(*batch_df.columns))
+        tmp = path.rstrip("/") + f"__epoch_tmp_{epoch_id}"
+        tmp_path = HPath(tmp)
+        if fs.exists(tmp_path):  # leftover from a failed attempt of this epoch
+            fs.delete(tmp_path, True)
+        merged.write.mode("overwrite").partitionBy("window_start").parquet(tmp)
+        if not fs.exists(target):
+            fs.mkdirs(target)
+        for st in fs.listStatus(tmp_path):
+            name = st.getPath().getName()
+            if not name.startswith("window_start="):
+                continue
+            dest = HPath(target, name)
+            if fs.exists(dest):
+                fs.delete(dest, True)
+            fs.rename(st.getPath(), dest)
+        fs.delete(tmp_path, True)
 
     writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
     if checkpoint:
