@@ -1346,27 +1346,68 @@ SELECT id_1, id_2, score FROM pairs WHERE score >= 0.4
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via hyperplane LSH buckets (similarity.cosine_topk_lsh)
-    — approximate by design: rows-only driver check; recall pinned vs brute
-    force in tests/test_llm_ops.py."""
+    """ANN via hyperplane LSH buckets (similarity.cosine_topk_lsh).
+    Oracle-checked: the hyperplanes are deterministic md5-derived ±1
+    literals, so DuckDB recomputes the SAME 4-bit signatures and the
+    same-bucket top-3 is exactly reproducible (scores exact-fold, rounded
+    before ranking). Recall vs brute force pinned in tests/test_llm_ops.py."""
     from scio_spark.functions.similarity import cosine_topk_lsh
 
     sc = _ctx(spark)
     emb = _t(sc, sf_dir, "embeddings").df
     qs = emb.filter("vec_id % 10 = 0")
-    return cosine_topk_lsh(emb, qs, k=3, bits=4)
+    return cosine_topk_lsh(emb, qs, k=3, bits=4, score_decimals=5)
+
+
+# DuckDB replays the md5 hyperplane family of similarity.hyperplane_signature:
+# sign_ij = +1 iff int(md5(f"{i}:{j}")[:4], 16) is odd — the parity of hex
+# char 4 — and the projection is the same sequential left-fold dot product.
+ORACLE_ANN_LSH = """
+WITH sig AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_transform(generate_series(0, 3), i ->
+      CASE WHEN list_reduce(list_transform(generate_series(1, 64), j ->
+             CAST(embedding[j] AS DOUBLE) *
+             (CASE WHEN (instr('0123456789abcdef',
+                 substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 4, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END)),
+           (acc, x) -> acc + x) >= 0
+      THEN CAST(POW(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      (acc, x) -> acc + x) AS bucket
+  FROM embeddings
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id % 10 = 0
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF k-means ANN (functions/ivf.py) — approximate: rows-only check;
-    recall pinned in tests/test_ann_simhash64.py."""
+    """IVF k-means ANN (functions/ivf.py), run with n_probe = n_clusters so
+    every inverted list is searched: exercises the full pipeline (KMeans
+    train → broadcast-GEMM assignment → probe routing → list semi-join →
+    exact-fold re-rank) while the output equals exact top-3 — oracle-checked.
+    The approximate regime (n_probe < n_clusters) is recall-pinned in
+    tests/test_ann_simhash64.py."""
     from scio_spark.functions.ivf import cosine_topk_ivf
 
     sc = _ctx(spark)
     emb = _t(sc, sf_dir, "embeddings").df
     qs = emb.filter("vec_id % 10 = 0")
     return cosine_topk_ivf(
-        emb, qs, k=3, n_clusters=8, n_probe=2, sample_fraction=0.5
+        emb, qs, k=3, n_clusters=8, n_probe=8, sample_fraction=0.5,
+        score_decimals=5,
     )
 
 
@@ -1583,10 +1624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_weekly": q_window_weekly,
         "global_top": q_global_top,
         "distinct_by_key": q_distinct_by_key,
-        # approximate / fixture-backed ops: no oracle entry → the driver
-        # records the weaker rows-only check (accuracy pinned in tests)
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        # binary fixture isn't DuckDB-visible → weaker rows-only check
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1649,4 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         "window_weekly": ORACLE_WINDOW_WEEKLY,
         "global_top": ORACLE_GLOBAL_TOP,
         "distinct_by_key": ORACLE_DISTINCT_BY_KEY,
+        "ann_lsh": ORACLE_ANN_LSH,
+        # ann_ivf probes every inverted list (n_probe = n_clusters), so its
+        # output is the exact top-3 — same oracle as the brute-force baseline
+        "ann_ivf": ORACLE_EMBEDDING_TOPK,
     }

@@ -8,7 +8,8 @@ query. The classic FAISS-style layout expressed as DataFrames:
 
 - train: pyspark.ml KMeans on a corpus sample (one pass, driver-held
   centroids — `n_clusters × dim` floats, trivially broadcastable);
-- assign: a JVM-side argmin over broadcast centroid literals (no Python);
+- assign: Arrow-batched numpy GEMM against the broadcast centroid matrix
+  (plan size constant in n_clusters — literal expansion dies at k ≥ ~256);
 - search: query → n_probe nearest centroids → semi-join the corpus on
   centroid id → exact re-rank. Corpus scan work drops by ~n_probe/n_clusters.
 
@@ -43,37 +44,68 @@ def _centroids(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
-def _dot_literal(vec_col, center: list[float]):
-    arr = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda x, c: x.cast("double") * c),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _with_centroid(df: DataFrame):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # fresh StructType — StructType.add mutates the DataFrame's cached schema
+    return StructType(
+        list(df.schema.fields) + [StructField("centroid", IntegerType())]
     )
 
 
 def assign_centroid(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Nearest centroid by cosine (vectors normalized ⇒ max dot product),
-    as a pure expression argmax over centroid literals."""
-    scored = F.array(
-        *[
-            F.struct(_dot_literal(vec_col, c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    return df.withColumn("centroid", F.array_max(scored)["cid"])
+    """Nearest centroid by cosine (vectors normalized ⇒ max dot product):
+    one numpy GEMM per Arrow batch against the broadcast centroid matrix.
+
+    A literal-expression argmax works at k≈16 but the generated code grows
+    O(k·dim) and blows past the JIT/codegen limits at realistic k (256–4096);
+    the GEMM keeps the plan size constant in k."""
+    import numpy as np
+
+    cent = np.array(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    schema = _with_centroid(df)
+
+    def gen(batches):
+        c = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            if pdf.empty:
+                pdf["centroid"] = np.array([], dtype="int32")
+            else:
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                pdf["centroid"] = np.argmax(mat @ c.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]], n_probe: int) -> DataFrame:
-    """Each query row → n_probe nearest centroid ids (exploded)."""
-    scored = F.array(
-        *[
-            F.struct(_dot_literal(vec_col, c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
-    top = F.slice(F.sort_array(scored, asc=False), 1, n_probe)
-    return df.withColumn("centroid", F.explode(F.transform(top, lambda s: s["cid"])))
+    """Each query row → its n_probe nearest centroid ids (row replicated
+    n_probe×), via the same broadcast-GEMM pattern; ties broken by lower
+    centroid id (stable argsort) for deterministic probing."""
+    import numpy as np
+
+    cent = np.array(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    schema = _with_centroid(df)
+
+    def gen(batches):
+        c = bc.value
+        p = min(n_probe, c.shape[0])
+        for pdf in batches:
+            if pdf.empty:
+                pdf = pdf.copy()
+                pdf["centroid"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            idx = np.argsort(-(mat @ c.T), axis=1, kind="stable")[:, :p]
+            out = pdf.loc[pdf.index.repeat(p)].copy()
+            out["centroid"] = idx.reshape(-1).astype("int32")
+            yield out
+
+    return df.mapInPandas(gen, schema)
 
 
 def cosine_topk_ivf(
@@ -86,9 +118,12 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     seed: int = 42,
     sample_fraction: float = 1.0,
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """IVF ANN: (query_id, neighbor_id, score, rank) searching only the
-    n_probe nearest inverted lists per query."""
+    n_probe nearest inverted lists per query. Scores come from the exact
+    sequential fold (rounded BEFORE ranking when ``score_decimals`` is set),
+    so with n_probe = n_clusters the output is oracle-exact top-k."""
     cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction)
     inv = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
@@ -115,6 +150,8 @@ def cosine_topk_ivf(
             ),
         )
     )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -288,6 +288,11 @@ def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str, bits: int = 8
     Computed as a single JVM expression per bit (no shuffle)."""
     import hashlib
 
+    if bits == 0:  # degenerate: one global bucket (exact brute force)
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("bucket")
+        )
+
     sig_bits = []
     for i in range(bits):
         # ±1 pattern for hyperplane i, baked into the plan as literals
@@ -316,10 +321,13 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     bits: int = 6,
     dim: int = 64,
+    score_decimals: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs. Recall is tunable via
-    ``bits`` (fewer bits → bigger buckets → higher recall & cost). Tested
-    against brute force for recall, not oracle-matched (approximate)."""
+    ``bits`` (fewer bits → bigger buckets → higher recall & cost; bits=0 is
+    one bucket = exact brute force, which makes the output oracle-matchable).
+    Scores from the deterministic fold, rounded before ranking when
+    ``score_decimals`` is set."""
     csig = hyperplane_signature(corpus, id_col, vec_col, bits, dim).withColumnRenamed(
         id_col, "neighbor_id"
     )
@@ -331,6 +339,8 @@ def cosine_topk_lsh(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", _dot(F.col("__qv"), F.col(vec_col)))
     )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -92,6 +92,30 @@ def test_ivf_probe_fanout(vec_df):
     assert probes.count() == 10  # 5 queries × 2 probes
 
 
+def test_ivf_assignment_gemm_at_256_clusters(vec_df):
+    """n_clusters=256 must neither blow codegen (the old literal-argmax
+    failure mode) nor lose exactness when every list is probed: plan stays
+    GEMM-sized and full-probe output equals brute force."""
+    from scio_spark.functions.ivf import cosine_topk_ivf
+    from scio_spark.functions.similarity import cosine_topk
+
+    qs = vec_df.filter("vec_id < 6")
+    out = cosine_topk_ivf(
+        vec_df, qs, k=3, n_clusters=256, n_probe=256, score_decimals=None
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # assignment must be Arrow-batched Python (constant plan size in k),
+    # not a 256-wide literal array expression
+    assert "MapInPandas" in plan
+    assert "named_struct" not in plan.lower()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vec_df, qs, k=3, score_decimals=None).collect()
+    }
+    full = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert full == brute
+
+
 # ------------------------------------------------------------ connectors
 
 
