@@ -377,6 +377,36 @@ FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
 """
 
 
+def q_cogroup_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiJoin.cogroup (util/MultiJoin.scala:34-530): 3-way cogroup on
+    custkey — customers × orders × events — materialized as per-side group
+    sizes (arrays hash unstably across engines)."""
+    sc = _ctx(spark)
+    cust = _t(sc, sf_dir, "customer").map("c_custkey", "c_name").key_by(custkey="c_custkey")
+    orders = _t(sc, sf_dir, "orders").map("o_custkey", "o_orderkey").key_by(custkey="o_custkey")
+    ev = _t(sc, sf_dir, "events").map("user_id", "event_id").key_by(custkey="user_id")
+    cg = J.multi_join([cust, orders, ev], how="cogroup")
+    return cg.df.select(
+        "custkey",
+        F.size("values_1").alias("n_cust"),
+        F.size("values_2").alias("n_orders"),
+        F.size("values_3").alias("n_events"),
+    )
+
+
+ORACLE_COGROUP_3WAY = """
+WITH c AS (SELECT c_custkey AS custkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     o AS (SELECT o_custkey AS custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+     e AS (SELECT user_id AS custkey, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT k.custkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM (SELECT custkey FROM c UNION SELECT custkey FROM o UNION SELECT custkey FROM e) k
+LEFT JOIN c USING (custkey) LEFT JOIN o USING (custkey) LEFT JOIN e USING (custkey)
+"""
+
+
 def q_sparse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sparseJoin (PairSCollectionFunctions.scala:291): RHS keyset ≪ LHS —
     broadcast-keyset semi-join reduction before the shuffle join."""
@@ -1624,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_weekly": q_window_weekly,
         "global_top": q_global_top,
         "distinct_by_key": q_distinct_by_key,
+        "cogroup_3way": q_cogroup_3way,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # binary fixture isn't DuckDB-visible → weaker rows-only check
@@ -1689,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "window_weekly": ORACLE_WINDOW_WEEKLY,
         "global_top": ORACLE_GLOBAL_TOP,
         "distinct_by_key": ORACLE_DISTINCT_BY_KEY,
+        "cogroup_3way": ORACLE_COGROUP_3WAY,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

@@ -23,36 +23,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cogroup(left, right, suffixes=("_1", "_2")):
-    """(K, (Iterable[V], Iterable[W])) — PairSCollectionFunctions.scala:116.
+def cogroup(*colls, suffixes=None):
+    """(K, (Iterable[V₁], …, Iterable[Vₙ])) — 2-way cogroup/groupWith
+    (PairSCollectionFunctions.scala:116) and N-way MultiJoin.cogroup
+    (util/MultiJoin.scala:34-530; scio codegens 2..22 arities, here one
+    varargs function).
 
-    Implementation: per-side groupBy(key).collect_list, then full-outer join.
-    Two partial-agg'd shuffles on the same key → Catalyst reuses the exchange
-    layout for the join (no third shuffle). Missing sides become empty arrays
-    (scio emits empty Iterables, not nulls).
+    Implementation: tag-and-union — each side contributes its value in its
+    own column (null in the others), the union feeds ONE groupBy with a
+    collect_list per side (collect_list skips nulls, so missing sides come
+    out as empty arrays, matching scio's empty Iterables). Exactly one
+    shuffle total with map-side partial aggregation per input branch — the
+    same cost shape as scio's single CoGroupByKey over N tagged inputs
+    (chained full-outer joins would re-shuffle the growing intermediate).
     """
     from scio_spark.pair import PairSCollection
 
-    keys = left.key_cols
+    if len(colls) < 2:
+        raise ValueError("cogroup needs at least 2 collections")
+    if suffixes is None:
+        suffixes = tuple(f"_{i + 1}" for i in range(len(colls)))
+    keys = colls[0].key_cols
+    names = ["values" + s for s in suffixes]
 
-    def side(p, name):
+    vals_exprs, val_types = [], []
+    for p in colls:
         vals = p.value_cols
         v = F.struct(*vals) if len(vals) > 1 else F.col(vals[0])
-        return p.df.groupBy(*keys).agg(F.collect_list(v).alias(name))
+        vals_exprs.append(v)
+        val_types.append(p.df.select(v.alias("__v")).schema[0].dataType)
 
-    lname, rname = "values" + suffixes[0], "values" + suffixes[1]
-    ldf, rdf = side(left, lname), side(right, rname)
-    joined = ldf.join(rdf, on=keys, how="full")
-    empty = F.array()
-    joined = joined.withColumn(lname, F.coalesce(F.col(lname), empty)).withColumn(
-        rname, F.coalesce(F.col(rname), empty)
+    branches = []
+    for i, p in enumerate(colls):
+        cols = [F.col(k) for k in keys]
+        for j in range(len(colls)):
+            v = vals_exprs[j] if j == i else F.lit(None).cast(val_types[j])
+            cols.append(v.alias(f"__v{j}"))
+        branches.append(p.df.select(*cols))
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    agged = unioned.groupBy(*keys).agg(
+        *[F.collect_list(f"__v{j}").alias(n) for j, n in enumerate(names)]
     )
-    return PairSCollection(joined, keys, left.context)
+    return PairSCollection(agged, keys, colls[0].context)
 
 
 def multi_join(colls: Sequence, how: str = "inner", suffix_fmt: str = "_{i}"):
-    """MultiJoin.apply/left (util/MultiJoin.scala:538/1315) — N-way equi-join
-    on a shared key, 2..22 sources in scio (codegen'd).
+    """MultiJoin.apply/left/outer (util/MultiJoin.scala:538/1315) — N-way
+    equi-join on a shared key, 2..22 sources in scio (codegen'd);
+    ``how="cogroup"`` gives MultiJoin.cogroup (grouped Iterables per side).
 
     Spark: chained joins on the same key. Catalyst plans one exchange per
     input but a single pipelined stage chain; with AQE the small sides flip
@@ -61,6 +81,11 @@ def multi_join(colls: Sequence, how: str = "inner", suffix_fmt: str = "_{i}"):
     """
     from scio_spark.pair import PairSCollection
 
+    if how == "cogroup":
+        return cogroup(
+            *colls,
+            suffixes=tuple(suffix_fmt.format(i=i + 1) for i in range(len(colls))),
+        )
     keys = colls[0].key_cols
     # Suffix colliding value columns by position, like scio's tuple slots.
     renamed = []

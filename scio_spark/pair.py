@@ -382,12 +382,13 @@ class PairSCollection:
             )
         )
 
-    def cogroup(self, other: "PairSCollection", suffixes=("_1", "_2")) -> "PairSCollection":
-        """PairSCollectionFunctions.scala:116 ``cogroup`` — per-side
-        collect_list then full-outer join on key."""
+    def cogroup(self, *others: "PairSCollection", suffixes=None) -> "PairSCollection":
+        """PairSCollectionFunctions.scala:116 ``cogroup``/``groupWith`` —
+        per-side collect_list then full-outer join on key; accepts 1..N
+        other sides (N-way = MultiJoin.cogroup)."""
         from scio_spark.operators.joins import cogroup
 
-        return cogroup(self, other, suffixes)
+        return cogroup(self, *others, suffixes=suffixes)
 
     def sparse_join(self, other, rhs_num_keys: int | None = None, how: str = "inner", fpp: float = 0.01, suffixes=("_1", "_2")) -> "PairSCollection":
         """PairSCollectionFunctions.scala:291+ sparse*Join — Bloom prefilter."""

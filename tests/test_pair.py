@@ -58,6 +58,29 @@ def test_cogroup_empty_sides(kv1, kv2):
     assert got["d"] == ([], ["w"])
 
 
+def test_cogroup_3way(sc, kv1, kv2):
+    kv3 = sc.parallelize(
+        [("a", 10.0), ("d", 20.0), ("e", 30.0)], schema=["key", "u"]
+    ).key_by("key")
+    got = {
+        r["key"]: (sorted(r["values_1"]), sorted(r["values_2"]), sorted(r["values_3"]))
+        for r in J.cogroup(kv1, kv2, kv3).df.collect()
+    }
+    assert got["a"] == ([1, 2], ["x"], [10.0])
+    assert got["c"] == ([4], [], [])
+    assert got["e"] == ([], [], [30.0])
+    assert set(got) == {"a", "b", "c", "d", "e"}
+
+
+def test_multi_join_cogroup_mode(sc, kv1, kv2):
+    kv3 = sc.parallelize([("a", 10.0)], schema=["key", "u"]).key_by("key")
+    df = J.multi_join([kv1, kv2, kv3], how="cogroup").df
+    assert sorted(df.columns) == ["key", "values_1", "values_2", "values_3"]
+    # tag-and-union cogroup: ONE shuffle total, like scio's CoGroupByKey
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_intersect_subtract_by_key(kv1, kv2):
     assert rows(kv1.intersect_by_key(kv2).df, "key", "v") == [
         ("a", 1), ("a", 2), ("b", 3)
