@@ -142,7 +142,18 @@ class SCollection:
         return self._wrap(self.df.intersect(other.df))
 
     def subtract(self, other: "SCollection") -> "SCollection":
-        """SCollection.scala:967 — multiset-insensitive (distinct) semantics."""
+        """SCollection.scala:967 — reference semantics are an anti-join
+        (map((_,())).subtractByKey(that).keys): EVERY occurrence of a
+        matched element is removed ([1,1,2]−[1] = [2]). Implemented as a
+        left_anti join against the other side's distinct rows."""
+        return self._wrap(
+            self.df.join(other.df.distinct(), on=self.df.columns, how="left_anti")
+        )
+
+    def except_all(self, other: "SCollection") -> "SCollection":
+        """Multiset difference (Spark exceptAll: [1,1,2]−[1] = [1,2]) —
+        NOT the reference ``subtract``; provided as the per-occurrence
+        variant for users who want bag semantics."""
         return self._wrap(self.df.exceptAll(other.df))
 
     def distinct(self) -> "SCollection":
@@ -349,31 +360,47 @@ class SCollection:
 
     def batch_weighted(self, max_weight: float, weight_expr) -> "SCollection":
         """SCollection.scala:505 ``batchWeighted`` (and :484 byteSized with a
-        byte-length weight): group rows into arrays whose summed weight stays
-        ≤ max_weight, within partitions (no shuffle) via a running-sum window
-        keyed by physical partition."""
-        from pyspark.sql import Window
+        byte-length weight): greedily group rows into arrays whose summed
+        weight stays ≤ max_weight, per partition, no shuffle.
 
-        w = (
-            Window.partitionBy(F.spark_partition_id())
-            .orderBy(F.monotonically_increasing_id())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = F.sum(_col(weight_expr)).over(w)
-        bucket = F.ceil(cum / F.lit(max_weight)).cast("long")
-        others = self.df.columns
-        return self._wrap(
-            self.df.withColumn("__pid", F.spark_partition_id())
-            .withColumn("__b", bucket)
-            .groupBy("__pid", "__b")
-            .agg(F.collect_list(F.struct(*others)).alias("batch"))
-            .drop("__pid", "__b")
-        )
+        Greedy semantics match the reference BatchDoFn: a batch closes when
+        the next row would push it past max_weight; a single row heavier
+        than max_weight forms its own batch. (A cumsum/ceil bucketing is NOT
+        greedy — with weights [4,5,5] and max 8 it puts 10 in one batch —
+        so this runs as a mapInPandas scan that carries the open batch
+        across Arrow batches within the partition.)"""
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, StructField, StructType
+
+        others = list(self.df.columns)
+        row_type = StructType(list(self.df.schema.fields))
+        out_schema = StructType([StructField("batch", ArrayType(row_type))])
+        src = self.df.withColumn("__w", _col(weight_expr).cast("double"))
+
+        def gen(batches):
+            cur: list = []
+            cur_w = 0.0
+            for pdf in batches:
+                out = []
+                for rec in pdf.to_dict("records"):
+                    w = rec.pop("__w")
+                    if cur and cur_w + w > max_weight:
+                        out.append(cur)
+                        cur, cur_w = [], 0.0
+                    cur.append({k: rec[k] for k in others})
+                    cur_w += w
+                if out:
+                    yield pd.DataFrame({"batch": out})
+            if cur:
+                yield pd.DataFrame({"batch": [cur]})
+
+        return self._wrap(src.mapInPandas(gen, out_schema))
 
     def batch_byte_sized(self, max_bytes: int, col: str = "value") -> "SCollection":
         """SCollection.scala:484 ``batchByteSized`` — batch_weighted with the
-        column's serialized length as the weight."""
-        return self.batch_weighted(max_bytes, F.length(F.col(col)))
+        column's byte length as the weight (octet_length: characters ≠ bytes
+        for non-ASCII text)."""
+        return self.batch_weighted(max_bytes, F.octet_length(F.col(col)))
 
     def fold(self, zero, merge_expr: str, col: str = "value") -> "SCollection":
         """SCollection.scala:674 ``fold(zero)(op)`` — associative fold via an

@@ -19,7 +19,6 @@ row-at-a-time Python UDFs.
 
 from __future__ import annotations
 
-import threading
 from typing import Any, Callable, Iterable, Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -223,14 +222,24 @@ def map_with_parallelism(
     df: DataFrame, fn: Callable, schema, max_parallelism: int
 ) -> DataFrame:
     """mapWithParallelism (SCollectionParallelismSyntax.scala:43, util/
-    ParallelLimitedFn.scala): cap concurrent calls per executor with a
-    semaphore (for rate-limited services)."""
-    sem = threading.BoundedSemaphore(max_parallelism)
+    ParallelLimitedFn.scala): run ``fn`` over Arrow batches with a bounded
+    thread pool of ``max_parallelism`` workers inside each task — both
+    providing concurrency for blocking I/O-bound fns and capping in-flight
+    calls. The cap is per task (a driver-side semaphore would be pickled
+    per task and never contend); across an executor the ceiling is
+    task_slots × max_parallelism — size accordingly for rate-limited
+    services. Results are yielded in input order."""
+    from concurrent.futures import ThreadPoolExecutor
 
     def gen(batches: Iterator):
-        for pdf in batches:
-            with sem:
-                yield fn(pdf)
+        with ThreadPoolExecutor(max_workers=max_parallelism) as ex:
+            pending: list = []
+            for pdf in batches:
+                pending.append(ex.submit(fn, pdf))
+                while len(pending) >= max_parallelism:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
 
     return df.mapInPandas(gen, schema)
 

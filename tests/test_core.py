@@ -36,7 +36,9 @@ def test_union_intersection_subtract(sc):
     b = sc.parallelize([1, 2, 4])
     assert rows(a.union(b).df) == [(1,), (1,), (1,), (2,), (2,), (3,), (4,)]
     assert rows(a.intersection(b).df) == [(1,), (2,)]
-    assert rows(a.subtract(b).df) == [(1,), (3,)]
+    # reference subtract = anti-join: ALL occurrences of matched elements go
+    assert rows(a.subtract(b).df) == [(3,)]
+    assert rows(a.except_all(b).df) == [(1,), (3,)]
 
 
 def test_distinct_by(sc):

@@ -119,9 +119,10 @@ def test_sample_n(sc):
 def test_intersect_subtract_multiset(sc):
     a = sc.parallelize([1, 1, 2])
     b = sc.parallelize([1])
-    # exceptAll keeps multiplicity (scio subtract is distinct-based per Beam
-    # Distinct? — we follow Spark exceptAll: one 1 survives)
-    assert sorted(r[0] for r in a.subtract(b).collect()) == [1, 2]
+    # reference subtract is an anti-join: every occurrence of 1 is removed
+    assert sorted(r[0] for r in a.subtract(b).collect()) == [2]
+    # the multiset (per-occurrence) variant is available as except_all
+    assert sorted(r[0] for r in a.except_all(b).collect()) == [1, 2]
 
 
 def test_batch_weighted(sc):
@@ -129,6 +130,27 @@ def test_batch_weighted(sc):
     batches = c.batch_weighted(30, "w").df.collect()
     sizes = [len(b["batch"]) for b in batches]
     assert sum(sizes) == 10 and max(sizes) <= 3
+
+
+def test_batch_weighted_greedy_nonuniform(sc):
+    # weights [4,5,5], max 8: greedy must yield [4],[5],[5] — cumsum/ceil
+    # bucketing would wrongly put 10 in one batch
+    c = sc.parallelize([(0, 4), (1, 5), (2, 5)], schema=["id", "w"])
+    c = c._wrap(c.df.coalesce(1))
+    batches = c.batch_weighted(8, "w").df.collect()
+    weights = sorted(sum(r["w"] for r in b["batch"]) for b in batches)
+    assert weights == [4, 5, 5]
+    for b in batches:
+        assert sum(r["w"] for r in b["batch"]) <= 8
+
+
+def test_batch_weighted_oversize_element_own_batch(sc):
+    c = sc.parallelize([(0, 3), (1, 99), (2, 3)], schema=["id", "w"])
+    c = c._wrap(c.df.coalesce(1))
+    batches = c.batch_weighted(8, "w").df.collect()
+    ids = sorted(tuple(sorted(r["id"] for r in b["batch"])) for b in batches)
+    assert (1,) in ids  # the overweight element stands alone
+    assert sum(len(b["batch"]) for b in batches) == 3
 
 
 def test_fold_with_zero(sc):
@@ -140,6 +162,16 @@ def test_group_map(sc):
     keyed = sc.parallelize([("a", 1), ("a", 2), ("b", 5)], schema=["k", "v"]).key_by("k")
     got = {r["k"]: sorted(r["mapped"]) for r in keyed.group_map("v * 10").collect()}
     assert got == {"a": [10, 20], "b": [50]}
+
+
+def test_batch_byte_sized_counts_bytes_not_chars(sc):
+    # "éééé" is 4 chars but 8 UTF-8 bytes: with max 8 it must sit alone
+    c = sc.parallelize(["\u00e9\u00e9\u00e9\u00e9", "aaaa", "bbbb"], schema=["value"])
+    c = c._wrap(c.df.coalesce(1))
+    batches = c.batch_byte_sized(8).df.collect()
+    for b in batches:
+        assert sum(len(r["value"].encode()) for r in b["batch"]) <= 8
+    assert sum(len(b["batch"]) for b in batches) == 3
 
 
 def test_batch_byte_sized(sc):
