@@ -127,3 +127,18 @@ def test_custom_input_output(spark, tmp_path):
     c2 = t.custom_input("custom:src", df)
     c2.save_as_custom_output("custom:sink", lambda d: (_ for _ in ()).throw(AssertionError))
     assert t.test_outputs["custom:sink"].collect()[0][0] == 9
+
+
+def test_binary_file_framed_roundtrip(spark, tmp_path):
+    from scio_spark.sources.formats import read_binary_file, save_as_binary_file
+
+    data = [(i, bytes([i]) * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(data, ["id", "payload"]).repartition(4)
+    out = str(tmp_path / "framed")
+    manifest = save_as_binary_file(
+        df, "payload", out, header=b"SCIO", footer=b"END"
+    )
+    assert sum(m["n_records"] for m in manifest) == 20
+    back = read_binary_file(spark, out, header=b"SCIO", footer=b"END")
+    got = sorted(bytes(r["record"]) for r in back.collect())
+    assert got == sorted(p for _, p in data)

@@ -122,3 +122,15 @@ def test_tfrecord_codec_roundtrip_property(recs):
     from scio_spark.sources.formats import tfrecord_decode, tfrecord_encode
 
     assert tfrecord_decode(tfrecord_encode(recs)) == recs
+
+
+@given(
+    recs=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=20),
+    header=st.binary(min_size=0, max_size=16),
+    footer=st.binary(min_size=0, max_size=16),
+)
+@settings(max_examples=20, deadline=None)
+def test_binary_frame_codec_roundtrip_property(recs, header, footer):
+    from scio_spark.sources.formats import frame_decode, frame_encode
+
+    assert frame_decode(frame_encode(recs, header, footer), header, footer) == recs
