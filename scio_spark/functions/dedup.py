@@ -77,6 +77,48 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     )
 
 
+def cap_shingle_frequency(
+    sh: DataFrame, max_doc_freq: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles with document frequency > ``max_doc_freq`` — the
+    web-scale fan-out guard: a shingle present in f docs contributes O(f²)
+    rows to the inverted-index self-join, and near-universal boilerplate
+    shingles ("terms of service", nav chrome) dominate that cost while
+    carrying no dedup signal. One partial-agg'd shuffle on the shingle,
+    then a left-semi join against the surviving shingle set."""
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    keep = df_counts.filter(F.col("__df") <= max_doc_freq).select("s")
+    return sh.join(keep, "s", "left_semi")
+
+
+def _verify_exact_jaccard(
+    sh: DataFrame, cands: DataFrame, id_col: str, min_jaccard: float
+) -> DataFrame:
+    """Exact Jaccard over the FULL (uncapped) shingle sets, computed only
+    for candidate pairs — shared by the LSH and capped-inverted-index
+    paths, so frequency capping never changes emitted jaccard values."""
+    a = sh.withColumnRenamed(id_col, "id_1")
+    b = sh.withColumnRenamed(id_col, "id_2")
+    inter = (
+        cands.join(a, "id_1")
+        .join(b, ["id_2", "s"])
+        .groupBy("id_1", "id_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
+    cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
+    return (
+        inter.join(F.broadcast(ca), "id_1")
+        .join(F.broadcast(cb), "id_2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.0
 ) -> DataFrame:
@@ -113,9 +155,29 @@ def ngram_jaccard_dedup(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with exact n-gram Jaccard ≥ threshold."""
-    return jaccard_pairs(shingles(df, id_col, text_col, n), id_col, min_jaccard)
+    """Near-dup pairs with exact n-gram Jaccard ≥ threshold.
+
+    ``max_doc_freq`` caps the inverted-index fan-out: candidate pairs come
+    from capped shingles only, but the emitted jaccard is ALWAYS computed
+    over the full shingle sets, so capping can only lose pairs whose every
+    shared shingle is near-universal — it never changes a value. (A pair at
+    jaccard j shares ≥ j/(1+j) of either doc's shingles; any of them below
+    the cap keeps the pair.)"""
+    sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq is None:
+        return jaccard_pairs(sh, id_col, min_jaccard)
+    capped = cap_shingle_frequency(sh, max_doc_freq, id_col)
+    a = capped.withColumnRenamed(id_col, "id_1")
+    b = capped.withColumnRenamed(id_col, "id_2")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    return _verify_exact_jaccard(sh, cands, id_col, min_jaccard)
 
 
 # ------------------------------------------------------------------ MinHash
@@ -167,9 +229,17 @@ def minhash_lsh_dedup(
     bands: int = 4,
     min_jaccard: float = 0.8,
     persist_shingles: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: LSH candidates ∩ exact-Jaccard verify.
-    (Verification joins the exact pair-Jaccard only for candidate pairs.)
+    (Verification joins the exact pair-Jaccard only for candidate pairs —
+    work scales with |candidates|, not all co-shingled pairs: the LSH point
+    at 100 TB.)
+
+    ``max_doc_freq``: cap shingle document frequency for the signature /
+    bucketing stage (cap_shingle_frequency) — the web-scale guard against
+    boilerplate-dominated buckets. Verification still uses the FULL shingle
+    sets, so emitted jaccard values are unchanged by the cap.
 
     ``persist_shingles``: the shingle table feeds both the signature and the
     verification join. Materializing it wins when the pipeline is re-executed
@@ -182,29 +252,13 @@ def minhash_lsh_dedup(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(minhash_signature(sh, id_col, k), id_col, k, bands)
-    # verify exact Jaccard ONLY for candidate pairs (work scales with
-    # |candidates|, not with all co-shingled pairs — the LSH point at 100 TB)
-    a = sh.withColumnRenamed(id_col, "id_1")
-    b = sh.withColumnRenamed(id_col, "id_2")
-    inter = (
-        cands.join(a, "id_1")
-        .join(b, ["id_2", "s"])
-        .groupBy("id_1", "id_2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sig_src = (
+        cap_shingle_frequency(sh, max_doc_freq, id_col)
+        if max_doc_freq is not None
+        else sh
     )
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
-    cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
-    return (
-        inter.join(F.broadcast(ca), "id_1")
-        .join(F.broadcast(cb), "id_2")
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_1", "id_2", "jaccard")
-    )
+    cands = lsh_candidate_pairs(minhash_signature(sig_src, id_col, k), id_col, k, bands)
+    return _verify_exact_jaccard(sh, cands, id_col, min_jaccard)
 
 
 # ------------------------------------------------------------------ SimHash

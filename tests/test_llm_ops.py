@@ -180,3 +180,43 @@ def test_embedding_dedup_lsh_recall(embeddings):
     )
     assert approx <= exact  # exact rescore ⇒ no false positives
     assert len(approx) >= max(1, int(len(exact) * 0.8))  # high recall
+
+
+def test_shingle_frequency_cap_agreement(docs):
+    """Capped vs uncapped agree when the cap is above the fixture's max DF,
+    and an aggressive cap still finds the planted dup pairs (their shared
+    shingles are rare) with UNCHANGED jaccard values."""
+    uncapped = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_dedup(docs, min_jaccard=0.5).collect()
+    }
+    loose = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_dedup(
+            docs, min_jaccard=0.5, max_doc_freq=10_000
+        ).collect()
+    }
+    assert loose == uncapped
+    tight = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in D.ngram_jaccard_dedup(
+            docs, min_jaccard=0.5, max_doc_freq=3
+        ).collect()
+    }
+    assert set(tight) <= set(uncapped)
+    for pair, j in tight.items():
+        assert j == uncapped[pair]  # verify stage uses full shingle sets
+    assert (0, 3) in tight and (0, 1) in tight  # planted dups survive
+
+
+def test_minhash_lsh_cap_agreement(docs):
+    base = rows(D.minhash_lsh_dedup(docs, min_jaccard=0.99), "id_1", "id_2")
+    capped = rows(
+        D.minhash_lsh_dedup(docs, min_jaccard=0.99, max_doc_freq=10_000),
+        "id_1", "id_2",
+    )
+    assert sorted(capped) == sorted(base)
+    assert (0, 3) in rows(
+        D.minhash_lsh_dedup(docs, min_jaccard=0.99, max_doc_freq=3),
+        "id_1", "id_2",
+    )
