@@ -187,6 +187,51 @@ def maintain_rollup(
     return writer.start()
 
 
+def early_firing_panes(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    key_cols: Sequence[str],
+    aggs,
+    trigger_interval: str | None = None,
+) -> list[tuple[int, list]]:
+    """LeaderBoard trigger subset (scio-examples complete/game/
+    LeaderBoard.scala:111-170): Beam fixed windows with EARLY firings on a
+    processing-time trigger and ACCUMULATING panes.
+
+    Spark mapping: update output mode re-emits a window's accumulated
+    aggregate every micro-batch in which it changed — each emission is an
+    early pane; the last emission a window ever produces (once the
+    watermark passes its end and state is evicted) is its final pane. The
+    micro-batch cadence is the processing-time trigger
+    (``trigger_interval`` → Trigger.ProcessingTime; None = as-fast-as-
+    possible, which under a scripted StreamFixture means one pane per
+    scripted batch).
+
+    Drives the stream to completion and returns ``[(epoch_id, rows)]`` —
+    one entry per micro-batch — so tests can pin early/final emission
+    counts. Per-pane firing control beyond this (discarding early panes,
+    pane-index metadata) has no Spark analog — SURVEY §4.4.1."""
+    agg = windowed_stream_agg(
+        stream, ts_col, window_duration, watermark_delay, list(key_cols), aggs
+    )
+    panes: list[tuple[int, list]] = []
+
+    def capture(df: DataFrame, epoch_id: int):
+        panes.append((epoch_id, df.collect()))
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(capture)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return panes
+
+
 class StreamFixture:
     """TestStream analog (testing/package.scala:27-34): scripted micro-batches
     with watermark advancement between them.

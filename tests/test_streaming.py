@@ -302,3 +302,34 @@ def test_maintain_rollup_incremental_upsert(spark, tmp_path):
     assert table.count() == 2
     # partition layout prunable by window
     assert any(d.startswith("window_start=") for d in os.listdir(out))
+
+
+def test_leaderboard_early_and_final_panes(fixture):
+    """LeaderBoard.scala:111-170 semantics subset: accumulating early panes
+    per processing-time firing, final value fixed once the watermark passes
+    the window end."""
+    from scio_spark.streaming.core import early_firing_panes
+
+    fixture.add_batch([("u1", "red", 5, ts(1))])
+    fixture.add_batch([("u2", "red", 3, ts(2))])       # same window: 5 → 8
+    fixture.add_batch([("u3", "blue", 7, ts(45))])     # watermark evicts w0
+
+    panes = early_firing_panes(
+        fixture.stream(), "event_time", "10 minutes", "0 seconds", ["team"],
+        [F.sum("score").alias("total")],
+    )
+    fired = [(e, rows_) for e, rows_ in panes if rows_]
+    # one pane per scripted micro-batch (the trigger); Spark may add a
+    # trailing empty epoch to commit state eviction
+    assert len(fired) == 3
+    red = [
+        r["total"]
+        for _, rows_ in panes
+        for r in rows_
+        if r["team"] == "red" and r["window_start"].minute == 0
+    ]
+    # early firings ACCUMULATE (Beam accumulatingFiredPanes): 5, then 8,
+    # and the evicting batch emits no further red pane → final stays 8
+    assert red == [5, 8]
+    last_epoch_teams = {r["team"] for r in fired[-1][1]}
+    assert last_epoch_teams == {"blue"}
