@@ -317,6 +317,44 @@ class SCollection:
         like scio's iterator-of-one-sample)."""
         return self.df.rdd.takeSample(False, n, seed if seed is not None else 42)
 
+    def sample_weighted(self, n: int, weight_expr, seed: int = 42) -> "SCollection":
+        """SCollection.scala:926 weighted reservoir sample of exactly n —
+        A-Res (Efraimidis–Spirakis): each row gets priority u^(1/w) with
+        u ~ U(0,1); the global top-n by priority is a weighted reservoir
+        sample without replacement. Spark plans TakeOrderedAndProject
+        (per-partition heaps + driver merge of n rows) — no full sort, no
+        driver materialization beyond the sample itself."""
+        w = _col(weight_expr).cast("double")
+        pr = F.pow(F.rand(seed), F.lit(1.0) / w)
+        return self._wrap(
+            self.df.withColumn("__pr", pr).orderBy(F.desc("__pr")).limit(n).drop("__pr")
+        )
+
+    def sample_byte_sized(
+        self, max_bytes: int, col: str = "value", seed: int = 42, margin: int = 4
+    ) -> "SCollection":
+        """SCollection.scala:930 byte-sized reservoir: a uniform random
+        sample whose summed byte size stays ≤ max_bytes.
+
+        Two stages, both bounded: (1) TakeOrdered the top
+        ``margin · max_bytes / avg_row_bytes`` rows by random priority — a
+        candidate set a few times larger than the sample can possibly be;
+        (2) running byte total in priority order over the (small) candidate
+        set, keep while ≤ max_bytes. Only candidates — never the corpus —
+        pass through a single-partition window."""
+        from pyspark.sql import Window
+
+        size = F.octet_length(F.col(col))
+        avg = self.df.agg(F.avg(size.cast("double")).alias("a")).collect()[0]["a"]
+        n_cand = int(max(64, margin * max_bytes / max(avg or 1.0, 1.0)))
+        cand = self.df.withColumn("__pr", F.rand(seed)).orderBy(F.desc("__pr")).limit(n_cand)
+        w = Window.orderBy(F.desc("__pr")).rowsBetween(Window.unboundedPreceding, 0)
+        return self._wrap(
+            cand.withColumn("__cum", F.sum(size).over(w))
+            .filter(F.col("__cum") <= max_bytes)
+            .drop("__pr", "__cum")
+        )
+
     def random_split(self, weights: Sequence[float], seed: int | None = None):
         """SCollection.scala:849 ``randomSplit``. NB Spark recomputes lineage
         per branch — cache the parent first (Beam's multi-output is one pass;

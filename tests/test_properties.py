@@ -134,3 +134,28 @@ def test_binary_frame_codec_roundtrip_property(recs, header, footer):
     from scio_spark.sources.formats import frame_decode, frame_encode
 
     assert frame_decode(frame_encode(recs, header, footer), header, footer) == recs
+
+
+def test_sample_weighted_biases_toward_heavy(spark):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    # half the items weigh 10×: they should dominate the sample
+    data = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    c = sc.parallelize(data, schema=["id", "w"])
+    heavy_frac = []
+    for seed in range(5):
+        got = c.sample_weighted(40, "w", seed=seed).collect()
+        assert len(got) == 40
+        heavy_frac.append(sum(1 for r in got if r["w"] == 10.0) / 40)
+    assert sum(heavy_frac) / len(heavy_frac) > 0.7  # E≈0.91 under A-Res
+
+
+def test_sample_byte_sized_respects_budget(spark):
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    c = sc.parallelize([("x" * (10 + i % 20),) for i in range(300)], schema=["value"])
+    got = c.sample_byte_sized(200, "value").collect()
+    total = sum(len(r["value"].encode()) for r in got)
+    assert 0 < total <= 200
