@@ -118,6 +118,10 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01, suffixes=("_
     post-filter join is exact, so BF false positives only cost shuffle bytes;
     we use an exact distinct keyset when it is broadcast-sized (the common
     sparse case by definition) — strictly better than a BF at the same cost.
+    All four flavors reduce: right keeps all RHS rows off the reduced LHS
+    (:370); full adds the anti-join passthrough of unmatched LHS rows. For a
+    reusable filter artifact across many queries see functions/bloom.py
+    (ApproxFilter analog).
     """
     from scio_spark.pair import PairSCollection
 
@@ -127,24 +131,36 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01, suffixes=("_
         reduced_df = left.df.join(rhs_keys, keys, "left_semi")
         reduced = PairSCollection(reduced_df, keys, left.context)
         return reduced.join(right, "inner", suffixes=suffixes)
-    if how == "left":
-        # Split LHS: overlap goes through the join; the rest passes through
-        # with null RHS columns — scio's union-of-paths (:330).
-        hit = PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
+    def miss_passthrough(joined):
+        """LHS rows with no RHS key pass through with null RHS columns —
+        scio's union-of-paths (:330); aligned to the joined schema."""
         miss = left.df.join(rhs_keys, keys, "left_anti")
-        joined = hit.join(right, "left", suffixes=suffixes)
-        # Align miss side to joined's schema: suffix-renamed LHS value
-        # columns, then null-typed RHS columns.
         for c in left.value_cols:
             if c + suffixes[0] in joined.df.columns:
                 miss = miss.withColumnRenamed(c, c + suffixes[0])
         for field in joined.df.schema.fields:
             if field.name not in miss.columns:
                 miss = miss.withColumn(field.name, F.lit(None).cast(field.dataType))
-        miss = miss.select(*joined.df.columns)
-        return PairSCollection(joined.df.unionByName(miss), keys, left.context)
-    # right / full: the passthrough trick doesn't reduce work — fall back.
-    return left.join(right, how, suffixes=suffixes)
+        return miss.select(*joined.df.columns)
+
+    hit = PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
+    if how == "left":
+        joined = hit.join(right, "left", suffixes=suffixes)
+        return PairSCollection(
+            joined.df.unionByName(miss_passthrough(joined)), keys, left.context
+        )
+    if how == "right":
+        # every droppable LHS row matches nothing, and a right join keeps
+        # all RHS rows regardless — the reduction is exact (:370)
+        return hit.join(right, "right", suffixes=suffixes)
+    if how in ("outer", "full"):
+        # full outer of the REDUCED lhs with the full rhs covers matched
+        # pairs + unmatched RHS; unmatched LHS rows are the passthrough
+        joined = hit.join(right, "outer", suffixes=suffixes)
+        return PairSCollection(
+            joined.df.unionByName(miss_passthrough(joined)), keys, left.context
+        )
+    raise ValueError(f"sparse_join: unsupported how={how!r}")
 
 
 def sparse_intersect_by_key(left, right):

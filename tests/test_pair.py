@@ -99,6 +99,13 @@ def test_sparse_join_inner_and_left(kv1, kv2):
     assert left == rows(kv1.left_outer_join(kv2).df, "key", "v", "w")
 
 
+def test_sparse_join_right_and_full(kv1, kv2):
+    right = rows(kv1.sparse_join(kv2, how="right").df, "key", "v", "w")
+    assert right == rows(kv1.right_outer_join(kv2).df, "key", "v", "w")
+    full = rows(kv1.sparse_join(kv2, how="outer").df, "key", "v", "w")
+    assert full == rows(kv1.full_outer_join(kv2).df, "key", "v", "w")
+
+
 def test_sparse_lookup(kv1, kv2):
     got = {r["key"]: sorted(r["matches"]) for r in J.sparse_lookup(kv1, kv2).df.collect()}
     assert got["a"] == ["x"] and got["b"] == ["y", "z"] and got["c"] == []
