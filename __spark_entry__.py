@@ -1588,6 +1588,123 @@ def q_pipe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIPE = "SELECT text AS value FROM documents"
 
 
+def q_mean_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meanByKey (PairSCollectionFunctions.scala:1062). l_quantity values are
+    integral doubles (< 2^53), so the double sum inside avg is exact and the
+    division deterministic in both engines."""
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").map("l_returnflag", "l_quantity").key_by("l_returnflag")
+    return li.mean_by_key("l_quantity").df
+
+
+ORACLE_MEAN_BY_KEY = """
+SELECT l_returnflag, SUM(l_quantity) / COUNT(*) AS mean
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_reduce_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduceByKey (PairSCollectionFunctions.scala:1073) with an associative
+    max reduce."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").map("o_custkey", "o_totalprice").key_by("o_custkey")
+    return o.reduce_by_key(max_price="MAX(o_totalprice)").df
+
+
+ORACLE_REDUCE_BY_KEY = """
+SELECT o_custkey, MAX(o_totalprice) AS max_price FROM orders GROUP BY o_custkey
+"""
+
+
+def q_fold_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold(zero)(op) (SCollection.scala:674): global fold with an explicit
+    non-identity zero over an associative+commutative merge (BIGINT sum, so
+    collect_list order cannot matter)."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").map(value="o_orderkey")
+    return o.fold(7, "acc + x").df
+
+
+ORACLE_FOLD_GLOBAL = """
+SELECT 7 + CAST(SUM(o_orderkey) AS BIGINT) AS folded FROM orders
+"""
+
+
+def q_group_map_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupMapReduce (SCollection.scala:738): per-nation max account
+    balance via the reduce-expression path."""
+    sc = _ctx(spark)
+    c = _t(sc, sf_dir, "customer").map("c_nationkey", "c_acctbal").key_by("c_nationkey")
+    return c.group_map_reduce("MAX(c_acctbal)").df
+
+
+ORACLE_GROUP_MAP_REDUCE = """
+SELECT c_nationkey, MAX(c_acctbal) AS reduced FROM customer GROUP BY c_nationkey
+"""
+
+
+def q_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersection (SCollection.scala:322, dedups like scio :318-320):
+    brands that appear both on large parts and in SM BOX containers."""
+    sc = _ctx(spark)
+    a = _t(sc, sf_dir, "part").filter("p_size > 25").map(brand="p_brand")
+    b = _t(sc, sf_dir, "part").filter("p_size < 5").map(brand="p_brand")
+    return a.intersection(b).df
+
+
+ORACLE_INTERSECTION = """
+SELECT p_brand AS brand FROM part WHERE p_size > 25
+INTERSECT
+SELECT p_brand AS brand FROM part WHERE p_size < 5
+"""
+
+
+def q_subtract_els(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subtract (SCollection.scala:967, anti-join semantics): high-balance
+    customers who placed no big order."""
+    sc = _ctx(spark)
+    rich = (
+        _t(sc, sf_dir, "customer")
+        .filter("c_acctbal > 9000")
+        .map(custkey="c_custkey")
+        .distinct()
+    )
+    big = (
+        _t(sc, sf_dir, "orders")
+        .filter("o_totalprice > 300000")
+        .map(custkey="o_custkey")
+    )
+    return rich.subtract(big).df
+
+
+ORACLE_SUBTRACT_ELS = """
+SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+def q_partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partition(pred) (SCollection.scala:366): one cached scan, two
+    branches, materialized as per-branch counts."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").map("o_orderkey", "o_totalprice")
+    hi, lo = o.partition_by_pred("o_totalprice > 200000")
+    spark_df = hi.agg(F.count(F.lit(1)).alias("n")).df.withColumn(
+        "side", F.lit("pass")
+    ).unionByName(
+        lo.agg(F.count(F.lit(1)).alias("n")).df.withColumn("side", F.lit("fail"))
+    )
+    return spark_df.select("side", "n")
+
+
+ORACLE_PARTITION_COUNTS = """
+SELECT 'pass' AS side, COUNT(*) AS n FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT 'fail' AS side, COUNT(*) AS n FROM orders WHERE NOT (o_totalprice > 200000)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1655,6 +1772,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_top": q_global_top,
         "distinct_by_key": q_distinct_by_key,
         "cogroup_3way": q_cogroup_3way,
+        "mean_by_key": q_mean_by_key,
+        "reduce_by_key": q_reduce_by_key,
+        "fold_global": q_fold_global,
+        "group_map_reduce": q_group_map_reduce,
+        "intersection": q_intersection,
+        "subtract_els": q_subtract_els,
+        "partition_counts": q_partition_counts,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # binary fixture isn't DuckDB-visible → weaker rows-only check
@@ -1721,6 +1845,13 @@ def oracle_sql() -> dict[str, str]:
         "global_top": ORACLE_GLOBAL_TOP,
         "distinct_by_key": ORACLE_DISTINCT_BY_KEY,
         "cogroup_3way": ORACLE_COGROUP_3WAY,
+        "mean_by_key": ORACLE_MEAN_BY_KEY,
+        "reduce_by_key": ORACLE_REDUCE_BY_KEY,
+        "fold_global": ORACLE_FOLD_GLOBAL,
+        "group_map_reduce": ORACLE_GROUP_MAP_REDUCE,
+        "intersection": ORACLE_INTERSECTION,
+        "subtract_els": ORACLE_SUBTRACT_ELS,
+        "partition_counts": ORACLE_PARTITION_COUNTS,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
