@@ -1705,6 +1705,94 @@ SELECT 'fail' AS side, COUNT(*) AS n FROM orders WHERE NOT (o_totalprice > 20000
 """
 
 
+def q_hash_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashLookup (SCollection.scala:1014): matches arrayed per LHS row —
+    materialized as match counts (array order is engine-dependent)."""
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").map("n_nationkey", "n_name").key_by(nationkey="n_nationkey")
+    s = _t(sc, sf_dir, "supplier").map("s_nationkey", "s_suppkey").key_by(nationkey="s_nationkey")
+    looked = n.hash_lookup(s)
+    return looked.df.select(
+        "nationkey", "n_name",
+        F.size(F.coalesce(F.col("matches"), F.array())).alias("n_suppliers"),
+    )
+
+
+ORACLE_HASH_LOOKUP = """
+SELECT n_nationkey AS nationkey, n_name,
+       CAST((SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS INT)
+         AS n_suppliers
+FROM nation n
+"""
+
+
+def q_batch_by_key_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batchByKey (PairSCollectionFunctions.scala:816) — batch membership is
+    order-dependent, but the number of ≤100-element batches per key is not."""
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").map("o_custkey", "o_orderkey").key_by("o_custkey")
+    batched = o.batch_by_key(100)
+    return (
+        batched.df.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_batches"))
+    )
+
+
+ORACLE_BATCH_BY_KEY = """
+SELECT o_custkey, CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_batches
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_safe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safeFlatMap error channel (SCollectionSafeSyntax.scala:46): a fn that
+    fails on short docs — ok rows carry the token count, failures divert to
+    the error side; the ok channel is oracle-checkable."""
+    from scio_spark.operators.enrich import safe_map_partitions
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").map("doc_id", "text")
+
+    def tokens_or_fail(rec):
+        toks = rec["text"].split(" ")
+        if len(toks) < 5:
+            raise ValueError("too short")
+        return {"doc_id": rec["doc_id"], "n_tokens": len(toks)}
+
+    ok, _errors = safe_map_partitions(d.df, tokens_or_fail, "doc_id long, n_tokens long")
+    return ok
+
+
+ORACLE_SAFE_MAP = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE len(string_split(text, ' ')) >= 5
+"""
+
+
+def q_async_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async batched lookup (ScalaAsyncBatchLookupDoFn analog) with a pure
+    deterministic "service": uppercase the nation name."""
+    from scio_spark.operators.enrich import async_lookup
+
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").map("n_nationkey", "n_name").df
+
+    async def svc(chunk):
+        return [
+            {"n_nationkey": r["n_nationkey"], "upper_name": r["n_name"].upper()}
+            for r in chunk
+        ]
+
+    return async_lookup(n, svc, "n_nationkey long, upper_name string")
+
+
+ORACLE_ASYNC_LOOKUP = """
+SELECT n_nationkey, UPPER(n_name) AS upper_name FROM nation
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1779,6 +1867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection": q_intersection,
         "subtract_els": q_subtract_els,
         "partition_counts": q_partition_counts,
+        "hash_lookup": q_hash_lookup,
+        "batch_by_key_sizes": q_batch_by_key_sizes,
+        "safe_map": q_safe_map,
+        "async_lookup": q_async_lookup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # binary fixture isn't DuckDB-visible → weaker rows-only check
@@ -1852,6 +1944,10 @@ def oracle_sql() -> dict[str, str]:
         "intersection": ORACLE_INTERSECTION,
         "subtract_els": ORACLE_SUBTRACT_ELS,
         "partition_counts": ORACLE_PARTITION_COUNTS,
+        "hash_lookup": ORACLE_HASH_LOOKUP,
+        "batch_by_key_sizes": ORACLE_BATCH_BY_KEY,
+        "safe_map": ORACLE_SAFE_MAP,
+        "async_lookup": ORACLE_ASYNC_LOOKUP,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
