@@ -1793,6 +1793,35 @@ SELECT n_nationkey, UPPER(n_name) AS upper_name FROM nation
 """
 
 
+def q_custom_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withWindowFn custom window assignment (SCollection.scala:1191,
+    operators/windows.with_window_fn): 90-minute windows anchored at a
+    15-minute offset — a WindowFn no built-in helper produces — then a
+    windowed count per event_type."""
+    from scio_spark.operators.windows import with_window_fn
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    assigned = with_window_fn(
+        ev,
+        "array(named_struct("
+        "  'start', timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 900),"
+        "  'end',   timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 6300)"
+        "))",
+    )
+    return assigned.groupBy("window_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_CUSTOM_WINDOW = """
+SELECT to_timestamp(CAST(FLOOR((epoch(ts) - 900) / 5400) AS BIGINT) * 5400 + 900)
+         AS window_start,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1871,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_by_key_sizes": q_batch_by_key_sizes,
         "safe_map": q_safe_map,
         "async_lookup": q_async_lookup,
+        "custom_window": q_custom_window,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # binary fixture isn't DuckDB-visible → weaker rows-only check
@@ -1948,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "batch_by_key_sizes": ORACLE_BATCH_BY_KEY,
         "safe_map": ORACLE_SAFE_MAP,
         "async_lookup": ORACLE_ASYNC_LOOKUP,
+        "custom_window": ORACLE_CUSTOM_WINDOW,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

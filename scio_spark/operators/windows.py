@@ -54,6 +54,28 @@ def with_calendar_window(df: DataFrame, ts_col: str, unit: str = "month") -> Dat
     return df.withColumn("window_start", F.date_trunc(unit, F.col(ts_col)))
 
 
+def with_window_fn(df: DataFrame, windows_expr) -> DataFrame:
+    """withWindowFn / WindowOptions custom WindowFn (SCollection.scala:1191)
+    — the batch-mode subset: arbitrary per-element window ASSIGNMENT.
+
+    ``windows_expr`` is any Column/SQL producing
+    ``array<struct<start timestamp, end timestamp>>`` — an element may land
+    in 0..N windows (0 = dropped, N > 1 = replicated), exactly Beam's
+    ``WindowFn.assignWindows`` contract. Rows explode into one row per
+    assigned window with window_start/window_end columns, visible to
+    Catalyst like every other window here. The runtime half of
+    WindowOptions (triggers, pane accumulation) is the documented streaming
+    gap (§4.4.1); the watermark-expressible subset lives in streaming/core.
+    """
+    expr = windows_expr if isinstance(windows_expr, Column) else F.expr(windows_expr)
+    return (
+        df.withColumn("__w", F.explode(expr))
+        .withColumn("window_start", F.col("__w.start"))
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+
+
 def fixed_window_agg(df: DataFrame, ts_col: str, duration: str, key_cols, aggs) -> DataFrame:
     """groupBy(window, keys).agg — the canonical windowed aggregation; in
     streaming add .withWatermark(ts_col, delay) upstream."""

@@ -182,3 +182,27 @@ def test_batch_byte_sized(sc):
     # no batch exceeds ~8 bytes of payload
     for b in batches:
         assert sum(len(r["value"]) for r in b["batch"]) <= 8
+
+
+def test_with_window_fn_multiplicity(spark):
+    """Custom WindowFn contract: 0..N windows per element (0 = drop,
+    2 = replicate)."""
+    import datetime as dt
+
+    from scio_spark.operators.windows import with_window_fn
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0)), (2, dt.datetime(2024, 1, 1, 11, 0))],
+        ["id", "ts"],
+    )
+    # id=1 → two windows; id=2 → none
+    out = with_window_fn(
+        df,
+        "CASE WHEN id = 1 THEN array("
+        "named_struct('start', ts, 'end', ts + INTERVAL 1 HOUR),"
+        "named_struct('start', ts - INTERVAL 1 HOUR, 'end', ts)"
+        ") ELSE array() END",
+    )
+    rows_ = out.collect()
+    assert len(rows_) == 2 and all(r["id"] == 1 for r in rows_)
+    assert {r["window_start"].hour for r in rows_} == {9, 10}
