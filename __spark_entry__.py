@@ -1438,6 +1438,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, qs, k=3, n_clusters=8, n_probe=8, sample_fraction=0.5,
         score_decimals=5,
+        # probing every list makes the result exact regardless of centroid
+        # quality — train cheap (2 Lloyd iterations)
+        max_iter=2,
     )
 
 

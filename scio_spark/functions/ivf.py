@@ -119,12 +119,13 @@ def cosine_topk_ivf(
     seed: int = 42,
     sample_fraction: float = 1.0,
     score_decimals: int | None = None,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF ANN: (query_id, neighbor_id, score, rank) searching only the
     n_probe nearest inverted lists per query. Scores come from the exact
     sequential fold (rounded BEFORE ranking when ``score_decimals`` is set),
     so with n_probe = n_clusters the output is oracle-exact top-k."""
-    cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction)
+    cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction, max_iter)
     inv = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
