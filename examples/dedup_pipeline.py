@@ -36,8 +36,10 @@ def main():
     exact = D.exact_dedup(kept)
     n2 = exact.count()
 
-    # 3. near-dup removal: MinHash-LSH pairs ≥ 0.8 Jaccard → drop the larger id
-    pairs = D.minhash_lsh_dedup(exact, min_jaccard=0.8)
+    # 3. near-dup removal: MinHash-LSH pairs ≥ 0.8 Jaccard → drop the larger
+    # id; max_doc_freq caps boilerplate-shingle fan-out (the web-scale knob —
+    # verification still scores full shingle sets, so values are unchanged)
+    pairs = D.minhash_lsh_dedup(exact, min_jaccard=0.8, max_doc_freq=100_000)
     drop = pairs.select(F.col("id_2").alias("doc_id")).distinct()
     curated = exact.join(drop, "doc_id", "left_anti")
     n3 = curated.count()
