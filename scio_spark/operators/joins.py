@@ -189,6 +189,95 @@ def sparse_lookup(left, right, suffixes=("_1", "_2")):
     return PairSCollection(out, keys, left.context)
 
 
+def large_hash_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    how: str = "inner",
+    db_path: str | None = None,
+) -> DataFrame:
+    """largeHashJoin / Sparkey side-input join (scio-extra sparkey
+    SCollectionSyntax: ``asLargeMapSideInput``): the RHS is too big to
+    broadcast as an in-memory map but fits on worker DISK as a static KV
+    store. Scio writes a Sparkey file and sideloads it per worker; the
+    stdlib analog here is a sqlite KV built once (streamed through the
+    driver with bounded memory via toLocalIterator), shipped via
+    SparkContext.addFile (the DistCache path — each executor downloads it
+    once), and probed per Arrow batch with an indexed lookup.
+
+    LHS never shuffles — the same property as hash_join, at RHS sizes
+    beyond spark.sql.autoBroadcastJoinThreshold. ``how``: inner or left.
+    Multiple RHS rows per key emit one output row per match."""
+    import json
+    import os
+    import sqlite3
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    if how not in ("inner", "left"):
+        raise ValueError("large_hash_join supports how='inner'|'left'")
+    spark = left.sparkSession
+    rhs_cols = [c for c in right.columns if c != key_col]
+    name = f"large_hash_{uuid.uuid4().hex}.db"
+    path = db_path or os.path.join(tempfile.gettempdir(), name)
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE kv (k TEXT, v TEXT)")
+    batch: list[tuple[str, str]] = []
+    for row in right.toLocalIterator():  # streamed: bounded driver memory
+        batch.append(
+            (json.dumps(row[key_col]), json.dumps([row[c] for c in rhs_cols]))
+        )
+        if len(batch) >= 10_000:
+            con.executemany("INSERT INTO kv VALUES (?, ?)", batch)
+            batch = []
+    if batch:
+        con.executemany("INSERT INTO kv VALUES (?, ?)", batch)
+    con.execute("CREATE INDEX kv_k ON kv (k)")
+    con.commit()
+    con.close()
+    spark.sparkContext.addFile(path)
+    fname = os.path.basename(path)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in right.schema.fields
+        if f.name != key_col
+    )
+
+    def gen(batches):
+        from pyspark import SparkFiles
+
+        db = sqlite3.connect(f"file:{SparkFiles.get(fname)}?mode=ro", uri=True)
+        try:
+            for pdf in batches:
+                out_rows = []
+                for rec in pdf.to_dict("records"):
+                    hits = db.execute(
+                        "SELECT v FROM kv WHERE k = ?",
+                        (json.dumps(rec[key_col]),),
+                    ).fetchall()
+                    if hits:
+                        for (v,) in hits:
+                            vals = json.loads(v)
+                            out_rows.append(
+                                {**rec, **dict(zip(rhs_cols, vals))}
+                            )
+                    elif how == "left":
+                        out_rows.append({**rec, **{c: None for c in rhs_cols}})
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=list(pdf.columns) + rhs_cols,
+                )
+        finally:
+            db.close()
+
+    return left.mapInPandas(gen, out_schema)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -272,3 +272,24 @@ def test_hash_full_outer_join_falls_back_gracefully(kv1, kv2):
     a = rows(kv1.hash_join(kv2, how="full").df, "key", "v", "w")
     b = rows(kv1.full_outer_join(kv2).df, "key", "v", "w")
     assert a == b
+
+
+def test_large_hash_join_matches_regular_join(spark):
+    """Sparkey-analog disk-KV join must agree with the shuffle join,
+    including per-key multiplicity and left-outer nulls."""
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("x", 9)], ["key", "v"]
+    )
+    right = spark.createDataFrame(
+        [("a", "p"), ("b", "q"), ("b", "r"), ("z", "s")], ["key", "w"]
+    )
+    inner = sorted(
+        tuple(r) for r in J.large_hash_join(left, right, "key").collect()
+    )
+    expect = sorted(tuple(r) for r in left.join(right, "key").collect())
+    assert inner == expect
+    lo = sorted(
+        tuple(r) for r in J.large_hash_join(left, right, "key", how="left").collect()
+    )
+    expect_lo = sorted(tuple(r) for r in left.join(right, "key", "left").collect())
+    assert lo == expect_lo
