@@ -108,6 +108,94 @@ def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]], n
     return df.mapInPandas(gen, schema)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    max_iter: int = 8,
+) -> list[list[float]]:
+    """Persist the inverted lists as a centroid-PARTITIONED parquet table —
+    the 100 TB layout: each query's probe becomes a partition-pruned read
+    of n_probe directories instead of a corpus scan. Centroids are stored
+    alongside (<path>__centroids as single-file JSON via the same
+    filesystem). Returns the centroids."""
+    cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction, max_iter)
+    assigned = assign_centroid(corpus.select(id_col, vec_col), vec_col, cents)
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    spark = corpus.sparkSession
+    import json
+
+    spark.createDataFrame(
+        [(json.dumps(cents),)], "centroids string"
+    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__centroids")
+    return cents
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Search a persisted IVF index: route each query to its n_probe nearest
+    centroids, then read ONLY those partitions (`centroid IN (...)` reaches
+    the scan as a PartitionFilter — assert via .explain) and exact-fold
+    re-rank. The probed-centroid set is collected from the (broadcast-sized
+    by assumption) query set; the corpus is touched only through pruned
+    partition directories."""
+    import json
+
+    cents_df = spark.read.json(path.rstrip("/") + "__centroids")
+    cents = json.loads(cents_df.collect()[0]["centroids"])
+    probes = probe_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        cents,
+        n_probe,
+    )
+    probed = sorted({r["centroid"] for r in probes.select("centroid").distinct().collect()})
+    inv = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "centroid",
+        )
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"), F.col("__cv"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

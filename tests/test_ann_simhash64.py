@@ -131,3 +131,29 @@ def test_iceberg_gated(spark):
 
     with pytest.raises(NotImplementedError):
         iceberg_table(spark, "nosuch.catalog.table")
+
+
+def test_ivf_persisted_index_partition_pruned(vec_df, tmp_path):
+    """The persisted-index search must (a) read only probed partitions —
+    PartitionFilters on centroid — and (b) equal brute force when every
+    list is probed."""
+    from scio_spark.functions.ivf import build_ivf_index, search_ivf_index
+    from scio_spark.functions.similarity import cosine_topk
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(vec_df, path, n_clusters=4, seed=1)
+    spark = vec_df.sparkSession
+    qs = vec_df.filter("vec_id < 6")
+
+    pruned = search_ivf_index(spark, path, qs, k=3, n_probe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    assert pruned.count() > 0
+
+    full = search_ivf_index(spark, path, qs, k=3, n_probe=4)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vec_df, qs, k=3, score_decimals=None).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert got == brute
