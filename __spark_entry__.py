@@ -1825,6 +1825,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (the GameStats.scala:120 sessions exemplar):
+    readStream → watermark(0s) → session_window(30 min gap) per user, APPEND
+    mode (Spark requires append for streaming session aggs) driven to
+    completion. Append emits exactly the sessions the watermark finalized —
+    those whose end (last event + gap) ≤ max event time — so the oracle is
+    the gaps-and-islands query restricted to finalized sessions: the
+    Beam-default-trigger DISCARDING-final-pane semantics, oracle-pinned."""
+    from scio_spark.streaming.core import run_to_memory
+
+    sc = _ctx(spark)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("session"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="append")
+
+
+ORACLE_STREAMING_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL '30 minutes' AS session_end,
+         COUNT(*) AS n_events
+  FROM islands GROUP BY user_id, sid
+)
+SELECT user_id, session_start, n_events FROM sess
+WHERE session_end <= (SELECT MAX(ts) FROM events)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1904,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_map": q_safe_map,
         "async_lookup": q_async_lookup,
         "custom_window": q_custom_window,
+        "streaming_session": q_streaming_session,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         # binary fixture isn't DuckDB-visible → weaker rows-only check
@@ -1982,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "safe_map": ORACLE_SAFE_MAP,
         "async_lookup": ORACLE_ASYNC_LOOKUP,
         "custom_window": ORACLE_CUSTOM_WINDOW,
+        "streaming_session": ORACLE_STREAMING_SESSION,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
