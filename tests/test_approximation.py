@@ -70,3 +70,27 @@ def test_lsh_ann_recall_bound(spark):
         for r in cosine_topk_lsh(df, qs, k=1, bits=2, dim=16).collect()
     }
     assert len(brute & approx) >= 0.6 * len(brute)
+
+
+def test_approx_count_distinct_by_key_within_rsd(spark):
+    """Per-key HLL++ stays within its advertised rsd for every key — the
+    reason this op is bounds-tested, never oracle-hash-matched (memory:
+    151 vs 150 even at tiny cardinality)."""
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    data = [(f"k{i % 4}", f"v{i % (50 * (1 + i % 4))}") for i in range(5000)]
+    kv = sc.parallelize(data, schema=["key", "val"]).key_by("key")
+    exact = {
+        r["key"]: r["n"]
+        for r in kv.df.groupBy("key").agg(
+            F.countDistinct("val").alias("n")
+        ).collect()
+    }
+    approx = {
+        r["key"]: r["approx_distinct"]
+        for r in kv.count_approx_distinct_by_key("val", rsd=0.05).df.collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 4 * 0.05 * n), (k, approx[k], n)
