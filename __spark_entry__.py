@@ -1248,7 +1248,9 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + tumbling window count, update-mode memory sink driven to
     completion (streaming/core.py). Single-batch input ⇒ output equals the
     batch aggregation, so the DuckDB oracle applies."""
-    from scio_spark.streaming.core import run_to_memory, windowed_stream_agg
+    from scio_spark.streaming.core import (
+        ensure_event_time, run_to_memory, windowed_stream_agg,
+    )
 
     sc = _ctx(spark)
     batch = _t(sc, sf_dir, "events").df
@@ -1262,6 +1264,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    stream = ensure_event_time(stream, "ts")
     res = windowed_stream_agg(
         stream, "ts", "1 hour", "1 hour", ["event_type"],
         [F.count(F.lit(1)).alias("n")],
@@ -1833,7 +1836,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     those whose end (last event + gap) ≤ max event time — so the oracle is
     the gaps-and-islands query restricted to finalized sessions: the
     Beam-default-trigger DISCARDING-final-pane semantics, oracle-pinned."""
-    from scio_spark.streaming.core import run_to_memory
+    from scio_spark.streaming.core import ensure_event_time, run_to_memory
 
     sc = _ctx(spark)
     stream = (
@@ -1845,6 +1848,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    stream = ensure_event_time(stream, "ts")
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(

@@ -3,6 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The full result (cold + warm per-query maps, fallback list) is also written
+to BENCH_RESULT.json next to this file — the stdout line is kept compact
+(cold map only, 2-decimal timings) because the driver captures a fixed-size
+tail of stdout and a 73-query dual map overflows it.
+
 Each query is executed to completion (count action) after a warm-up of the
 input scans; timings exclude session startup.
 """
@@ -86,20 +91,27 @@ def main():
             warm[name] = warm_s
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "scio_spark_query_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "total_warm": round(sum(warm.values()), 3),
-                "fallback_path": fallback,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    full = {
+        "metric": "scio_spark_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "total_warm": round(sum(warm.values()), 3),
+        "fallback_path": fallback,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    result_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RESULT.json"
     )
+    with open(result_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = dict(full)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    del compact["queries_warm"]
+    del compact["fallback_path"]
+    compact["detail_file"] = "BENCH_RESULT.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -103,38 +103,77 @@ def multi_join(colls: Sequence, how: str = "inner", suffix_fmt: str = "_{i}"):
     return PairSCollection(out, keys, colls[0].context)
 
 
-def sparse_join(left, right, how: str = "inner", fpp: float = 0.01, suffixes=("_1", "_2")):
+# Above this many RHS keys an exact broadcast keyset risks driver/executor
+# OOM (scio sizes per-partition Bloom filters by rhsNumKeys for the same
+# reason, PairSCollectionFunctions.scala:394-437) — switch to a Bloom
+# prefilter whose broadcast artifact is m/8 bytes regardless of key width.
+SPARSE_JOIN_EXACT_KEYSET_MAX = 4_000_000
+
+
+def sparse_join(left, right, how: str = "inner", fpp: float = 0.01,
+                rhs_num_keys: int | None = None, suffixes=("_1", "_2")):
     """sparseJoin family (PairSCollectionFunctions.scala:291,330,370,253):
     RHS keyset is far smaller than LHS — pre-filter the LHS with a Bloom
     filter of RHS keys before the shuffle, so non-matching LHS rows never
     shuffle.
 
     Scio builds per-partition Guava BloomFilters sized by rhsNumKeys
-    (:394-437). Spark 3.3+ has runtime row-level BF join injection
-    (spark.sql.optimizer.runtime.bloomFilter.enabled, on in our defaults)
-    which does exactly this; the explicit variant here guarantees the
-    reduction irrespective of optimizer heuristics by broadcasting the
-    *distinct RHS keyset* and semi-joining first. For an inner/left join the
-    post-filter join is exact, so BF false positives only cost shuffle bytes;
-    we use an exact distinct keyset when it is broadcast-sized (the common
-    sparse case by definition) — strictly better than a BF at the same cost.
+    (:394-437). Two regimes here, picked by ``rhs_num_keys``:
+
+    - keyset broadcast-sized (≤ SPARSE_JOIN_EXACT_KEYSET_MAX, or unstated):
+      broadcast the *distinct RHS keyset* and semi-join — exact, strictly
+      better than a BF at the same cost;
+    - keyset too big to ship exactly (> the threshold): build a
+      functions/bloom.py BloomFilter over the RHS keys in ONE scan (no
+      distinct shuffle — duplicate keys set the same bits; composite keys
+      collapse through a single xxhash64), broadcast the m/8-byte bitmap
+      sized by ``rhs_num_keys``/``fpp``, and prefilter the LHS with the
+      vectorized Arrow probe. False positives only cost shuffle bytes —
+      every flavor stays exact because the real join re-checks them (left/
+      full emit FP rows with null RHS columns via the left/outer join;
+      right drops them by construction).
+
     All four flavors reduce: right keeps all RHS rows off the reduced LHS
-    (:370); full adds the anti-join passthrough of unmatched LHS rows. For a
+    (:370); full adds the passthrough of definite-non-member LHS rows. For a
     reusable filter artifact across many queries see functions/bloom.py
     (ApproxFilter analog).
     """
     from scio_spark.pair import PairSCollection
 
     keys = left.key_cols
-    rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+    if rhs_num_keys is not None and rhs_num_keys > SPARSE_JOIN_EXACT_KEYSET_MAX:
+        from scio_spark.functions.bloom import (
+            build_bloom_filter, filter_with_bloom,
+        )
+
+        h = F.xxhash64(*[F.col(k) for k in keys]).alias("__sj_h")
+        bf = build_bloom_filter(
+            right.df.select(h), "__sj_h", expected=rhs_num_keys, fpp=fpp
+        )
+        lhs = left.df.select("*", h)
+
+        def _hit():
+            return filter_with_bloom(lhs, "__sj_h", bf).drop("__sj_h")
+
+        def _miss():  # definite non-members — no false negatives
+            return filter_with_bloom(lhs, "__sj_h", bf, negate=True).drop("__sj_h")
+    else:
+        rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+
+        def _hit():
+            return left.df.join(rhs_keys, keys, "left_semi")
+
+        def _miss():
+            return left.df.join(rhs_keys, keys, "left_anti")
+
     if how == "inner":
-        reduced_df = left.df.join(rhs_keys, keys, "left_semi")
-        reduced = PairSCollection(reduced_df, keys, left.context)
+        reduced = PairSCollection(_hit(), keys, left.context)
         return reduced.join(right, "inner", suffixes=suffixes)
+
     def miss_passthrough(joined):
         """LHS rows with no RHS key pass through with null RHS columns —
         scio's union-of-paths (:330); aligned to the joined schema."""
-        miss = left.df.join(rhs_keys, keys, "left_anti")
+        miss = _miss()
         for c in left.value_cols:
             if c + suffixes[0] in joined.df.columns:
                 miss = miss.withColumnRenamed(c, c + suffixes[0])
@@ -143,7 +182,7 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01, suffixes=("_
                 miss = miss.withColumn(field.name, F.lit(None).cast(field.dataType))
         return miss.select(*joined.df.columns)
 
-    hit = PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
+    hit = PairSCollection(_hit(), keys, left.context)
     if how == "left":
         joined = hit.join(right, "left", suffixes=suffixes)
         return PairSCollection(

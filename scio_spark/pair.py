@@ -391,10 +391,15 @@ class PairSCollection:
         return cogroup(self, *others, suffixes=suffixes)
 
     def sparse_join(self, other, rhs_num_keys: int | None = None, how: str = "inner", fpp: float = 0.01, suffixes=("_1", "_2")) -> "PairSCollection":
-        """PairSCollectionFunctions.scala:291+ sparse*Join — Bloom prefilter."""
+        """PairSCollectionFunctions.scala:291+ sparse*Join — exact-keyset
+        semi-join when broadcast-sized; Bloom prefilter sized by
+        ``rhs_num_keys``/``fpp`` above the broadcast threshold."""
         from scio_spark.operators.joins import sparse_join
 
-        return sparse_join(self, other, how=how, fpp=fpp, suffixes=suffixes)
+        return sparse_join(
+            self, other, how=how, fpp=fpp, rhs_num_keys=rhs_num_keys,
+            suffixes=suffixes,
+        )
 
     def skewed_join(self, other, how: str = "inner", hot_key_threshold: int = 9000, suffixes=("_1", "_2")) -> "PairSCollection":
         """PairSkewedSCollectionFunctions.scala:186+ — CMS hot/chill split; we

@@ -37,6 +37,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP, which ``withWatermark``
+    requires. Parquet timestamps without a UTC-adjustment flag read as
+    TIMESTAMP_NTZ under Spark's ``parquet.inferTimestampNTZ``; the cast is
+    wall-clock preserving under the package-wide UTC session timezone
+    (context.py)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def windowed_stream_agg(
     stream: DataFrame,
     ts_col: str,
@@ -48,6 +59,7 @@ def windowed_stream_agg(
     """The canonical streaming windowed aggregation: watermark + tumbling
     window + keyed aggs. Append mode emits each window once, when the
     watermark passes its end (Beam: default trigger, DISCARDING)."""
+    stream = ensure_event_time(stream, ts_col)
     w = F.window(F.col(ts_col), window_duration)
     out = (
         stream.withWatermark(ts_col, watermark_delay)

@@ -106,6 +106,28 @@ def test_sparse_join_right_and_full(kv1, kv2):
     assert full == rows(kv1.full_outer_join(kv2).df, "key", "v", "w")
 
 
+def test_sparse_join_bloom_path(kv1, kv2):
+    """Above SPARSE_JOIN_EXACT_KEYSET_MAX the prefilter must be a broadcast
+    Bloom bitmap (functions/bloom.py Arrow probe), never an exact-keyset
+    broadcast semi-join — and all four flavors stay value-exact because the
+    real join re-checks Bloom false positives."""
+    big = J.SPARSE_JOIN_EXACT_KEYSET_MAX + 1
+    for how, ref in [
+        ("inner", kv1.join(kv2)),
+        ("left", kv1.left_outer_join(kv2)),
+        ("right", kv1.right_outer_join(kv2)),
+        ("outer", kv1.full_outer_join(kv2)),
+    ]:
+        got = kv1.sparse_join(kv2, rhs_num_keys=big, how=how)
+        assert rows(got.df, "key", "v", "w") == rows(ref.df, "key", "v", "w"), how
+    plan = (
+        kv1.sparse_join(kv2, rhs_num_keys=big, how="inner")
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan  # vectorized BF probe is the prefilter
+    assert "LeftSemi" not in plan  # no exact-keyset broadcast semi-join
+
+
 def test_sparse_lookup(kv1, kv2):
     got = {r["key"]: sorted(r["matches"]) for r in J.sparse_lookup(kv1, kv2).df.collect()}
     assert got["a"] == ["x"] and got["b"] == ["y", "z"] and got["c"] == []
