@@ -384,17 +384,42 @@ class SCollection:
 
     def batch(self, max_size: int, id_col: str | None = None) -> "SCollection":
         """SCollection.scala:460 ``batch`` — group elements into arrays of
-        ≤max_size within partitions (no shuffle): bucket by
-        monotonically_increasing_id / n, collect_list per bucket."""
-        mid = F.monotonically_increasing_id() if id_col is None else F.col(id_col)
-        bucket = (mid / F.lit(max_size)).cast("long")
-        others = self.df.columns
-        return self._wrap(
-            self.df.withColumn("__batch", bucket)
-            .groupBy("__batch")
-            .agg(F.collect_list(F.struct(*others)).alias("batch"))
-            .drop("__batch")
-        )
+        ≤max_size. Default path is a partition-local mapInPandas chunker:
+        genuinely ZERO shuffle (batches never span partitions — the same
+        per-bundle semantics as the reference BatchDoFn; at most one
+        under-full batch per partition). With ``id_col``, buckets by
+        id/max_size instead — deterministic global batch membership, at the
+        cost of one hash exchange on the synthetic bucket id."""
+        if id_col is not None:
+            bucket = (F.col(id_col) / F.lit(max_size)).cast("long")
+            others = self.df.columns
+            return self._wrap(
+                self.df.withColumn("__batch", bucket)
+                .groupBy("__batch")
+                .agg(F.collect_list(F.struct(*others)).alias("batch"))
+                .drop("__batch")
+            )
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, StructField, StructType
+
+        row_type = StructType(list(self.df.schema.fields))
+        out_schema = StructType([StructField("batch", ArrayType(row_type))])
+
+        def gen(batches):
+            cur: list = []
+            for pdf in batches:
+                recs = cur + pdf.to_dict("records")
+                n_full = len(recs) // max_size
+                out = [
+                    recs[i * max_size : (i + 1) * max_size] for i in range(n_full)
+                ]
+                cur = recs[n_full * max_size :]
+                if out:
+                    yield pd.DataFrame({"batch": out})
+            if cur:
+                yield pd.DataFrame({"batch": [cur]})
+
+        return self._wrap(self.df.mapInPandas(gen, out_schema))
 
     def batch_weighted(self, max_weight: float, weight_expr) -> "SCollection":
         """SCollection.scala:505 ``batchWeighted`` (and :484 byteSized with a

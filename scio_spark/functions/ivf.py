@@ -144,15 +144,23 @@ def search_ivf_index(
     vec_col: str = "embedding",
     n_probe: int = 4,
     score_decimals: int | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Search a persisted IVF index: route each query to its n_probe nearest
     centroids, then read ONLY those partitions (`centroid IN (...)` reaches
     the scan as a PartitionFilter — assert via .explain) and exact-fold
     re-rank. The probed-centroid set is collected from the (broadcast-sized
-    by assumption) query set; the corpus is touched only through pruned
+    by contract — guarded by ``max_query_rows``, since the routed query set
+    is broadcast into the pruned-partition join) query set; the corpus is
+    touched only through pruned
     partition directories."""
     import json
 
+    from scio_spark.functions.similarity import require_side_input_sized
+
+    require_side_input_sized(
+        queries, max_query_rows, "search_ivf_index", "max_query_rows"
+    )
     cents_df = spark.read.json(path.rstrip("/") + "__centroids")
     cents = json.loads(cents_df.collect()[0]["centroids"])
     probes = probe_centroids(

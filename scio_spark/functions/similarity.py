@@ -35,6 +35,20 @@ def _dot(a, b):
     )
 
 
+def require_side_input_sized(df: DataFrame, max_rows: int, what: str, knob: str):
+    """Driver-collect guard: a by-contract-small side input that is actually
+    big must fail with an actionable error, not an executor/driver OOM.
+    ``limit(n+1).count()`` stops scanning at the cap, so the check is cheap
+    even when the input is huge."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: the query set has >{max_rows} rows but is collected/"
+            f"broadcast as a side input by this operator. Reduce the query "
+            f"set, or raise {knob} if the driver genuinely has the memory."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,15 +56,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int | None = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (vectors pre-normalized ⇒
     dot product): (query_id, neighbor_id, score, rank).
 
     Plan shape: broadcast(queries) ⋈ corpus (no corpus shuffle), then a
-    top-k window partitioned by query — AQE sizes the single shuffle."""
+    top-k window partitioned by query — AQE sizes the single shuffle. The
+    query set is a broadcast-sized side input BY CONTRACT — guarded by
+    ``max_query_rows`` (for corpus-scale query sets use the LSH/IVF paths,
+    which never collect)."""
     import numpy as np
     import pandas as pd
 
+    require_side_input_sized(
+        queries, max_query_rows, "cosine_topk", "max_query_rows"
+    )
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)

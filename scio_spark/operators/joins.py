@@ -233,20 +233,33 @@ def large_hash_join(
     right: DataFrame,
     key_col: str,
     how: str = "inner",
-    db_path: str | None = None,
+    n_shards: int = 16,
+    shard_dir: str | None = None,
 ) -> DataFrame:
     """largeHashJoin / Sparkey side-input join (scio-extra sparkey
-    SCollectionSyntax: ``asLargeMapSideInput``): the RHS is too big to
+    SCollectionSyntax ``asLargeMapSideInput``; sharded parallel build =
+    sparkey/instances/ShardedSparkeyReader.scala): the RHS is too big to
     broadcast as an in-memory map but fits on worker DISK as a static KV
-    store. Scio writes a Sparkey file and sideloads it per worker; the
-    stdlib analog here is a sqlite KV built once (streamed through the
-    driver with bounded memory via toLocalIterator), shipped via
-    SparkContext.addFile (the DistCache path — each executor downloads it
-    once), and probed per Arrow batch with an indexed lookup.
+    store.
 
-    LHS never shuffles — the same property as hash_join, at RHS sizes
-    beyond spark.sql.autoBroadcastJoinThreshold. ``how``: inner or left.
-    Multiple RHS rows per key emit one output row per match."""
+    Build is fully DISTRIBUTED: the RHS is hash-repartitioned on
+    ``pmod(xxhash64(key), n_shards)`` and each task writes the sqlite KV
+    shard(s) for the shard ids it owns (every shard id lands wholly in one
+    task, so each file has a single writer; files land atomically via
+    os.replace, making task retries idempotent). No RHS row ever passes
+    through the driver — it only registers the finished shard files with
+    ``SparkContext.addFile`` (the DistCache path — each executor downloads
+    each shard once). On a multi-node cluster pass ``shard_dir`` on shared
+    storage.
+
+    Probe is BATCHED per Arrow chunk: the shard id is computed JVM-side with
+    the same xxhash64 expression, each chunk's unique keys are looked up with
+    chunked ``IN`` queries against the (indexed) owning shards, and matches
+    attach via a vectorized pandas merge — no per-row SQL.
+
+    LHS never shuffles — the same property as hash_join, at RHS sizes beyond
+    spark.sql.autoBroadcastJoinThreshold. ``how``: inner or left. Multiple
+    RHS rows per key emit one output row per match."""
     import json
     import os
     import sqlite3
@@ -259,25 +272,57 @@ def large_hash_join(
         raise ValueError("large_hash_join supports how='inner'|'left'")
     spark = left.sparkSession
     rhs_cols = [c for c in right.columns if c != key_col]
-    name = f"large_hash_{uuid.uuid4().hex}.db"
-    path = db_path or os.path.join(tempfile.gettempdir(), name)
-    con = sqlite3.connect(path)
-    con.execute("CREATE TABLE kv (k TEXT, v TEXT)")
-    batch: list[tuple[str, str]] = []
-    for row in right.toLocalIterator():  # streamed: bounded driver memory
-        batch.append(
-            (json.dumps(row[key_col]), json.dumps([row[c] for c in rhs_cols]))
-        )
-        if len(batch) >= 10_000:
-            con.executemany("INSERT INTO kv VALUES (?, ?)", batch)
-            batch = []
-    if batch:
-        con.executemany("INSERT INTO kv VALUES (?, ?)", batch)
-    con.execute("CREATE INDEX kv_k ON kv (k)")
-    con.commit()
-    con.close()
-    spark.sparkContext.addFile(path)
-    fname = os.path.basename(path)
+    tag = f"large_hash_{uuid.uuid4().hex}"
+    out_dir = shard_dir or tempfile.mkdtemp(prefix=tag + "_")
+    os.makedirs(out_dir, exist_ok=True)
+    shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+
+    def _kjson(v):
+        return json.dumps(v, default=str)
+
+    def build(batches):
+        """One sqlite file per shard id present in this task's partition
+        (hash partitioning on the shard column ⇒ exactly one writer each)."""
+        staged: dict[int, tuple[sqlite3.Connection, str, str]] = {}
+
+        def con_for(s: int) -> sqlite3.Connection:
+            if s not in staged:
+                final = os.path.join(out_dir, f"{tag}_shard_{s}.db")
+                tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                c = sqlite3.connect(tmp)
+                c.execute("CREATE TABLE kv (k TEXT, v TEXT)")
+                staged[s] = (c, tmp, final)
+            return staged[s][0]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ks = pdf[key_col].tolist()
+            shards = pdf["__shard"].tolist()
+            vcols = [pdf[c].tolist() for c in rhs_cols]
+            per_shard: dict[int, list[tuple[str, str]]] = {}
+            for i, (k, s) in enumerate(zip(ks, shards)):
+                per_shard.setdefault(int(s), []).append(
+                    (_kjson(k), json.dumps([col[i] for col in vcols], default=str))
+                )
+            for s, rws in per_shard.items():
+                con_for(s).executemany("INSERT INTO kv VALUES (?, ?)", rws)
+        for s, (c, tmp, final) in staged.items():
+            c.execute("CREATE INDEX kv_k ON kv (k)")
+            c.commit()
+            c.close()
+            os.replace(tmp, final)  # atomic publish — retries overwrite whole
+        yield pd.DataFrame({"shard": sorted(staged)})
+
+    built = (
+        right.withColumn("__shard", shard_expr)
+        .repartition(n_shards, "__shard")
+        .mapInPandas(build, "shard int")
+        .collect()  # shard ids only — no RHS rows reach the driver
+    )
+    present = frozenset(int(r["shard"]) for r in built)
+    for s in present:
+        spark.sparkContext.addFile(os.path.join(out_dir, f"{tag}_shard_{s}.db"))
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
@@ -286,35 +331,54 @@ def large_hash_join(
         for f in right.schema.fields
         if f.name != key_col
     )
+    lhs_cols = list(left.columns)
 
-    def gen(batches):
+    def probe(batches):
         from pyspark import SparkFiles
 
-        db = sqlite3.connect(f"file:{SparkFiles.get(fname)}?mode=ro", uri=True)
+        cons: dict[int, sqlite3.Connection] = {}
+
+        def con_for(s: int) -> sqlite3.Connection:
+            if s not in cons:
+                path = SparkFiles.get(f"{tag}_shard_{s}.db")
+                cons[s] = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+            return cons[s]
+
         try:
             for pdf in batches:
-                out_rows = []
-                for rec in pdf.to_dict("records"):
-                    hits = db.execute(
-                        "SELECT v FROM kv WHERE k = ?",
-                        (json.dumps(rec[key_col]),),
-                    ).fetchall()
-                    if hits:
-                        for (v,) in hits:
-                            vals = json.loads(v)
-                            out_rows.append(
-                                {**rec, **dict(zip(rhs_cols, vals))}
-                            )
-                    elif how == "left":
-                        out_rows.append({**rec, **{c: None for c in rhs_cols}})
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=list(pdf.columns) + rhs_cols,
+                if not len(pdf):
+                    yield pd.DataFrame(columns=lhs_cols + rhs_cols)
+                    continue
+                keys_json = [_kjson(k) for k in pdf[key_col].tolist()]
+                shards = pdf["__shard"].tolist()
+                by_shard: dict[int, set] = {}
+                for kj, s in zip(keys_json, shards):
+                    if int(s) in present:
+                        by_shard.setdefault(int(s), set()).add(kj)
+                hits: list[tuple] = []
+                for s, kset in by_shard.items():
+                    con, kl = con_for(s), list(kset)
+                    for i in range(0, len(kl), 500):
+                        chunk = kl[i : i + 500]
+                        q = (
+                            "SELECT k, v FROM kv WHERE k IN ("
+                            + ",".join("?" * len(chunk))
+                            + ")"
+                        )
+                        hits.extend(
+                            (k, *json.loads(v)) for k, v in con.execute(q, chunk)
+                        )
+                matches = pd.DataFrame(hits, columns=["__kj"] + rhs_cols)
+                base = pdf[lhs_cols].assign(__kj=keys_json)
+                merged = base.merge(
+                    matches, on="__kj", how="left" if how == "left" else "inner"
                 )
+                yield merged[lhs_cols + rhs_cols]
         finally:
-            db.close()
+            for c in cons.values():
+                c.close()
 
-    return left.mapInPandas(gen, out_schema)
+    return left.withColumn("__shard", shard_expr).mapInPandas(probe, out_schema)
 
 
 def asof_join(
@@ -386,7 +450,8 @@ def asof_join(
     return out
 
 
-def skewed_join(left, right, how: str = "inner", hot_key_threshold: int = 9000, suffixes=("_1", "_2")):
+def skewed_join(left, right, how: str = "inner", hot_key_threshold: int = 9000,
+                sample_fraction: float | None = None, suffixes=("_1", "_2")):
     """skewedJoin (PairSkewedSCollectionFunctions.scala:186-281; threshold
     default 9000 at :63): split hot keys (broadcast-join them) from the chill
     remainder (shuffle join), then union.
@@ -394,16 +459,31 @@ def skewed_join(left, right, how: str = "inner", hot_key_threshold: int = 9000, 
     Spark's AQE skew-join splits oversized *partitions* at runtime and is the
     default answer. This explicit variant reproduces scio's semantics for the
     extreme case AQE can't fix (a single key larger than an executor): find
-    hot keys by exact count (Catalyst partial agg ≈ scio's CMS at a fraction
-    of the code), broadcast-join the hot slice, shuffle-join the rest.
-    """
+    hot keys by count (Catalyst partial agg ≈ scio's CMS at a fraction of the
+    code), broadcast-join the hot slice, shuffle-join the rest.
+
+    ``sample_fraction`` (the CMS sampleFraction knob,
+    PairSkewedSCollectionFunctions.scala:600-612): detect hot keys over a
+    Bernoulli sample of the LHS with the threshold scaled by the fraction —
+    at 100 TB an exact full count of every key just to FIND the hot ones is
+    itself a full shuffle; a 1% sample sees a 9000-row key ~90 times, far
+    above noise. Detection becomes approximate (keys near the threshold may
+    flip sides) but the JOIN RESULT is exact either way — hot/chill is a
+    partition of the keyspace and both slices join correctly, so the knob
+    trades only split quality, never correctness."""
     from scio_spark.pair import PairSCollection
 
     keys = left.key_cols
+    detect_src, eff_threshold = left.df, float(hot_key_threshold)
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        detect_src = left.df.sample(fraction=sample_fraction, seed=42)
+        eff_threshold = hot_key_threshold * sample_fraction
     hot_keys = F.broadcast(
-        left.df.groupBy(*keys)
+        detect_src.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > hot_key_threshold)
+        .filter(F.col("__n") > eff_threshold)
         .select(*keys)
     )
     l_hot = left.df.join(hot_keys, keys, "left_semi")

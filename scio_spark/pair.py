@@ -401,12 +401,13 @@ class PairSCollection:
             suffixes=suffixes,
         )
 
-    def skewed_join(self, other, how: str = "inner", hot_key_threshold: int = 9000, suffixes=("_1", "_2")) -> "PairSCollection":
+    def skewed_join(self, other, how: str = "inner", hot_key_threshold: int = 9000, sample_fraction: float | None = None, suffixes=("_1", "_2")) -> "PairSCollection":
         """PairSkewedSCollectionFunctions.scala:186+ — CMS hot/chill split; we
-        rely on AQE skew-join plus an explicit hot-key split fallback."""
+        rely on AQE skew-join plus an explicit hot-key split fallback.
+        ``sample_fraction`` = the :600-612 sampled-detection knob."""
         from scio_spark.operators.joins import skewed_join
 
-        return skewed_join(self, other, how=how, hot_key_threshold=hot_key_threshold, suffixes=suffixes)
+        return skewed_join(self, other, how=how, hot_key_threshold=hot_key_threshold, sample_fraction=sample_fraction, suffixes=suffixes)
 
     def cross(self, tiny) -> "PairSCollection":
         """SCollection.scala:999 ``cross`` — cartesian with broadcast tiny side."""

@@ -157,3 +157,23 @@ def test_ivf_persisted_index_partition_pruned(vec_df, tmp_path):
     }
     got = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert got == brute
+
+
+def test_side_input_guard_raises_not_ooms(vec_df, tmp_path):
+    """A query set past max_query_rows must raise an actionable error before
+    any collect/broadcast — the connector gating policy applied to the ANN
+    side inputs (VERDICT r2 #5)."""
+    import pytest
+
+    from scio_spark.functions.ivf import build_ivf_index, search_ivf_index
+    from scio_spark.functions.similarity import cosine_topk
+
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(vec_df, vec_df, k=3, max_query_rows=10)
+
+    path = str(tmp_path / "ivf_guard")
+    build_ivf_index(vec_df, path, n_clusters=4)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        search_ivf_index(
+            vec_df.sparkSession, path, vec_df, k=3, max_query_rows=10
+        )

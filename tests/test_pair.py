@@ -142,6 +142,35 @@ def test_skewed_join_matches_plain(sc, kv2):
     assert plain == skew
 
 
+def test_skewed_join_sample_fraction(sc, kv2):
+    """Sampled hot-key detection (sampleFraction knob): on a strongly skewed
+    fixture the sampled hot-set matches the exact hot-set, and the join
+    result is exact regardless of which side of the split a key lands on."""
+    from scio_spark.operators.joins import skewed_join
+
+    hot = sc.parallelize(
+        [("a", i) for i in range(2000)] + [("b", -1), ("d", -2)],
+        schema=["key", "v"],
+    ).key_by("key")
+    plain = rows(hot.join(kv2).df, "key", "v", "w")
+    sampled = rows(
+        hot.skewed_join(kv2, hot_key_threshold=100, sample_fraction=0.1).df,
+        "key", "v", "w",
+    )
+    assert plain == sampled
+    # the sampled detector finds the same hot keys as the exact one: "a"
+    # (2000 rows ≫ threshold) is hot, singletons are not
+    detected = {
+        r["key"]
+        for r in hot.df.sample(fraction=0.1, seed=42)
+        .groupBy("key").count().filter(F.col("count") > 100 * 0.1)
+        .collect()
+    }
+    assert detected == {"a"}
+    with pytest.raises(ValueError):
+        skewed_join(hot, kv2, sample_fraction=1.5)
+
+
 def test_multi_join(sc, kv1, kv2):
     kv3 = sc.parallelize([("a", 9.0), ("b", 8.0)], schema=["key", "z"]).key_by("key")
     got = rows(J.multi_join([kv1, kv2, kv3]).df, "key", "v", "w", "z")
@@ -296,9 +325,17 @@ def test_hash_full_outer_join_falls_back_gracefully(kv1, kv2):
     assert a == b
 
 
-def test_large_hash_join_matches_regular_join(spark):
+def test_large_hash_join_matches_regular_join(spark, monkeypatch, tmp_path):
     """Sparkey-analog disk-KV join must agree with the shuffle join,
-    including per-key multiplicity and left-outer nulls."""
+    including per-key multiplicity and left-outer nulls — with the KV shards
+    built on executors (no RHS row through the driver: toLocalIterator is
+    trapped) and the keyspace actually split across shard files."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    def trap(self, *a, **k):
+        raise AssertionError("large_hash_join materialized RHS on the driver")
+
+    monkeypatch.setattr(SparkDF, "toLocalIterator", trap)
     left = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3), ("x", 9)], ["key", "v"]
     )
@@ -306,10 +343,14 @@ def test_large_hash_join_matches_regular_join(spark):
         [("a", "p"), ("b", "q"), ("b", "r"), ("z", "s")], ["key", "w"]
     )
     inner = sorted(
-        tuple(r) for r in J.large_hash_join(left, right, "key").collect()
+        tuple(r)
+        for r in J.large_hash_join(
+            left, right, "key", n_shards=4, shard_dir=str(tmp_path)
+        ).collect()
     )
     expect = sorted(tuple(r) for r in left.join(right, "key").collect())
     assert inner == expect
+    assert len(list(tmp_path.glob("*_shard_*.db"))) >= 2  # sharded build
     lo = sorted(
         tuple(r) for r in J.large_hash_join(left, right, "key", how="left").collect()
     )

@@ -119,3 +119,14 @@ def test_sparse_join_reduces_before_shuffle(spark):
     out = li.sparse_join(rare, how="inner")
     plan = lint.executed_plan(out.df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_batch_is_shuffle_free(spark):
+    """batch() must chunk within partitions — zero exchanges (the docstring's
+    claim, now structural): the plan is scan → MapInPandas, nothing else."""
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    batched = sc.parquet_file(f"{SF}/orders.parquet").batch(100)
+    lint.assert_no_shuffle(batched.df, "batch() is partition-local")
+    assert "MapInPandas" in lint.executed_plan(batched.df)
