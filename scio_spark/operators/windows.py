@@ -100,3 +100,20 @@ def session_agg(df: DataFrame, ts_col: str, gap: str, key_cols, aggs) -> DataFra
         .withColumn("session_end", F.col("session.end"))
         .drop("session")
     )
+
+
+def with_pane_info(df: DataFrame) -> DataFrame:
+    """SCollection.scala:1307 ``withPaneInfo`` — batch mode. In a bounded
+    pipeline Beam fires every window exactly once, so PaneInfo is the
+    constant single final pane: ON_TIME timing, index 0, first and last.
+    Those are the four fields scio exposes, attached as columns.
+
+    Streaming pane metadata (EARLY/ON_TIME/LATE, incrementing pane_index)
+    comes from ``streaming.core.late_firing_panes`` — per-element pane info
+    inside an unbounded Spark query has no analog (SURVEY §4.4.1)."""
+    return (
+        df.withColumn("pane_timing", F.lit("ON_TIME"))
+        .withColumn("pane_index", F.lit(0).cast("long"))
+        .withColumn("pane_is_first", F.lit(True))
+        .withColumn("pane_is_last", F.lit(True))
+    )

@@ -244,6 +244,102 @@ def early_firing_panes(
     return panes
 
 
+def late_firing_panes(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    allowed_lateness: str,
+    key_cols: Sequence[str],
+    aggs,
+) -> list[dict]:
+    """``AfterWatermark.pastEndOfWindow().withEarlyFirings(...)
+    .withLateFirings(...)`` (LeaderBoard.scala:111-170) — the bounded Spark
+    approximation VERDICT r2 #8 asked to pin.
+
+    Mechanism: ONE update-mode query whose watermark delay is the
+    ``allowed_lateness``. Spark keeps a window's state until the delayed
+    watermark passes its end, so late-but-admissible rows re-fire the
+    window; rows later than that are dropped (exactly Beam's
+    allowedLateness drop). Each firing is then labeled with Beam's pane
+    timing against the ON-TIME watermark (max event time, i.e. lateness 0),
+    recovered from StreamingQueryProgress ``eventTime.max``:
+
+    - EARLY   — fired before the on-time watermark passed the window end
+    - ON_TIME — first firing at/after it passed
+    - LATE    — any further firing (a late-admitted row changed the pane)
+
+    ``pane_index`` counts firings per (window, key) — Beam's
+    ``PaneInfo.getIndex``. Panes ACCUMULATE (update mode re-emits the full
+    aggregate).
+
+    Documented bounds vs Beam (SURVEY §4.4.1): firings happen on micro-batch
+    cadence, not element-count/processing-time triggers; an ON_TIME pane
+    only materializes if new data for the window arrived in the batch where
+    the watermark crossed its end (Spark never re-emits an unchanged
+    aggregate — with no such batch the last EARLY pane already carries the
+    on-time value); DISCARDING late panes are not expressible.
+
+    Drives the stream to completion; returns
+    ``[{"epoch", "timing", "pane_index", "row"}]`` in firing order."""
+    import datetime as dt
+    import json as _json
+
+    agg = windowed_stream_agg(
+        stream, ts_col, window_duration, allowed_lateness, list(key_cols), aggs
+    )
+    captured: list[tuple[int, list]] = []
+
+    def capture(df: DataFrame, epoch_id: int):
+        captured.append((epoch_id, df.collect()))
+
+    q = agg.writeStream.outputMode("update").foreachBatch(capture).start()
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    def _as_dict(p):
+        if isinstance(p, dict):
+            return p
+        if isinstance(p, str):
+            return _json.loads(p)
+        return _json.loads(p.json)
+
+    max_by_epoch: dict[int, dt.datetime] = {}
+    for p in progress:
+        d = _as_dict(p)
+        et = d.get("eventTime") or {}
+        if "max" in et:
+            max_by_epoch[d["batchId"]] = dt.datetime.fromisoformat(
+                et["max"].replace("Z", "+00:00")
+            ).replace(tzinfo=None)
+
+    panes: list[dict] = []
+    pane_counter: dict[tuple, int] = {}
+    fired_on_time: set[tuple] = set()
+    running_max: dt.datetime | None = None
+    for epoch_id, rows_ in sorted(captured, key=lambda t: t[0]):
+        if epoch_id in max_by_epoch:
+            m = max_by_epoch[epoch_id]
+            running_max = m if running_max is None else max(running_max, m)
+        for r in rows_:
+            key = (r["window_start"],) + tuple(r[k] for k in key_cols)
+            idx = pane_counter.get(key, 0)
+            pane_counter[key] = idx + 1
+            if running_max is None or running_max < r["window_end"]:
+                timing = "EARLY"
+            elif key in fired_on_time:
+                timing = "LATE"
+            else:
+                timing = "ON_TIME"
+                fired_on_time.add(key)
+            panes.append(
+                {"epoch": epoch_id, "timing": timing, "pane_index": idx, "row": r}
+            )
+    return panes
+
+
 class StreamFixture:
     """TestStream analog (testing/package.scala:27-34): scripted micro-batches
     with watermark advancement between them.

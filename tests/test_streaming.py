@@ -333,3 +333,30 @@ def test_leaderboard_early_and_final_panes(fixture):
     assert red == [5, 8]
     last_epoch_teams = {r["team"] for r in fired[-1][1]}
     assert last_epoch_teams == {"blue"}
+
+
+def test_late_firing_panes_early_ontime_late(fixture):
+    """AfterWatermark...withLateFirings approximation (LeaderBoard.scala:
+    111-170): one window fires an EARLY pane (watermark still inside the
+    window), an ON_TIME pane (watermark crossed its end in the batch that
+    also changed it), and a LATE pane (a late-but-within-allowedLateness row
+    re-fired it). Panes accumulate and pane_index increments per firing."""
+    from scio_spark.streaming.core import late_firing_panes
+
+    # window [10:00, 10:10), allowed lateness 30 min
+    fixture.add_batch([("u1", "red", 1, ts(1))])              # early
+    fixture.add_batch([("u1", "red", 1, ts(5)), ("u1", "red", 1, ts(12))])
+    # ^ watermark(on-time) crosses 10:10 in this batch → ON_TIME firing
+    fixture.add_batch([("u1", "red", 1, ts(2))])              # late, admitted
+
+    panes = late_firing_panes(
+        fixture.stream(), "event_time", "10 minutes", "30 minutes",
+        ["team"], [F.count(F.lit(1)).alias("n")],
+    )
+    w0 = [
+        p for p in panes
+        if p["row"]["window_start"] == ts(0) and p["row"]["team"] == "red"
+    ]
+    assert [p["timing"] for p in w0] == ["EARLY", "ON_TIME", "LATE"]
+    assert [p["pane_index"] for p in w0] == [0, 1, 2]
+    assert [p["row"]["n"] for p in w0] == [1, 2, 3]  # ACCUMULATING panes

@@ -206,3 +206,15 @@ def test_with_window_fn_multiplicity(spark):
     rows_ = out.collect()
     assert len(rows_) == 2 and all(r["id"] == 1 for r in rows_)
     assert {r["window_start"].hour for r in rows_} == {9, 10}
+
+
+def test_with_pane_info_batch_constant(spark):
+    from scio_spark.operators.windows import with_pane_info
+
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    out = with_pane_info(df).collect()
+    assert all(
+        (r["pane_timing"], r["pane_index"], r["pane_is_first"], r["pane_is_last"])
+        == ("ON_TIME", 0, True, True)
+        for r in out
+    )
