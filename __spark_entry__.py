@@ -682,6 +682,35 @@ SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: transitive closure of the exact 3-gram
+    Jaccard ≥0.8 pair set via iterative min-label propagation
+    (functions/dedup.py connected_components) — every clustered doc labeled
+    with its component's min doc_id."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    pairs = D.ngram_jaccard_dedup(_t(sc, sf_dir, "documents").df, min_jaccard=0.8)
+    return (
+        D.connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("comp"))
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+dup_pairs AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= 0.8),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM dup_pairs
+          UNION SELECT id_2, id_1 FROM dup_pairs),
+reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
+"""
+
+
 def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
     rpb = k // bands
     mins = ", ".join(f"MIN(md5(concat('{i}|', s))) AS mh{i}" for i in range(k))
@@ -1950,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2015,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
         "dedup_simhash": _simhash_oracle(3),
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,

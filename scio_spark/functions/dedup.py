@@ -348,3 +348,92 @@ def simhash_dedup(
         .select("id_1", "id_2", "hamming")
         .distinct()
     )
+
+
+# ----------------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster duplicate-candidate PAIRS into groups — the step every dedup
+    family above feeds: pair lists are not actionable until transitively
+    closed (A~B, B~C ⇒ {A,B,C} is one group with one canonical survivor).
+
+    Returns (node, comp) where comp = min node id reachable from the node.
+
+    Spark-first iterative min-label propagation: each round, every node
+    takes the min of its own label and its neighbors' labels (one shuffle
+    join + one partial-aggregated groupBy per round); converges in
+    O(component diameter) rounds — near-cliques from near-dup detection
+    close in 2-3. Each round localCheckpoints the labels so the plan stays
+    constant-size instead of growing a join per iteration (on a cluster
+    with a checkpoint dir configured, ``DataFrame.checkpoint`` — same call
+    shape). The alternating large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds for
+    high-diameter graphs; dup graphs are shallow, so the simple form wins
+    on constant factors."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.col("nbr_comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_1",
+    dst: str = "id_2",
+) -> DataFrame:
+    """Attach a duplicate-group label to every document: docs in some pair
+    get their component's min id as ``comp``; singletons are their own
+    component. The canonical survivor per group = the doc with
+    ``doc_id == comp`` (deterministic min-id policy)."""
+    comps = connected_components(pairs, src=src, dst=dst)
+    return (
+        df.join(comps, df[id_col] == comps.node, "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("node")
+    )

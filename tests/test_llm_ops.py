@@ -220,3 +220,31 @@ def test_minhash_lsh_cap_agreement(docs):
         D.minhash_lsh_dedup(docs, min_jaccard=0.99, max_doc_freq=3),
         "id_1", "id_2",
     )
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation closes a multi-hop chain (diameter > 1 needs
+    >1 iteration), keeps disjoint groups apart, and dedup_clusters labels
+    singletons as their own component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_1", "id_2"],
+    )
+    comps = {
+        r["node"]: r["comp"] for r in D.connected_components(pairs).collect()
+    }
+    assert comps == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        ["doc_id", "text"],
+    )
+    labeled = {
+        r["doc_id"]: r["comp"]
+        for r in D.dedup_clusters(docs, pairs).collect()
+    }
+    assert labeled[99] == 99  # singleton = own component
+    assert labeled[4] == 1 and labeled[22] == 20
+    canonical = sorted(k for k, v in labeled.items() if k == v)
+    assert canonical == [1, 10, 20, 99]

@@ -360,3 +360,18 @@ def test_late_firing_panes_early_ontime_late(fixture):
     assert [p["timing"] for p in w0] == ["EARLY", "ON_TIME", "LATE"]
     assert [p["pane_index"] for p in w0] == [0, 1, 2]
     assert [p["row"]["n"] for p in w0] == [1, 2, 3]  # ACCUMULATING panes
+
+
+def test_ensure_event_time_casts_ntz(spark):
+    """TIMESTAMP_NTZ event-time columns (parquet without the UTC-adjustment
+    flag under inferTimestampNTZ) must be normalized to TIMESTAMP before
+    withWatermark — wall-clock preserving under the UTC session tz."""
+    from scio_spark.streaming.core import ensure_event_time
+
+    df = spark.createDataFrame([(ts(1),)], "event_time timestamp_ntz")
+    assert dict(df.dtypes)["event_time"] == "timestamp_ntz"
+    fixed = ensure_event_time(df, "event_time")
+    assert dict(fixed.dtypes)["event_time"] == "timestamp"
+    assert fixed.collect()[0]["event_time"] == ts(1)  # wall clock unchanged
+    plain = spark.createDataFrame([(ts(1),)], "event_time timestamp")
+    assert ensure_event_time(plain, "event_time") is plain
