@@ -682,6 +682,37 @@ SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split
+    (functions/training.py hash_split): md5-derived unit hash per doc_id,
+    80/10/10 boundaries — row-stable across runs/repartitions and
+    replayable bit-for-bit in DuckDB."""
+    from scio_spark.functions.training import hash_split
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    return (
+        hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_TRAIN_SPLIT = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM u GROUP BY 1
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group clustering: transitive closure of the exact 3-gram
     Jaccard ≥0.8 pair set via iterative min-label propagation
@@ -1894,6 +1925,39 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="append")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bounded-state dedup (streaming/core.py stream_dedup):
+    readStream over events → watermark + dropDuplicatesWithinWatermark on
+    (user_id, event_type), counted per event_type after run-to-completion.
+    The full fixture replays inside one watermark horizon, so the result
+    equals batch DISTINCT — the DuckDB oracle."""
+    from scio_spark.streaming.core import run_to_memory, stream_dedup
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], ts_col="ts", within="10 days"
+    )
+    out = run_to_memory(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_users")
+    )
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_type, COUNT(*) AS n_unique_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
 ORACLE_STREAMING_SESSION = """
 WITH marked AS (
   SELECT user_id, ts,
@@ -1964,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- changed this round / flagship operators ------------------------
         "pricing_summary": q_pricing_summary,
         "streaming_window": q_streaming_window,
+        "streaming_dedup": q_streaming_dedup,
         "sparse_join": q_sparse_join,
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
@@ -1980,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
+        "train_split": q_train_split,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2046,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
         "dedup_simhash": _simhash_oracle(3),
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "train_split": ORACLE_TRAIN_SPLIT,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,
@@ -2057,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _heavy_oracle(),
         "smb_join": ORACLE_SMB_JOIN,
         "streaming_window": ORACLE_STREAMING_WINDOW,
+        "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
         "sparse_lookup": ORACLE_SPARSE_LOOKUP,
         "grouping_sets": ORACLE_GROUPING_SETS,

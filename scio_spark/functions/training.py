@@ -1,0 +1,102 @@
+"""Training-set mechanics: deterministic splits, reproducible shuffles,
+shard writing — the operations between "corpus is clean" and "trainer reads
+files". All pure JVM expressions; nothing touches the driver.
+
+No scio counterpart (SURVEY §2.7 note: training-pipeline extensions are this
+repo's BASELINE north star); semantics follow the standard web-corpus
+pipeline shape.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_hash(id_col: str, seed: int):
+    """u ∈ [0,1) as a pure function of (seed, id): first 8 hex digits of
+    md5("seed:id") / 2^32. md5 keeps it replayable bit-for-bit in any
+    engine (DuckDB: ``('0x'||substring(md5(s),1,8))::BIGINT / 2^32``)."""
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    return F.conv(h, 16, 10).cast("double") / F.lit(float(2**32))
+
+
+def hash_split(
+    df: DataFrame,
+    splits: Mapping[str, float],
+    id_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, row-stable train/val/test assignment.
+
+    Unlike ``randomSplit`` (a per-partition Bernoulli sample whose outcome
+    depends on partitioning and evaluation order), the assignment here is a
+    pure function of the row id: stable under repartitioning, re-runs, and
+    incremental data arrivals — a new document joining the corpus never
+    flips an existing document's split, which is the property that keeps
+    eval sets uncontaminated across corpus refreshes.
+
+    ``splits``: ordered {name: fraction}, fractions summing to ~1. Rows land
+    in the split whose cumulative-boundary interval contains u(seed, id).
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    u = _unit_hash(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def training_shuffle(
+    df: DataFrame, id_col: str, seed: int = 42
+) -> DataFrame:
+    """Reproducible global shuffle: sort by a seeded hash of the id.
+    ``orderBy`` is Spark's range-partitioned distributed sort (one sampling
+    pass + one exchange) — the scalable way to produce the same permutation
+    on every run; a different seed is a fresh permutation."""
+    return df.orderBy(
+        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    seed: int = 42,
+    sort_within: Sequence[str] | None = None,
+) -> None:
+    """Write the corpus as ``shard=N`` parquet partitions with deterministic
+    shard membership (pmod of the seeded id hash) and a deterministic
+    within-shard order (second-seed hash sort). Trainers stream shards
+    independently; re-running the writer reproduces byte-identical shard
+    membership. One exchange total (the repartition IS the shard layout)."""
+    shard = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n_shards))
+    order = sort_within or [id_col]
+    (
+        df.withColumn("shard", shard.cast("int"))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(
+            F.xxhash64(F.lit(seed + 1), F.col(id_col)), *order
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -244,6 +244,35 @@ def early_firing_panes(
     return panes
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the training-data ingest staple
+    (Beam: Distinct / deduplicate transform over an unbounded source).
+
+    Two regimes:
+    - ``within=None``: global dedup (``dropDuplicates``) — state holds every
+      key seen, forever. Correct, but unbounded state; only for keyspaces
+      known to be bounded.
+    - ``within='24 hours'`` (with ``ts_col``): bounded-state dedup via
+      ``dropDuplicatesWithinWatermark`` — duplicates arriving within the
+      watermark horizon collapse, state older than the horizon is evicted.
+      This is the 100 TB path: state size is bounded by the key arrival
+      rate × horizon, not by history. (Beam's deduplicate has the same
+      time-bounded contract.)
+    """
+    if within is not None:
+        if ts_col is None:
+            raise ValueError("stream_dedup: within= requires ts_col")
+        return ensure_event_time(stream, ts_col).withWatermark(
+            ts_col, within
+        ).dropDuplicatesWithinWatermark(list(key_cols))
+    return stream.dropDuplicates(list(key_cols))
+
+
 def late_firing_panes(
     stream: DataFrame,
     ts_col: str,

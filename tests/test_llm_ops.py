@@ -248,3 +248,57 @@ def test_connected_components_chain_and_islands(spark):
     assert labeled[4] == 1 and labeled[22] == 20
     canonical = sorted(k for k, v in labeled.items() if k == v)
     assert canonical == [1, 10, 20, 99]
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """hash_split is a pure function of (seed, id): identical across
+    repartitionings/re-runs, ~proportional to the requested fractions, and
+    a late-arriving row never flips an existing row's split."""
+    from scio_spark.functions.training import hash_split
+
+    ids = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(ids, splits, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids.repartition(7), splits, "doc_id").collect()
+    }
+    assert a == b  # partitioning-independent
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.75 < n_train / 2000 < 0.85
+    # incremental arrival: subset assignment unchanged
+    sub = ids.filter("doc_id < 500")
+    c = {r["doc_id"]: r["split"] for r in hash_split(sub, splits, "doc_id").collect()}
+    assert all(a[k] == v for k, v in c.items())
+    with pytest.raises(ValueError):
+        hash_split(ids, {"train": 0.5, "val": 0.1}, "doc_id")
+
+
+def test_training_shuffle_and_shards(spark, tmp_path):
+    """training_shuffle: same seed = same permutation, different seed =
+    different; write_training_shards: deterministic membership, all rows
+    present, within-shard order reproducible."""
+    from scio_spark.functions.training import (
+        training_shuffle, write_training_shards,
+    )
+
+    ids = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    p1 = [r["doc_id"] for r in training_shuffle(ids, "doc_id", seed=1).collect()]
+    p1b = [r["doc_id"] for r in training_shuffle(ids, "doc_id", seed=1).collect()]
+    p2 = [r["doc_id"] for r in training_shuffle(ids, "doc_id", seed=2).collect()]
+    assert p1 == p1b and p1 != p2 and sorted(p1) == list(range(300))
+
+    path = str(tmp_path / "shards")
+    write_training_shards(ids, path, n_shards=4, id_col="doc_id", seed=7)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.select("shard").distinct().count() == 4
+    by_shard1 = {
+        r["doc_id"]: r["shard"] for r in back.collect()
+    }
+    write_training_shards(ids, path, n_shards=4, id_col="doc_id", seed=7)
+    by_shard2 = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert by_shard1 == by_shard2  # byte-stable membership

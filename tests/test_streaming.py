@@ -375,3 +375,22 @@ def test_ensure_event_time_casts_ntz(spark):
     assert fixed.collect()[0]["event_time"] == ts(1)  # wall clock unchanged
     plain = spark.createDataFrame([(ts(1),)], "event_time timestamp")
     assert ensure_event_time(plain, "event_time") is plain
+
+
+def test_stream_dedup_within_watermark(fixture):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving in a later
+    micro-batch inside the horizon is dropped; distinct keys all survive."""
+    from scio_spark.streaming.core import stream_dedup
+
+    fixture.add_batch([("u1", "red", 1, ts(1)), ("u2", "blue", 2, ts(2))])
+    fixture.add_batch([("u1", "red", 9, ts(3)), ("u3", "red", 3, ts(4))])
+
+    out = run_to_memory(
+        stream_dedup(
+            fixture.stream(), ["user", "team"], ts_col="event_time",
+            within="1 hour",
+        ).select("user", "team"),
+        output_mode="append",
+    )
+    got = sorted((r["user"], r["team"]) for r in out.collect())
+    assert got == [("u1", "red"), ("u2", "blue"), ("u3", "red")]
