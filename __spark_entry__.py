@@ -682,6 +682,32 @@ SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (functions/dedup.py ngram_contamination):
+    docs with doc_id % 29 == 0 play the eval set; flag all other docs
+    sharing ≥1 distinct 3-gram with it, with the overlap count."""
+    from scio_spark.functions.dedup import ngram_contamination
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+    return ngram_contamination(tr, ev)
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM toks,
+  UNNEST(list_transform(generate_series(1, len(w) - 2),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) u(s)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 29 = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 29 <> 0)
+SELECT tr.doc_id, COUNT(DISTINCT tr.s) AS n_overlapping
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id
+"""
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split
     (functions/training.py hash_split): md5-derived unit hash per doc_id,
@@ -2046,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_clusters": q_dedup_clusters,
         "train_split": q_train_split,
+        "decontaminate": q_decontaminate,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2113,6 +2140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(3),
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_split": ORACLE_TRAIN_SPLIT,
+        "decontaminate": ORACLE_DECONTAMINATE,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,

@@ -437,3 +437,39 @@ def dedup_clusters(
         .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
         .drop("node")
     )
+
+
+# --------------------------------------------------- eval decontamination
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training-vs-eval n-gram decontamination (the GPT-3 appendix-C /
+    Pile-style step): flag every training document sharing at least
+    ``min_overlap`` distinct n-grams with the eval corpus, so eval examples
+    leaking into the training set are caught before training, not after.
+
+    Returns (id_col, n_overlapping) for flagged training docs.
+
+    Shuffle shape: shingle both sides (dedup.shingles — same tokenizer as
+    the dedup families, so one shingle table can serve both when staged),
+    reduce the eval side to its DISTINCT shingle set, inner-join and count
+    distinct overlaps per training doc. The eval shingle set is tiny next
+    to the corpus — Catalyst broadcasts it (or the runtime Bloom join
+    prefilters) so the training side never shuffles on the shingle key; at
+    web scale cap near-universal shingles first with
+    ``cap_shingle_frequency`` to keep the join selective."""
+    t = shingles(train, id_col, text_col, n)
+    e = shingles(eval_df, id_col, text_col, n).select("s").distinct()
+    return (
+        t.join(e, "s")
+        .groupBy(id_col)
+        .agg(F.countDistinct("s").alias("n_overlapping"))
+        .filter(F.col("n_overlapping") >= min_overlap)
+    )

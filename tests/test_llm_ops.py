@@ -302,3 +302,34 @@ def test_training_shuffle_and_shards(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert by_shard1 == by_shard2  # byte-stable membership
+
+
+def test_ngram_contamination_flags_planted_leak(spark):
+    """A training doc containing an eval doc's text verbatim is flagged
+    with the right distinct-overlap count; disjoint docs are not."""
+    from scio_spark.functions.dedup import ngram_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps suffix"),  # leaked
+            (2, "completely different content here entirely"),     # clean
+            (3, "quick brown fox elsewhere"),                      # partial
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_overlapping"]
+        for r in ngram_contamination(tr, ev).collect()
+    }
+    # eval shingles: {the quick brown, quick brown fox, brown fox jumps}
+    assert got[1] == 3
+    assert got[3] == 1  # shares "quick brown fox"
+    assert 2 not in got
+    strict = {
+        r["doc_id"]
+        for r in ngram_contamination(tr, ev, min_overlap=2).collect()
+    }
+    assert strict == {1}
