@@ -1,5 +1,6 @@
 """Training-data curation pipeline: quality-filter → exact dedup →
-MinHash-LSH near-dup removal → curated parquet.
+near-dup clustering (canonical survivor per duplicate group) → train/val
+split → eval-set decontamination → deterministic training shards.
 
 The canonical LLM-data flow this engine is built for (BASELINE.json north
 star). Run: python examples/dedup_pipeline.py [sf_dir] [out_dir]
@@ -14,6 +15,10 @@ sys.path.insert(0, ".")
 from scio_spark import ScioContext  # noqa: E402
 from scio_spark.functions import dedup as D  # noqa: E402
 from scio_spark.functions import text as T  # noqa: E402
+from scio_spark.functions.training import (  # noqa: E402
+    hash_split,
+    write_training_shards,
+)
 
 
 def main():
@@ -36,18 +41,35 @@ def main():
     exact = D.exact_dedup(kept)
     n2 = exact.count()
 
-    # 3. near-dup removal: MinHash-LSH pairs ≥ 0.8 Jaccard → drop the larger
-    # id; max_doc_freq caps boilerplate-shingle fan-out (the web-scale knob —
-    # verification still scores full shingle sets, so values are unchanged)
+    # 3. near-dup removal, done right: MinHash-LSH pairs ≥ 0.8 Jaccard →
+    # transitive closure into duplicate groups (connected_components) →
+    # keep one canonical doc per group (min id). Pairwise "drop id_2" is
+    # not closure-aware; clustering is. max_doc_freq caps boilerplate-
+    # shingle fan-out (the web-scale knob — verification still scores full
+    # shingle sets, so jaccard values are unchanged).
     pairs = D.minhash_lsh_dedup(exact, min_jaccard=0.8, max_doc_freq=100_000)
-    drop = pairs.select(F.col("id_2").alias("doc_id")).distinct()
-    curated = exact.join(drop, "doc_id", "left_anti")
+    labeled = D.dedup_clusters(exact, pairs)
+    curated = labeled.filter(F.col("doc_id") == F.col("comp")).drop("comp")
     n3 = curated.count()
 
-    curated.write.mode("overwrite").parquet(out)
+    # 4. deterministic train/val split — pure function of doc_id, so the
+    # assignment never flips when the corpus is refreshed
+    split = hash_split(curated, {"train": 0.98, "val": 0.02}, "doc_id")
+    train = split.filter("split = 'train'").drop("split")
+    val = split.filter("split = 'val'").drop("split")
+
+    # 5. decontaminate: drop training docs sharing ≥2 distinct 3-grams with
+    # the val set (GPT-3-style n-gram overlap check)
+    dirty = D.ngram_contamination(train, val, min_overlap=2).select("doc_id")
+    clean = train.join(dirty, "doc_id", "left_anti")
+    n4 = clean.count()
+
+    # 6. reproducible shard layout for the trainer (one exchange)
+    write_training_shards(clean, f"{out}/train", 8, "doc_id", seed=7)
+    val.write.mode("overwrite").parquet(f"{out}/val")
     print(
-        f"{n0} docs → quality {n1} → exact-dedup {n2} → near-dedup {n3}; "
-        f"written to {out}"
+        f"{n0} docs → quality {n1} → exact-dedup {n2} → cluster-dedup {n3} "
+        f"→ decontaminated {n4}; shards at {out}/train, val at {out}/val"
     )
 
 
