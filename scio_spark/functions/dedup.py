@@ -149,6 +149,32 @@ def jaccard_pairs(
     return j.filter(F.col("jaccard") >= min_jaccard).select("id_1", "id_2", "jaccard")
 
 
+def stage_shingles(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    buckets: int = 64,
+) -> DataFrame:
+    """Materialize the shingle table ONCE as a bucketed+sorted table on the
+    shingle key (the SCALING.md dedup note, made concrete): every later
+    inverted-index self-join, frequency cap, or signature pass over the same
+    corpus reads the staged table and — because both join sides share the
+    bucket layout — joins/aggregates on ``s`` without re-exploding the
+    corpus or re-shuffling (the same mechanism as operators/smb.py).
+    Returns the staged table as a DataFrame; pass it to the dedup entry
+    points via ``shingles_df=``."""
+    sh = shingles(df, id_col, text_col, n)
+    (
+        sh.write.mode("overwrite")
+        .bucketBy(buckets, "s")
+        .sortBy("s")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)
+
+
 def ngram_jaccard_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -156,6 +182,7 @@ def ngram_jaccard_dedup(
     n: int = 3,
     min_jaccard: float = 0.8,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with exact n-gram Jaccard ≥ threshold.
 
@@ -164,8 +191,11 @@ def ngram_jaccard_dedup(
     over the full shingle sets, so capping can only lose pairs whose every
     shared shingle is near-universal — it never changes a value. (A pair at
     jaccard j shares ≥ j/(1+j) of either doc's shingles; any of them below
-    the cap keeps the pair.)"""
-    sh = shingles(df, id_col, text_col, n)
+    the cap keeps the pair.)
+
+    ``shingles_df``: a pre-staged shingle table (``stage_shingles``) to
+    reuse instead of re-exploding the corpus."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     if max_doc_freq is None:
         return jaccard_pairs(sh, id_col, min_jaccard)
     capped = cap_shingle_frequency(sh, max_doc_freq, id_col)
@@ -230,6 +260,7 @@ def minhash_lsh_dedup(
     min_jaccard: float = 0.8,
     persist_shingles: bool = False,
     max_doc_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: LSH candidates ∩ exact-Jaccard verify.
     (Verification joins the exact pair-Jaccard only for candidate pairs —
@@ -246,8 +277,9 @@ def minhash_lsh_dedup(
     (iterative tuning, multi-query reuse) or shingling is expensive; for a
     one-shot run recomputation is cheaper than the materialize round-trip —
     measured 2× either way at sf0.1. At cluster scale prefer writing
-    shingles to a bucketed table once and reusing it across dedup runs."""
-    sh = shingles(df, id_col, text_col, n)
+    shingles to a bucketed table once and reusing it across dedup runs
+    (``stage_shingles``) and passing it via ``shingles_df``."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     if persist_shingles:
         from pyspark import StorageLevel
 

@@ -333,3 +333,22 @@ def test_ngram_contamination_flags_planted_leak(spark):
         for r in ngram_contamination(tr, ev, min_overlap=2).collect()
     }
     assert strict == {1}
+
+
+def test_staged_shingles_reused_by_dedup(spark, docs):
+    """stage_shingles writes a bucketed shingle table; both dedup entry
+    points produce identical pairs when fed the staged table."""
+    staged = D.stage_shingles(docs, "t_staged_shingles", buckets=4)
+    base = rows(D.ngram_jaccard_dedup(docs, min_jaccard=0.8), "id_1", "id_2")
+    via_staged = rows(
+        D.ngram_jaccard_dedup(docs, min_jaccard=0.8, shingles_df=staged),
+        "id_1", "id_2",
+    )
+    assert via_staged == base
+    mh = rows(D.minhash_lsh_dedup(docs, min_jaccard=0.8), "id_1", "id_2")
+    mh_staged = rows(
+        D.minhash_lsh_dedup(docs, min_jaccard=0.8, shingles_df=staged),
+        "id_1", "id_2",
+    )
+    assert mh_staged == mh
+    spark.sql("DROP TABLE IF EXISTS t_staged_shingles")

@@ -159,3 +159,47 @@ def test_sample_byte_sized_respects_budget(spark):
     got = c.sample_byte_sized(200, "value").collect()
     total = sum(len(r["value"].encode()) for r in got)
     assert 0 < total <= 200
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a reference
+    union-find on arbitrary random graphs (self-loops and duplicate edges
+    included)."""
+    from scio_spark.functions.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # find() with path compression can leave stale roots; normalize
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_1 long, id_2 long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
