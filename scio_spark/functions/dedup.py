@@ -224,12 +224,12 @@ def minhash_signature(sh: DataFrame, id_col: str = "doc_id", k: int = 16) -> Dat
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def minhash_bands(
     sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (bands × k/bands rows), bucket by md5 of the band's
-    concatenated minhashes, self-join within buckets → distinct candidate
-    pairs (id_1 < id_2)."""
+    """Band a minhash signature into (id, band, bucket) rows — bucket = md5
+    of the band's concatenated minhashes. The shared banding step of the
+    one-shot self-join path and the staged/incremental index path."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -237,9 +237,18 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bucket"))
         )
-    exploded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands × k/bands rows), bucket by md5 of the band's
+    concatenated minhashes, self-join within buckets → distinct candidate
+    pairs (id_1 < id_2)."""
+    exploded = minhash_bands(sig, id_col, k, bands)
     a = exploded.withColumnRenamed(id_col, "id_1")
     b = exploded.withColumnRenamed(id_col, "id_2")
     return (
@@ -505,3 +514,71 @@ def ngram_contamination(
         .agg(F.countDistinct("s").alias("n_overlapping"))
         .filter(F.col("n_overlapping") >= min_overlap)
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def stage_minhash_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    buckets: int = 64,
+) -> DataFrame:
+    """Persist the corpus's LSH band-bucket index as a bucketed table on
+    (band, bucket) — the historical side of INCREMENTAL dedup: a daily crawl
+    batch dedups against years of corpus without ever re-shingling or
+    re-signing the corpus. Append each accepted batch's bands to keep the
+    index current (saveAsTable append preserves the bucket spec)."""
+    sh = shingles(df, id_col, text_col, n)
+    banded = minhash_bands(minhash_signature(sh, id_col, k), id_col, k, bands)
+    (
+        banded.write.mode("overwrite")
+        .bucketBy(buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW batch against an existing
+    ``stage_minhash_index`` table, plus new-vs-new pairs: returns
+    (id_1, id_2) with id_1 < id_2 where at least one side is a new doc.
+
+    Cost scales with the BATCH, not the corpus: the batch's bands join the
+    bucketed index co-located by (band, bucket) — the corpus is read, never
+    re-hashed, and only index rows in buckets the batch touches leave the
+    scan. This is the shape that makes continuous corpus ingestion O(new)
+    instead of O(corpus) per day."""
+    sh = shingles(new_docs, id_col, text_col, n)
+    new_bands = minhash_bands(minhash_signature(sh, id_col, k), id_col, k, bands)
+    vs_corpus = (
+        new_bands.withColumnRenamed(id_col, "id_a")
+        .join(index.withColumnRenamed(id_col, "id_b"), ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_1"),
+            F.greatest("id_a", "id_b").alias("id_2"),
+        )
+    )
+    a = new_bands.withColumnRenamed(id_col, "id_1")
+    b = new_bands.withColumnRenamed(id_col, "id_2")
+    vs_new = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+    return vs_corpus.unionByName(vs_new).distinct()

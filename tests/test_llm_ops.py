@@ -352,3 +352,32 @@ def test_staged_shingles_reused_by_dedup(spark, docs):
     )
     assert mh_staged == mh
     spark.sql("DROP TABLE IF EXISTS t_staged_shingles")
+
+
+def test_incremental_lsh_candidates_match_full_rebuild(spark, docs):
+    """Incremental dedup: candidates of (new batch vs staged index) +
+    (new vs new) must equal the full-corpus LSH candidate pairs restricted
+    to pairs touching a new doc — O(batch) work, same answer."""
+    hist = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    D.stage_minhash_index(hist, "t_mh_index", buckets=4)
+    try:
+        inc = {
+            (r["id_1"], r["id_2"])
+            for r in D.incremental_lsh_candidates(
+                new, spark.table("t_mh_index")
+            ).collect()
+        }
+        sh = D.shingles(docs)
+        full = {
+            (r["id_1"], r["id_2"])
+            for r in D.lsh_candidate_pairs(D.minhash_signature(sh)).collect()
+        }
+        new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+        expected = {
+            p for p in full if p[0] in new_ids or p[1] in new_ids
+        }
+        assert inc == expected
+        assert inc  # fixture has planted near-dups crossing the split
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_mh_index")
