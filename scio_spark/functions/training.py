@@ -100,3 +100,68 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate consecutive documents into packs
+    whose summed token count stays ≤ ``token_budget`` — the step that turns
+    a cleaned corpus of short documents into full context windows (padding
+    waste → ~0). Returns one row per pack:
+    (doc_ids, n_docs, total_tokens, text).
+
+    Semantics match the reference BatchDoFn shape (collection.batch_weighted
+    with a token weight): a pack closes when the next doc would overflow the
+    budget; a single doc heavier than the budget forms its own pack. Packs
+    are partition-local (zero shuffle; at most one under-full pack per
+    partition) — run after ``training_shuffle`` so pack composition is
+    deterministic AND mixed. Token counting = functions/text.token_count
+    (whitespace tokens); swap in a BPE count column upstream if exactness
+    to a tokenizer matters."""
+    import pandas as pd
+
+    from scio_spark.functions.text import token_count
+
+    src = df.select(id_col, text_col).withColumn(
+        "__tok", token_count(text_col).cast("long")
+    )
+    out_schema = (
+        f"doc_ids array<long>, n_docs int, total_tokens long, text string"
+    )
+
+    def gen(batches):
+        cur_ids: list[int] = []
+        cur_texts: list[str] = []
+        cur_tok = 0
+
+        def close():
+            nonlocal cur_ids, cur_texts, cur_tok
+            row = (cur_ids, len(cur_ids), cur_tok, sep.join(cur_texts))
+            cur_ids, cur_texts, cur_tok = [], [], 0
+            return row
+
+        for pdf in batches:
+            out = []
+            for i, t, tk in zip(pdf[id_col], pdf[text_col], pdf["__tok"]):
+                if cur_ids and cur_tok + int(tk) > token_budget:
+                    out.append(close())
+                cur_ids.append(int(i))
+                cur_texts.append(t)
+                cur_tok += int(tk)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_ids", "n_docs", "total_tokens", "text"],
+                )
+        if cur_ids:
+            yield pd.DataFrame(
+                [close()],
+                columns=["doc_ids", "n_docs", "total_tokens", "text"],
+            )
+
+    return src.mapInPandas(gen, out_schema)

@@ -381,3 +381,35 @@ def test_incremental_lsh_candidates_match_full_rebuild(spark, docs):
         assert inc  # fixture has planted near-dups crossing the split
     finally:
         spark.sql("DROP TABLE IF EXISTS t_mh_index")
+
+
+def test_pack_sequences_greedy_budget(spark):
+    """Greedy packing: every doc appears exactly once, packs respect the
+    budget except single-overweight docs, and boundaries are greedy (a
+    cumsum bucketing would merge [4,5] under budget 8 — greedy must not)."""
+    from scio_spark.functions.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 4 tokens
+            (2, "e f g h i"),      # 5
+            (3, "j k l m n"),      # 5
+            (4, " ".join(f"t{i}" for i in range(12))),  # 12 > budget
+            (5, "x y"),            # 2
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1)  # one partition → deterministic greedy sequence
+    packs = pack_sequences(docs, token_budget=8).collect()
+    # exact greedy trace for budget 8 over [4,5,5,12,2]:
+    # [1] closes when 2 arrives (4+5>8); [2] closes (5+5>8); [3] closes
+    # (5+12>8); [4] overweight alone (12>8); [5] tail pack.
+    assert [list(p["doc_ids"]) for p in packs] == [[1], [2], [3], [4], [5]]
+    assert [p["total_tokens"] for p in packs] == [4, 5, 5, 12, 2]
+    small = spark.createDataFrame(
+        [(i, "w1 w2 w3") for i in range(6)], ["doc_id", "text"]
+    ).coalesce(1)
+    packed = pack_sequences(small, token_budget=9).collect()
+    assert [p["n_docs"] for p in packed] == [3, 3]  # 3 docs × 3 tokens per pack
+    all_ids = sorted(i for p in packed for i in p["doc_ids"])
+    assert all_ids == list(range(6))
+    assert all(p["text"].count("\n\n") == p["n_docs"] - 1 for p in packed)

@@ -356,3 +356,20 @@ def test_large_hash_join_matches_regular_join(spark, monkeypatch, tmp_path):
     )
     expect_lo = sorted(tuple(r) for r in left.join(right, "key", "left").collect())
     assert lo == expect_lo
+
+
+def test_sparse_join_bloom_composite_key(sc):
+    """Bloom regime with a 2-column key: xxhash64 collapses the composite
+    key identically on both sides; result matches the plain join."""
+    l = sc.parallelize(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30), ("c", 9, 40)],
+        schema=["k1", "k2", "v"],
+    ).key_by("k1", "k2")
+    r = sc.parallelize(
+        [("a", 1, "x"), ("b", 1, "y"), ("d", 7, "z")],
+        schema=["k1", "k2", "w"],
+    ).key_by("k1", "k2")
+    big = J.SPARSE_JOIN_EXACT_KEYSET_MAX + 1
+    got = rows(l.sparse_join(r, rhs_num_keys=big, how="left").df, "k1", "k2", "v", "w")
+    ref = rows(l.left_outer_join(r).df, "k1", "k2", "v", "w")
+    assert got == ref
