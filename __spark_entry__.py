@@ -708,6 +708,39 @@ GROUP BY tr.doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (functions/text.py
+    repetition_signals): distinct-word ratio, top-word fraction, duplicate
+    bigram fraction per document — exact integer-ratio arithmetic, so the
+    DuckDB replay matches bit-for-bit."""
+    from scio_spark.functions.text import repetition_signals
+
+    sc = _ctx(spark)
+    return repetition_signals(_t(sc, sf_dir, "documents").df)
+
+
+ORACLE_TEXT_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         len(list_distinct(w)) * 1.0 / len(w) AS distinct_word_ratio,
+         CASE WHEN len(w) >= 2 THEN
+           1.0 - len(list_distinct(list_transform(
+                     generate_series(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1]))) * 1.0 / (len(w) - 1)
+         ELSE 0.0 END AS dup_bigram_fraction,
+         w
+  FROM t),
+wc AS (SELECT doc_id, u.word, COUNT(*) AS c
+       FROM t, UNNEST(w) u(word) GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS topc FROM wc GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.distinct_word_ratio,
+       top.topc * 1.0 / b.n_tokens AS top_word_fraction,
+       b.dup_bigram_fraction
+FROM base b JOIN top USING (doc_id)
+"""
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split
     (functions/training.py hash_split): md5-derived unit hash per doc_id,
@@ -2073,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_split": q_train_split,
         "decontaminate": q_decontaminate,
+        "text_repetition": q_text_repetition,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2141,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_split": ORACLE_TRAIN_SPLIT,
         "decontaminate": ORACLE_DECONTAMINATE,
+        "text_repetition": ORACLE_TEXT_REPETITION,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,

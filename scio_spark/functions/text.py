@@ -177,3 +177,55 @@ def normalized_text(col) -> Column:
     """Canonical form for exact dedup: lowercase, collapsed whitespace."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def repetition_signals(
+    df, id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Gopher-style repetition quality signals (Rae et al. 2021, app. A —
+    the rules web-scale pipelines filter on): documents dominated by
+    repeated words or n-grams are boilerplate/SEO/scrape artifacts. Per doc:
+
+    - ``n_tokens``
+    - ``distinct_word_ratio``  (|distinct words| / |words|)
+    - ``top_word_fraction``    (most frequent word's share)
+    - ``dup_bigram_fraction``  (1 − |distinct bigrams| / |bigrams|)
+
+    Ratios are pure expressions; the word mode is one explode + two
+    partial-aggregated groupBys — the scalable idiom (no per-doc Python,
+    no O(words²) expression tricks)."""
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
+        F.when(
+            F.size(grams) > 0,
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_fraction"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(w).alias("__word"))
+        .groupBy(id_col, "__word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__top"))
+    )
+    return base.join(top, id_col).select(
+        id_col,
+        "n_tokens",
+        "distinct_word_ratio",
+        (F.col("__top") / F.col("n_tokens")).alias("top_word_fraction"),
+        "dup_bigram_fraction",
+    )

@@ -413,3 +413,26 @@ def test_pack_sequences_greedy_budget(spark):
     all_ids = sorted(i for p in packed for i in p["doc_ids"])
     assert all_ids == list(range(6))
     assert all(p["text"].count("\n\n") == p["n_docs"] - 1 for p in packed)
+
+
+def test_repetition_signals_values(spark):
+    """Hand-computed repetition metrics: a fully-repetitive doc scores
+    dup_bigram_fraction near 1 and top_word_fraction 1; an all-distinct doc
+    scores 0 duplication."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),     # 4 tokens, 1 distinct
+            (2, "all words here differ"),   # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in T.repetition_signals(df).collect()}
+    r1 = got[1]
+    assert r1["n_tokens"] == 4
+    assert r1["distinct_word_ratio"] == 0.25
+    assert r1["top_word_fraction"] == 1.0
+    assert abs(r1["dup_bigram_fraction"] - (1 - 1 / 3)) < 1e-12
+    r2 = got[2]
+    assert r2["distinct_word_ratio"] == 1.0
+    assert r2["top_word_fraction"] == 0.25
+    assert r2["dup_bigram_fraction"] == 0.0
