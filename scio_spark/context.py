@@ -219,11 +219,27 @@ class ScioContext:
             return sub
         return self._wrap(df)
 
-    def sql(self, query: str):
-        """The native SQL entry point (scio's only SQL path is typedBigQuery —
+    def sql(self, query: str, **tables):
+        """The SQL entry point (scio's only SQL path is typedBigQuery —
         BigQueryType.scala:367-385 — where BQ executes the SQL; here Catalyst
-        does)."""
-        return self._wrap(self.spark.sql(query))
+        does, with identical optimization/pushdown/AQE as the DataFrame API).
+
+        Keyword arguments register DataFrames/SCollections as temp views for
+        the query's duration (analysis is eager, so dropping the views after
+        building the plan is safe), letting fluent pipelines and SQL mix:
+
+            sc.sql("SELECT k, SUM(v) s FROM t GROUP BY k", t=coll)
+        """
+        registered = []
+        for name, t in tables.items():
+            df = t.df if hasattr(t, "df") else t
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        try:
+            return self._wrap(self.spark.sql(query))
+        finally:
+            for name in registered:
+                self.spark.catalog.dropTempView(name)
 
     def table(self, name: str, sf_dir: str | None = None):
         """Load a named testdata table (TESTDATA.md) or catalog table."""

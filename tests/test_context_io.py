@@ -142,3 +142,16 @@ def test_binary_file_framed_roundtrip(spark, tmp_path):
     back = read_binary_file(spark, out, header=b"SCIO", footer=b"END")
     got = sorted(bytes(r["record"]) for r in back.collect())
     assert got == sorted(p for _, p in data)
+
+
+def test_sql_entry_point(sc):
+    """ScioContext.sql: named inputs become temp views for the query's
+    duration only; result plan is ordinary Catalyst."""
+    t = sc.parallelize([("a", 1), ("a", 2), ("b", 5)], schema=["k", "v"])
+    out = sc.sql("SELECT k, SUM(v) AS s FROM t GROUP BY k", t=t)
+    assert sorted(tuple(r) for r in out.df.collect()) == [("a", 3), ("b", 5)]
+    assert "t" not in [tb.name for tb in sc.spark.catalog.listTables()]
+    # mixing: SQL over two named inputs
+    u = sc.parallelize([("a", "x")], schema=["k", "w"])
+    j = sc.sql("SELECT t.k, v, w FROM t JOIN u USING (k)", t=t, u=u)
+    assert sorted(tuple(r) for r in j.df.collect()) == [("a", 1, "x"), ("a", 2, "x")]
