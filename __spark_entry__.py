@@ -708,6 +708,29 @@ GROUP BY tr.doc_id
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile (functions/text.py corpus_stats): doc count,
+    token totals, exact p50/p99 doc length, exact vocabulary size."""
+    from scio_spark.functions.text import corpus_stats
+
+    sc = _ctx(spark)
+    return corpus_stats(_t(sc, sf_dir, "documents").df)
+
+
+ORACLE_CORPUS_STATS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+core AS (
+  SELECT COUNT(*) AS total_docs,
+         CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+         quantile_cont(len(w), 0.5) AS p50_tokens,
+         quantile_cont(len(w), 0.99) AS p99_tokens
+  FROM t),
+v AS (SELECT COUNT(DISTINCT u.word) AS vocab_size
+      FROM t, UNNEST(w) u(word))
+SELECT core.*, v.vocab_size FROM core, v
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (functions/text.py
     repetition_signals): distinct-word ratio, top-word fraction, duplicate
@@ -2107,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
+        "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2176,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "train_split": ORACLE_TRAIN_SPLIT,
         "decontaminate": ORACLE_DECONTAMINATE,
         "text_repetition": ORACLE_TEXT_REPETITION,
+        "corpus_stats": ORACLE_CORPUS_STATS,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,

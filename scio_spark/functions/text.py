@@ -229,3 +229,34 @@ def repetition_signals(
         (F.col("__top") / F.col("n_tokens")).alias("top_word_fraction"),
         "dup_bigram_fraction",
     )
+
+
+def corpus_stats(
+    df, text_col: str = "text", exact_vocab: bool = True
+) -> "DataFrame":
+    """One-row corpus profile — the numbers every training-data conversation
+    starts with: total_docs, total_tokens, p50/p99 document length, and
+    vocabulary size.
+
+    ``exact_vocab=True`` counts distinct words exactly (explode + distinct
+    count — fine to tens of billions of token occurrences; the shuffle
+    carries one row per distinct word per partition after partial agg).
+    ``False`` switches to approx_count_distinct (HLL++, one pass, ~2%
+    error) — the 100 TB default. Percentiles are exact (`percentile`,
+    linear interpolation — the same semantics as DuckDB's quantile_cont,
+    so the profile is oracle-checkable)."""
+    n = token_count(text_col)
+    base = df.select(n.alias("__n"), tokens(text_col).alias("__w"))
+    core = base.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("__n").alias("total_tokens"),
+        F.expr("percentile(__n, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(__n, 0.99)").alias("p99_tokens"),
+    )
+    words = base.select(F.explode("__w").alias("__word"))
+    vocab = (
+        words.agg(F.countDistinct("__word").alias("vocab_size"))
+        if exact_vocab
+        else words.agg(F.approx_count_distinct("__word").alias("vocab_size"))
+    )
+    return core.crossJoin(vocab)

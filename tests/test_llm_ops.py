@@ -436,3 +436,17 @@ def test_repetition_signals_values(spark):
     assert r2["distinct_word_ratio"] == 1.0
     assert r2["top_word_fraction"] == 0.25
     assert r2["dup_bigram_fraction"] == 0.0
+
+
+def test_corpus_stats_exact_and_approx_vocab(docs):
+    """Exact profile values on the known fixture; HLL vocab lands within
+    the documented ~2% error of exact."""
+    exact = T.corpus_stats(docs).collect()[0]
+    assert exact["total_docs"] == 5
+    lens = [13, 13, 9, 13, 2]
+    assert exact["total_tokens"] == sum(lens)
+    assert exact["p50_tokens"] == 13.0
+    approx = T.corpus_stats(docs, exact_vocab=False).collect()[0]
+    assert abs(approx["vocab_size"] - exact["vocab_size"]) <= max(
+        2, 0.05 * exact["vocab_size"]
+    )
