@@ -708,6 +708,46 @@ GROUP BY tr.doc_id
 """
 
 
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing (functions/training.py mixture_sample):
+    three pseudo-sources (doc_id mod 3) retained at 1.0/0.5/0.25 via
+    per-source seeded md5 unit hashes; per-source doc counts + token sums."""
+    from scio_spark.functions.text import token_count
+    from scio_spark.functions.training import mixture_sample
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    mixed = mixture_sample(
+        {
+            "web": (docs.filter(F.col("doc_id") % 3 == 0), 1.0),
+            "books": (docs.filter(F.col("doc_id") % 3 == 1), 0.5),
+            "code": (docs.filter(F.col("doc_id") % 3 == 2), 0.25),
+        }
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("n_tokens"),
+    )
+
+
+ORACLE_DATA_MIXTURE = """
+WITH src AS (
+  SELECT doc_id, text,
+         CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                         ELSE 'code' END AS source,
+         CASE doc_id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END AS frac
+  FROM documents),
+kept AS (
+  SELECT * FROM src
+  WHERE ('0x' || substring(md5('42:' || source || ':' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < frac)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept GROUP BY source
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus profile (functions/text.py corpus_stats): doc count,
     token totals, exact p50/p99 doc length, exact vocabulary size."""
@@ -2131,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
+        "data_mixture": q_data_mixture,
         "embedding_topk": q_embedding_topk,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
@@ -2201,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "text_repetition": ORACLE_TEXT_REPETITION,
         "corpus_stats": ORACLE_CORPUS_STATS,
+        "data_mixture": ORACLE_DATA_MIXTURE,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,

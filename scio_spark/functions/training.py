@@ -165,3 +165,29 @@ def pack_sequences(
             )
 
     return src.mapInPandas(gen, out_schema)
+
+
+def mixture_sample(
+    sources: Mapping[str, tuple],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic data mixing: assemble a training corpus from weighted
+    sources — ``{name: (df, retention_fraction)}`` — keeping each row iff
+    its md5 unit hash (seeded per source) falls under the source's fraction,
+    then union with a ``source`` label column.
+
+    Like hash_split, retention is a pure function of (seed, source, id):
+    re-running reproduces the same mixture bit-for-bit, refreshing one
+    source never resamples another, and the per-source expected share is
+    exactly the requested fraction. All sources must share a schema."""
+    from functools import reduce
+
+    outs = []
+    for name, (df, frac) in sources.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"mixture_sample: fraction for {name!r} not in [0,1]")
+        kept = df.filter(_unit_hash(id_col, f"{seed}:{name}") < F.lit(float(frac)))
+        outs.append(kept.withColumn(source_col, F.lit(name)))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -450,3 +450,34 @@ def test_corpus_stats_exact_and_approx_vocab(docs):
     assert abs(approx["vocab_size"] - exact["vocab_size"]) <= max(
         2, 0.05 * exact["vocab_size"]
     )
+
+
+def test_mixture_sample_deterministic_and_isolated(spark):
+    """Mixture retention is a pure function of (seed, source, id): stable
+    across runs, ~proportional to fractions, and refreshing one source
+    leaves every other source's kept-set untouched."""
+    from scio_spark.functions.training import mixture_sample
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    b = spark.range(1000, 2000).withColumnRenamed("id", "doc_id")
+    mix = {"a": (a, 1.0), "b": (b, 0.3)}
+    kept1 = {
+        (r["source"], r["doc_id"]) for r in mixture_sample(mix).collect()
+    }
+    kept2 = {
+        (r["source"], r["doc_id"]) for r in mixture_sample(mix).collect()
+    }
+    assert kept1 == kept2
+    n_a = sum(1 for s, _ in kept1 if s == "a")
+    n_b = sum(1 for s, _ in kept1 if s == "b")
+    assert n_a == 1000  # fraction 1.0 keeps everything
+    assert 220 < n_b < 380
+    # source isolation: shrinking b never changes a's kept-set
+    mix2 = {"a": (a, 1.0), "b": (b.filter("doc_id < 1500"), 0.3)}
+    kept3 = {
+        (r["source"], r["doc_id"]) for r in mixture_sample(mix2).collect()
+    }
+    assert {x for x in kept1 if x[0] == "a"} == {x for x in kept3 if x[0] == "a"}
+    assert {x for x in kept3 if x[0] == "b"} <= {x for x in kept1 if x[0] == "b"}
+    with pytest.raises(ValueError):
+        mixture_sample({"a": (a, 1.5)})
