@@ -191,32 +191,40 @@ def repetition_signals(
     - ``top_word_fraction``    (most frequent word's share)
     - ``dup_bigram_fraction``  (1 − |distinct bigrams| / |bigrams|)
 
-    Ratios are pure expressions; the word mode is one explode + two
-    partial-aggregated groupBys — the scalable idiom (no per-doc Python,
-    no O(words²) expression tricks)."""
-    w = tokens(text_col)
-    grams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+    The word mode is one explode + two partial-aggregated groupBys — the
+    scalable idiom (no per-doc Python). The token and bigram arrays are
+    STAGED in their own projections (the with_quality_score lesson, worse
+    here: an unstaged form re-expands the regex split inside every factor
+    and inside each per-element lambda step — O(words²) work per doc and a
+    codegen blowup; staging made the sf0.1 query ~10× faster)."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__w"))
+    w = F.col("__w")
+    staged = toks.select(
+        F.col(id_col),
+        w,
+        F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__g"),
+    )
+    g = F.col("__g")
+    base = staged.select(
         F.col(id_col),
         F.size(w).alias("n_tokens"),
         (F.size(F.array_distinct(w)) / F.size(w)).alias("distinct_word_ratio"),
-        F.when(
-            F.size(grams) > 0,
-            1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
-        )
+        F.when(F.size(g) > 0, 1.0 - F.size(F.array_distinct(g)) / F.size(g))
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_fraction"),
     )
     top = (
-        df.select(F.col(id_col), F.explode(w).alias("__word"))
+        toks.select(F.col(id_col), F.explode(w).alias("__word"))
         .groupBy(id_col, "__word")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy(id_col)

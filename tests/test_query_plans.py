@@ -87,3 +87,20 @@ def test_salted_agg_collect_list_size(sc):
         final={"all_vals": "FLATTEN(COLLECT_LIST(vals))"},
     ).collect()
     assert len(out) == 1 and sorted(out[0]["all_vals"]) == list(range(100))
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle set must be the broadcast side — the training corpus
+    never shuffles on the shingle key."""
+    df = ent.q_decontaminate(spark, SF)
+    from scio_spark.plans import lint
+
+    assert lint.has_broadcast_join(df)
+
+
+def test_data_mixture_pushes_source_filters(spark):
+    """Per-source doc_id filters reach the parquet scans."""
+    df = ent.q_data_mixture(spark, SF)
+    from scio_spark.plans import lint
+
+    assert lint.scan_pushed_filters(df)
