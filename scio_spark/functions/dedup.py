@@ -61,8 +61,16 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, s). Single-space word
-    split (documents fixture is single-spaced); joined with spaces."""
-    w = F.split(F.col(text_col), " ")
+    split (documents fixture is single-spaced); joined with spaces.
+
+    The split array is STAGED in its own projection so the n references to
+    it inside the per-element lambda read a computed column instead of
+    re-running the split (unstaged, the split re-evaluates per element —
+    O(words²) per doc)."""
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    w = F.col("__w")
     # guard: Spark sequence(0, -1) DESCENDS — short docs need an empty array
     sh = F.when(
         F.size(w) >= n,
@@ -72,7 +80,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
+        staged.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("s"))
         .distinct()
     )
 
