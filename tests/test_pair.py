@@ -373,3 +373,24 @@ def test_sparse_join_bloom_composite_key(sc):
     got = rows(l.sparse_join(r, rhs_num_keys=big, how="left").df, "k1", "k2", "v", "w")
     ref = rows(l.left_outer_join(r).df, "k1", "k2", "v", "w")
     assert got == ref
+
+
+def test_sparse_join_bloom_null_keys(sc):
+    """SQL join semantics for NULL keys (never match) must survive the
+    Bloom prefilter: xxhash64(NULL) still hashes to a probe position, so a
+    null-key row may pass the filter — the real join must then handle it
+    exactly as the plain join does."""
+    l = sc.parallelize(
+        [("a", 1), (None, 2), ("c", 3)], schema=["key", "v"]
+    ).key_by("key")
+    r = sc.parallelize(
+        [("a", "x"), (None, "y")], schema=["key", "w"]
+    ).key_by("key")
+    big = J.SPARSE_JOIN_EXACT_KEYSET_MAX + 1
+    for how, ref in [
+        ("inner", l.join(r)),
+        ("left", l.left_outer_join(r)),
+        ("outer", l.full_outer_join(r)),
+    ]:
+        got = rows(l.sparse_join(r, rhs_num_keys=big, how=how).df, "key", "v", "w")
+        assert got == rows(ref.df, "key", "v", "w"), how
