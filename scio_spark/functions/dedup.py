@@ -465,8 +465,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — the "
+        "graph has a component with diameter beyond the cap (returning the "
+        "partial labels would silently merge clusters wrong). Raise "
+        "max_iter, or for genuinely deep graphs use the alternating "
+        "large-star/small-star variant (halves rounds; Kiveris et al.)."
+    )
 
 
 def dedup_clusters(

@@ -481,3 +481,15 @@ def test_mixture_sample_deterministic_and_isolated(spark):
     assert {x for x in kept3 if x[0] == "b"} <= {x for x in kept1 if x[0] == "b"}
     with pytest.raises(ValueError):
         mixture_sample({"a": (a, 1.5)})
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must fail loudly, never return
+    partially-merged labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_1", "id_2"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=2)
+    ok = {r["node"]: r["comp"] for r in D.connected_components(chain).collect()}
+    assert set(ok.values()) == {0}
