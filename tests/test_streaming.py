@@ -394,3 +394,10 @@ def test_stream_dedup_within_watermark(fixture):
     )
     got = sorted((r["user"], r["team"]) for r in out.collect())
     assert got == [("u1", "red"), ("u2", "blue"), ("u3", "red")]
+
+
+def test_stream_dedup_requires_ts_for_bounded_state(fixture):
+    from scio_spark.streaming.core import stream_dedup
+
+    with pytest.raises(ValueError, match="requires ts_col"):
+        stream_dedup(fixture.stream(), ["user"], within="1 hour")
