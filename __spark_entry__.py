@@ -1450,7 +1450,14 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = windowed_stream_agg(
         stream, "ts", "1 hour", "1 hour", ["event_type"],
         [F.count(F.lit(1)).alias("n")],
-    ).select("window_start", "event_type", "n")
+    ).select(
+        # the watermark path runs on LTZ (ensure_event_time); surface the
+        # window bound as TIMESTAMP_NTZ to match the NTZ source + oracle
+        # (value-preserving under the pinned UTC session tz)
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+    )
     return run_to_memory(res, output_mode="update")
 
 
@@ -1992,9 +1999,14 @@ def q_custom_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(sc, sf_dir, "events").df
     assigned = with_window_fn(
         ev,
+        # timestamp_seconds() returns session-tz TIMESTAMP; events.ts is
+        # TIMESTAMP_NTZ (parquet without the UTC-adjust flag), so cast the
+        # bounds to TIMESTAMP_NTZ to match F.window()'s type-preserving
+        # behavior (and the DuckDB oracle's plain TIMESTAMP). Session tz is
+        # pinned UTC, so the cast is value-preserving.
         "array(named_struct("
-        "  'start', timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 900),"
-        "  'end',   timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 6300)"
+        "  'start', CAST(timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 900) AS TIMESTAMP_NTZ),"
+        "  'end',   CAST(timestamp_seconds(CAST(FLOOR((unix_timestamp(ts) - 900) / 5400) AS BIGINT) * 5400 + 6300) AS TIMESTAMP_NTZ)"
         "))",
     )
     return assigned.groupBy("window_start", "event_type").agg(
@@ -2003,8 +2015,8 @@ def q_custom_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CUSTOM_WINDOW = """
-SELECT to_timestamp(CAST(FLOOR((epoch(ts) - 900) / 5400) AS BIGINT) * 5400 + 900)
-         AS window_start,
+SELECT CAST(to_timestamp(CAST(FLOOR((epoch(ts) - 900) / 5400) AS BIGINT) * 5400 + 900)
+            AS TIMESTAMP) AS window_start,
        event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """
@@ -2040,7 +2052,9 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("session.start").alias("session_start"),
+            # LTZ→NTZ: the watermark path runs on LTZ; the source + oracle
+            # are NTZ (value-preserving under the pinned UTC session tz)
+            F.col("session.start").cast("timestamp_ntz").alias("session_start"),
             "n_events",
         )
     )

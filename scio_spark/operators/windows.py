@@ -50,8 +50,16 @@ def with_session_windows(df: DataFrame, ts_col: str, gap: str, *key_cols: str) -
 
 def with_calendar_window(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame:
     """Calendar windows (:1275-1300) — date_trunc-derived window column
-    (years/months/weeks/days)."""
-    return df.withColumn("window_start", F.date_trunc(unit, F.col(ts_col)))
+    (years/months/weeks/days).
+
+    Type-preserving like F.window(): DATE and TIMESTAMP_NTZ inputs yield a
+    TIMESTAMP_NTZ window_start (date_trunc on DATE otherwise promotes to
+    session-tz TIMESTAMP, which hashes differently from an NTZ oracle)."""
+    start = F.date_trunc(unit, F.col(ts_col))
+    src = dict(df.dtypes).get(ts_col, "")
+    if src in ("date", "timestamp_ntz"):
+        start = start.cast("timestamp_ntz")
+    return df.withColumn("window_start", start)
 
 
 def with_window_fn(df: DataFrame, windows_expr) -> DataFrame:

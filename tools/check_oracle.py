@@ -31,7 +31,14 @@ def norm(v):
             return "NaN"
         return v
     if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Value-level normalization only: PySpark collect() returns naive
+        # datetimes for BOTH TIMESTAMP (LTZ) and TIMESTAMP_NTZ, so tz-aware
+        # DuckDB values must be converted to UTC-naive to compare at all.
+        # Type-level LTZ/NTZ drift is caught separately by timestamp_types()
+        # below — this normalization no longer masks it.
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -47,6 +54,37 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
+
+
+def timestamp_types(spark_dtypes, con, sql):
+    """Type-strict timestamp check: Spark `timestamp` (LTZ) must line up with
+    DuckDB TIMESTAMPTZ, `timestamp_ntz` with plain TIMESTAMP. DuckDB's DB-API
+    description reports both as 'DATETIME', so read the Arrow schema of a
+    LIMIT 0 wrapper instead (arrow timestamp with tz <=> TIMESTAMPTZ).
+
+    Returns a list of human-readable mismatch strings (empty = ok). This is
+    exactly the class of bug the driver caught in r4's custom_window
+    (TIMESTAMP vs TIMESTAMP_NTZ hashes differently driver-side) that the
+    old tzinfo-stripping norm() masked locally.
+    """
+    import pyarrow as pa
+
+    schema = con.execute(f"SELECT * FROM ({sql}) __t LIMIT 0").arrow().schema
+    duck = {f.name: f.type for f in schema}
+    bad = []
+    for name, sdt in spark_dtypes:
+        if name not in duck:
+            continue
+        d = duck[name]
+        if sdt == "timestamp" and pa.types.is_timestamp(d) and d.tz is None:
+            bad.append(f"{name}: spark TIMESTAMP(LTZ) vs duckdb TIMESTAMP(NTZ)")
+        elif sdt == "timestamp_ntz" and pa.types.is_timestamp(d) and d.tz is not None:
+            bad.append(f"{name}: spark TIMESTAMP_NTZ vs duckdb TIMESTAMPTZ")
+        elif sdt.startswith("timestamp") and not pa.types.is_timestamp(d):
+            bad.append(f"{name}: spark {sdt} vs duckdb {d}")
+        elif not sdt.startswith("timestamp") and pa.types.is_timestamp(d):
+            bad.append(f"{name}: spark {sdt} vs duckdb {d}")
+    return bad
 
 
 def approx_eq(a, b, tol=1e-9):
@@ -104,6 +142,10 @@ def main():
             print(f"FAIL {name}: duckdb error {e}")
             continue
         ok = True
+        tmis = timestamp_types(sdf.dtypes, con, oracles[name])
+        if tmis:
+            ok = False
+            print(f"FAIL {name}: timestamp type drift {tmis}")
         if sorted(scols) != sorted(dcols):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
