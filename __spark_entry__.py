@@ -1636,20 +1636,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIMODAL_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "examples", "fixtures", "multimodal_assets.parquet",
+)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end on the deterministic binary fixture:
-    content stats (JVM) + stubbed image decode (mapInPandas) — rows-only
-    check (binary fixtures aren't DuckDB-visible)."""
+    """Multimodal pipeline end-to-end on the deterministic binary fixture,
+    now read from a committed single-file parquet so DuckDB can read the SAME
+    bytes: content stats (JVM sha2/length) + stubbed image decode
+    (mapInPandas fake decoder = sha256-derived features, reproduced in the
+    oracle SQL from the identical hex preimage)."""
     from scio_spark.functions import multimodal as M
 
-    assets = M.synthetic_assets(spark, n=64)
+    M.write_asset_fixture(MULTIMODAL_FIXTURE, n=64)
+    assets = spark.read.parquet(MULTIMODAL_FIXTURE)
     stats = M.content_stats(assets)
     feats = M.decode_image_features(assets.filter("modality = 'image'"))
     return (
-        stats.select("asset_id", "modality", "n_bytes", "digest")
+        stats.select(
+            "asset_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"),
+            "digest",
+        )
         .join(feats.select("asset_id", "width", "height", "decoder"), "asset_id", "left")
         .orderBy("asset_id")
     )
+
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH assets AS (
+  SELECT * FROM read_parquet('{MULTIMODAL_FIXTURE}')
+), feats AS (
+  SELECT asset_id,
+         64 + ('0x' || substr(sha256(CAST(content AS VARCHAR)), 1, 2))::INT AS width,
+         64 + ('0x' || substr(sha256(CAST(content AS VARCHAR)), 3, 2))::INT AS height,
+         'fake' AS decoder
+  FROM assets WHERE modality = 'image'
+)
+SELECT a.asset_id, a.modality,
+       octet_length(a.content)::BIGINT AS n_bytes,
+       sha256(CAST(a.content AS VARCHAR)) AS digest,
+       f.width, f.height, f.decoder
+FROM assets a LEFT JOIN feats f USING (asset_id)
+"""
 
 
 def q_window_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2301,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
         "safe_map": ORACLE_SAFE_MAP,
         "async_lookup": ORACLE_ASYNC_LOOKUP,
         "custom_window": ORACLE_CUSTOM_WINDOW,
+        "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "streaming_session": ORACLE_STREAMING_SESSION,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its

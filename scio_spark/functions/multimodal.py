@@ -135,14 +135,17 @@ def frame_sample_plan(
     )
 
 
-def synthetic_assets(spark, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic binary fixture (no external data needed): payload bytes
-    derived from sha256(asset_id||seed)."""
-    import pandas as pd
-
+def _asset_rows(n: int, seed: int):
+    """Deterministic fixture rows. Payload bytes are the ASCII hex digest of
+    sha256(seed:asset_id) repeated — arbitrary-looking but ASCII-safe, so an
+    independent engine (DuckDB, whose sha256() takes VARCHAR) can hash the
+    identical bytes for oracle comparison. The column is still a real
+    ``binary`` column; the Spark plumbing is byte-oriented either way."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest().encode() * (
+            4 + i % 13
+        )
         rows.append(
             {
                 "asset_id": i,
@@ -157,4 +160,48 @@ def synthetic_assets(spark, n: int = 64, seed: int = 7) -> DataFrame:
                 },
             }
         )
-    return spark.createDataFrame(pd.DataFrame(rows), MULTIMODAL_SCHEMA)
+    return rows
+
+
+def synthetic_assets(spark, n: int = 64, seed: int = 7) -> DataFrame:
+    """Deterministic binary fixture (no external data needed)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(_asset_rows(n, seed)), MULTIMODAL_SCHEMA)
+
+
+def write_asset_fixture(path: str, n: int = 64, seed: int = 7) -> str:
+    """Write the deterministic asset fixture as a SINGLE parquet file (via
+    pyarrow, not a Spark directory write) so a second engine can read the
+    exact same bytes for oracle verification. Idempotent: skips the write if
+    the file already exists (the rows are deterministic in (n, seed))."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = _asset_rows(n, seed)
+    meta_t = pa.struct(
+        [
+            ("mime", pa.string()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("sample_rate", pa.int32()),
+            ("duration_ms", pa.int64()),
+        ]
+    )
+    table = pa.table(
+        {
+            "asset_id": pa.array([r["asset_id"] for r in rows], pa.int64()),
+            "modality": pa.array([r["modality"] for r in rows], pa.string()),
+            "content": pa.array([r["content"] for r in rows], pa.binary()),
+            "meta": pa.array([r["meta"] for r in rows], meta_t),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
