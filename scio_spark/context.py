@@ -229,10 +229,20 @@ class ScioContext:
         building the plan is safe), letting fluent pipelines and SQL mix:
 
             sc.sql("SELECT k, SUM(v) s FROM t GROUP BY k", t=coll)
+
+        A pre-existing temp view with the same name is snapshotted and
+        restored afterwards instead of being silently clobbered-then-dropped.
         """
-        registered = []
+        existing = {
+            t.name
+            for t in self.spark.catalog.listTables()
+            if getattr(t, "isTemporary", False)
+        }
+        registered, restore = [], {}
         for name, t in tables.items():
             df = t.df if hasattr(t, "df") else t
+            if name in existing:
+                restore[name] = self.spark.table(name)
             df.createOrReplaceTempView(name)
             registered.append(name)
         try:
@@ -240,6 +250,8 @@ class ScioContext:
         finally:
             for name in registered:
                 self.spark.catalog.dropTempView(name)
+                if name in restore:
+                    restore[name].createOrReplaceTempView(name)
 
     def table(self, name: str, sf_dir: str | None = None):
         """Load a named testdata table (TESTDATA.md) or catalog table."""

@@ -130,8 +130,11 @@ def pack_sequences(
     src = df.select(id_col, text_col).withColumn(
         "__tok", token_count(text_col).cast("long")
     )
+    # doc_ids element type follows the id column (string ids pack as
+    # array<string>, etc.) instead of a hardcoded array<long>
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"doc_ids array<long>, n_docs int, total_tokens long, text string"
+        f"doc_ids array<{id_type}>, n_docs int, total_tokens long, text string"
     )
 
     def gen(batches):
@@ -150,7 +153,7 @@ def pack_sequences(
             for i, t, tk in zip(pdf[id_col], pdf[text_col], pdf["__tok"]):
                 if cur_ids and cur_tok + int(tk) > token_budget:
                     out.append(close())
-                cur_ids.append(int(i))
+                cur_ids.append(i)
                 cur_texts.append(t)
                 cur_tok += int(tk)
             if out:
@@ -184,6 +187,8 @@ def mixture_sample(
     exactly the requested fraction. All sources must share a schema."""
     from functools import reduce
 
+    if not sources:
+        raise ValueError("mixture_sample: sources must be non-empty")
     outs = []
     for name, (df, frac) in sources.items():
         if not (0.0 <= frac <= 1.0):

@@ -257,11 +257,18 @@ def large_hash_join(
     chunked ``IN`` queries against the (indexed) owning shards, and matches
     attach via a vectorized pandas merge — no per-row SQL.
 
+    Encoding: keys are stored as JSON text with ``default=str`` — used ONLY
+    for equality, and both sides derive it from the same Arrow→pandas value,
+    so the coercion is symmetric. Values are pickled (type-preserving), so
+    date/timestamp/Decimal/binary/array RHS columns round-trip to their
+    declared Spark types instead of degrading to strings at probe time.
+
     LHS never shuffles — the same property as hash_join, at RHS sizes beyond
     spark.sql.autoBroadcastJoinThreshold. ``how``: inner or left. Multiple
     RHS rows per key emit one output row per match."""
     import json
     import os
+    import pickle
     import sqlite3
     import tempfile
     import uuid
@@ -290,7 +297,7 @@ def large_hash_join(
                 final = os.path.join(out_dir, f"{tag}_shard_{s}.db")
                 tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
                 c = sqlite3.connect(tmp)
-                c.execute("CREATE TABLE kv (k TEXT, v TEXT)")
+                c.execute("CREATE TABLE kv (k TEXT, v BLOB)")
                 staged[s] = (c, tmp, final)
             return staged[s][0]
 
@@ -303,7 +310,12 @@ def large_hash_join(
             per_shard: dict[int, list[tuple[str, str]]] = {}
             for i, (k, s) in enumerate(zip(ks, shards)):
                 per_shard.setdefault(int(s), []).append(
-                    (_kjson(k), json.dumps([col[i] for col in vcols], default=str))
+                    (
+                        _kjson(k),
+                        pickle.dumps(
+                            [col[i] for col in vcols], protocol=pickle.HIGHEST_PROTOCOL
+                        ),
+                    )
                 )
             for s, rws in per_shard.items():
                 con_for(s).executemany("INSERT INTO kv VALUES (?, ?)", rws)
@@ -366,13 +378,24 @@ def large_hash_join(
                             + ")"
                         )
                         hits.extend(
-                            (k, *json.loads(v)) for k, v in con.execute(q, chunk)
+                            (k, *pickle.loads(v)) for k, v in con.execute(q, chunk)
                         )
                 matches = pd.DataFrame(hits, columns=["__kj"] + rhs_cols)
                 base = pdf[lhs_cols].assign(__kj=keys_json)
                 merged = base.merge(
                     matches, on="__kj", how="left" if how == "left" else "inner"
                 )
+                if how == "left":
+                    # pandas fills unmatched object cells with float NaN,
+                    # which Arrow can't convert to array/date/decimal/binary
+                    # types — normalize to None
+                    for c in rhs_cols:
+                        if merged[c].dtype == object:
+                            merged[c] = merged[c].map(
+                                lambda v: None
+                                if isinstance(v, float) and pd.isna(v)
+                                else v
+                            )
                 yield merged[lhs_cols + rhs_cols]
         finally:
             for c in cons.values():

@@ -155,3 +155,18 @@ def test_sql_entry_point(sc):
     u = sc.parallelize([("a", "x")], schema=["k", "w"])
     j = sc.sql("SELECT t.k, v, w FROM t JOIN u USING (k)", t=t, u=u)
     assert sorted(tuple(r) for r in j.df.collect()) == [("a", 1, "x"), ("a", 2, "x")]
+
+
+def test_sql_restores_preexisting_temp_view(sc):
+    """sql(**tables) must not clobber a user's same-named temp view: the
+    prior view is snapshotted and re-registered after the query."""
+    prior = sc.spark.createDataFrame([(99,)], ["orig"])
+    prior.createOrReplaceTempView("t")
+    try:
+        t = sc.parallelize([("a", 1)], schema=["k", "v"])
+        out = sc.sql("SELECT k, v FROM t", t=t)
+        assert [tuple(r) for r in out.df.collect()] == [("a", 1)]
+        # the user's view is back, with its original contents
+        assert [tuple(r) for r in sc.spark.table("t").collect()] == [(99,)]
+    finally:
+        sc.spark.catalog.dropTempView("t")

@@ -493,3 +493,27 @@ def test_connected_components_nonconvergence_raises(spark):
         D.connected_components(chain, max_iter=2)
     ok = {r["node"]: r["comp"] for r in D.connected_components(chain).collect()}
     assert set(ok.values()) == {0}
+
+
+def test_pack_sequences_string_ids(spark):
+    """doc_ids element type follows id_col (string ids → array<string>);
+    the old hardcoded array<long> + int() cast crashed on non-integer ids."""
+    from scio_spark.functions.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("doc-a", "a b c"), ("doc-b", "d e"), ("doc-c", "f g h i")],
+        ["doc_id", "text"],
+    ).coalesce(1)
+    packs = pack_sequences(docs, token_budget=5).collect()
+    assert dict(
+        pack_sequences(docs, token_budget=5).dtypes
+    )["doc_ids"] == "array<string>"
+    all_ids = sorted(i for p in packs for i in p["doc_ids"])
+    assert all_ids == ["doc-a", "doc-b", "doc-c"]
+
+
+def test_mixture_sample_empty_sources_raises(spark):
+    from scio_spark.functions.training import mixture_sample
+
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample({})

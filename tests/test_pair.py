@@ -394,3 +394,35 @@ def test_sparse_join_bloom_null_keys(sc):
     ]:
         got = rows(l.sparse_join(r, rhs_num_keys=big, how=how).df, "key", "v", "w")
         assert got == rows(ref.df, "key", "v", "w"), how
+
+
+def test_large_hash_join_preserves_value_types(spark, tmp_path):
+    """The sqlite KV channel must round-trip non-JSON-native RHS value types
+    (date, timestamp, decimal, binary, array) to their declared Spark types —
+    the old json.dumps(default=str) path degraded them to strings that failed
+    (or mis-typed) at Arrow conversion far from the cause."""
+    import datetime as dt
+    from decimal import Decimal
+
+    left = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["key", "v"])
+    right = spark.createDataFrame(
+        [
+            ("a", dt.date(2020, 1, 2), dt.datetime(2020, 1, 2, 3, 4, 5),
+             Decimal("12.34"), bytearray(b"\x00\xff"), [1, 2]),
+            ("b", dt.date(2021, 6, 7), dt.datetime(2021, 6, 7, 8, 9, 10),
+             Decimal("56.78"), bytearray(b"xy"), [3]),
+        ],
+        "key string, d date, ts timestamp_ntz, m decimal(10,2), "
+        "raw binary, arr array<int>",
+    )
+    got = J.large_hash_join(
+        left, right, "key", n_shards=2, shard_dir=str(tmp_path)
+    )
+    expect = left.join(right, "key")
+    assert dict(got.dtypes) == dict(expect.dtypes)
+    g = sorted((tuple(r) for r in got.collect()), key=repr)
+    e = sorted((tuple(r) for r in expect.collect()), key=repr)
+    assert g == e
+    # left-outer nulls in typed columns survive too
+    lo = J.large_hash_join(left, right, "key", how="left").collect()
+    assert {r["key"]: r["d"] for r in lo}["c"] is None
