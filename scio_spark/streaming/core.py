@@ -224,7 +224,12 @@ def early_firing_panes(
     Drives the stream to completion and returns ``[(epoch_id, rows)]`` —
     one entry per micro-batch — so tests can pin early/final emission
     counts. Per-pane firing control beyond this (discarding early panes,
-    pane-index metadata) has no Spark analog — SURVEY §4.4.1."""
+    pane-index metadata) has no Spark analog — SURVEY §4.4.1.
+
+    TEST HARNESS ONLY: every micro-batch is collect()ed to the driver —
+    unbounded accumulation on a real stream. Production pane capture goes
+    through ``pane_sink`` / ``run_pane_sink`` (foreachBatch append to a
+    table; labels reconstructed by ``label_panes`` as a batch job)."""
     agg = windowed_stream_agg(
         stream, ts_col, window_duration, watermark_delay, list(key_cols), aggs
     )
@@ -242,6 +247,150 @@ def early_firing_panes(
     finally:
         q.stop()
     return panes
+
+
+def pane_sink(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    key_cols: Sequence[str],
+    aggs,
+    path: str,
+    checkpoint: str | None = None,
+    trigger_interval: str | None = None,
+):
+    """PRODUCTION pane capture — the scalable counterpart of
+    ``early_firing_panes`` / ``late_firing_panes``, which ``collect()`` every
+    micro-batch to the driver and are TEST HARNESSES ONLY (unbounded
+    driver-side accumulation on a real stream).
+
+    Every update-mode emission is appended to the parquet table at ``path``
+    with its ``epoch`` attached — an executor-side write; no pane row ever
+    reaches the driver. One tiny metadata row per micro-batch (the on-time
+    event-clock max from StreamingQueryProgress) must land in
+    ``<path>__epochs`` for ``label_panes`` to reconstruct Beam pane
+    timing/pane_index as a batch job afterwards: for bounded runs use
+    ``run_pane_sink`` (drains, then writes the trace from recentProgress);
+    for an always-on stream call ``write_epoch_trace(q, path)`` on a timer
+    (recentProgress keeps ~100 batches — flush more often than that).
+
+    Returns the started StreamingQuery; pass ``checkpoint`` for restartable
+    exactly-once appends."""
+    agg = windowed_stream_agg(
+        stream, ts_col, window_duration, watermark_delay, list(key_cols), aggs
+    )
+
+    def emit(df: DataFrame, epoch_id: int):
+        df.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(path)
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(emit)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def write_epoch_trace(query, path: str) -> int:
+    """Append (epoch, event_max) rows from the query's recentProgress to
+    ``<path>__epochs`` — one tiny row per micro-batch (the driver holds batch
+    METADATA only, never pane rows). Idempotent under overlap: label_panes
+    dedups by epoch. Returns the number of rows written."""
+    import datetime as dt
+    import json as _json
+
+    rows = []
+    for p in query.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(
+            p if isinstance(p, str) else p.json
+        )
+        et = d.get("eventTime") or {}
+        if "max" in et:
+            rows.append(
+                (
+                    int(d["batchId"]),
+                    dt.datetime.fromisoformat(
+                        et["max"].replace("Z", "+00:00")
+                    ).replace(tzinfo=None),
+                )
+            )
+    if rows:
+        spark = SparkSession.getActiveSession()
+        spark.createDataFrame(
+            rows, "epoch long, event_max timestamp"
+        ).coalesce(1).write.mode("append").parquet(path + "__epochs")
+    return len(rows)
+
+
+def label_panes(spark: SparkSession, path: str, key_cols: Sequence[str]) -> DataFrame:
+    """Batch reconstruction of Beam pane metadata over a ``pane_sink`` table:
+    ``pane_index`` (firing count per window+key, ``PaneInfo.getIndex``) and
+    ``timing`` (EARLY / ON_TIME / LATE against the running on-time watermark
+    from the epoch trace) — the same labels the list-returning test
+    harnesses compute, derived distributively from the sink instead of
+    driver-accumulated rows.
+
+    The epoch-trace running max uses an unpartitioned window — fine, the
+    trace is one row per micro-batch, not per pane."""
+    from pyspark.sql import Window
+
+    panes = spark.read.parquet(path)
+    ep = (
+        spark.read.parquet(path + "__epochs")
+        .groupBy("epoch")
+        .agg(F.max("event_max").alias("event_max"))
+    )
+    w_run = Window.orderBy("epoch").rowsBetween(Window.unboundedPreceding, 0)
+    ep = ep.withColumn("running_max", F.max("event_max").over(w_run))
+    joined = panes.join(ep.select("epoch", "running_max"), "epoch", "left")
+    keyw = (
+        Window.partitionBy("window_start", *key_cols)
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_early = F.col("running_max").isNull() | (
+        F.col("running_max") < F.col("window_end").cast("timestamp")
+    )
+    n_on = F.sum(F.when(~is_early, F.lit(1)).otherwise(F.lit(0))).over(keyw)
+    return (
+        joined.withColumn("pane_index", F.count(F.lit(1)).over(keyw) - F.lit(1))
+        .withColumn(
+            "timing",
+            F.when(is_early, F.lit("EARLY"))
+            .when(n_on == 1, F.lit("ON_TIME"))
+            .otherwise(F.lit("LATE")),
+        )
+        .drop("running_max")
+    )
+
+
+def run_pane_sink(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    allowed_lateness: str,
+    key_cols: Sequence[str],
+    aggs,
+    path: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Bounded-run convenience over ``pane_sink``: drain the stream to
+    completion, flush the epoch trace, return ``label_panes``' labeled
+    DataFrame. Same semantics as ``late_firing_panes`` with no driver-side
+    pane accumulation."""
+    q = pane_sink(
+        stream, ts_col, window_duration, allowed_lateness, key_cols, aggs,
+        path, checkpoint=checkpoint,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    write_epoch_trace(q, path)
+    return label_panes(stream.sparkSession, path, key_cols)
 
 
 def stream_dedup(
@@ -309,7 +458,13 @@ def late_firing_panes(
     on-time value); DISCARDING late panes are not expressible.
 
     Drives the stream to completion; returns
-    ``[{"epoch", "timing", "pane_index", "row"}]`` in firing order."""
+    ``[{"epoch", "timing", "pane_index", "row"}]`` in firing order.
+
+    TEST HARNESS ONLY: every micro-batch is collect()ed to the driver —
+    unbounded accumulation on a real stream. Production pane capture goes
+    through ``pane_sink`` / ``run_pane_sink`` (foreachBatch append to a
+    table; identical timing/pane_index labels reconstructed by
+    ``label_panes`` as a batch job over the sink)."""
     import datetime as dt
     import json as _json
 

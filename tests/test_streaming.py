@@ -401,3 +401,48 @@ def test_stream_dedup_requires_ts_for_bounded_state(fixture):
 
     with pytest.raises(ValueError, match="requires ts_col"):
         stream_dedup(fixture.stream(), ["user"], within="1 hour")
+
+
+def test_pane_sink_matches_test_harness_no_driver_rows(fixture, tmp_path, monkeypatch):
+    """run_pane_sink must produce the SAME timing/pane_index/value sequence
+    as the late_firing_panes test harness — but via foreachBatch appends to
+    a table, with NO pane row collect()ed to the driver (collect is trapped
+    for the streaming run; label_panes is an ordinary batch job read back)."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from scio_spark.streaming.core import run_pane_sink
+
+    # same scripted scenario as test_late_firing_panes_early_ontime_late
+    fixture.add_batch([("u1", "red", 1, ts(1))])              # early
+    fixture.add_batch([("u1", "red", 1, ts(5)), ("u1", "red", 1, ts(12))])
+    fixture.add_batch([("u1", "red", 1, ts(2))])              # late, admitted
+
+    sink = str(tmp_path / "panes")
+    real_collect = SparkDF.collect
+    calls = {"n": 0}
+
+    def counting_collect(self, *a, **k):
+        calls["n"] += 1
+        return real_collect(self, *a, **k)
+
+    monkeypatch.setattr(SparkDF, "collect", counting_collect)
+    labeled = run_pane_sink(
+        fixture.stream(), "event_time", "10 minutes", "30 minutes",
+        ["team"], [F.count(F.lit(1)).alias("n")], sink,
+    )
+    assert calls["n"] == 0  # the streaming path never collected pane rows
+    monkeypatch.setattr(SparkDF, "collect", real_collect)
+
+    w0 = sorted(
+        (
+            (r["pane_index"], r["timing"], r["n"])
+            for r in labeled.collect()
+            if r["window_start"] == ts(0) and r["team"] == "red"
+        ),
+    )
+    assert w0 == [(0, "EARLY", 1), (1, "ON_TIME", 2), (2, "LATE", 3)]
+    # sink is a plain parquet table — re-labelable without the query handle
+    from scio_spark.streaming.core import label_panes
+
+    again = label_panes(fixture.spark, sink, ["team"])
+    assert again.count() == labeled.count()
