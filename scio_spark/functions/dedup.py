@@ -407,6 +407,7 @@ def connected_components(
     src: str = "id_1",
     dst: str = "id_2",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster duplicate-candidate PAIRS into groups — the step every dedup
     family above feeds: pair lists are not actionable until transitively
@@ -418,24 +419,31 @@ def connected_components(
     takes the min of its own label and its neighbors' labels (one shuffle
     join + one partial-aggregated groupBy per round); converges in
     O(component diameter) rounds — near-cliques from near-dup detection
-    close in 2-3. Each round localCheckpoints the labels so the plan stays
-    constant-size instead of growing a join per iteration (on a cluster
-    with a checkpoint dir configured, ``DataFrame.checkpoint`` — same call
-    shape). The alternating large-star/small-star optimization
+    close in 2-3. Each round checkpoints the labels so the plan stays
+    constant-size instead of growing a join per iteration:
+    ``checkpoint_dir=None`` (default, single-node/tests) truncates lineage
+    with ``localCheckpoint`` (executor-memory blocks — lost on executor
+    failure); on a CLUSTER pass ``checkpoint_dir`` (shared storage) for
+    reliable ``DataFrame.checkpoint`` — survives executor loss, the 100 TB
+    setting. The alternating large-star/small-star optimization
     (Kiveris et al., "Connected Components in MapReduce") halves rounds for
     high-diameter graphs; dup graphs are shallow, so the simple form wins
     on constant factors."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
+    edges = ckpt(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -448,13 +456,12 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.col("nbr_comp")).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -481,12 +488,16 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_1",
     dst: str = "id_2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Attach a duplicate-group label to every document: docs in some pair
     get their component's min id as ``comp``; singletons are their own
     component. The canonical survivor per group = the doc with
-    ``doc_id == comp`` (deterministic min-id policy)."""
-    comps = connected_components(pairs, src=src, dst=dst)
+    ``doc_id == comp`` (deterministic min-id policy). Pass ``checkpoint_dir``
+    (shared storage) on a cluster — see connected_components."""
+    comps = connected_components(
+        pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
+    )
     return (
         df.join(comps, df[id_col] == comps.node, "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))

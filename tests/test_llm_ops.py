@@ -517,3 +517,23 @@ def test_mixture_sample_empty_sources_raises(spark):
 
     with pytest.raises(ValueError, match="non-empty"):
         mixture_sample({})
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from localCheckpoint to
+    reliable DataFrame.checkpoint on shared storage (the cluster setting):
+    identical labels, and the checkpoint dir actually receives RDD state."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_1", "id_2"]
+    )
+    local = {r["node"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = {
+        r["node"]: r["comp"]
+        for r in D.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert walked  # reliable checkpoints materialized under checkpoint_dir
