@@ -10,6 +10,13 @@ tail of stdout and a 73-query dual map overflows it.
 
 Each query is executed to completion (count action) after a warm-up of the
 input scans; timings exclude session startup.
+
+Known cold-run floor (profiled r5, sf0.1): the FIRST stateful/streaming
+query in a session pays ~3 s of one-time machinery — state-store init plus
+the applyInPandasWithState Python worker pool — on top of its steady-state
+cost (stateful_stream: 4.3 s first run vs 1.45 s re-run in the same
+session). It is session startup in disguise, not per-batch cost; the warm
+map is the steady-state signal for streaming queries.
 """
 
 from __future__ import annotations

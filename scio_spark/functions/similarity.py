@@ -12,9 +12,10 @@ broadcast an index and look up per element. Spark-first re-expression:
   sides; only same-bucket pairs are scored. Hyperplanes are derived
   deterministically from md5 so plans are reproducible. With b-bit signatures
   the corpus scan fans out b× less than brute force at equal recall targets.
-- an HNSW/Voyager-style broadcast index would slot in as mapInPandas over a
-  broadcast artifact (import-gated; hnswlib not in this image — see
-  multimodal.py for the gating pattern).
+- **HNSW broadcast index** (``cosine_topk_hnsw``): real Voyager parity —
+  corpus → in-memory HNSW graph side input, broadcast once, probed per Arrow
+  batch. Import-gated on hnswlib (not in this image; the gate raises with
+  the LSH/IVF fallbacks named — multimodal.py gating pattern).
 
 Embeddings in the fixture are L2-normalized, so cosine == dot product.
 """
@@ -23,6 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not in this image
+    import hnswlib  # noqa: F401
+
+    HAS_HNSWLIB = True
+except ImportError:
+    HAS_HNSWLIB = False
 
 
 def _dot(a, b):
@@ -368,3 +376,88 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_topk_hnsw(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    ef_construction: int = 200,
+    ef_search: int = 64,
+    max_corpus_rows: int = 2_000_000,
+    score_decimals: int | None = 5,
+) -> DataFrame:
+    """Voyager/HNSW ANN parity (scio-extra voyager/syntax/
+    SCollectionSyntax.scala:47-215 ``asVoyagerSideInput`` → per-element
+    lookup): the corpus becomes an in-memory HNSW graph SIDE INPUT — built
+    once, broadcast to every executor — and queries probe it per Arrow batch
+    (one Python crossing, vectorized knn_query). Same output contract as
+    cosine_topk: (query_id, neighbor_id, score, rank), self-matches dropped.
+
+    Import-gated on hnswlib, which this image doesn't ship — the gate raises
+    with the same-contract fallbacks named (cosine_topk_lsh here, ivf.
+    cosine_topk_ivf for the partition-pruned disk index). Like scio's Annoy/
+    Voyager side inputs, the CORPUS is side-input-sized BY CONTRACT (an HNSW
+    graph is a single in-memory artifact); guarded by ``max_corpus_rows`` —
+    corpus-scale similarity belongs to the LSH/IVF paths, which never
+    collect. Vectors are pre-normalized ⇒ cosine distance = 1 − dot; score
+    is reported as the dot product to match the other paths."""
+    if not HAS_HNSWLIB:
+        raise NotImplementedError(
+            "cosine_topk_hnsw requires hnswlib (not in this container). "
+            "Same-contract substitutes: cosine_topk (exact), cosine_topk_lsh "
+            "(hyperplane buckets), scio_spark.functions.ivf.cosine_topk_ivf "
+            "(persisted partition-pruned index)."
+        )
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    require_side_input_sized(
+        corpus, max_corpus_rows, "cosine_topk_hnsw", "max_corpus_rows"
+    )
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float32)
+    index = hnswlib.Index(space="cosine", dim=mat.shape[1])
+    index.init_index(
+        max_elements=len(ids), M=m, ef_construction=ef_construction
+    )
+    index.add_items(mat, ids)
+    index.set_ef(max(ef_search, k + 2))
+    bc = corpus.sparkSession.sparkContext.broadcast(pickle.dumps(index))
+
+    def gen(batches):
+        idx = pickle.loads(bc.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.array(list(pdf[vec_col]), dtype=np.float32)
+            q_ids = pdf[id_col].to_numpy()
+            # k+1 then drop self-matches (a corpus-resident query returns
+            # itself at distance ~0)
+            labels, dists = idx.knn_query(block, k=min(k + 1, len(ids)))
+            out = []
+            for qi, (labs, ds) in enumerate(zip(labels, dists)):
+                rank = 0
+                for lab, d in zip(labs, ds):
+                    if int(lab) == int(q_ids[qi]):
+                        continue
+                    rank += 1
+                    if rank > k:
+                        break
+                    out.append((int(q_ids[qi]), int(lab), 1.0 - float(d), rank))
+            yield pd.DataFrame(
+                out, columns=["query_id", "neighbor_id", "score", "rank"]
+            )
+
+    out = queries.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, score double, rank int"
+    )
+    if score_decimals is not None:
+        out = out.withColumn("score", F.round("score", score_decimals))
+    return out

@@ -537,3 +537,25 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     assert reliable == local == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     walked = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert walked  # reliable checkpoints materialized under checkpoint_dir
+
+
+def test_cosine_topk_hnsw_gate_or_parity(embeddings):
+    """Voyager/HNSW side-input path: with hnswlib absent (this image) the
+    gate raises naming the same-contract fallbacks; with it present, top-1
+    neighbors must agree with exact cosine_topk on the fixture."""
+    qs = embeddings.limit(4)
+    if not S.HAS_HNSWLIB:
+        with pytest.raises(NotImplementedError, match="hnswlib"):
+            S.cosine_topk_hnsw(embeddings, qs, k=1)
+        return
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.cosine_topk_hnsw(
+            embeddings, qs, k=1, ef_search=200
+        ).collect()
+    }
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.cosine_topk(embeddings, qs, k=1).collect()
+    }
+    assert got == exact
