@@ -2148,6 +2148,110 @@ WHERE session_end <= (SELECT MAX(ts) FROM events)
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii + pii_counts) — the pass
+    every web corpus runs first. Deterministic synthetic PII (email / phone
+    / IPv4 / SSN derived from doc_id) is appended to each document in BOTH
+    engines, then counted and masked: a real regex-parity check of the
+    RE2-compatible pattern set, chained global replaces."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789"),
+    )
+    return d.select(
+        "doc_id",
+        *T.pii_counts(aug),
+        T.scrub_pii(aug).alias("scrubbed"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ssn 123-45-6789' AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    AS n_email,
+  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+  len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+FROM aug
+"""
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (functions/text.chunk_text) — the
+    RAG-indexing / context-packing primitive: 32-token windows advancing by
+    24 (8-token overlap), all JVM expressions, explode inside the scan
+    stage (no shuffle)."""
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return T.chunk_text(d, chunk_tokens=32, overlap=8)
+
+
+ORACLE_TEXT_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), nn AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+)
+SELECT doc_id,
+       CAST(s / 24 AS INT) AS chunk_id,
+       len(list_slice(t, CAST(s AS INT) + 1, CAST(s AS INT) + 32)) AS n_tokens,
+       array_to_string(list_slice(t, CAST(s AS INT) + 1, CAST(s AS INT) + 32), ' ')
+         AS chunk
+FROM nn, UNNEST(range(0, CAST(n AS BIGINT), 24)) AS u(s)
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-n stratified sampling (pair.sample_exact_by_key,
+    PairSCollectionFunctions.scala:1082) — corpus balancing: exactly
+    min(7, stratum size) docs per source, uniform under the seeded-hash
+    ranked window. The sampled membership is seed-dependent, so the oracle
+    pins the CONTRACT: per-source output counts."""
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").key_by("source")
+    return (
+        d.sample_exact_by_key(7)
+        .df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT source, LEAST(7, COUNT(*)) AS n_sampled
+FROM documents GROUP BY source
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2157,7 +2261,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 80 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 83 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2211,6 +2315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session": q_streaming_session,  # NTZ output cast
         "dedup_clusters": q_dedup_clusters,        # checkpoint_dir plumbing
         "data_mixture": q_data_mixture,            # mixture_sample guard
+        # -- (2b) NEW in round 5 --------------------------------------------
+        "pii_scrub": q_pii_scrub,
+        "text_chunks": q_text_chunks,
+        "stratified_sample": q_stratified_sample,
         # -- (3) riskiest r4-green fillers ----------------------------------
         "stateful_stream": q_stateful_stream,
         "pricing_summary": q_pricing_summary,
@@ -2222,10 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
+        # -- past the 50-row window: green in CORRECTNESS_r04, unchanged ----
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
-        # -- past the 50-row window: green in CORRECTNESS_r04, unchanged ----
         "pipe_identity": q_pipe_identity,
         "large_orders": q_large_orders,
         "global_top": q_global_top,
@@ -2338,6 +2446,9 @@ def oracle_sql() -> dict[str, str]:
         "async_lookup": ORACLE_ASYNC_LOOKUP,
         "custom_window": ORACLE_CUSTOM_WINDOW,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+        "pii_scrub": ORACLE_PII_SCRUB,
+        "text_chunks": ORACLE_TEXT_CHUNKS,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "streaming_session": ORACLE_STREAMING_SESSION,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its

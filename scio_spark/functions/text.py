@@ -268,3 +268,79 @@ def corpus_stats(
         else words.agg(F.approx_count_distinct("__word").alias("vocab_size"))
     )
     return core.crossJoin(vocab)
+
+
+# ------------------------------------------------------------------ PII scrub
+
+#: (name, pattern, replacement) — applied in order. Patterns restrict to the
+#: RE2-compatible subset (no lookaround) so the DuckDB oracle runs the SAME
+#: regexes; replacements contain no digits, so later patterns can't match
+#: inside earlier masks. Spark regexp_replace is global by default; the
+#: DuckDB mirror needs the 'g' flag.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(col) -> Column:
+    """Mask emails / SSNs / phone numbers / IPv4s — the redaction pass every
+    web-scraped training corpus runs before anything else. Pure chained
+    regexp_replace: JVM-side, codegen'd, one corpus scan at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col) -> list[Column]:
+    """Per-category PII hit counts (pre-scrub audit signal): one
+    ``n_<category>`` column per PII_PATTERNS entry."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+# ------------------------------------------------------------------- chunking
+
+def chunk_text(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Sliding-window token chunking — the RAG-indexing / context-packing
+    primitive: each document explodes into overlapping windows of
+    ``chunk_tokens`` whitespace tokens advancing by ``chunk_tokens −
+    overlap``. Returns (id, chunk_id, n_tokens, chunk); the final chunk may
+    be short; zero-token docs emit nothing.
+
+    All JVM expressions (split/sequence/posexplode/slice/array_join): the
+    explode fans out rows but shuffles nothing — chunking stays inside the
+    scan stage at any corpus size."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_text: need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    src = (
+        # blank docs drop BEFORE the split: split(trim('')) yields [''],
+        # which would otherwise emit one empty chunk
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, tokens(F.col(text_col)).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    chunk = F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens)
+    return (
+        src.select(id_col, "__t", F.posexplode(starts).alias("chunk_id", "__s"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk"),
+        )
+    )

@@ -559,3 +559,54 @@ def test_cosine_topk_hnsw_gate_or_parity(embeddings):
         for r in S.cosine_topk(embeddings, qs, k=1).collect()
     }
     assert got == exact
+
+
+def test_scrub_pii_masks_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@my-site.org now"),
+            (2, "call 555-123-4567 or ssn 123-45-6789"),
+            (3, "host 192.168.0.1 ok"),
+            (4, "clean text 1234"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["s"] for r in df.select("id", T.scrub_pii("text").alias("s")).collect()}
+    assert got == {
+        1: "mail <EMAIL> now",
+        2: "call <PHONE> or ssn <SSN>",
+        3: "host <IP> ok",
+        4: "clean text 1234",
+    }
+    counts = df.select("id", *T.pii_counts("text")).collect()
+    by_id = {r["id"]: (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) for r in counts}
+    assert by_id == {1: (1, 0, 0, 0), 2: (0, 1, 1, 0), 3: (0, 0, 0, 1), 4: (0, 0, 0, 0)}
+
+
+def test_chunk_text_windows_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, "   "),  # blank: no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.chunk_text(df, chunk_tokens=4, overlap=2).collect()
+    assert not any(r["doc_id"] == 3 for r in out)
+    one = sorted(
+        ((r["chunk_id"], r["n_tokens"], r["chunk"]) for r in out if r["doc_id"] == 1)
+    )
+    # starts 0,2,4,6,8 → windows of 4 (last is short)
+    assert [c[0] for c in one] == [0, 1, 2, 3, 4]
+    assert [c[1] for c in one] == [4, 4, 4, 4, 2]
+    assert one[0][2] == "w0 w1 w2 w3" and one[1][2] == "w2 w3 w4 w5"
+    assert one[4][2] == "w8 w9"
+    # every token of every doc appears in at least one chunk
+    covered = set()
+    for r in out:
+        if r["doc_id"] == 1:
+            covered.update(r["chunk"].split())
+    assert covered == {f"w{i}" for i in range(10)}
+    with pytest.raises(ValueError, match="overlap"):
+        T.chunk_text(df, chunk_tokens=4, overlap=4)
