@@ -228,44 +228,35 @@ def sparse_lookup(left, right, suffixes=("_1", "_2")):
     return PairSCollection(out, keys, left.context)
 
 
-def large_hash_join(
-    left: DataFrame,
+def build_kv_store(
     right: DataFrame,
     key_col: str,
-    how: str = "inner",
+    store_dir: str | None = None,
     n_shards: int = 16,
-    shard_dir: str | None = None,
-) -> DataFrame:
-    """largeHashJoin / Sparkey side-input join (scio-extra sparkey
-    SCollectionSyntax ``asLargeMapSideInput``; sharded parallel build =
-    sparkey/instances/ShardedSparkeyReader.scala): the RHS is too big to
-    broadcast as an in-memory map but fits on worker DISK as a static KV
-    store.
+) -> str:
+    """Build a PERSISTENT sharded disk KV store from a DataFrame — the
+    Sparkey artifact half of scio's ``asLargeMapSideInput`` (scio-extra
+    sparkey SCollectionSyntax; sharded parallel build =
+    sparkey/instances/ShardedSparkeyReader.scala). Build once, probe from
+    any number of later jobs via ``kv_store_join`` — the side-input reuse
+    pattern Sparkey exists for.
 
-    Build is fully DISTRIBUTED: the RHS is hash-repartitioned on
+    Fully DISTRIBUTED: the input is hash-repartitioned on
     ``pmod(xxhash64(key), n_shards)`` and each task writes the sqlite KV
     shard(s) for the shard ids it owns (every shard id lands wholly in one
     task, so each file has a single writer; files land atomically via
-    os.replace, making task retries idempotent). No RHS row ever passes
-    through the driver — it only registers the finished shard files with
-    ``SparkContext.addFile`` (the DistCache path — each executor downloads
-    each shard once). On a multi-node cluster pass ``shard_dir`` on shared
-    storage.
-
-    Probe is BATCHED per Arrow chunk: the shard id is computed JVM-side with
-    the same xxhash64 expression, each chunk's unique keys are looked up with
-    chunked ``IN`` queries against the (indexed) owning shards, and matches
-    attach via a vectorized pandas merge — no per-row SQL.
+    os.replace, making task retries idempotent). No row ever passes through
+    the driver; the driver writes only ``_manifest.json`` (key column,
+    shard list, value schema) after the build action completes. On a
+    multi-node cluster ``store_dir`` must be shared storage.
 
     Encoding: keys are stored as JSON text with ``default=str`` — used ONLY
-    for equality, and both sides derive it from the same Arrow→pandas value,
-    so the coercion is symmetric. Values are pickled (type-preserving), so
-    date/timestamp/Decimal/binary/array RHS columns round-trip to their
-    declared Spark types instead of degrading to strings at probe time.
+    for equality, and build and probe derive it from the same Arrow→pandas
+    value, so the coercion is symmetric. Values are pickled
+    (type-preserving), so date/timestamp/Decimal/binary/array columns
+    round-trip to their declared Spark types at probe time.
 
-    LHS never shuffles — the same property as hash_join, at RHS sizes beyond
-    spark.sql.autoBroadcastJoinThreshold. ``how``: inner or left. Multiple
-    RHS rows per key emit one output row per match."""
+    Returns ``store_dir``."""
     import json
     import os
     import pickle
@@ -275,17 +266,11 @@ def large_hash_join(
 
     import pandas as pd
 
-    if how not in ("inner", "left"):
-        raise ValueError("large_hash_join supports how='inner'|'left'")
-    spark = left.sparkSession
-    rhs_cols = [c for c in right.columns if c != key_col]
-    tag = f"large_hash_{uuid.uuid4().hex}"
-    out_dir = shard_dir or tempfile.mkdtemp(prefix=tag + "_")
+    tag = f"kv_store_{uuid.uuid4().hex}"
+    out_dir = store_dir or tempfile.mkdtemp(prefix=tag + "_")
     os.makedirs(out_dir, exist_ok=True)
+    rhs_cols = [c for c in right.columns if c != key_col]
     shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
-
-    def _kjson(v):
-        return json.dumps(v, default=str)
 
     def build(batches):
         """One sqlite file per shard id present in this task's partition
@@ -307,13 +292,14 @@ def large_hash_join(
             ks = pdf[key_col].tolist()
             shards = pdf["__shard"].tolist()
             vcols = [pdf[c].tolist() for c in rhs_cols]
-            per_shard: dict[int, list[tuple[str, str]]] = {}
+            per_shard: dict[int, list[tuple[str, bytes]]] = {}
             for i, (k, s) in enumerate(zip(ks, shards)):
                 per_shard.setdefault(int(s), []).append(
                     (
-                        _kjson(k),
+                        json.dumps(k, default=str),
                         pickle.dumps(
-                            [col[i] for col in vcols], protocol=pickle.HIGHEST_PROTOCOL
+                            [col[i] for col in vcols],
+                            protocol=pickle.HIGHEST_PROTOCOL,
                         ),
                     )
                 )
@@ -330,19 +316,78 @@ def large_hash_join(
         right.withColumn("__shard", shard_expr)
         .repartition(n_shards, "__shard")
         .mapInPandas(build, "shard int")
-        .collect()  # shard ids only — no RHS rows reach the driver
+        .collect()  # shard ids only — no rows reach the driver
     )
-    present = frozenset(int(r["shard"]) for r in built)
-    for s in present:
-        spark.sparkContext.addFile(os.path.join(out_dir, f"{tag}_shard_{s}.db"))
+    manifest = {
+        "key_col": key_col,
+        "n_shards": n_shards,
+        "tag": tag,
+        "shards": sorted(int(r["shard"]) for r in built),
+        "value_cols": rhs_cols,
+        "value_schema": json.loads(
+            right.select(*rhs_cols).schema.json()
+        ) if rhs_cols else {"type": "struct", "fields": []},
+    }
+    mtmp = os.path.join(out_dir, f"_manifest.json.tmp.{os.getpid()}")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, os.path.join(out_dir, "_manifest.json"))
+    return out_dir
 
+
+def kv_store_join(
+    left: DataFrame,
+    store_dir: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Probe a ``build_kv_store`` artifact — the lookup half of scio's
+    Sparkey side-input join. The store is registered via
+    ``SparkContext.addFile`` (the DistCache path: each executor downloads
+    each shard once, then every task reads locally, across any number of
+    joins in the session).
+
+    Probe is BATCHED per Arrow chunk: the shard id is computed JVM-side
+    with the same xxhash64 expression the build used, each chunk's unique
+    keys are looked up with chunked ``IN`` queries against the (indexed)
+    owning shards, and matches attach via a vectorized pandas merge — no
+    per-row SQL. The LHS never shuffles. ``how``: inner or left; multiple
+    stored rows per key emit one output row per match."""
+    import json
+    import os
+    import pickle
+    import sqlite3
+
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if how not in ("inner", "left"):
+        raise ValueError("kv_store_join supports how='inner'|'left'")
+    with open(os.path.join(store_dir, "_manifest.json")) as f:
+        man = json.load(f)
+    key_col, tag = man["key_col"], man["tag"]
+    rhs_cols = man["value_cols"]
+    present = frozenset(man["shards"])
+    value_schema = StructType.fromJson(man["value_schema"])
+    if key_col not in left.columns:
+        raise ValueError(
+            f"kv_store_join: probe side has no column {key_col!r} "
+            f"(store was built on it)"
+        )
+
+    spark = left.sparkSession
+    for s in present:
+        spark.sparkContext.addFile(os.path.join(store_dir, f"{tag}_shard_{s}.db"))
+
+    shard_expr = F.pmod(
+        F.xxhash64(F.col(key_col)), F.lit(man["n_shards"])
+    ).cast("int")
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
-    ) + ", " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in right.schema.fields
-        if f.name != key_col
     )
+    if value_schema.fields:
+        out_schema += ", " + ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in value_schema.fields
+        )
     lhs_cols = list(left.columns)
 
     def probe(batches):
@@ -361,7 +406,9 @@ def large_hash_join(
                 if not len(pdf):
                     yield pd.DataFrame(columns=lhs_cols + rhs_cols)
                     continue
-                keys_json = [_kjson(k) for k in pdf[key_col].tolist()]
+                keys_json = [
+                    json.dumps(k, default=str) for k in pdf[key_col].tolist()
+                ]
                 shards = pdf["__shard"].tolist()
                 by_shard: dict[int, set] = {}
                 for kj, s in zip(keys_json, shards):
@@ -402,6 +449,26 @@ def large_hash_join(
                 c.close()
 
     return left.withColumn("__shard", shard_expr).mapInPandas(probe, out_schema)
+
+
+def large_hash_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    how: str = "inner",
+    n_shards: int = 16,
+    shard_dir: str | None = None,
+) -> DataFrame:
+    """largeHashJoin / Sparkey side-input join (scio-extra sparkey
+    SCollectionSyntax ``asLargeMapSideInput``): the RHS is too big to
+    broadcast as an in-memory map but fits on worker DISK as a static KV
+    store. One-shot composition of ``build_kv_store`` (distributed sharded
+    sqlite build, no driver rows) + ``kv_store_join`` (Arrow-batched
+    indexed probe, LHS never shuffles) — build the store separately to
+    reuse it across jobs, the actual Sparkey pattern."""
+    store = build_kv_store(right, key_col, store_dir=shard_dir, n_shards=n_shards)
+    return kv_store_join(left, store, how=how)
+
 
 
 def asof_join(

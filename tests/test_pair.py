@@ -426,3 +426,28 @@ def test_large_hash_join_preserves_value_types(spark, tmp_path):
     # left-outer nulls in typed columns survive too
     lo = J.large_hash_join(left, right, "key", how="left").collect()
     assert {r["key"]: r["d"] for r in lo}["c"] is None
+
+
+def test_kv_store_build_once_probe_many(spark, tmp_path):
+    """The Sparkey pattern proper: one distributed store build, multiple
+    later joins probe the same on-disk artifact (manifest-driven — no
+    handle to the build-side DataFrame needed)."""
+    right = spark.createDataFrame(
+        [("a", "p"), ("b", "q"), ("b", "r")], ["key", "w"]
+    )
+    store = J.build_kv_store(right, "key", store_dir=str(tmp_path / "store"))
+    import os
+
+    assert os.path.exists(os.path.join(store, "_manifest.json"))
+
+    l1 = spark.createDataFrame([("a", 1), ("b", 2), ("x", 3)], ["key", "v"])
+    got1 = sorted(tuple(r) for r in J.kv_store_join(l1, store).collect())
+    assert got1 == sorted(tuple(r) for r in l1.join(right, "key").collect())
+
+    l2 = spark.createDataFrame([("b", 9)], ["key", "v2"])  # different schema
+    got2 = sorted(tuple(r) for r in J.kv_store_join(l2, store, how="left").collect())
+    assert got2 == [("b", 9, "q"), ("b", 9, "r")]
+
+    bad = spark.createDataFrame([(1,)], ["nope"])
+    with pytest.raises(ValueError, match="no column"):
+        J.kv_store_join(bad, store)
