@@ -1,6 +1,7 @@
-"""Training-data curation pipeline: quality-filter → exact dedup →
-near-dup clustering (canonical survivor per duplicate group) → train/val
-split → eval-set decontamination → deterministic training shards.
+"""Training-data curation pipeline: PII scrub → quality-filter → exact
+dedup → near-dup clustering (canonical survivor per duplicate group) →
+train/val split → eval-set decontamination → sequence packing →
+deterministic training shards (+ a RAG chunk index on the side).
 
 The canonical LLM-data flow this engine is built for (BASELINE.json north
 star). Run: python examples/dedup_pipeline.py [sf_dir] [out_dir]
@@ -17,6 +18,8 @@ from scio_spark.functions import dedup as D  # noqa: E402
 from scio_spark.functions import text as T  # noqa: E402
 from scio_spark.functions.training import (  # noqa: E402
     hash_split,
+    pack_sequences,
+    training_shuffle,
     write_training_shards,
 )
 
@@ -29,6 +32,11 @@ def main():
 
     docs = ctx.parquet_file(f"{sf_dir}/documents.parquet").df
     n0 = docs.count()
+
+    # 0. PII redaction FIRST — nothing downstream (dedup hashes, shards,
+    # chunk indexes) should ever see raw emails/phones/IPs. Pure chained
+    # regexp_replace: fuses into the same scan as step 1.
+    docs = docs.withColumn("text", T.scrub_pii("text"))
 
     # 1. quality gate (pure expressions, one scan)
     scored = docs.withColumn("quality", T.quality_score("text")).withColumn(
@@ -64,12 +72,29 @@ def main():
     clean = train.join(dirty, "doc_id", "left_anti")
     n4 = clean.count()
 
-    # 6. reproducible shard layout for the trainer (one exchange)
+    # 6. shuffle deterministically, pack documents into context windows
+    # (greedy token-budget packing, partition-local — zero shuffle), and
+    # write the reproducible shard layout for the trainer (one exchange)
+    packed = pack_sequences(
+        training_shuffle(clean.select("doc_id", "text"), "doc_id", seed=7),
+        token_budget=2048,
+    )
+    n5 = packed.count()
     write_training_shards(clean, f"{out}/train", 8, "doc_id", seed=7)
+    packed.write.mode("overwrite").parquet(f"{out}/packed")
     val.write.mode("overwrite").parquet(f"{out}/val")
+
+    # 7. side artifact: RAG chunk index over the curated corpus
+    # (sliding 64-token windows, exchange-free)
+    T.chunk_text(clean, chunk_tokens=64, overlap=16).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/chunks")
+
     print(
         f"{n0} docs → quality {n1} → exact-dedup {n2} → cluster-dedup {n3} "
-        f"→ decontaminated {n4}; shards at {out}/train, val at {out}/val"
+        f"→ decontaminated {n4} → {n5} packed sequences; shards at "
+        f"{out}/train, packed at {out}/packed, val at {out}/val, "
+        f"chunk index at {out}/chunks"
     )
 
 
