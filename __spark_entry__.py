@@ -527,18 +527,21 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TEXT_FEATURES = r"""
+WITH f AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS n_tokens
+  FROM documents
+)
 SELECT doc_id,
-  CASE WHEN len(trim(text)) = 0 THEN 0
-       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+  n_tokens,
   len(text) AS n_chars_m,
-  CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0 THEN 0.0
-       ELSE len(regexp_replace(trim(text), '\s+', '', 'g'))
-            / (CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) END AS mean_wlen,
+  CASE WHEN n_tokens = 0 THEN 0.0
+       ELSE len(regexp_replace(trim(text), '\s+', '', 'g')) / n_tokens
+  END AS mean_wlen,
   CASE WHEN len(text) = 0 THEN 0.0
        ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / len(text) END AS punct_ratio
-FROM documents
+FROM f
 """
 
 
@@ -556,7 +559,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_QUALITY = r"""
 WITH f AS (
   SELECT doc_id,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS n,
     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
         t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS sw,
     len(regexp_replace(trim(text), '\s+', '', 'g')) AS chars_nospace,
@@ -632,8 +636,9 @@ def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FINGERPRINT = r"""
-SELECT md5(array_to_string(list_sort(list_distinct(
-         regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp,
+SELECT md5(array_to_string(list_sort(list_distinct(list_filter(
+         regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))), ' '))
+         AS fp,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
 """
@@ -2217,10 +2222,12 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_CHUNKS = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+           AS t
+  FROM documents
 ), nn AS (
-  SELECT doc_id, t, len(t) AS n FROM toks
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
 )
 SELECT doc_id,
        CAST(s / 24 AS INT) AS chunk_id,

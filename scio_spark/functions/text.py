@@ -29,15 +29,18 @@ QUALITY_WEIGHTS = (0.25, 0.35, 0.25, 0.15)
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenization (regex split of trimmed text)."""
+    """Whitespace tokenization: regex split with empty tokens filtered out.
+    The filter matters at the edges — Spark's ``trim`` strips only SPACES,
+    so tab/newline-led text would otherwise yield a leading '' token
+    (``"\\t1"`` → ``['', '1']``), found by the chunking property test."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
 
 
 def token_count(col) -> Column:
-    """Token count; empty/blank text counts 0."""
+    """Token count; blank/whitespace-only text counts 0."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+    return F.size(tokens(c))
 
 
 def char_count(col) -> Column:
@@ -327,11 +330,11 @@ def chunk_text(
         raise ValueError("chunk_text: need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
     src = (
-        # blank docs drop BEFORE the split: split(trim('')) yields [''],
-        # which would otherwise emit one empty chunk
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .select(id_col, tokens(F.col(text_col)).alias("__t"))
+        df.select(id_col, tokens(F.col(text_col)).alias("__t"))
         .withColumn("__n", F.size("__t"))
+        # tokens() filters empty tokens, so blank/whitespace-only docs are
+        # exactly the zero-token ones — they emit nothing
+        .filter(F.col("__n") > 0)
     )
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
     chunk = F.slice(F.col("__t"), F.col("__s") + 1, chunk_tokens)

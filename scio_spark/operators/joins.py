@@ -269,6 +269,9 @@ def build_kv_store(
     tag = f"kv_store_{uuid.uuid4().hex}"
     out_dir = store_dir or tempfile.mkdtemp(prefix=tag + "_")
     os.makedirs(out_dir, exist_ok=True)
+    # SQL join semantics: NULL keys never match — drop them at build time
+    # (json-encoding both sides would otherwise equate NULL with NULL)
+    right = right.filter(F.col(key_col).isNotNull())
     rhs_cols = [c for c in right.columns if c != key_col]
     shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
 
@@ -412,7 +415,10 @@ def kv_store_join(
                 shards = pdf["__shard"].tolist()
                 by_shard: dict[int, set] = {}
                 for kj, s in zip(keys_json, shards):
-                    if int(s) in present:
+                    # NULL probe keys have a NULL shard id — never looked
+                    # up (SQL semantics: NULL matches nothing; left keeps
+                    # the row with NULL values, inner drops it)
+                    if not pd.isna(s) and int(s) in present:
                         by_shard.setdefault(int(s), set()).add(kj)
                 hits: list[tuple] = []
                 for s, kset in by_shard.items():

@@ -451,3 +451,27 @@ def test_kv_store_build_once_probe_many(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], ["nope"])
     with pytest.raises(ValueError, match="no column"):
         J.kv_store_join(bad, store)
+
+
+def test_kv_store_join_null_key_semantics(spark, tmp_path):
+    """SQL joins never match NULL keys. The JSON key encoding would equate
+    NULL with NULL ('null' == 'null'), so the build drops NULL-key rows and
+    the probe never looks NULL keys up — pinned against Spark's own join
+    for both inner and left."""
+    left = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], ["key", "v"]
+    )
+    right = spark.createDataFrame(
+        [("a", "p"), (None, "boom"), ("c", "q")], ["key", "w"]
+    )
+    store = J.build_kv_store(right, "key", store_dir=str(tmp_path / "s"))
+    for how in ("inner", "left"):
+        got = sorted(
+            (tuple(r) for r in J.kv_store_join(left, store, how=how).collect()),
+            key=repr,
+        )
+        exp = sorted(
+            (tuple(r) for r in left.join(right, "key", how).collect()),
+            key=repr,
+        )
+        assert got == exp, how

@@ -203,3 +203,68 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc xyz.@-123\t\n")),
+        min_size=0,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=texts, chunk_tokens=st.integers(2, 8), overlap=st.integers(0, 3))
+@settings(**SETTINGS)
+def test_chunk_text_reconstruction_property(spark, docs, chunk_tokens, overlap):
+    """For any text and window config (overlap < chunk_tokens): joining each
+    doc's chunks at stride boundaries reconstructs exactly its token stream —
+    chunking loses nothing, duplicates only the overlap, and never emits an
+    empty chunk."""
+    from scio_spark.functions.text import chunk_text
+
+    overlap = min(overlap, chunk_tokens - 1)
+    step = chunk_tokens - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    out = chunk_text(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    by_doc = {}
+    for r in out:
+        assert r["n_tokens"] > 0 and r["chunk"] != ""
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for i, t in enumerate(docs):
+        toks = t.split()
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = [c for _, c in sorted(by_doc[i])]
+        # stride-prefix of every chunk except the last, then the whole last
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.split()[:step])
+        rebuilt.extend(chunks[-1].split())
+        assert rebuilt == toks, (toks, chunks)
+
+
+@given(doc=st.text(alphabet=st.sampled_from(list("ab @.-0159\n")), max_size=60))
+@settings(**SETTINGS)
+def test_scrub_pii_idempotent_and_digit_free_masks(spark, doc):
+    """scrub ∘ scrub == scrub (masks contain nothing any pattern matches),
+    and a scrubbed text plus injected PII scrubs back to the same text."""
+    from scio_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame([(doc,)], ["t"])
+    once = df.select(scrub_pii("t").alias("s"))
+    twice = once.select(scrub_pii("s").alias("s"))
+    a, b = once.collect()[0]["s"], twice.collect()[0]["s"]
+    assert a == b
+    inj = spark.createDataFrame(
+        [(a + " x@y.io 10.1.2.3 123-45-6789 555-123-4567",)], ["t"]
+    )
+    assert (
+        inj.select(scrub_pii("t").alias("s")).collect()[0]["s"]
+        == a + " <EMAIL> <IP> <SSN> <PHONE>"
+    )
