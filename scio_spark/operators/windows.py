@@ -69,7 +69,12 @@ def with_window_fn(df: DataFrame, windows_expr) -> DataFrame:
     ``windows_expr`` is any Column/SQL producing
     ``array<struct<start timestamp, end timestamp>>`` — an element may land
     in 0..N windows (0 = dropped, N > 1 = replicated), exactly Beam's
-    ``WindowFn.assignWindows`` contract. Rows explode into one row per
+    ``WindowFn.assignWindows`` contract. Match the struct's timestamp
+    flavor to the event-time column's (TIMESTAMP vs TIMESTAMP_NTZ): e.g.
+    ``timestamp_seconds()`` returns session-tz TIMESTAMP, so wrap it in
+    ``CAST(... AS TIMESTAMP_NTZ)`` over NTZ sources — LTZ/NTZ drift in the
+    window bounds hashes differently downstream (the round-4 custom_window
+    driver failure). Rows explode into one row per
     assigned window with window_start/window_end columns, visible to
     Catalyst like every other window here. The runtime half of
     WindowOptions (triggers, pane accumulation) is the documented streaming

@@ -475,3 +475,14 @@ def test_kv_store_join_null_key_semantics(spark, tmp_path):
             key=repr,
         )
         assert got == exp, how
+
+
+def test_kv_store_key_only_semi_join(spark, tmp_path):
+    """A store built from a key-only DataFrame acts as a distributed
+    semi-join filter (no value columns in the manifest or output)."""
+    right = spark.createDataFrame([("a",), ("b",)], ["key"])
+    store = J.build_kv_store(right, "key", store_dir=str(tmp_path / "ko"))
+    left = spark.createDataFrame([("a", 1), ("x", 2)], ["key", "v"])
+    out = J.kv_store_join(left, store)
+    assert out.columns == ["key", "v"]
+    assert [tuple(r) for r in out.collect()] == [("a", 1)]

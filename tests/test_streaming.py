@@ -446,3 +446,30 @@ def test_pane_sink_matches_test_harness_no_driver_rows(fixture, tmp_path, monkey
 
     again = label_panes(fixture.spark, sink, ["team"])
     assert again.count() == labeled.count()
+
+
+def test_write_epoch_trace_overlap_is_idempotent(fixture, tmp_path):
+    """label_panes dedups the epoch trace by epoch (groupBy max), so
+    flushing recentProgress twice — the overlap a production timer hits —
+    must not change labels."""
+    from scio_spark.streaming.core import (
+        label_panes, pane_sink, write_epoch_trace,
+    )
+
+    fixture.add_batch([("u1", "red", 1, ts(1))])
+    fixture.add_batch([("u1", "red", 1, ts(12))])
+    sink = str(tmp_path / "panes")
+    q = pane_sink(
+        fixture.stream(), "event_time", "10 minutes", "30 minutes",
+        ["team"], [F.count(F.lit(1)).alias("n")], sink,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n1 = write_epoch_trace(q, sink)
+    n2 = write_epoch_trace(q, sink)  # same progress again
+    assert n1 == n2 > 0
+    labeled = label_panes(fixture.spark, sink, ["team"]).collect()
+    assert len(labeled) == len({(r["window_start"], r["team"], r["epoch"]) for r in labeled})
+    assert {r["pane_index"] for r in labeled} <= {0, 1}
