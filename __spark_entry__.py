@@ -2259,6 +2259,130 @@ FROM documents GROUP BY source
 """
 
 
+def q_hash_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashIntersectByKey (PairHashSCollectionFunctions.scala:183 —
+    broadcast left_semi): customers whose nation has a high-balance
+    supplier, counted per nation."""
+    sc = _ctx(spark)
+    c = _t(sc, sf_dir, "customer").key_by("c_nationkey")
+    s = _t(sc, sf_dir, "supplier").df.filter("s_acctbal > 5000")
+    rich = sc.custom_input("rich_suppliers", s).key_by(
+        c_nationkey="s_nationkey"
+    )
+    return (
+        c.hash_intersect_by_key(rich)
+        .df.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_HASH_INTERSECT = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+GROUP BY c_nationkey
+"""
+
+
+def q_hash_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashSubtractByKey (PairHashSCollectionFunctions.scala:210 —
+    broadcast left_anti): customers whose nation has NO high-balance
+    supplier, counted per nation."""
+    sc = _ctx(spark)
+    c = _t(sc, sf_dir, "customer").key_by("c_nationkey")
+    s = _t(sc, sf_dir, "supplier").df.filter("s_acctbal > 5000")
+    rich = sc.custom_input("rich_suppliers", s).key_by(
+        c_nationkey="s_nationkey"
+    )
+    return (
+        c.hash_subtract_by_key(rich)
+        .df.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_HASH_SUBTRACT = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+WHERE c_nationkey NOT IN
+      (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+GROUP BY c_nationkey
+"""
+
+
+def q_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupByKey (PairSCollectionFunctions.scala:790) — values into an
+    array per key (sorted afterwards for a deterministic hash; collect_list
+    order is partition-dependent)."""
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").key_by("n_regionkey")
+    grouped = sc.custom_input(
+        "nation_names", n.df.select("n_regionkey", "n_name")
+    ).key_by("n_regionkey").group_by_key()
+    return grouped.df.select(
+        "n_regionkey", F.array_sort("values").alias("names")
+    )
+
+
+ORACLE_GROUP_BY_KEY = """
+SELECT n_regionkey, list_sort(list(n_name)) AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_combine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine / combineByKey generic fallback (SCollection.scala:540 →
+    pair.combine_by_key_pandas): per-key Arrow-batched pandas group map.
+    Combiner computes order-insensitive exact stats (count + max)."""
+    import pandas as pd
+
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").key_by("o_orderpriority")
+
+    def combiner(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "max_price": [float(pdf["o_totalprice"].max())],
+            }
+        )
+
+    return o.combine_by_key_pandas(
+        combiner, "o_orderpriority string, n_orders long, max_price double"
+    ).df
+
+
+ORACLE_COMBINE_PANDAS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_pane_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withPaneInfo batch mode (SCollection.scala:1307): bounded pipelines
+    fire one final pane per window — ON_TIME, index 0, first and last —
+    attached to a fixed-window aggregate."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    agg = W.fixed_window_agg(
+        ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")]
+    ).select("window_start", "event_type", "n")
+    return W.with_pane_info(agg)
+
+
+ORACLE_PANE_INFO = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       'ON_TIME' AS pane_timing, CAST(0 AS BIGINT) AS pane_index,
+       TRUE AS pane_is_first, TRUE AS pane_is_last
+FROM events GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2268,7 +2392,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 83 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 88 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2337,7 +2461,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
-        # -- past the 50-row window: green in CORRECTNESS_r04, unchanged ----
+        # -- past the 50-row window. First: NEW in r5 (locally value-exact;
+        # -- r6-window priority — the window budget went to stale re-checks)
+        "hash_intersect": q_hash_intersect,
+        "hash_subtract": q_hash_subtract,
+        "group_by_key": q_group_by_key,
+        "combine_pandas": q_combine_pandas,
+        "pane_info": q_pane_info,
+        # -- green in CORRECTNESS_r04, unchanged ----------------------------
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
@@ -2456,6 +2587,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": ORACLE_PII_SCRUB,
         "text_chunks": ORACLE_TEXT_CHUNKS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "hash_intersect": ORACLE_HASH_INTERSECT,
+        "hash_subtract": ORACLE_HASH_SUBTRACT,
+        "group_by_key": ORACLE_GROUP_BY_KEY,
+        "combine_pandas": ORACLE_COMBINE_PANDAS,
+        "pane_info": ORACLE_PANE_INFO,
         "streaming_session": ORACLE_STREAMING_SESSION,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
