@@ -2383,6 +2383,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_keyed_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapValues/mapKeys/flatMapValues/filterValues/swap family
+    (PairSCollectionFunctions.scala:743-1152) composed in one pipeline:
+    nation keyed by name → mapKeys(lower) → flatMapValues(2 copies) →
+    filterValues → mapValues(region offset) → swap, counted per new key."""
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").key_by("n_name")
+    out = (
+        n.map_keys(kname="lower(n_name)")
+        .flat_map_values(F.expr("array(n_regionkey, n_regionkey + 10)"), "rk")
+        .filter_values("rk < 13")
+        .map_values(rk2="rk * 2")
+        .swap()
+    )
+    return out.df.groupBy("rk2").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_KEYED_VARIANTS = """
+WITH fl AS (
+  SELECT lower(n_name) AS kname, u.rk
+  FROM nation, UNNEST([n_regionkey, n_regionkey + 10]) AS u(rk)
+)
+SELECT rk * 2 AS rk2, COUNT(*) AS n FROM fl WHERE rk < 13 GROUP BY 1
+"""
+
+
+def q_map_with_resource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapWithResource (SCollectionWithResourceSyntax.scala:37-64): a
+    per-task resource (here a deterministic code table) applied to Arrow
+    batches; rows map through the resource exactly once."""
+    from scio_spark.operators.enrich import map_with_resource
+
+    sc = _ctx(spark)
+    r = _t(sc, sf_dir, "region").df.select("r_regionkey", "r_name")
+
+    def make_table():
+        return {i: f"zone_{i % 3}" for i in range(64)}
+
+    def apply(table, pdf):
+        pdf = pdf.copy()
+        pdf["zone"] = [table[int(k)] for k in pdf["r_regionkey"]]
+        return pdf[["r_regionkey", "r_name", "zone"]]
+
+    return map_with_resource(
+        r, make_table, apply, "r_regionkey long, r_name string, zone string"
+    )
+
+
+ORACLE_MAP_WITH_RESOURCE = """
+SELECT r_regionkey, r_name,
+       'zone_' || CAST(r_regionkey % 3 AS VARCHAR) AS zone
+FROM region
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2392,7 +2447,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 88 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 90 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2468,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_key": q_group_by_key,
         "combine_pandas": q_combine_pandas,
         "pane_info": q_pane_info,
+        "keyed_variants": q_keyed_variants,
+        "map_with_resource": q_map_with_resource,
         # -- green in CORRECTNESS_r04, unchanged ----------------------------
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
@@ -2592,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
         "group_by_key": ORACLE_GROUP_BY_KEY,
         "combine_pandas": ORACLE_COMBINE_PANDAS,
         "pane_info": ORACLE_PANE_INFO,
+        "keyed_variants": ORACLE_KEYED_VARIANTS,
+        "map_with_resource": ORACLE_MAP_WITH_RESOURCE,
         "streaming_session": ORACLE_STREAMING_SESSION,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
