@@ -2438,6 +2438,226 @@ FROM region
 """
 
 
+# -------------------------------------------------- IO round-trip oracles
+# Each query writes a deterministic subset through a scio_spark sink, reads
+# it back through the matching source, and aggregates/projets — while the
+# oracle computes the same result straight from the original parquet. A
+# value-hash match therefore proves the WRITE→READ path is lossless, not
+# just that the code runs (upgrades SURVEY §2.6 rows from pytest-only to
+# oracle-checked).
+
+
+def _rt_path(sf_dir: str, name: str) -> str:
+    import os
+
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/scio_spark_rt/{sf}/{name}"
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (scio-extra CsvIO.scala:26-54;
+    SCollection.saveAsCsvFile). Doubles survive because Spark writes
+    shortest-round-trip representations; the aggregate is decimal-staged so
+    the sum is partition-order independent in both engines."""
+    path = _rt_path(sf_dir, "csv")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "lineitem")
+        .df.filter("l_orderkey % 10 = 0")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    sc.custom_input("csv_rt_in", sub).save_as_csv_file(path)
+    back = sc.csv_file(
+        path,
+        schema="l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string",
+    ).df
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag
+"""
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip (scio-extra JsonIO.scala:32;
+    SCollection.saveAsJsonFile) with an explicit read schema (no inference
+    drift)."""
+    path = _rt_path(sf_dir, "json")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "orders")
+        .df.filter("o_orderkey % 8 = 0")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    sc.custom_input("json_rt_in", sub).save_as_json_file(path)
+    back = sc.json_file(
+        path, schema="o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).df
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+ORACLE_JSON_ROUNDTRIP = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders WHERE o_orderkey % 8 = 0 GROUP BY o_orderpriority
+"""
+
+
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sink+source round-trip (ScioContext.scala:810 textFile /
+    SCollection.scala:1629 saveAsTextFile): rows serialized to delimited
+    lines, parsed back field-exact."""
+    path = _rt_path(sf_dir, "text")
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").df
+    lines = n.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_regionkey").cast("string"),
+            F.col("n_name"),
+        ).alias("value")
+    )
+    sc.custom_input("text_rt_in", lines).save_as_text_file(path)
+    back = sc.text_file(path).df
+    p = F.split(F.col("value"), r"\|")
+    return back.select(
+        p.getItem(0).cast("int").alias("n_nationkey"),
+        p.getItem(1).cast("int").alias("n_regionkey"),
+        p.getItem(2).alias("n_name"),
+    )
+
+
+ORACLE_TEXT_ROUNDTRIP = """
+SELECT n_nationkey, n_regionkey, n_name FROM nation
+"""
+
+
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord codec round-trip (scio-tensorflow TFRecordIO.scala /
+    TFRecordCodec.scala): UTF-8 document payloads framed with masked
+    CRC-32C, written one file per partition, decoded back with checksum
+    verification. Per-record byte length + sha256 prove payload fidelity."""
+    from scio_spark.sources import formats as Fmt
+
+    path = _rt_path(sf_dir, "tfrecord")
+    sc = _ctx(spark)
+    d = (
+        _t(sc, sf_dir, "documents")
+        .df.filter("doc_id % 5 = 0")
+        .select(F.encode("text", "UTF-8").alias("payload"))
+    )
+    Fmt.save_as_tfrecord(d, "payload", path)
+    back = Fmt.read_tfrecord(spark, path)
+    return back.select(
+        F.length("record").cast("long").alias("n_bytes"),
+        F.sha2(F.col("record"), 256).alias("sha"),
+    )
+
+
+ORACLE_TFRECORD_ROUNDTRIP = """
+SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed binary sink+source round-trip (scio-core io/BinaryIO.scala:
+    header ⧺ [u32-LE length][payload]* ⧺ footer, executor-side writes):
+    decoded records compared string-exact against the source column."""
+    from scio_spark.sources import formats as Fmt
+
+    path = _rt_path(sf_dir, "binary")
+    sc = _ctx(spark)
+    part = (
+        _t(sc, sf_dir, "part")
+        .df.filter("p_partkey % 4 = 0")
+        .select(F.encode("p_name", "UTF-8").alias("payload"))
+    )
+    Fmt.save_as_binary_file(part, "payload", path, header=b"SCIO", footer=b"END")
+    back = Fmt.read_binary_file(spark, path, header=b"SCIO", footer=b"END")
+    return back.select(F.decode("record", "UTF-8").alias("record_text"))
+
+
+ORACLE_BINARY_ROUNDTRIP = """
+SELECT p_name AS record_text FROM part WHERE p_partkey % 4 = 0
+"""
+
+
+def q_object_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-file round-trip (scio-avro ObjectFileIO analog: pickled
+    payloads in a binary parquet column, formats.object_file_df): the
+    opaque column is unpickled back and must equal the original values."""
+    import pickle
+
+    from scio_spark.sources import formats as Fmt
+
+    path = _rt_path(sf_dir, "object")
+    sc = _ctx(spark)
+    n = _t(sc, sf_dir, "nation").df.select("n_nationkey", "n_name")
+    Fmt.object_file_df(n, ["n_name"], path)
+    back = spark.read.parquet(path)
+    unpickle = F.udf(lambda b: pickle.loads(bytes(b)), "string")
+    return back.select(
+        "n_nationkey", unpickle(F.col("n_name")).alias("n_name")
+    )
+
+
+ORACLE_OBJECT_ROUNDTRIP = """
+SELECT n_nationkey, n_name FROM nation
+"""
+
+
+def q_dynamic_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic destinations round-trip (scio-core io/dynamic/: per-record
+    output path from record fields → Spark-native partitionBy, hive-style
+    layout). The read-back filter on the partition column is satisfied by
+    directory pruning — no data files outside the matching partitions are
+    touched."""
+    from scio_spark.sources import formats as Fmt
+
+    path = _rt_path(sf_dir, "dynamic")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "orders")
+        .df.filter("o_orderkey % 16 = 0")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    Fmt.save_dynamic(sub, path, ["o_orderpriority"])
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+ORACLE_DYNAMIC_DESTINATIONS = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_orderkey % 16 = 0 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2447,7 +2667,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 90 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 97 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2456,11 +2676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    3. 13 of the riskiest/most-expensive r4-green queries as fillers.
+    2b. the 10 queries NEW in round 5 (pii/chunk/stratified + the seven
+        §2.6 IO round-trip oracles);
+    3. 3 of the riskiest/most-expensive r4-green queries as fillers.
 
-    The 30 rotated out are all green in CORRECTNESS_r04 and unchanged this
+    Everything rotated out is green in CORRECTNESS_r04 and unchanged this
     round; after r5 every query's latest driver row is ≤1 round old.
-    tools/check_oracle.py still value-checks all 80 every round."""
+    tools/check_oracle.py still value-checks all 97 every round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
@@ -2505,19 +2727,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "text_chunks": q_text_chunks,
         "stratified_sample": q_stratified_sample,
+        # -- (2c) NEW in round 5: IO round-trip oracles (§2.6 upgrades) -----
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "text_roundtrip": q_text_roundtrip,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "binary_roundtrip": q_binary_roundtrip,
+        "object_roundtrip": q_object_roundtrip,
+        "dynamic_destinations": q_dynamic_destinations,
         # -- (3) riskiest r4-green fillers ----------------------------------
         "stateful_stream": q_stateful_stream,
+        "ann_ivf": q_ann_ivf,
+        "dedup_simhash": q_dedup_simhash,
+        # -- past the 50-row window. First: NEW in r5 (locally value-exact;
+        # -- r6-window priority — the window budget went to stale re-checks)
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
-        # -- past the 50-row window. First: NEW in r5 (locally value-exact;
-        # -- r6-window priority — the window budget went to stale re-checks)
         "hash_intersect": q_hash_intersect,
         "hash_subtract": q_hash_subtract,
         "group_by_key": q_group_by_key,
@@ -2652,6 +2882,13 @@ def oracle_sql() -> dict[str, str]:
         "keyed_variants": ORACLE_KEYED_VARIANTS,
         "map_with_resource": ORACLE_MAP_WITH_RESOURCE,
         "streaming_session": ORACLE_STREAMING_SESSION,
+        "csv_roundtrip": ORACLE_CSV_ROUNDTRIP,
+        "json_roundtrip": ORACLE_JSON_ROUNDTRIP,
+        "text_roundtrip": ORACLE_TEXT_ROUNDTRIP,
+        "tfrecord_roundtrip": ORACLE_TFRECORD_ROUNDTRIP,
+        "binary_roundtrip": ORACLE_BINARY_ROUNDTRIP,
+        "object_roundtrip": ORACLE_OBJECT_ROUNDTRIP,
+        "dynamic_destinations": ORACLE_DYNAMIC_DESTINATIONS,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

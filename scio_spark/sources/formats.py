@@ -182,13 +182,20 @@ def save_as_binary_file(
     manifest rows (file, n_records, n_bytes); the write is the action.
 
     Paths here are local/NFS (the test env); an object-store deployment
-    swaps the ``open`` for pyarrow.fs with the same framing."""
+    swaps the ``open`` for pyarrow.fs with the same framing.
+
+    Overwrite semantics: pre-existing ``*{suffix}`` files under ``path`` are
+    removed first (task files are uuid-named, so without this a re-run would
+    APPEND records instead of replacing them)."""
+    import glob
     import os
     import uuid
 
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+        os.remove(old)
 
     def gen(batches: Iterator[pd.DataFrame]):
         recs: list[bytes] = []

@@ -144,6 +144,19 @@ def test_binary_file_framed_roundtrip(spark, tmp_path):
     assert got == sorted(p for _, p in data)
 
 
+def test_binary_file_overwrite_on_rerun(spark, tmp_path):
+    """Task files are uuid-named; a re-run must REPLACE the dataset, not
+    append to it (bench runs every query cold+warm)."""
+    from scio_spark.sources.formats import read_binary_file, save_as_binary_file
+
+    df = spark.createDataFrame([(bytes([i]),) for i in range(7)], ["payload"])
+    out = str(tmp_path / "framed_rerun")
+    save_as_binary_file(df, "payload", out)
+    save_as_binary_file(df, "payload", out)
+    back = read_binary_file(spark, out)
+    assert back.count() == 7
+
+
 def test_sql_entry_point(sc):
     """ScioContext.sql: named inputs become temp views for the query's
     duration only; result plan is ordinary Catalyst."""
