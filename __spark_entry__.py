@@ -2622,6 +2622,40 @@ SELECT n_nationkey, n_name FROM nation
 """
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink+source round-trip (scio-jdbc jdbcSelect / saveAsJdbc)
+    through the embedded Derby driver Spark bundles — the test-env stand-in
+    for a networked warehouse URL (same code path; a cluster deployment
+    swaps the URL and raises num_partitions for parallel reads with
+    partitionColumn bounds)."""
+    path = _rt_path(sf_dir, "derby")
+    url = f"jdbc:derby:{path};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    sc = _ctx(spark)
+    sup = (
+        _t(sc, sf_dir, "supplier")
+        .df.filter("s_suppkey % 3 = 0")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+    )
+    sc.custom_input("jdbc_rt_in", sup).save_as_jdbc(
+        url, "supplier_rt", num_partitions=1, driver=drv
+    )
+    back = sc.jdbc(url, "supplier_rt", driver=drv).df
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )
+
+
+ORACLE_JDBC_ROUNDTRIP = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey
+"""
+
+
 def q_dynamic_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic destinations round-trip (scio-core io/dynamic/: per-record
     output path from record fields → Spark-native partitionBy, hive-style
@@ -2667,7 +2701,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 97 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 98 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2676,13 +2710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    2b. the 10 queries NEW in round 5 (pii/chunk/stratified + the seven
-        §2.6 IO round-trip oracles);
-    3. 3 of the riskiest/most-expensive r4-green queries as fillers.
+    2b. the 11 queries NEW in round 5 (pii/chunk/stratified + the eight
+        §2.6 IO round-trip oracles incl. embedded-Derby JDBC);
+    3. 2 of the riskiest/most-expensive r4-green queries as fillers.
 
     Everything rotated out is green in CORRECTNESS_r04 and unchanged this
     round; after r5 every query's latest driver row is ≤1 round old.
-    tools/check_oracle.py still value-checks all 97 every round."""
+    tools/check_oracle.py still value-checks all 98 every round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
@@ -2735,12 +2769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_roundtrip": q_binary_roundtrip,
         "object_roundtrip": q_object_roundtrip,
         "dynamic_destinations": q_dynamic_destinations,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
         # -- (3) riskiest r4-green fillers ----------------------------------
         "stateful_stream": q_stateful_stream,
         "ann_ivf": q_ann_ivf,
-        "dedup_simhash": q_dedup_simhash,
         # -- past the 50-row window. First: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
+        "dedup_simhash": q_dedup_simhash,
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
@@ -2889,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_roundtrip": ORACLE_BINARY_ROUNDTRIP,
         "object_roundtrip": ORACLE_OBJECT_ROUNDTRIP,
         "dynamic_destinations": ORACLE_DYNAMIC_DESTINATIONS,
+        "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

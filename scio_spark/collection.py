@@ -502,6 +502,25 @@ class SCollection:
             lambda df: df.write.mode("overwrite").option("header", header).csv(path),
         )
 
+    def save_as_jdbc(
+        self,
+        url: str,
+        table: str,
+        io_id: str | None = None,
+        mode: str = "overwrite",
+        num_partitions: int | None = None,
+        **properties,
+    ) -> None:
+        """saveAsJdbc (scio-jdbc JdbcIO write analog). ``num_partitions``
+        bounds the number of concurrent connections (coalesce before the
+        write); embedded drivers (Derby in tests) want 1."""
+
+        def w(df):
+            d = df.coalesce(num_partitions) if num_partitions else df
+            d.write.jdbc(url, table, mode=mode, properties=dict(properties))
+
+        self._write(io_id or f"jdbc:{table}", w)
+
     def save_as_custom_output(self, io_id: str, writer) -> None:
         """saveAsCustomOutput (SCollection.scala:1740): arbitrary writer fn,
         captured under JobTest like every named sink."""

@@ -144,6 +144,18 @@ def test_binary_file_framed_roundtrip(spark, tmp_path):
     assert got == sorted(p for _, p in data)
 
 
+def test_jdbc_roundtrip_embedded_derby(sc, tmp_path):
+    """saveAsJdbc / jdbcSelect through the Derby jar Spark bundles —
+    overwrite mode must replace the table on re-run."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    t = sc.parallelize([(1, "a"), (2, "b")], schema=["k", "v"])
+    t.save_as_jdbc(url, "kv", num_partitions=1, driver=drv)
+    t.save_as_jdbc(url, "kv", num_partitions=1, driver=drv)
+    back = sc.jdbc(url, "kv", driver=drv)
+    assert sorted(tuple(r) for r in back.df.collect()) == [(1, "a"), (2, "b")]
+
+
 def test_binary_file_overwrite_on_rerun(spark, tmp_path):
     """Task files are uuid-named; a re-run must REPLACE the dataset, not
     append to it (bench runs every query cold+warm)."""
