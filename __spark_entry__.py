@@ -2656,6 +2656,34 @@ FROM supplier WHERE s_suppkey % 3 = 0 GROUP BY s_nationkey
 """
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source round-trip (Spark 4 native spark-xml; bonus IO over
+    the reference's JSON-only semi-structured story). Explicit read schema
+    pins the original column types against XML's infer-everything-as-long."""
+    path = _rt_path(sf_dir, "xml")
+    sc = _ctx(spark)
+    c = (
+        _t(sc, sf_dir, "customer")
+        .df.filter("c_custkey % 6 = 0")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+    )
+    sc.custom_input("xml_rt_in", c).save_as_xml_file(path)
+    back = sc.xml_file(
+        path, schema="c_custkey long, c_nationkey int, c_mktsegment string"
+    ).df
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_nationkey").alias("sum_nation"),
+    )
+
+
+ORACLE_XML_ROUNDTRIP = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation
+FROM customer WHERE c_custkey % 6 = 0 GROUP BY c_mktsegment
+"""
+
+
 def q_dynamic_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic destinations round-trip (scio-core io/dynamic/: per-record
     output path from record fields → Spark-native partitionBy, hive-style
@@ -2701,7 +2729,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 98 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 99 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2710,13 +2738,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    2b. the 11 queries NEW in round 5 (pii/chunk/stratified + the eight
-        §2.6 IO round-trip oracles incl. embedded-Derby JDBC);
-    3. 2 of the riskiest/most-expensive r4-green queries as fillers.
+    2b. the 12 queries NEW in round 5 (pii/chunk/stratified + the nine
+        §2.6 IO round-trip oracles incl. embedded-Derby JDBC and native
+        XML);
+    3. 1 of the riskiest/most-expensive r4-green queries as filler.
 
     Everything rotated out is green in CORRECTNESS_r04 and unchanged this
     round; after r5 every query's latest driver row is ≤1 round old.
-    tools/check_oracle.py still value-checks all 98 every round."""
+    tools/check_oracle.py still value-checks all 99 every round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
@@ -2770,11 +2799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "object_roundtrip": q_object_roundtrip,
         "dynamic_destinations": q_dynamic_destinations,
         "jdbc_roundtrip": q_jdbc_roundtrip,
-        # -- (3) riskiest r4-green fillers ----------------------------------
-        "stateful_stream": q_stateful_stream,
+        "xml_roundtrip": q_xml_roundtrip,
+        # -- (3) riskiest r4-green filler -----------------------------------
         "ann_ivf": q_ann_ivf,
         # -- past the 50-row window. First: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
+        "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
@@ -2925,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "object_roundtrip": ORACLE_OBJECT_ROUNDTRIP,
         "dynamic_destinations": ORACLE_DYNAMIC_DESTINATIONS,
         "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
+        "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

@@ -502,6 +502,16 @@ class SCollection:
             lambda df: df.write.mode("overwrite").option("header", header).csv(path),
         )
 
+    def save_as_xml_file(self, path: str, row_tag: str = "row", io_id: str | None = None):
+        """XML sink (Spark 4 native spark-xml writer)."""
+        self._write(
+            io_id or f"xml:{path}",
+            lambda df: df.write.mode("overwrite")
+            .option("rowTag", row_tag)
+            .format("xml")
+            .save(path),
+        )
+
     def save_as_jdbc(
         self,
         url: str,

@@ -193,6 +193,18 @@ class ScioContext:
                 ) from e
             raise
 
+    def xml_file(self, path: str, row_tag: str = "row", schema=None, io_id: str | None = None):
+        """XML source (Spark 4 native spark-xml). Bonus over the reference's
+        IO inventory — its semi-structured story is JSON-only; an explicit
+        ``schema`` avoids inference widening (XML numbers infer as long)."""
+        sub = self._maybe_test_input(io_id or f"xml:{path}")
+        if sub is not None:
+            return sub
+        reader = self.spark.read.option("rowTag", row_tag)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return self._wrap(reader.format("xml").load(path))
+
     def binary_file(self, path: str, io_id: str | None = None):
         """ScioContext.scala:825 ``binaryFile`` → binaryFile source
         (path, modificationTime, length, content)."""

@@ -144,6 +144,16 @@ def test_binary_file_framed_roundtrip(spark, tmp_path):
     assert got == sorted(p for _, p in data)
 
 
+def test_xml_roundtrip(sc, tmp_path):
+    """Spark-4-native XML sink+source; explicit schema pins int types
+    against XML's infer-as-long."""
+    t = sc.parallelize([(1, "a&b"), (2, "<c>")], schema=["k", "v"])
+    out = str(tmp_path / "xml")
+    t.save_as_xml_file(out)
+    back = sc.xml_file(out, schema="k int, v string")
+    assert sorted(tuple(r) for r in back.df.collect()) == [(1, "a&b"), (2, "<c>")]
+
+
 def test_jdbc_roundtrip_embedded_derby(sc, tmp_path):
     """saveAsJdbc / jdbcSelect through the Derby jar Spark bundles —
     overwrite mode must replace the table on re-run."""
