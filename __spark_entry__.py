@@ -1636,7 +1636,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qs, k=3, n_clusters=8, n_probe=8, sample_fraction=0.5,
         score_decimals=5,
         # probing every list makes the result exact regardless of centroid
-        # quality — train cheap (2 Lloyd iterations)
+        # quality — train cheap (2 local Lloyd iterations on the bounded
+        # collected sample, the faiss-style default)
         max_iter=2,
     )
 

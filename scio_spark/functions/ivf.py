@@ -31,16 +31,54 @@ def _centroids(
     seed: int,
     sample_fraction: float,
     max_iter: int = 8,
+    init_mode: str = "k-means||",
+    trainer: str = "local",
+    train_rows_cap: int = 100_000,
 ):
+    """Coarse-quantizer training. A quantizer doesn't need convergence — a
+    few Lloyd iterations position centroids well enough for probe routing
+    (recall is governed by n_probe, not centroid optimality).
+
+    trainer="local" (default): faiss-style — collect a BOUNDED sample
+    (``limit(train_rows_cap)`` pushed into the scan; 100k×1k-dim ≈ 800 MB
+    worst case, tune the cap down for very wide vectors) and run seeded
+    numpy Lloyd on the driver. This is the standard design even for a
+    100 TB corpus: quantizer training never needs more than a bounded
+    sample, and it avoids Spark ML's multi-job fit overhead (~2 s per fit
+    regardless of data size). Rows are byte-order-sorted before seeding so
+    the result is independent of partition/collect order.
+
+    trainer="ml": distributed pyspark.ml KMeans — for when the training
+    sample itself must stay distributed. init_mode="random" there skips
+    the k-means|| initialization rounds (measured ~4x of the whole fit at
+    small k)."""
+    sample = corpus.sample(False, sample_fraction, seed) if sample_fraction < 1.0 else corpus
+    if trainer == "local":
+        import numpy as np
+
+        rows = sample.select(vec_col).limit(train_rows_cap).collect()
+        mat = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        mat = mat[np.lexsort(mat.T[::-1])]  # collect-order independence
+        rng = np.random.RandomState(seed)
+        if len(mat) <= n_clusters:
+            cents = mat[rng.permutation(len(mat))]
+        else:
+            cents = mat[rng.choice(len(mat), size=n_clusters, replace=False)].copy()
+            for _ in range(max_iter):
+                assign = np.argmax(mat @ cents.T, axis=1)
+                for j in range(len(cents)):
+                    sel = mat[assign == j]
+                    if len(sel):
+                        cents[j] = sel.mean(axis=0)
+        return [list(map(float, c)) for c in cents]
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = corpus.sample(False, sample_fraction, seed) if sample_fraction < 1.0 else corpus
     train = sample.select(array_to_vector(F.col(vec_col)).alias("features"))
-    # a coarse quantizer doesn't need convergence — a few Lloyd iterations
-    # position centroids well enough for probe routing (recall is governed by
-    # n_probe, not centroid optimality)
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
@@ -117,13 +155,18 @@ def build_ivf_index(
     seed: int = 42,
     sample_fraction: float = 1.0,
     max_iter: int = 8,
+    trainer: str = "local",
+    train_rows_cap: int = 100_000,
 ) -> list[list[float]]:
     """Persist the inverted lists as a centroid-PARTITIONED parquet table —
     the 100 TB layout: each query's probe becomes a partition-pruned read
     of n_probe directories instead of a corpus scan. Centroids are stored
     alongside (<path>__centroids as single-file JSON via the same
     filesystem). Returns the centroids."""
-    cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction, max_iter)
+    cents = _centroids(
+        corpus, vec_col, n_clusters, seed, sample_fraction, max_iter,
+        trainer=trainer, train_rows_cap=train_rows_cap,
+    )
     assigned = assign_centroid(corpus.select(id_col, vec_col), vec_col, cents)
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
     spark = corpus.sparkSession
@@ -216,36 +259,90 @@ def cosine_topk_ivf(
     sample_fraction: float = 1.0,
     score_decimals: int | None = None,
     max_iter: int = 8,
+    init_mode: str = "k-means||",
+    trainer: str = "local",
+    train_rows_cap: int = 100_000,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """IVF ANN: (query_id, neighbor_id, score, rank) searching only the
-    n_probe nearest inverted lists per query. Scores come from the exact
-    sequential fold (rounded BEFORE ranking when ``score_decimals`` is set),
-    so with n_probe = n_clusters the output is oracle-exact top-k."""
-    cents = _centroids(corpus, vec_col, n_clusters, seed, sample_fraction, max_iter)
+    n_probe nearest inverted lists per query.
+
+    Two-stage scoring (same shape as similarity.cosine_topk): a numpy GEMM
+    per corpus Arrow batch against the probing queries' matrix produces
+    per-query top-(k+4) CANDIDATES (the routing constraint is enforced by
+    grouping the batch by centroid), then only those candidates get the
+    exact sequential-fold rescore (rounded BEFORE ranking when
+    ``score_decimals`` is set) — vs scoring every (query, list-member) pair
+    through interpreted higher-order functions, which costs |lists|×|probing
+    queries|×dim expression evaluations. With n_probe = n_clusters the
+    output is oracle-exact top-k. The query set is a broadcast-sized side
+    input BY CONTRACT — guarded by ``max_query_rows``."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.similarity import (
+        _dot,
+        require_side_input_sized,
+    )
+
+    require_side_input_sized(
+        queries, max_query_rows, "cosine_topk_ivf", "max_query_rows"
+    )
+    cents = _centroids(
+        corpus, vec_col, n_clusters, seed, sample_fraction, max_iter,
+        init_mode, trainer, train_rows_cap,
+    )
     inv = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "__cv",
         cents,
     )
-    probes = probe_centroids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv",
-        cents,
-        n_probe,
-    )
+    # Probe routing computed driver-side on the collected (bounded) query
+    # set — same stable-argsort tie-break as probe_centroids.
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    cmat = np.array(cents, dtype=np.float64)
+    p = min(n_probe, len(cents))
+    order = np.argsort(-(q_mat @ cmat.T), axis=1, kind="stable")[:, :p]
+    packed: dict[int, tuple] = {}
+    for c in np.unique(order):
+        rows = np.nonzero((order == c).any(axis=1))[0]
+        packed[int(c)] = (q_ids[rows], q_mat[rows])
+    bc = corpus.sparkSession.sparkContext.broadcast(packed)
+
+    def gen(batches):
+        tbl = bc.value
+        for pdf in batches:
+            for cen, grp in pdf.groupby("centroid"):
+                hit = tbl.get(int(cen))
+                if hit is None:
+                    continue
+                ids, mat = hit
+                block = np.array(list(grp["__cv"]), dtype=np.float64)
+                b_ids = grp["neighbor_id"].to_numpy()
+                sims = mat @ block.T  # probing queries × block
+                kk = min(k + 4, sims.shape[1])
+                out_q, out_n = [], []
+                for qi in range(sims.shape[0]):
+                    row = sims[qi]
+                    idx = (
+                        np.argpartition(-row, kk - 1)[:kk]
+                        if kk < len(row)
+                        else np.arange(len(row))
+                    )
+                    keep = idx[b_ids[idx] != ids[qi]]
+                    out_q.extend([ids[qi]] * len(keep))
+                    out_n.extend(b_ids[keep])
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = inv.mapInPandas(gen, "query_id long, neighbor_id long")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
-        inv.join(F.broadcast(probes), "centroid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"), F.col("__cv"), lambda x, y: x.cast("double") * y.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
     )
     if score_decimals is not None:
         scored = scored.withColumn("score", F.round("score", score_decimals))

@@ -130,3 +130,21 @@ def test_batch_is_shuffle_free(spark):
     batched = sc.parquet_file(f"{SF}/orders.parquet").batch(100)
     lint.assert_no_shuffle(batched.df, "batch() is partition-local")
     assert "MapInPandas" in lint.executed_plan(batched.df)
+
+
+def test_dynamic_destinations_read_prunes_partitions(spark, tmp_path):
+    """A filter on the partitionBy column of a dynamic-destinations layout
+    must become a PartitionFilter (directory pruning) — at 100 TB the read
+    touches only matching partitions' files, never the full dataset."""
+    from scio_spark.sources.formats import save_dynamic
+
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "dyn")
+    save_dynamic(df, out, ["o_orderpriority"])
+    back = spark.read.parquet(out).filter(F.col("o_orderpriority") == "2-HIGH")
+    plan = lint.executed_plan(back)
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
