@@ -2685,6 +2685,70 @@ FROM customer WHERE c_custkey % 6 = 0 GROUP BY c_mktsegment
 """
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition (SURVEY
+    §2.5; the Structured Streaming form of joining two windowed
+    collections): clicks joined to the purchases that follow within 30
+    minutes per user, both sides watermarked (state bounded by the
+    interval). Single-batch input ⇒ the append-mode result equals the
+    batch join, so the DuckDB oracle applies."""
+    from scio_spark.streaming.core import ensure_event_time, run_to_memory
+
+    def src():
+        s = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+        return ensure_event_time(s, "ts")
+
+    clicks = (
+        src()
+        .filter("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    )
+    pairs = run_to_memory(joined, output_mode="append")
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+ORACLE_STREAMING_JOIN = """
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+"""
+
+
 def q_dynamic_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic destinations round-trip (scio-core io/dynamic/: per-record
     output path from record fields → Spark-native partitionBy, hive-style
@@ -2730,7 +2794,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 99 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 100 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2739,14 +2803,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    2b. the 12 queries NEW in round 5 (pii/chunk/stratified + the nine
+    2b. the 13 queries NEW in round 5 (pii/chunk/stratified, the nine
         §2.6 IO round-trip oracles incl. embedded-Derby JDBC and native
-        XML);
-    3. 1 of the riskiest/most-expensive r4-green queries as filler.
+        XML, and the stream-stream join) plus ann_ivf (two-stage GEMM
+        rescore rewrite this round).
 
     Everything rotated out is green in CORRECTNESS_r04 and unchanged this
-    round; after r5 every query's latest driver row is ≤1 round old.
-    tools/check_oracle.py still value-checks all 99 every round."""
+    round (data_mixture's r5 delta is an error-path guard outside the
+    query path); after r5 every query's latest driver row is ≤1 round
+    old. tools/check_oracle.py still value-checks all 100 every round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
@@ -2786,7 +2851,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,    # NTZ output cast
         "streaming_session": q_streaming_session,  # NTZ output cast
         "dedup_clusters": q_dedup_clusters,        # checkpoint_dir plumbing
-        "data_mixture": q_data_mixture,            # mixture_sample guard
         # -- (2b) NEW in round 5 --------------------------------------------
         "pii_scrub": q_pii_scrub,
         "text_chunks": q_text_chunks,
@@ -2801,12 +2865,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_destinations": q_dynamic_destinations,
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
-        # -- (3) riskiest r4-green filler -----------------------------------
-        "ann_ivf": q_ann_ivf,
+        "streaming_join": q_streaming_join,
+        "ann_ivf": q_ann_ivf,  # also changed r5 (two-stage GEMM rescore)
         # -- past the 50-row window. First: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
+        # data_mixture's r5 change is an error-path guard only (the query
+        # path is byte-identical to its green r4 row) — lowest-risk rotation
+        "data_mixture": q_data_mixture,
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
@@ -2957,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_destinations": ORACLE_DYNAMIC_DESTINATIONS,
         "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
         "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
+        "streaming_join": ORACLE_STREAMING_JOIN,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
