@@ -2749,6 +2749,42 @@ GROUP BY c.user_id
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup (functions/dedup.dedup_lines):
+    sentence-units occurring in >5 distinct documents are cross-document
+    boilerplate and get dropped; survivors reassemble in original order.
+    The boilerplate set is broadcast anti-joined — the exploded corpus
+    never shuffles on line content."""
+    from scio_spark.functions.dedup import dedup_lines
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    return dedup_lines(d, max_doc_freq=5)
+
+
+ORACLE_DEDUP_LINES = """
+WITH ls AS (
+  SELECT doc_id, string_split(text, '. ') AS l FROM documents
+), lines AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, l[CAST(i AS INT) + 1] AS line
+  FROM ls, UNNEST(range(len(l))) AS u(i)
+), boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 5
+), kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+), agg AS (
+  SELECT doc_id, string_agg(line, '. ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       len(string_split(d.text, '. ')) - COALESCE(a.n_kept, 0) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dynamic_destinations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic destinations round-trip (scio-core io/dynamic/: per-record
     output path from record fields → Spark-native partitionBy, hive-style
@@ -2794,7 +2830,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 100 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 101 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2881,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
+        "dedup_lines": q_dedup_lines,
         "hash_intersect": q_hash_intersect,
         "hash_subtract": q_hash_subtract,
         "group_by_key": q_group_by_key,
@@ -3025,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
         "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
+        "dedup_lines": ORACLE_DEDUP_LINES,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

@@ -607,3 +607,69 @@ def incremental_lsh_candidates(
         .select("id_1", "id_2")
     )
     return vs_corpus.unionByName(vs_new).distinct()
+
+
+# ------------------------------------------------------ line-level dedup
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+    sep_regex: str = r"\. ",
+    max_doc_freq: int = 5,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup: split each document into
+    lines (here sentence-ish units on ``sep``), drop every line that occurs
+    in more than ``max_doc_freq`` DISTINCT documents (cross-document
+    boilerplate: headers, cookie banners, licence blurbs), and reassemble
+    the survivors in original order.
+
+    Returns (id_col, text_clean, n_kept, n_removed).
+
+    100 TB shape: the boilerplate line set is tiny by construction (only
+    lines repeated across >max_doc_freq docs), so it is computed with one
+    partial-aggregated shuffle on md5(line) and then applied as a BROADCAST
+    anti-join against the exploded (doc, pos, line) table — the big side
+    never shuffles on line content. Reassembly is a single groupBy(id)
+    with an order-restoring sort_array, the one unavoidable shuffle."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy(F.md5("line").alias("line_hash"))
+        .agg(F.count_distinct(F.col(id_col)).alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("line_hash")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.md5(F.col("line")) == F.col("line_hash"),
+        "left_anti",
+    )
+    n_lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep_regex)).alias("n_lines"),
+    )
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_lines, id_col, "right")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -610,3 +610,25 @@ def test_chunk_text_windows_and_edges(spark):
     assert covered == {f"w{i}" for i in range(10)}
     with pytest.raises(ValueError, match="overlap"):
         T.chunk_text(df, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    """CCNet-style line dedup: the cookie banner (in every doc) goes; each
+    doc's unique sentences survive in original order; an all-boilerplate
+    doc collapses to the empty string with everything counted removed."""
+    banner = "accept all cookies"
+    data = [
+        (1, f"{banner}. alpha one. beta two"),
+        (2, f"gamma three. {banner}. delta four"),
+        (3, f"{banner}"),
+        (4, f"epsilon five. {banner}. zeta six"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in D.dedup_lines(df, max_doc_freq=2).collect()
+    }
+    assert out[1] == ("alpha one. beta two", 2, 1)
+    assert out[2] == ("gamma three. delta four", 2, 1)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("epsilon five. zeta six", 2, 1)
