@@ -2749,6 +2749,97 @@ GROUP BY c.user_id
 """
 
 
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the flagship composition a training-
+    data team actually runs, value-checked as ONE query: quality filter
+    (with_quality_score ≥ 0.5) → exact dedup (min-id survivor per
+    normalized-text group) → per-source corpus accounting (docs, tokens,
+    decimal-staged quality mass). Every stage is an operator that is also
+    individually oracle-checked (text_quality, dedup_exact, text_features);
+    this pins that they COMPOSE correctly: the dedup runs on the filtered
+    set, the accounting on the survivors."""
+    from scio_spark.functions import dedup as D
+    from scio_spark.functions import text as T
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    q = T.with_quality_score(d, "text").filter(F.col("quality") >= 0.5)
+    surv = D.exact_dedup(q, id_col="doc_id", text_col="text")
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("sum_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_quality"),
+    )
+
+
+ORACLE_CURATION_E2E = r"""
+WITH f AS (
+  SELECT doc_id, source, text,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+      AS n,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','it'], lower(t)))) AS sw,
+    len(regexp_replace(trim(text), '\s+', '', 'g')) AS chars_nospace,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / len(text) END AS pr
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text, n,
+    least(n / 200.0, 1.0) * 0.25
+    + least((CASE WHEN n = 0 THEN 0.0 ELSE sw / n END) / 0.4, 1.0) * 0.35
+    + (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE chars_nospace / n END) >= 3.0
+             AND (CASE WHEN n = 0 THEN 0.0 ELSE chars_nospace / n END) <= 10.0
+        THEN 1.0 ELSE 0.4 END) * 0.25
+    + (1.0 - least(pr * 4.0, 1.0)) * 0.15 AS quality
+  FROM f
+), q AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), keepers AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         MIN(doc_id) AS doc_id
+  FROM q GROUP BY 1
+), surv AS (
+  SELECT q.* FROM q
+  JOIN keepers k
+    ON k.doc_id = q.doc_id
+   AND k.h = md5(regexp_replace(lower(trim(q.text)), '\s+', ' ', 'g'))
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+FROM surv GROUP BY source
+"""
+
+
+def q_files_with_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readFilesWithPath provenance (FileSCollectionFunctions.scala /
+    SCollection.scala:1372-1503 readFiles family): documents written to
+    per-source text files (dynamic destinations layout), read back with
+    input_file_name() provenance, source recovered FROM THE PATH and
+    counted — value-exact against the original table's source column."""
+    path = _rt_path(sf_dir, "bysource")
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df.select(
+        F.col("text").alias("value"), "source"
+    )
+    d.write.mode("overwrite").partitionBy("source").text(path)
+    back = sc.text_files_with_path(f"{path}/*/").df
+    return (
+        back.select(
+            F.regexp_extract("path", r"source=([^/]+)/", 1).alias("source")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+ORACLE_FILES_WITH_PATH = """
+SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+"""
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style line-level dedup (functions/dedup.dedup_lines):
     sentence-units occurring in >5 distinct documents are cross-document
@@ -2830,7 +2921,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 101 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 103 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -2918,6 +3009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
         "dedup_lines": q_dedup_lines,
+        "files_with_path": q_files_with_path,
+        "curation_e2e": q_curation_e2e,
         "hash_intersect": q_hash_intersect,
         "hash_subtract": q_hash_subtract,
         "group_by_key": q_group_by_key,
@@ -3063,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
+        "files_with_path": ORACLE_FILES_WITH_PATH,
+        "curation_e2e": ORACLE_CURATION_E2E,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
