@@ -445,6 +445,16 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    def label_mass(lbl: DataFrame):
+        # exact decimal sum — labels are monotonically non-increasing, so
+        # the mass strictly decreases iff ANY label changed this round:
+        # a one-agg convergence check on the already-materialized
+        # checkpoint, replacing a full old-vs-new label self-join per round
+        return lbl.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("m")
+        ).collect()[0]["m"]
+
+    mass = label_mass(labels)
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -463,16 +473,11 @@ def connected_components(
                 F.least(F.col("comp"), F.col("nbr_comp")).alias("comp"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_mass = label_mass(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_mass == mass:
             return labels
+        mass = new_mass
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — the "
         "graph has a component with diameter beyond the cap (returning the "
