@@ -2749,6 +2749,48 @@ GROUP BY c.user_id
 """
 
 
+def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained rollup table (streaming/core.maintain_rollup
+    — the hypertable/continuous-aggregate pattern) driven across TWO
+    micro-batches split mid-hour, so the boundary window is emitted in
+    batch 1 and UPDATED in batch 2: the foreachBatch partition-swap upsert
+    must merge, not overwrite. Final table == full batch aggregation, so
+    the streaming_window oracle applies."""
+    import shutil
+
+    from scio_spark.streaming.core import ensure_event_time, maintain_rollup
+
+    stage = _rt_path(sf_dir, "rollup_stage")
+    table = _rt_path(sf_dir, "rollup_table")
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(table, ignore_errors=True)
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    split = F.lit("2024-01-16 00:30:00").cast(dict(ev.dtypes)["ts"])
+    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(f"{stage}/batch_00000")
+    ev.filter(F.col("ts") >= split).coalesce(1).write.parquet(f"{stage}/batch_00001")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{stage}/batch_*")
+    )
+    stream = ensure_event_time(stream, "ts")
+    q = maintain_rollup(
+        stream, table, "ts", "1 hour", "1 hour",
+        ["event_type"], [F.count(F.lit(1)).alias("n")],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(table)
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline — the flagship composition a training-
     data team actually runs, value-checked as ONE query: quality filter
@@ -2921,7 +2963,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 103 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 104 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
@@ -3011,6 +3053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "files_with_path": q_files_with_path,
         "curation_e2e": q_curation_e2e,
+        "continuous_rollup": q_continuous_rollup,
         "hash_intersect": q_hash_intersect,
         "hash_subtract": q_hash_subtract,
         "group_by_key": q_group_by_key,
@@ -3158,6 +3201,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
         "curation_e2e": ORACLE_CURATION_E2E,
+        # two-micro-batch incremental build of the same hourly rollup
+        "continuous_rollup": ORACLE_STREAMING_WINDOW,
         "ann_lsh": ORACLE_ANN_LSH,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
