@@ -902,18 +902,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(max_hamming: int = 3) -> str:
+def _simhash_oracle(max_hamming: int = 3, bits: int = 16) -> str:
     hexs = "0123456789abcdef"
+    n_hex = (bits + 3) // 4
     v = " + ".join(
-        f"(instr('{hexs}', substring(md5(t), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
+        f"(instr('{hexs}', substring(md5(t), {i + 1}, 1)) - 1) * {16 ** (n_hex - 1 - i)}"
+        for i in range(n_hex)
     )
     bit_sums = ", ".join(
-        f"SUM(2 * (CAST(FLOOR(v / POW(2, {kk})) AS INT) % 2) - 1) AS b{kk}"
-        for kk in range(16)
+        f"SUM(2 * (CAST(FLOOR(v / POW(2, {kk})) AS BIGINT) % 2) - 1) AS b{kk}"
+        for kk in range(bits)
     )
     sh_expr = " + ".join(
-        f"(CASE WHEN b{kk} >= 0 THEN 1 ELSE 0 END) * {2 ** kk}" for kk in range(16)
+        f"(CASE WHEN b{kk} >= 0 THEN 1 ELSE 0 END) * {2 ** kk}" for kk in range(bits)
     )
     return f"""
 WITH toks AS (
@@ -931,13 +932,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 near-dup pairs, Hamming ≤ 3. Spark side uses exact banded
-    candidates (pigeonhole); oracle is the full pairwise check — equality
-    proves the banding loses nothing."""
+    """SimHash-32 near-dup pairs, Hamming ≤ 3 — the realistic wide-signature
+    configuration (16-bit signatures saturate band buckets at corpus scale;
+    SCALING.md). Spark side uses exact banded candidates (pigeonhole);
+    oracle is the full pairwise check — equality proves the banding loses
+    nothing."""
     from scio_spark.functions import dedup as D
 
     sc = _ctx(spark)
-    return D.simhash_dedup(_t(sc, sf_dir, "documents").df, max_hamming=3)
+    return D.simhash_dedup(
+        _t(sc, sf_dir, "documents").df, max_hamming=3, bits=32
+    )
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3125,7 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
-        "dedup_simhash": _simhash_oracle(3),
+        "dedup_simhash": _simhash_oracle(3, bits=32),
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_split": ORACLE_TRAIN_SPLIT,
         "decontaminate": ORACLE_DECONTAMINATE,
