@@ -2959,6 +2959,171 @@ GROUP BY o_orderpriority
 """
 
 
+def q_kv_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent-KV-store probe join — the Sparkey side-input pattern
+    (scio-extra sparkey PairLargeHashSCollectionFunctions.scala:48-255):
+    supplier becomes a sharded disk KV artifact (distributed sqlite-shard
+    build, joins.build_kv_store), then a lineitem slice probes it via
+    DistCache-shipped shards with NO shuffle on the probe side
+    (joins.kv_store_join). Aggregated per supplier so the oracle is a plain
+    SQL join."""
+    from scio_spark.operators.joins import build_kv_store, kv_store_join
+
+    sc = _ctx(spark)
+    sup = (
+        _t(sc, sf_dir, "supplier")
+        .df.select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    )
+    store = build_kv_store(sup, "suppkey", n_shards=4)
+    probe = (
+        _t(sc, sf_dir, "lineitem")
+        .df.filter("l_quantity >= 48")
+        .select(F.col("l_suppkey").alias("suppkey"), "l_quantity", "l_extendedprice")
+    )
+    joined = kv_store_join(probe, store, how="inner")
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("qty"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("revenue"),
+    )
+
+
+ORACLE_KV_STORE_JOIN = """
+SELECT s_name, COUNT(*) AS n_items, SUM(l_quantity) AS qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_quantity >= 48
+GROUP BY s_name
+"""
+
+
+def q_smb_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortMergeTransform (smb/SortMergeTransform.scala:41-171): read a
+    bucketed table, apply a bucketing-preserving transform (filter +
+    derived column), rewrite with the SAME bucket spec (picked up from the
+    catalog via smb.bucket_count), then aggregate the rewritten table on
+    its bucket key — the groupBy needs no exchange (bucketed scan)."""
+    from scio_spark.operators import smb
+
+    sc = _ctx(spark)
+    orders = _t(sc, sf_dir, "orders").df.withColumn(
+        "custkey", F.col("o_custkey")
+    )
+    smb.save_sorted_bucket(orders, "smbt_in", "custkey", 8)
+    smb.sort_merge_transform(
+        spark,
+        "smbt_in",
+        "smbt_out",
+        lambda df: df.filter("o_totalprice > 150000").withColumn(
+            "o_year", F.year("o_orderdate")
+        ),
+        "custkey",
+    )
+    assert smb.bucket_count(spark, "smbt_out") == 8
+    return (
+        spark.table("smbt_out")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+    )
+
+
+ORACLE_SMB_TRANSFORM = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY 1
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (functions/text.py unigram_logprob —
+    CCNet-style quality signal, Wenzek et al. 2020): train token
+    probabilities over the corpus (one shuffle, vocabulary-sized output,
+    broadcast back), score every document's bits-per-token. Per-token
+    −log2 p is quantized to DECIMAL(28,6) pre-sum so the value is
+    partition-order independent and engine-exact."""
+    from scio_spark.functions.text import unigram_logprob
+
+    sc = _ctx(spark)
+    return unigram_logprob(_t(sc, sf_dir, "documents").df)
+
+
+ORACLE_LM_SCORE = """
+WITH tok AS (SELECT doc_id, u.token
+             FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t,
+                  UNNEST(w) u(token)),
+counts AS (SELECT token, COUNT(*) cnt FROM tok GROUP BY 1),
+total AS (SELECT SUM(cnt) t FROM counts),
+model AS (SELECT token, cnt / t AS p FROM counts, total)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(CAST(-log2(p) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS bits_per_token
+FROM tok JOIN model USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document (functions/text.py
+    tfidf_topk): tf·ln(N/df) quantized to DECIMAL(28,6) BEFORE ranking so
+    the (score DESC, token ASC) order is total and engine-independent."""
+    from scio_spark.functions.text import tfidf_topk
+
+    sc = _ctx(spark)
+    return tfidf_topk(_t(sc, sf_dir, "documents").df, k=3)
+
+
+ORACLE_TFIDF_KEYWORDS = """
+WITH tok AS (SELECT doc_id, u.token
+             FROM (SELECT doc_id, string_split(text, ' ') w FROM documents) t,
+                  UNNEST(w) u(token)),
+tf AS (SELECT doc_id, token, COUNT(*) tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) df_t FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) n FROM documents),
+scored AS (SELECT doc_id, token, CAST(tf * ln(n / df_t) AS DECIMAL(28,6)) sq
+           FROM tf JOIN dfreq USING (token), nd),
+ranked AS (SELECT doc_id, token, sq,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY sq DESC, token ASC) rank
+           FROM scored)
+SELECT doc_id, token, CAST(sq AS DOUBLE) AS score, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate contamination matrix (functions/dedup.py
+    cross_source_overlap): distinct (token-sort-fingerprint, source) pairs,
+    self-joined on the fingerprint — how many shared documents every
+    unordered source pair has before mixing."""
+    from scio_spark.functions.dedup import cross_source_overlap
+
+    sc = _ctx(spark)
+    return cross_source_overlap(_t(sc, sf_dir, "documents").df)
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH hs AS (
+  SELECT DISTINCT
+    md5(list_aggregate(list_sort(list_distinct(
+          string_split(trim(lower(text)), ' '))), 'string_agg', ' ')) AS h,
+    source
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM hs a JOIN hs b USING (h)
+WHERE a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -2968,24 +3133,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 104 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 109 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates which
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
 
-    1. the 30 queries whose last driver row is r01-r03 (stalest first);
+    1. 25 of the 30 queries whose last driver row is r01-r03 (stalest
+       first; five single-table pure-SQL aggs — green r1+r2+r3, untouched
+       since r1 — were displaced to make room for the (2d) batch and lead
+       the r6 priority list);
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
     2b. the 13 queries NEW in round 5 (pii/chunk/stratified, the nine
         §2.6 IO round-trip oracles incl. embedded-Derby JDBC and native
         XML, and the stream-stream join) plus ann_ivf (two-stage GEMM
-        rescore rewrite this round).
+        rescore rewrite this round);
+    2d. the 5 queries NEW in round 5's second half (Sparkey-analog KV
+        probe join, sortMergeTransform, unigram-LM scoring, TF-IDF
+        keywords, cross-source overlap matrix).
 
     Everything rotated out is green in CORRECTNESS_r04 and unchanged this
     round (data_mixture's r5 delta is an error-path guard outside the
-    query path); after r5 every query's latest driver row is ≤1 round
-    old. tools/check_oracle.py still value-checks all 100 every round."""
+    query path). tools/check_oracle.py still value-checks all 109 every
+    round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
@@ -2996,18 +3167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "grouping_sets": q_grouping_sets,
         "top_orders": q_top_orders,
-        "count_by_key": q_count_by_key,
-        "count_by_value": q_count_by_value,
         "top_by_key": q_top_by_key,
-        "distinct": q_distinct,
-        "sum_by_key": q_sum_by_key,
         "subtract_by_key": q_subtract_by_key,
         "intersect_by_key": q_intersect_by_key,
         "stats": q_stats,
         "approx_distinct": q_approx_distinct,
         "latest_by_key": q_latest_by_key,
         "union_agg": q_union_distinct_by,
-        "histogram": q_histogram,
         "text_features": q_text_features,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -3041,7 +3207,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_roundtrip": q_xml_roundtrip,
         "streaming_join": q_streaming_join,
         "ann_ivf": q_ann_ivf,  # also changed r5 (two-stage GEMM rescore)
-        # -- past the 50-row window. First: NEW in r5 (locally value-exact;
+        # -- (2d) NEW in round 5, second batch: Sparkey-analog KV probe,
+        # -- sortMergeTransform rewrite, unigram-LM scoring, TF-IDF
+        # -- keywords, cross-source contamination matrix
+        "kv_store_join": q_kv_store_join,
+        "smb_transform": q_smb_transform,
+        "lm_score": q_lm_score,
+        "tfidf_keywords": q_tfidf_keywords,
+        "source_overlap": q_source_overlap,
+        # -- past the 50-row window. First: five section-(1) re-checks
+        # -- displaced by the (2d) batch — single-table pure-SQL aggs,
+        # -- green r1+r2+r3, untouched since r1: the lowest-risk rotation
+        "count_by_key": q_count_by_key,
+        "count_by_value": q_count_by_value,
+        "distinct": q_distinct,
+        "sum_by_key": q_sum_by_key,
+        "histogram": q_histogram,
+        # -- then: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -3147,6 +3329,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_merge": ORACLE_HLL_MERGE,
         "heavy_hitters": _heavy_oracle(),
         "smb_join": ORACLE_SMB_JOIN,
+        "kv_store_join": ORACLE_KV_STORE_JOIN,
+        "smb_transform": ORACLE_SMB_TRANSFORM,
+        "lm_score": ORACLE_LM_SCORE,
+        "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
+        "source_overlap": ORACLE_SOURCE_OVERLAP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

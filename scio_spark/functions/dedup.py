@@ -678,3 +678,41 @@ def dedup_lines(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+# -------------------------------------------------- cross-source overlap
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplicate contamination matrix between corpus sources: for every
+    unordered source pair (a < b), how many distinct document fingerprints
+    (token-sort md5 — text.fingerprint, the word-order/case-insensitive
+    exact-dedup key) appear in BOTH — the first question when mixing
+    crawls/dumps ("how much of source B is already in A?") and the sanity
+    check before weighting a mixture (functions/training.py mixture_sample).
+
+    Cost shape at 100 TB: distinct (hash, source) is one partially-aggregated
+    shuffle; the self-join key is the fingerprint, whose groups are at most
+    |sources| rows after the distinct, so the join fan-out is bounded by
+    |sources|² per distinct text — no skew risk from popular texts beyond
+    that cap. Returns (source_a, source_b, n_shared), source_a < source_b."""
+    from scio_spark.functions.text import fingerprint
+
+    hs = (
+        df.select(
+            fingerprint(text_col).alias("__h"),
+            F.col(source_col).alias("__src"),
+        )
+        .distinct()
+    )
+    a = hs.select("__h", F.col("__src").alias("source_a"))
+    b = hs.select("__h", F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -347,3 +347,105 @@ def chunk_text(
             F.array_join(chunk, " ").alias("chunk"),
         )
     )
+
+
+# --------------------------------------------- unigram LM scoring (CCNet-style)
+
+def unigram_model(df, text_col: str = "text"):
+    """Train a unigram language model over a corpus: one row per distinct
+    token with its count and probability ``p = cnt / total``.
+
+    The CCNet pipeline (Wenzek et al. 2020) filters web text by LM
+    perplexity; a unigram model is the fully-SQL-expressible member of that
+    family and already separates boilerplate from prose. Cost shape at
+    100 TB: one explode + one partially-aggregated shuffle on the token —
+    the output is vocabulary-sized (millions of rows, not corpus-sized), so
+    the model broadcasts to the scoring pass."""
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", "cnt", (F.col("cnt") / F.col("__total")).alias("p")
+    )
+
+
+def unigram_logprob(
+    df,
+    model=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document bits-per-token under a unigram LM — the perplexity-proxy
+    quality signal (low = repetitive/common, high = rare-token soup; both
+    tails get filtered in CCNet-style curation).
+
+    ``model`` defaults to a model trained on ``df`` itself (self-scoring —
+    no OOV by construction). Pass a pre-trained ``unigram_model`` output to
+    score a new batch; tokens absent from the model are dropped from the
+    average (inner join semantics), which keeps the result exactly
+    SQL-replayable.
+
+    Determinism: each token's −log2 p is quantized to DECIMAL(28,6) before
+    the per-doc sum (decimal addition is associative; raw double sums are
+    partition-order dependent), and the quantization also absorbs any
+    last-ulp libm difference between engines. Returns
+    (id, n_tokens, bits_per_token)."""
+    if model is None:
+        model = unigram_model(df, text_col)
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    joined = tok.join(F.broadcast(model.select("token", "p")), "token", "inner")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(-LOG2(p) AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*) AS DOUBLE)"
+        ).alias("bits_per_token"),
+    )
+
+
+# ------------------------------------------------------------- TF-IDF keywords
+
+def tfidf_topk(
+    df,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword-extraction / topic-tagging primitive for corpus exploration.
+
+    ``score = tf · ln(N / df_t)`` with the raw document frequency (no
+    smoothing: every scored token occurs in ≥1 doc, so df_t ≥ 1 and the log
+    is finite). Scores are quantized to DECIMAL(28,6) BEFORE ranking so the
+    (score DESC, token ASC) order is total and engine-independent.
+
+    Cost shape at 100 TB: tf = one shuffle on (doc, token); df_t = one
+    partially-aggregated shuffle on token producing a vocabulary-sized
+    table that broadcasts back; the rank is a per-document window (shuffle
+    on doc id). Returns (id, token, score, rank), rank 1..k."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.expr("CAST(tf * LN(__n / df_t) AS DECIMAL(28,6))").alias("__sq"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sq"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "token",
+            F.col("__sq").cast("double").alias("score"),
+            "rank",
+        )
+    )

@@ -632,3 +632,82 @@ def test_dedup_lines_removes_boilerplate_preserves_order(spark):
     assert out[2] == ("gamma three. delta four", 2, 1)
     assert out[3] == ("", 0, 1)
     assert out[4] == ("epsilon five. zeta six", 2, 1)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc fixture with a hand-computable unigram model: 6 token
+    occurrences, p(a)=3/6, p(b)=2/6, p(c)=1/6; doc scores are exact
+    averages of -log2 p."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in T.unigram_logprob(df).collect()}
+    la, lb, lc = (-math.log2(3 / 6), -math.log2(2 / 6), -math.log2(1 / 6))
+    q = lambda x: round(x, 6)  # the op quantizes per-token at 1e-6
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["bits_per_token"] == pytest.approx(
+        (2 * q(la) + q(lb)) / 3, abs=1e-9
+    )
+    assert out[2]["bits_per_token"] == pytest.approx((q(la) + q(lb)) / 2, abs=1e-9)
+    assert out[3]["bits_per_token"] == pytest.approx(q(lc), abs=1e-9)
+    # rare-token doc scores strictly higher than common-token doc
+    assert out[3]["bits_per_token"] > out[1]["bits_per_token"]
+
+
+def test_unigram_logprob_pretrained_model_drops_oov(spark):
+    """Scoring a new batch against a pre-trained model: OOV tokens are
+    excluded from the average (inner-join semantics)."""
+    corpus = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    model = T.unigram_model(corpus)
+    new = spark.createDataFrame([(9, "a zzz")], ["doc_id", "text"])
+    out = T.unigram_logprob(new, model=model).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 1  # zzz dropped
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """The term unique to a doc outranks corpus-wide terms; ranks are
+    contiguous and capped at k; ties break on token asc."""
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared unique1"),
+            (2, "shared shared unique2"),
+            (3, "shared other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = T.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["score"]))
+    assert [t for _, t, _ in sorted(by_doc[1])][0] == "unique1"
+    assert [t for _, t, _ in sorted(by_doc[2])][0] == "unique2"
+    assert [t for _, t, _ in sorted(by_doc[3])][0] == "other"
+    for d, items in by_doc.items():
+        assert [r for r, _, _ in sorted(items)] == list(range(1, len(items) + 1))
+        assert len(items) <= 2
+    # 'shared' appears in all 3 docs -> idf = ln(1) = 0 -> score 0, ranked last
+    d1 = {t: s for _, t, s in by_doc[1]}
+    assert d1.get("shared", 0.0) == 0.0
+
+
+def test_cross_source_overlap_counts_fingerprint_dups(spark):
+    """Docs sharing a token-sort fingerprint across sources count once per
+    distinct fingerprint; same-source dups and unique docs don't appear."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "A"),
+            (2, "gamma beta alpha", "B"),   # same fingerprint as 1
+            (3, "alpha beta gamma", "A"),   # same-source dup: no pair
+            (4, "delta epsilon", "B"),
+            (5, "epsilon delta", "C"),      # same fingerprint as 4
+            (6, "zeta eta", "A"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in D.cross_source_overlap(df).collect()
+    }
+    assert out == {("A", "B"): 1, ("B", "C"): 1}
