@@ -127,31 +127,53 @@ def maintain_rollup(
     key_cols,
     aggs,
     checkpoint: str | None = None,
+    partition_by: str = "day",
 ):
     """Continuously-maintained windowed rollup table (the hypertable /
     continuous-aggregate pattern): a streaming windowed aggregation whose
-    updates are upserted into a parquet table partitioned by window start.
+    updates are upserted into a time-partitioned parquet table.
 
     Mechanism: update-mode aggregation → foreachBatch merges each epoch's
     changed window rows with the surviving rows of the affected partitions,
     writes the merged partitions to a sibling temp dir (a fully distributed
     write — no row passes through the driver), then swaps each partition
     directory into the table with Hadoop-FS renames. Only the partitions
-    touched by the epoch are rewritten, the table stays partition-pruned
-    for readers, and a retried epoch redoes the same swap (idempotent —
+    touched by the epoch are rewritten — the existing-rows read is
+    statically pruned to the affected directories, so the table's history
+    is never re-scanned. A retried epoch redoes the same swap (idempotent —
     exactly-once with a checkpoint). At 100 TB this is the standard way to
     keep a queryable aggregate fresh without re-scanning history; with a
     table format available (Delta/Iceberg) the swap becomes a MERGE.
 
+    ``partition_by``: directory granularity of the table.
+    - ``"day"`` (default): dirs are ``window_date=YYYY-MM-DD`` holding that
+      day's window rows — the TimescaleDB-chunk shape. Years of hourly
+      windows stay at hundreds of dirs, each epoch touches 1-2, and the
+      per-partition swap/rename count is bounded by days, not windows.
+    - ``"window"``: one dir per ``window_start`` — finest read pruning, but
+      O(windows) directories and per-epoch renames; only sensible for
+      coarse windows (daily+).
+
     Returns the started StreamingQuery (caller stops it / lets it run).
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if partition_by not in ("day", "window"):
+        raise ValueError("maintain_rollup: partition_by must be 'day'|'window'")
+    part_col = "window_date" if partition_by == "day" else "window_start"
     agg = windowed_stream_agg(
         stream, ts_col, window_duration, watermark_delay, key_cols, aggs
     )
+    if partition_by == "day":
+        agg = agg.withColumn("window_date", F.to_date("window_start"))
 
     def upsert(batch_df: DataFrame, epoch_id: int):
-        if batch_df.isEmpty():
+        # the affected partition list is small by construction (bounded by
+        # the windows an epoch can touch under the watermark); collecting it
+        # doubles as the emptiness check — one job instead of two per epoch
+        affected = [
+            r[part_col] for r in batch_df.select(part_col).distinct().collect()
+        ]
+        if not affected:
             return
         spark = batch_df.sparkSession
         jvm = spark._jvm
@@ -161,7 +183,7 @@ def maintain_rollup(
         # explicit existence check — a transient read failure must propagate
         # (and retry the micro-batch), never be mistaken for "first epoch"
         # and destroy partition contents with a partial overwrite
-        table_exists = bool(fs.globStatus(HPath(path, "window_start=*")))
+        table_exists = bool(fs.globStatus(HPath(path, part_col + "=*")))
         # merge semantics: keep existing rows of the affected partitions
         # whose (window, key) was NOT updated this epoch, union the updates
         # (update mode emits only changed keys — a bare partition overwrite
@@ -169,23 +191,32 @@ def maintain_rollup(
         merged = batch_df
         if table_exists:
             merge_on = ["window_start"] + key_cols
-            existing = spark.read.parquet(path)
-            affected = batch_df.select("window_start").distinct()
-            keep = (
-                existing.join(F.broadcast(affected), "window_start", "left_semi")
-                .join(batch_df.select(*merge_on), merge_on, "left_anti")
+            # isin on the partition column statically prunes the scan to
+            # the affected directories — the table's history is never
+            # re-scanned
+            existing = spark.read.parquet(path).filter(
+                F.col(part_col).isin(affected)
             )
+            keep = existing.join(batch_df.select(*merge_on), merge_on, "left_anti")
             merged = batch_df.unionByName(keep.select(*batch_df.columns))
         tmp = path.rstrip("/") + f"__epoch_tmp_{epoch_id}"
         tmp_path = HPath(tmp)
         if fs.exists(tmp_path):  # leftover from a failed attempt of this epoch
             fs.delete(tmp_path, True)
-        merged.write.mode("overwrite").partitionBy("window_start").parquet(tmp)
+        # co-locate each partition's rows in one task → one file per
+        # partition directory (otherwise every shuffle task writes a sliver
+        # file into every partition it holds — O(tasks × partitions) files)
+        (
+            merged.repartition(part_col)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(tmp)
+        )
         if not fs.exists(target):
             fs.mkdirs(target)
         for st in fs.listStatus(tmp_path):
             name = st.getPath().getName()
-            if not name.startswith("window_start="):
+            if not name.startswith(part_col + "="):
                 continue
             dest = HPath(target, name)
             if fs.exists(dest):

@@ -300,8 +300,39 @@ def test_maintain_rollup_incremental_upsert(spark, tmp_path):
     assert got == {("red", 0): 7, ("blue", 0): 3}  # blue survived the rewrite
     # exactly one row per (window, team) — upsert, not append
     assert table.count() == 2
-    # partition layout prunable by window
-    assert any(d.startswith("window_start=") for d in os.listdir(out))
+    # default partition layout: daily chunk dirs (TimescaleDB shape)
+    assert any(d.startswith("window_date=") for d in os.listdir(out))
+
+
+def test_maintain_rollup_per_window_partitioning(spark, tmp_path):
+    """partition_by='window' keeps the finest-grained one-dir-per-window
+    layout for coarse windows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scio_spark.streaming.core import maintain_rollup
+
+    src = str(tmp_path / "srcw")
+    out = str(tmp_path / "rollupw")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("u1", "red", 5, ts(1)), ("u2", "blue", 3, ts(25))], SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = maintain_rollup(
+        stream, out, "event_time", "10 minutes", "1 hour", ["team"],
+        [F.sum("score").alias("total")], partition_by="window",
+    )
+    q.processAllAvailable()
+    q.stop()
+    dirs = [d for d in os.listdir(out) if d.startswith("window_start=")]
+    assert len(dirs) == 2  # one dir per distinct window
+    got = {r["team"]: r["total"] for r in spark.read.parquet(out).collect()}
+    assert got == {"red": 5, "blue": 3}
 
 
 def test_leaderboard_early_and_final_panes(fixture):
