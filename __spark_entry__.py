@@ -2690,6 +2690,43 @@ FROM customer WHERE c_custkey % 6 = 0 GROUP BY c_mktsegment
 """
 
 
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink+source round-trip (scio-avro AvroIO.scala avroFile /
+    saveAsAvroFile — the reference's most-used IO module). Uses the repo's
+    pure-Python object-container codec (sources/avro.py; deflate blocks,
+    logical types), which tests/test_avro.py proves wire-compatible with
+    the JVM Avro library in both directions. The read goes through
+    ScioContext.avro_file (spark-avro fast path when the jar exists, native
+    codec fallback here). o_orderdate exercises the timestamp logical-type
+    path end-to-end; the o_totalprice sum is decimal-staged."""
+    from scio_spark.sources.avro import save_as_avro
+
+    path = _rt_path(sf_dir, "avro")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "orders")
+        .df.filter("o_orderkey % 12 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    save_as_avro(sub, path)
+    back = sc.avro_file(path).df
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_total"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+ORACLE_AVRO_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+       MAX(o_orderdate) AS max_date
+FROM orders WHERE o_orderkey % 12 = 0 GROUP BY o_orderstatus
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition (SURVEY
     §2.5; the Structured Streaming form of joining two windowed
@@ -3138,14 +3175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
 
-    1. 25 of the 30 queries whose last driver row is r01-r03 (stalest
-       first; five single-table pure-SQL aggs — green r1+r2+r3, untouched
-       since r1 — were displaced to make room for the (2d) batch and lead
-       the r6 priority list);
+    1. 24 of the 30 queries whose last driver row is r01-r03 (stalest
+       first; six single-table pure-SQL queries — green r1+r2+r3,
+       untouched since r1 — were displaced to make room for the (2d)
+       batch and avro_roundtrip, and lead the r6 priority list);
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    2b. the 13 queries NEW in round 5 (pii/chunk/stratified, the nine
+    2b. the 14 queries NEW in round 5 (pii/chunk/stratified, the ten
         §2.6 IO round-trip oracles incl. embedded-Derby JDBC and native
         XML, and the stream-stream join) plus ann_ivf (two-stage GEMM
         rescore rewrite this round);
@@ -3179,7 +3216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "sparse_lookup": q_sparse_lookup,
         "quantiles": q_quantiles,
-        "flat_map": q_flat_map_tokens,
         "cross": q_cross,
         "local_supplier_volume": q_local_supplier_volume,
         "quantiles_by_key": q_quantiles_by_key,
@@ -3205,6 +3241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_destinations": q_dynamic_destinations,
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,  # pure-Python codec, JVM-interop-tested
         "streaming_join": q_streaming_join,
         "ann_ivf": q_ann_ivf,  # also changed r5 (two-stage GEMM rescore)
         # -- (2d) NEW in round 5, second batch: Sparkey-analog KV probe,
@@ -3223,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         "sum_by_key": q_sum_by_key,
         "histogram": q_histogram,
+        "flat_map": q_flat_map_tokens,  # displaced by avro_roundtrip (same class)
         # -- then: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
         "stateful_stream": q_stateful_stream,
@@ -3389,6 +3427,7 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_destinations": ORACLE_DYNAMIC_DESTINATIONS,
         "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
         "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
+        "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

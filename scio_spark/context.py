@@ -177,21 +177,21 @@ class ScioContext:
         return self._wrap(reader.json(path))
 
     def avro_file(self, path: str, io_id: str | None = None):
-        """scio-avro AvroIO analog; spark-avro is an external module — gated
-        with an actionable error when the jar is absent (as in this image)."""
+        """scio-avro AvroIO analog (avro/AvroIO.scala avroFile). Fast path:
+        the spark-avro DataSource when its jar is present. Fallback (this
+        image): the repo's pure-Python object-container codec
+        (sources/avro.py), JVM-interop-tested against avro-1.12.1.jar."""
         sub = self._maybe_test_input(io_id or f"avro:{path}")
         if sub is not None:
             return sub
         try:
             return self._wrap(self.spark.read.format("avro").load(path))
         except Exception as e:  # noqa: BLE001
-            if "Failed to find data source" in str(e):
-                raise NotImplementedError(
-                    "avro requires the spark-avro module "
-                    "(org.apache.spark:spark-avro) on the classpath; "
-                    "not present in this image"
-                ) from e
-            raise
+            if "Failed to find data source" not in str(e):
+                raise
+            from .sources.avro import read_avro
+
+            return self._wrap(read_avro(self.spark, path))
 
     def xml_file(self, path: str, row_tag: str = "row", schema=None, io_id: str | None = None):
         """XML source (Spark 4 native spark-xml). Bonus over the reference's
