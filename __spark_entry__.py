@@ -2727,6 +2727,89 @@ FROM orders WHERE o_orderkey % 12 = 0 GROUP BY o_orderstatus
 """
 
 
+def q_tfexample_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf.Example TFRecord sink+source round-trip (scio-tensorflow
+    TFExampleIO.scala saveAsTfExampleFile / tfRecordExampleFile — the
+    training-data export format). Rows become tf.Example protobufs via the
+    pure-Python wire codec (sources/proto.py, spec-golden-byte tested)
+    inside CRC32C-framed TFRecord files; the read decodes them back through
+    a feature spec, as TF readers do. Long/string/array<long> columns only:
+    FloatList is float32 on the wire (feature.proto), so doubles would
+    narrow — pinned separately in tests/test_proto.py."""
+    from scio_spark.functions.text import token_count
+    from scio_spark.sources.proto import read_tf_example, save_as_tf_example
+
+    path = _rt_path(sf_dir, "tfexample")
+    sc = _ctx(spark)
+    d = (
+        _t(sc, sf_dir, "documents")
+        .df.filter("doc_id % 7 = 0")
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    save_as_tf_example(d, path)
+    back = read_tf_example(
+        spark, path, "doc_id long, source string, n_chars long, n_tokens long"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+ORACLE_TFEXAMPLE_ROUNDTRIP = r"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(text)) AS sum_chars,
+       SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> ''))) AS sum_tokens
+FROM documents WHERE doc_id % 7 = 0 GROUP BY source
+"""
+
+
+def q_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf-file sink+source round-trip (scio-avro ProtobufIO.scala
+    protobufFile / saveAsProtobufFile). Matches scio's on-disk layout:
+    message bytes wrapped in Avro object-container records (sources/avro.py
+    carries the container; sources/proto.py the wire format). The field
+    spec plays the role of the message descriptor."""
+    from scio_spark.sources.proto import read_protobuf_file, save_as_protobuf_file
+
+    path = _rt_path(sf_dir, "protobuf")
+    spec = {
+        1: ("p_partkey", "int64", False),
+        2: ("p_brand", "string", False),
+        3: ("p_retailprice", "double", False),
+    }
+    sc = _ctx(spark)
+    p = (
+        _t(sc, sf_dir, "part")
+        .df.filter("p_partkey % 5 = 0")
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+    save_as_protobuf_file(p, path, spec)
+    back = read_protobuf_file(
+        spark, path, spec, "p_partkey long, p_brand string, p_retailprice double"
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+ORACLE_PROTOBUF_ROUNDTRIP = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM part WHERE p_partkey % 5 = 0 GROUP BY p_brand
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition (SURVEY
     §2.5; the Structured Streaming form of joining two windowed
@@ -3175,14 +3258,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries sit in that window (policy + per-round membership: COVERAGE.md,
     regenerable via tools/coverage_map.py). Round-5 window, in order:
 
-    1. 24 of the 30 queries whose last driver row is r01-r03 (stalest
-       first; six single-table pure-SQL queries — green r1+r2+r3,
-       untouched since r1 — were displaced to make room for the (2d)
-       batch and avro_roundtrip, and lead the r6 priority list);
+    1. 22 of the 30 queries whose last driver row is r01-r03 (stalest
+       first; eight pure-SQL queries — green r1+r2+r3, untouched since
+       r1 — were displaced to make room for the (2d) batch and the three
+       new codec round-trips, and lead the r6 priority list);
     2. the queries changed in round 5 (custom_window NTZ fix,
        multimodal_features' new oracle, the calendar/streaming window NTZ
        casts, dedup_clusters' checkpoint plumbing, data_mixture's guard);
-    2b. the 14 queries NEW in round 5 (pii/chunk/stratified, the ten
+    2b. the 16 queries NEW in round 5 (pii/chunk/stratified, the twelve
         §2.6 IO round-trip oracles incl. embedded-Derby JDBC and native
         XML, and the stream-stream join) plus ann_ivf (two-stage GEMM
         rescore rewrite this round);
@@ -3205,7 +3288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "top_orders": q_top_orders,
         "top_by_key": q_top_by_key,
-        "subtract_by_key": q_subtract_by_key,
         "intersect_by_key": q_intersect_by_key,
         "stats": q_stats,
         "approx_distinct": q_approx_distinct,
@@ -3216,7 +3298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "sparse_lookup": q_sparse_lookup,
         "quantiles": q_quantiles,
-        "cross": q_cross,
         "local_supplier_volume": q_local_supplier_volume,
         "quantiles_by_key": q_quantiles_by_key,
         "sorted_groups": q_sorted_groups,
@@ -3242,6 +3323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,  # pure-Python codec, JVM-interop-tested
+        "tfexample_roundtrip": q_tfexample_roundtrip,  # tf.Example TFRecords
+        "protobuf_roundtrip": q_protobuf_roundtrip,  # proto-in-avro (scio layout)
         "streaming_join": q_streaming_join,
         "ann_ivf": q_ann_ivf,  # also changed r5 (two-stage GEMM rescore)
         # -- (2d) NEW in round 5, second batch: Sparkey-analog KV probe,
@@ -3261,6 +3344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_by_key": q_sum_by_key,
         "histogram": q_histogram,
         "flat_map": q_flat_map_tokens,  # displaced by avro_roundtrip (same class)
+        "cross": q_cross,               # displaced by tfexample_roundtrip
+        "subtract_by_key": q_subtract_by_key,  # displaced by protobuf_roundtrip
         # -- then: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
         "stateful_stream": q_stateful_stream,
@@ -3428,6 +3513,8 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip": ORACLE_JDBC_ROUNDTRIP,
         "xml_roundtrip": ORACLE_XML_ROUNDTRIP,
         "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
+        "tfexample_roundtrip": ORACLE_TFEXAMPLE_ROUNDTRIP,
+        "protobuf_roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -1,0 +1,505 @@
+"""Pure-Python protobuf wire-format codec + tf.Example TFRecord IO.
+
+Reference parity:
+- ``saveAsTfExampleFile`` / ``tfRecordExampleFile`` (scio-tensorflow
+  src/main/scala/com/spotify/scio/tensorflow/TFExampleIO.scala) — the
+  training-data export format: one tf.Example protobuf per record inside
+  CRC-framed TFRecord files.
+- ``protobufFile`` / ``saveAsProtobufFile`` (scio-avro
+  src/main/scala/com/spotify/scio/avro/ProtobufIO.scala) — scio stores
+  protobuf messages as *bytes inside Avro object-container files* (an Avro
+  bytes-record wrapper with the message descriptor in the file metadata);
+  the analog here composes this codec with sources/avro.py the same way.
+
+Neither the Python protobuf package nor tensorflow exists in this image
+(and Spark's jars carry only shaded copies), so the wire format (public
+spec: protobuf.dev/programming-guides/encoding) is implemented directly:
+varints, 64/32-bit fixed, length-delimited, packed repeated scalars.
+tests/test_proto.py pins spec-derived golden bytes for the canonical
+examples from the encoding guide, so compatibility is anchored to the
+spec, not to a self-round-trip.
+
+Message schemas are declared as field-spec dicts (field number → name,
+kind, repeated?), which is exactly the information a .proto file carries
+for scalar messages — the tf.Example/Feature specs below are transcribed
+from tensorflow/core/example/{example,feature}.proto (public).
+
+Scale shape: encode/decode run inside mapInPandas batches (Arrow
+transfer, no driver materialization); files use the repo's existing
+distributed TFRecord writer (one file per task, masked-CRC32C framing)
+and binaryFile reader.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WT_VARINT, WT_I64, WT_LEN, WT_I32 = 0, 1, 2, 5
+
+# ------------------------------------------------------------- primitives
+
+
+def write_uvarint(out: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_uvarint(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+
+
+def _tag(out: bytearray, field_no: int, wt: int) -> None:
+    write_uvarint(out, (field_no << 3) | wt)
+
+
+def write_int64(out: bytearray, field_no: int, v: int) -> None:
+    """int64 field: negative values use 10-byte two's-complement varints
+    (proto2/proto3 int64 semantics)."""
+    _tag(out, field_no, WT_VARINT)
+    write_uvarint(out, v & 0xFFFFFFFFFFFFFFFF)
+
+
+def write_len(out: bytearray, field_no: int, payload: bytes) -> None:
+    _tag(out, field_no, WT_LEN)
+    write_uvarint(out, len(payload))
+    out.extend(payload)
+
+
+def write_double(out: bytearray, field_no: int, v: float) -> None:
+    _tag(out, field_no, WT_I64)
+    out.extend(struct.pack("<d", v))
+
+
+def write_float(out: bytearray, field_no: int, v: float) -> None:
+    _tag(out, field_no, WT_I32)
+    out.extend(struct.pack("<f", v))
+
+
+def packed_int64(vals) -> bytes:
+    out = bytearray()
+    for v in vals:
+        write_uvarint(out, int(v) & 0xFFFFFFFFFFFFFFFF)
+    return bytes(out)
+
+
+def packed_float(vals) -> bytes:
+    return struct.pack(f"<{len(vals)}f", *[float(v) for v in vals])
+
+
+def packed_double(vals) -> bytes:
+    return struct.pack(f"<{len(vals)}d", *[float(v) for v in vals])
+
+
+def _signed64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def decode_fields(blob: bytes | memoryview) -> dict[int, list[tuple[int, Any]]]:
+    """Parse one message into {field_no: [(wire_type, raw_value), ...]}.
+    Varints come out as unsigned ints, I64/I32 as raw 8/4 bytes, LEN as
+    bytes — interpretation (signed, float, packed, nested) is the caller's,
+    exactly as the wire format itself works."""
+    buf = memoryview(blob)
+    pos, end = 0, len(buf)
+    out: dict[int, list[tuple[int, Any]]] = {}
+    while pos < end:
+        key, pos = read_uvarint(buf, pos)
+        field_no, wt = key >> 3, key & 7
+        if wt == WT_VARINT:
+            v, pos = read_uvarint(buf, pos)
+        elif wt == WT_I64:
+            v = bytes(buf[pos : pos + 8])
+            pos += 8
+        elif wt == WT_LEN:
+            n, pos = read_uvarint(buf, pos)
+            v = bytes(buf[pos : pos + n])
+            pos += n
+        elif wt == WT_I32:
+            v = bytes(buf[pos : pos + 4])
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt} for field {field_no}")
+        out.setdefault(field_no, []).append((wt, v))
+    return out
+
+
+# --------------------------------------------- generic field-spec messages
+#
+# spec: {field_no: (name, kind, repeated)} where kind ∈
+#   int64 | double | float | string | bytes | message:<subspec>
+# — the scalar subset of a .proto declaration, enough for ProtobufIO-style
+# record messages.
+
+
+def message_encode(row: dict, spec: dict[int, tuple]) -> bytes:
+    out = bytearray()
+    for no in sorted(spec):
+        name, kind, repeated = spec[no]
+        v = row.get(name)
+        if v is None:
+            continue
+        vals = list(v) if repeated else [v]
+        if not vals:
+            continue
+        if kind == "int64":
+            if repeated:
+                write_len(out, no, packed_int64(vals))
+            else:
+                write_int64(out, no, int(vals[0]))
+        elif kind == "double":
+            if repeated:
+                write_len(out, no, packed_double(vals))
+            else:
+                write_double(out, no, float(vals[0]))
+        elif kind == "float":
+            if repeated:
+                write_len(out, no, packed_float(vals))
+            else:
+                write_float(out, no, float(vals[0]))
+        elif kind == "string":
+            for x in vals:
+                write_len(out, no, str(x).encode("utf-8"))
+        elif kind == "bytes":
+            for x in vals:
+                write_len(out, no, bytes(x))
+        elif isinstance(kind, dict):  # nested message spec
+            for x in vals:
+                write_len(out, no, message_encode(x, kind))
+        else:
+            raise TypeError(f"unknown proto kind {kind!r} for field {name}")
+    return bytes(out)
+
+
+def message_decode(blob: bytes, spec: dict[int, tuple]) -> dict:
+    fields = decode_fields(blob)
+    row: dict[str, Any] = {}
+    for no, (name, kind, repeated) in spec.items():
+        entries = fields.get(no)
+        if entries is None:
+            row[name] = [] if repeated else None
+            continue
+        vals: list[Any] = []
+        for wt, raw in entries:
+            if kind == "int64":
+                if wt == WT_LEN:  # packed
+                    buf, pos = memoryview(raw), 0
+                    while pos < len(raw):
+                        u, pos = read_uvarint(buf, pos)
+                        vals.append(_signed64(u))
+                else:
+                    vals.append(_signed64(raw))
+            elif kind == "double":
+                if wt == WT_LEN:
+                    vals.extend(struct.unpack(f"<{len(raw)//8}d", raw))
+                else:
+                    vals.append(struct.unpack("<d", raw)[0])
+            elif kind == "float":
+                if wt == WT_LEN:
+                    vals.extend(struct.unpack(f"<{len(raw)//4}f", raw))
+                else:
+                    vals.append(struct.unpack("<f", raw)[0])
+            elif kind == "string":
+                vals.append(raw.decode("utf-8"))
+            elif kind == "bytes":
+                vals.append(raw)
+            elif isinstance(kind, dict):
+                vals.append(message_decode(raw, kind))
+            else:
+                raise TypeError(f"unknown proto kind {kind!r} for field {name}")
+        row[name] = vals if repeated else vals[-1]  # last-wins per spec
+    return row
+
+
+# ------------------------------------------------------------- tf.Example
+#
+# Transcribed from tensorflow/core/example/feature.proto (public):
+#   BytesList  { repeated bytes value = 1; }
+#   FloatList  { repeated float value = 1 [packed = true]; }
+#   Int64List  { repeated int64 value = 1 [packed = true]; }
+#   Feature    { oneof kind { BytesList bytes_list = 1;
+#                             FloatList float_list = 2;
+#                             Int64List int64_list = 3; } }
+#   Features   { map<string, Feature> feature = 1; }
+#   Example    { Features features = 1; }
+# (a proto map field is a repeated entry message: key=1, value=2.)
+
+
+def _feature_encode(v: Any, dtype: T.DataType) -> bytes:
+    fe = bytearray()
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        write_len(fe, 3, b"" if v is None else _one_packed_int64(v))
+    elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+        write_len(fe, 2, b"" if v is None else _one_packed_float(v))
+    elif isinstance(dtype, T.StringType):
+        bl = bytearray()
+        if v is not None:
+            write_len(bl, 1, str(v).encode("utf-8"))
+        write_len(fe, 1, bytes(bl))
+    elif isinstance(dtype, T.BinaryType):
+        bl = bytearray()
+        if v is not None:
+            write_len(bl, 1, bytes(v))
+        write_len(fe, 1, bytes(bl))
+    elif isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        items = [] if v is None else list(v)
+        if isinstance(et, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            il = bytearray()
+            if items:
+                write_len(il, 1, packed_int64(items))
+            write_len(fe, 3, bytes(il))
+        elif isinstance(et, (T.DoubleType, T.FloatType)):
+            fl = bytearray()
+            if items:
+                write_len(fl, 1, packed_float(items))
+            write_len(fe, 2, bytes(fl))
+        elif isinstance(et, (T.StringType, T.BinaryType)):
+            bl = bytearray()
+            for x in items:
+                write_len(bl, 1, str(x).encode("utf-8") if isinstance(et, T.StringType) else bytes(x))
+            write_len(fe, 1, bytes(bl))
+        else:
+            raise TypeError(f"tf.Example: unsupported array element {et}")
+    else:
+        raise TypeError(f"tf.Example: unsupported Spark type {dtype}")
+    return bytes(fe)
+
+
+def _one_packed_int64(v: Any) -> bytes:
+    il = bytearray()
+    write_len(il, 1, packed_int64([int(v)]))
+    return bytes(il)
+
+
+def _one_packed_float(v: Any) -> bytes:
+    fl = bytearray()
+    write_len(fl, 1, packed_float([float(v)]))
+    return bytes(fl)
+
+
+def example_encode(row: dict, schema: T.StructType) -> bytes:
+    """One Spark row → serialized tf.Example. Column-type mapping follows
+    TFExampleIO: int→Int64List, floating→FloatList (float32 on the wire —
+    the TF convention; doubles narrow), string/binary→BytesList, arrays
+    likewise. Null scalars become empty-list features (present key, zero
+    values) so the feature-name set is schema-stable."""
+    feats = bytearray()  # Features message: repeated map entries, field 1
+    for f in schema.fields:
+        v = row.get(f.name)
+        if (
+            v is not None
+            and not isinstance(v, (str, bytes, bytearray, list, tuple, dict))
+            and not hasattr(v, "__len__")  # numpy arrays broadcast !=
+            and v != v
+        ):
+            v = None  # pandas NaN/NaT
+        entry = bytearray()
+        write_len(entry, 1, f.name.encode("utf-8"))
+        write_len(entry, 2, _feature_encode(v, f.dataType))
+        write_len(feats, 1, bytes(entry))
+    out = bytearray()
+    write_len(out, 1, bytes(feats))  # Example.features
+    return bytes(out)
+
+
+def example_decode(blob: bytes, schema: T.StructType) -> dict:
+    """Serialized tf.Example → row dict shaped by ``schema`` (the schema
+    names which features to extract and their target types; extra features
+    are ignored, absent ones decode to null/empty)."""
+    ex = decode_fields(blob)
+    feat_map: dict[str, dict[int, list]] = {}
+    for _, features_blob in ex.get(1, []):
+        for _, entry in decode_fields(features_blob).get(1, []):
+            e = decode_fields(entry)
+            key = e[1][-1][1].decode("utf-8")
+            feat_map[key] = decode_fields(e[2][-1][1]) if 2 in e else {}
+    row: dict[str, Any] = {}
+    for f in schema.fields:
+        feat = feat_map.get(f.name)
+        row[f.name] = _feature_decode(feat, f.dataType)
+    return row
+
+
+def _list_vals(feat: dict[int, list], field_no: int, kind: str) -> list:
+    vals: list[Any] = []
+    for _, lst in feat.get(field_no, []):
+        for wt, raw in decode_fields(lst).get(1, []):
+            if kind == "int64":
+                if wt == WT_LEN:
+                    buf, pos = memoryview(raw), 0
+                    while pos < len(raw):
+                        u, pos = read_uvarint(buf, pos)
+                        vals.append(_signed64(u))
+                else:
+                    vals.append(_signed64(raw))
+            elif kind == "float":
+                if wt == WT_LEN:
+                    vals.extend(struct.unpack(f"<{len(raw)//4}f", raw))
+                else:
+                    vals.append(struct.unpack("<f", raw)[0])
+            else:  # bytes
+                vals.append(raw)
+    return vals
+
+
+def _feature_decode(feat: dict[int, list] | None, dtype: T.DataType) -> Any:
+    if isinstance(dtype, T.ArrayType):
+        if feat is None:
+            return []
+        et = dtype.elementType
+        if isinstance(et, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return _list_vals(feat, 3, "int64")
+        if isinstance(et, (T.DoubleType, T.FloatType)):
+            return _list_vals(feat, 2, "float")
+        if isinstance(et, T.StringType):
+            return [b.decode("utf-8") for b in _list_vals(feat, 1, "bytes")]
+        if isinstance(et, T.BinaryType):
+            return _list_vals(feat, 1, "bytes")
+        raise TypeError(f"tf.Example: unsupported array element {et}")
+    if feat is None:
+        return None
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        v = _list_vals(feat, 3, "int64")
+        return v[0] if v else None
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        v = _list_vals(feat, 2, "float")
+        return v[0] if v else None
+    if isinstance(dtype, T.StringType):
+        v = _list_vals(feat, 1, "bytes")
+        return v[0].decode("utf-8") if v else None
+    if isinstance(dtype, T.BinaryType):
+        v = _list_vals(feat, 1, "bytes")
+        return v[0] if v else None
+    raise TypeError(f"tf.Example: unsupported Spark type {dtype}")
+
+
+# --------------------------------------------------------- distributed IO
+
+
+def save_as_tf_example(df: DataFrame, path: str) -> None:
+    """saveAsTfExampleFile (TFExampleIO.scala): every row becomes one
+    tf.Example protobuf inside CRC32C-framed TFRecord files, one file per
+    task via the repo's distributed TFRecord writer."""
+    import pandas as pd
+
+    from .formats import save_as_tfrecord
+
+    schema = df.schema
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            payloads = [
+                example_encode(row, schema) for row in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"payload": payloads})
+
+    blobs = df.mapInPandas(gen, "payload binary")
+    save_as_tfrecord(blobs, "payload", path)
+
+
+def read_tf_example(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """tfRecordExampleFile analog: TFRecord files → tf.Example decode →
+    typed DataFrame shaped by ``schema`` (tf.Example files carry no schema;
+    TF readers take a feature spec the same way)."""
+    import pandas as pd
+
+    from .formats import read_tfrecord
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = [example_decode(bytes(b), schema) for b in pdf["record"]]
+            if rows:
+                yield pd.DataFrame.from_records(rows, columns=cols)
+
+    return read_tfrecord(spark, path).mapInPandas(gen, schema)
+
+
+PROTOBUF_WRAPPER_SCHEMA = {
+    "type": "record",
+    "name": "ProtobufWrapper",
+    "fields": [{"name": "bytes", "type": "bytes"}],
+}
+
+
+def save_as_protobuf_file(
+    df: DataFrame, path: str, spec: dict[int, tuple]
+) -> list:
+    """saveAsProtobufFile (scio-avro ProtobufIO.scala): message bytes
+    wrapped in an Avro object-container bytes-record — scio's actual
+    on-disk layout for protobuf collections. ``spec`` is the field-spec
+    dict for the message type (ProtobufIO carries the descriptor in Avro
+    file metadata; here the spec object plays that role)."""
+    import pandas as pd
+
+    from .avro import save_as_avro
+
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {"bytes": [message_encode(_denan(r, names), spec) for r in rows]}
+            )
+
+    wrapped = df.mapInPandas(gen, "bytes binary")
+    return save_as_avro(wrapped, path)
+
+
+def _denan(row: dict, names: list[str]) -> dict:
+    for k in names:
+        v = row.get(k)
+        if (
+            v is not None
+            and not isinstance(v, (str, bytes, bytearray, list, tuple, dict))
+            and not hasattr(v, "__len__")  # numpy arrays broadcast !=
+            and v != v
+        ):
+            row[k] = None
+    return row
+
+
+def read_protobuf_file(
+    spark: SparkSession, path: str, spec: dict[int, tuple], schema: T.StructType | str
+) -> DataFrame:
+    """protobufFile analog: Avro bytes-wrapper files → message_decode per
+    record → typed DataFrame."""
+    import pandas as pd
+
+    from .avro import read_avro
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cols = [f.name for f in schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = [message_decode(bytes(b), spec) for b in pdf["bytes"]]
+            if rows:
+                yield pd.DataFrame.from_records(rows, columns=cols)
+
+    return read_avro(spark, path).mapInPandas(gen, schema)
