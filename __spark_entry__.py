@@ -2810,6 +2810,38 @@ FROM part WHERE p_partkey % 5 = 0 GROUP BY p_brand
 """
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard sink+source round-trip (beyond-reference
+    multimodal training-data IO; sources/webdataset.py): documents become
+    {doc_id}.txt/{doc_id}.cls members in per-task tar shards — the format
+    the torch/webdataset loaders stream — then read back key-grouped and
+    re-aggregated. Tar bytes come from stdlib tarfile; this query pins the
+    distributed write→group→read path against the parquet truth."""
+    from scio_spark.sources.webdataset import read_webdataset, save_as_webdataset
+
+    path = _rt_path(sf_dir, "webdataset")
+    sc = _ctx(spark)
+    d = (
+        _t(sc, sf_dir, "documents")
+        .df.filter("doc_id % 9 = 0")
+        .select(F.col("doc_id").cast("string").alias("key"), "text", "source")
+    )
+    save_as_webdataset(d, path, "key", {"text": "txt", "source": "cls"})
+    back = read_webdataset(
+        spark, path, {"text": "txt", "source": "cls"}, text_cols={"text", "source"}
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+
+
+ORACLE_WEBDATASET_ROUNDTRIP = """
+SELECT source, COUNT(*) AS n_docs, SUM(len(text)) AS sum_chars
+FROM documents WHERE doc_id % 9 = 0 GROUP BY source
+"""
+
+
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition (SURVEY
     §2.5; the Structured Streaming form of joining two windowed
@@ -3348,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtract_by_key": q_subtract_by_key,  # displaced by protobuf_roundtrip
         # -- then: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
+        "webdataset_roundtrip": q_webdataset_roundtrip,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3515,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": ORACLE_AVRO_ROUNDTRIP,
         "tfexample_roundtrip": ORACLE_TFEXAMPLE_ROUNDTRIP,
         "protobuf_roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
+        "webdataset_roundtrip": ORACLE_WEBDATASET_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -1,0 +1,164 @@
+"""WebDataset-style tar-shard IO for multimodal training samples.
+
+Beyond-reference training-pipeline IO (the brief's multimodal column
+family): the WebDataset convention — samples as groups of files that share
+a basename key inside plain tar shards (``{key}.jpg``, ``{key}.txt``,
+``{key}.json`` …) — is the de-facto exchange format for large image/text
+training sets because shards stream sequentially and shuffle at the shard
+level. The reference has no tar IO; its closest analog is the binary-file
+family (scio-core io/BinaryIO.scala), which this module mirrors in shape:
+one shard per task on write, whole-shard-per-task reads.
+
+Format correctness is delegated to Python's stdlib ``tarfile`` (ustar),
+so these shards interoperate with the actual webdataset/torchdata loaders;
+what this module owns — and what the tests pin — is the Spark-side
+distribution: executor-side shard writing with no driver materialization,
+key-grouping on read, deterministic member ordering (sorted by key, so
+same-key members are contiguous per the WebDataset contract).
+
+Scale shape: a 100 TB export is embarrassingly parallel (tasks own whole
+shards); readers get one shard per task via the binaryFile source —
+shard-count = read parallelism, the same knob the torch loaders use.
+Columns: binary columns write raw bytes; string columns write UTF-8;
+anything else JSON.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def save_as_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    ext_cols: dict[str, str],
+    suffix: str = ".tar",
+) -> list:
+    """Write one tar shard per task: each row becomes ``{key}.{ext}``
+    members, one per entry in ``ext_cols`` (column name → member
+    extension). Keys are written sorted within a shard so a sample's
+    members are contiguous (the WebDataset grouping contract). Null cells
+    skip their member (samples may have missing modalities). Returns the
+    shard manifest (file, n_samples, n_bytes)."""
+    import glob
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+        os.remove(old)
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in ext_cols:
+        if c not in dtypes:
+            raise ValueError(f"save_as_webdataset: no column {c!r} in {list(dtypes)}")
+
+    cols = [key_col, *ext_cols]
+
+    def member_bytes(v, dtype) -> bytes | None:
+        if v is None:
+            return None
+        if isinstance(dtype, T.BinaryType):
+            return bytes(v)
+        if isinstance(dtype, T.StringType):
+            return str(v).encode("utf-8")
+        return json.dumps(v, default=str).encode("utf-8")
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        samples: list[tuple] = []
+        for pdf in batches:
+            samples.extend(pdf.itertuples(index=False))
+        if not samples:
+            return
+        samples.sort(key=lambda r: str(r[0]))
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for row in samples:
+                key = str(row[0])
+                wrote = False
+                for i, (c, ext) in enumerate(ext_cols.items(), start=1):
+                    data = member_bytes(row[i], dtypes[c])
+                    if data is None:
+                        continue
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes for retried tasks
+                    tar.addfile(info, io.BytesIO(data))
+                    wrote = True
+                n += 1 if wrote else 0
+        blob = buf.getvalue()
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}{suffix}")
+        with open(fname, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"file": [fname], "n_samples": [n], "n_bytes": [len(blob)]}
+        )
+
+    manifest = df.select(*cols).mapInPandas(
+        gen, "file string, n_samples long, n_bytes long"
+    )
+    return manifest.collect()
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    ext_cols: dict[str, str],
+    text_cols: set[str] | None = None,
+    suffix: str = ".tar",
+) -> DataFrame:
+    """Read tar shards back into one row per sample key: ``key`` string
+    plus one column per ``ext_cols`` entry (binary by default; names in
+    ``text_cols`` decode UTF-8 to string). Each task consumes whole
+    shards; missing members decode to null."""
+    import os
+
+    import pandas as pd
+
+    text_cols = text_cols or set()
+    by_ext = {ext: c for c, ext in ext_cols.items()}
+    fields = ", ".join(
+        f"{c} {'string' if c in text_cols else 'binary'}" for c in ext_cols
+    )
+    schema = f"key string, {fields}"
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows: dict[str, dict] = {}
+            for blob in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, dot, ext = m.name.rpartition(".")
+                        col = by_ext.get(ext if dot else "")
+                        if col is None:
+                            continue
+                        data = tar.extractfile(m).read()
+                        rows.setdefault(base, {})[col] = (
+                            data.decode("utf-8") if col in text_cols else data
+                        )
+            if rows:
+                recs = [
+                    {"key": k, **{c: v.get(c) for c in ext_cols}}
+                    for k, v in rows.items()
+                ]
+                yield pd.DataFrame.from_records(
+                    recs, columns=["key", *ext_cols]
+                )
+
+    src = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .load(os.fspath(path))
+    )
+    return src.select("content").mapInPandas(gen, schema)
