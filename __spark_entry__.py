@@ -2810,6 +2810,46 @@ FROM part WHERE p_partkey % 5 = 0 GROUP BY p_brand
 """
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE tokenizer end-to-end (beyond-reference text-analysis
+    operator; functions/bpe.py): merges trained from the distributed word
+    histogram (only the top-5k (word,count) rows reach the driver), then
+    Arrow-batched subword encoding over all documents. The oracle-checked
+    invariant is losslessness at corpus scale: re-joining each document's
+    tokens and stripping end-of-word markers must reproduce the
+    whitespace-normalized text, so sum(len(rebuilt)) per source equals the
+    SQL-computable normalized length (any dropped/corrupted token breaks
+    the hash). Segmentation itself is pinned to the published algorithm's
+    worked example in tests/test_bpe.py."""
+    from scio_spark.functions.bpe import END, bpe_tokenize, train_bpe
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "text")
+    merges = train_bpe(d, "text", n_merges=200, max_words=5000)
+    toks = d.select(
+        "source", bpe_tokenize(F.col("text"), merges).alias("toks")
+    )
+    rebuilt = toks.select(
+        "source",
+        F.expr(f"rtrim(replace(array_join(toks, ''), '{END}', ' '))").alias(
+            "rebuilt"
+        ),
+    )
+    return rebuilt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("rebuilt")).alias("sum_rebuilt_chars"),
+    )
+
+
+ORACLE_BPE_SEGMENT = r"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(array_to_string(
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> ''), ' '))) AS sum_rebuilt_chars
+FROM documents GROUP BY source
+"""
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard sink+source round-trip (beyond-reference
     multimodal training-data IO; sources/webdataset.py): documents become
@@ -3381,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- then: NEW in r5 (locally value-exact;
         # -- r6-window priority — the window budget went to stale re-checks)
         "webdataset_roundtrip": q_webdataset_roundtrip,
+        "bpe_segment": q_bpe_segment,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3549,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "tfexample_roundtrip": ORACLE_TFEXAMPLE_ROUNDTRIP,
         "protobuf_roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
         "webdataset_roundtrip": ORACLE_WEBDATASET_ROUNDTRIP,
+        "bpe_segment": ORACLE_BPE_SEGMENT,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
