@@ -1468,7 +1468,9 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
-    return run_to_memory(res, output_mode="update")
+    # 8 state stores: sized to fixture state volume (capacity knob, see
+    # streaming.core.state_partitions; scales UP with stream volume)
+    return run_to_memory(res, output_mode="update", num_state_partitions=8)
 
 
 ORACLE_STREAMING_WINDOW = """
@@ -1802,7 +1804,7 @@ def q_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy("event_type"),
         output_schema="key string, total bigint",
     )
-    return run_to_memory(counted, output_mode="update")
+    return run_to_memory(counted, output_mode="update", num_state_partitions=8)
 
 
 ORACLE_STATEFUL_STREAM = """
@@ -2099,7 +2101,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, output_mode="append")
+    return run_to_memory(agg, output_mode="append", num_state_partitions=8)
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,7 +2123,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"], ts_col="ts", within="10 days"
     )
     out = run_to_memory(
-        deduped.select("user_id", "event_type"), output_mode="append"
+        deduped.select("user_id", "event_type"),
+        output_mode="append",
+        num_state_partitions=8,
     )
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_users")
@@ -2930,7 +2934,10 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
         "inner",
     )
-    pairs = run_to_memory(joined, output_mode="append")
+    # 8 state stores (vs the session's 32) ~3x faster at this volume:
+    # per-store maintenance dominates when state is small. Capacity knob —
+    # goes UP on a real cluster (state_bytes / ~1 GB per store).
+    pairs = run_to_memory(joined, output_mode="append", num_state_partitions=8)
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -2975,6 +2982,7 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = maintain_rollup(
         stream, table, "ts", "1 hour", "1 hour",
         ["event_type"], [F.count(F.lit(1)).alias("n")],
+        num_state_partitions=8,  # capacity knob — see state_partitions
     )
     try:
         q.processAllAvailable()

