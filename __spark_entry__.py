@@ -2814,6 +2814,78 @@ FROM part WHERE p_partkey % 5 = 0 GROUP BY p_brand
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr at n-gram
+    resolution; functions/substr_dedup.py): duplicated 10-token spans are
+    marked everywhere except their corpus-first occurrence, overlapping
+    hits merged into maximal spans; per-source accounting of affected docs
+    and duplicated tokens. Oracle replays the identical semantics in SQL
+    (positional grams → first-occurrence window → islands interval merge).
+    Scale path: min(struct) first-occurrence agg instead of a per-gram sort
+    (hot boilerplate grams stay mergeable); the oracle-facing mode shuffles
+    exact gram text, hash_grams=True (parity-tested) ships 64-bit
+    fingerprints instead."""
+    from scio_spark.functions.substr_dedup import mark_duplicate_spans
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "text")
+    marked = mark_duplicate_spans(d, n=10)
+    affected = marked.filter(F.col("n_dup_tokens") > 0).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return affected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_affected"),
+        F.sum("n_dup_tokens").alias("sum_dup_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(generate_series(1, len(t) - 9)) - 1 AS pos,
+         unnest(list_transform(generate_series(1, len(t) - 9),
+                i -> array_to_string(list_slice(t, i, i + 9), chr(31)))) AS gram
+  FROM toks WHERE len(t) >= 10
+),
+occ AS (
+  SELECT doc_id, source, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM grams
+),
+dup AS (
+  SELECT doc_id, source, pos, pos + 9 AS e FROM occ WHERE cnt >= 2 AND rn > 1
+),
+isl AS (
+  SELECT doc_id, source, pos, e,
+         CASE WHEN pos > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, source, pos, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, source, island, MIN(pos) AS s, MAX(e) AS e
+  FROM isl2 GROUP BY doc_id, source, island
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(e - s + 1) AS nd FROM spans GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs_affected, SUM(nd) AS sum_dup_tokens
+FROM per_doc GROUP BY source
+"""
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable BPE tokenizer end-to-end (beyond-reference text-analysis
     operator; functions/bpe.py): merges trained from the distributed word
@@ -3430,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r6-window priority — the window budget went to stale re-checks)
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "bpe_segment": q_bpe_segment,
+        "substring_dedup": q_substring_dedup,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3599,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "protobuf_roundtrip": ORACLE_PROTOBUF_ROUNDTRIP,
         "webdataset_roundtrip": ORACLE_WEBDATASET_ROUNDTRIP,
         "bpe_segment": ORACLE_BPE_SEGMENT,
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

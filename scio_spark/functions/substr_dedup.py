@@ -1,0 +1,143 @@
+"""Exact-substring (duplicated n-gram span) dedup for training corpora.
+
+Beyond-reference curation operator, after the ExactSubstr procedure of
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.
+2022, public): any token span of length ≥ n that occurs more than once in
+the corpus is a duplicate; every occurrence EXCEPT THE FIRST (corpus order:
+(doc_id, position)) is marked, and stripping removes the marked spans while
+keeping the first occurrence intact. The reference pipeline builds one
+giant suffix array — a single-machine design; the Spark-first shape below
+gets the same n-gram-resolution answer with bounded shuffles:
+
+1. tokenize → positional n-grams (one explode; grams stay JVM-side),
+2. first occurrence per gram = ``min(struct(doc_id, pos))`` — a partial
+   aggregation (map-side combine), deliberately NOT a row_number window:
+   a hot boilerplate gram would make a per-gram sort skew-bound, while
+   min() stays mergeable no matter how hot the gram,
+3. later occurrences (anti-first) → per-doc interval merge of their
+   [pos, pos+n-1] spans with the classic islands pattern (running max over
+   a per-doc window — the only per-doc sort, bounded by doc length),
+4. mark (span list + duplicated-token count) or strip (rebuild text
+   without marked token indexes).
+
+Scale notes: the gram shuffle carries gram text; at 100 TB pass
+``hash_grams=True`` to shuffle 64-bit xxhash64 fingerprints instead
+(collision odds ~(grams²)/2⁶⁵ — fine for dedup, not for an exact oracle,
+hence the flag; parity between modes is pinned in tests). `min_count`
+raises the duplication threshold (e.g. only spans seen ≥10× — boilerplate
+removal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _positional_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_grams: bool
+) -> DataFrame:
+    """(id, pos, gram) for every n-gram; docs shorter than n emit none."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+    toks = toks.filter(F.size("_t") >= n)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - n),
+        lambda i: F.concat_ws("\x1f", F.slice("_t", i + 1, n)),
+    )
+    out = toks.select("_id", F.posexplode(gram).alias("pos", "gram"))
+    if hash_grams:
+        out = out.withColumn("gram", F.xxhash64("gram"))
+    return out
+
+
+def mark_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per doc: merged duplicated-span list and token counts. Returns
+    (id_col, spans array<struct<start,end>>, n_dup_tokens, n_tokens) with
+    one row per input doc (docs with no duplicates: empty list, 0).
+
+    First-occurrence-wins: the globally first (doc_id, pos) occurrence of
+    each duplicated gram is NOT marked, so stripping never deletes the
+    canonical copy."""
+    occ = _positional_ngrams(df, id_col, text_col, n, hash_grams)
+    # first occurrence + occurrence count per gram — one partial-agg'd
+    # shuffle on gram; immune to hot-gram skew (min/count are mergeable)
+    firsts = occ.groupBy("gram").agg(
+        F.min(F.struct("_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup = (
+        occ.join(firsts.filter(F.col("cnt") >= min_count), "gram")
+        .filter(
+            (F.col("_id") != F.col("first._id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("_id", "pos", (F.col("pos") + n - 1).alias("end"))
+    )
+    # islands: a new span starts where pos exceeds the running max end of
+    # all earlier spans in the doc (per-doc sort only — bounded by doc len)
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "brk",
+            F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+    )
+    per_doc = islands.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("n_dup_tokens"),
+    )
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(id_col, F.size("_t").alias("n_tokens"))
+    return (
+        base.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "spans", F.array().cast("array<struct<start:int,end:int>>")
+            ).alias("spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.col("n_tokens").cast("long"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Rebuild each doc without its marked duplicate spans (whitespace-
+    normalized output; first occurrences survive). Returns the input
+    columns with ``text_col`` replaced and ``n_dup_tokens`` appended."""
+    marked = mark_duplicate_spans(df, id_col, text_col, n, min_count, hash_grams)
+    joined = df.join(marked, id_col)
+    keep = F.filter(
+        F.transform(tokens(F.col(text_col)), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["i"] >= sp["start"]) & (s["i"] <= sp["end"]),
+        ),
+    )
+    other = [c for c in df.columns if c != text_col]
+    return joined.select(
+        *other,
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias(text_col),
+        "n_dup_tokens",
+    )

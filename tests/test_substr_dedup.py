@@ -1,0 +1,106 @@
+"""Exact-substring dedup tests (functions/substr_dedup.py).
+
+Semantics pinned: ExactSubstr after Lee et al. 2022 at n-gram resolution —
+first occurrence (corpus order by doc_id, pos) survives, every later
+occurrence of a duplicated n-token span is marked/stripped, overlapping
+gram hits merge into maximal spans.
+"""
+
+from pyspark.sql import functions as F
+
+from scio_spark.functions.substr_dedup import (
+    mark_duplicate_spans,
+    strip_duplicate_spans,
+)
+
+A = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 unique_a tail_a"
+B = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 unique_b tail_b"
+C = "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"
+
+
+def fixture(spark):
+    return spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+
+
+def test_first_occurrence_survives(spark):
+    m = {r.doc_id: r for r in mark_duplicate_spans(fixture(spark), n=10).collect()}
+    assert m[1].n_dup_tokens == 0 and list(m[1].spans) == []
+    # three overlapping 10-gram hits (pos 0,1,2) merge into one span 0..11
+    assert [(s.start, s.end) for s in m[2].spans] == [(0, 11)]
+    assert m[2].n_dup_tokens == 12
+    assert m[3].n_dup_tokens == 0
+    assert m[2].n_tokens == 14
+
+
+def test_strip_rebuilds_without_marked_spans(spark):
+    s = {r.doc_id: r.text for r in strip_duplicate_spans(fixture(spark), n=10).collect()}
+    assert s[1] == A
+    assert s[2] == "unique_b tail_b"
+    assert s[3] == C
+
+
+def test_within_doc_repetition(spark):
+    phrase = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} mid1 mid2 {phrase}")], "doc_id long, text string"
+    )
+    m = mark_duplicate_spans(df, n=10).head()
+    # second occurrence starts at token 12
+    assert [(s.start, s.end) for s in m.spans] == [(12, 21)]
+    assert m.n_dup_tokens == 10
+
+
+def test_min_count_threshold(spark):
+    rows = [(i, B) for i in range(1, 4)]  # 3 identical docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # with min_count=4 nothing is duplicated enough
+    m = mark_duplicate_spans(df, n=10, min_count=4)
+    assert m.agg(F.sum("n_dup_tokens")).head()[0] == 0
+    # with the default, docs 2 and 3 are fully marked over the shared prefix
+    m2 = {r.doc_id: r.n_dup_tokens for r in mark_duplicate_spans(df, n=10).collect()}
+    assert m2 == {1: 0, 2: 14, 3: 14}
+
+
+def test_two_disjoint_spans(spark):
+    p = "p0 p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    q = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p} xx {q}"),
+            (2, f"{p} yy1 yy2 yy3 {q}"),
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in mark_duplicate_spans(df, n=10).collect()}
+    assert [(s.start, s.end) for s in m[2].spans] == [(0, 9), (13, 22)]
+    assert m[2].n_dup_tokens == 20
+    assert m[1].n_dup_tokens == 0
+
+
+def test_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    m = mark_duplicate_spans(df, n=10)
+    assert m.agg(F.sum("n_dup_tokens")).head()[0] == 0
+    assert m.count() == 2  # rows still present with zero counts
+
+
+def test_hash_grams_parity(spark):
+    """The 100 TB shuffle mode (64-bit gram fingerprints) gives the same
+    answer as exact gram strings on the fixture."""
+    sf = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    exact = mark_duplicate_spans(df, n=10).orderBy("doc_id").collect()
+    hashed = mark_duplicate_spans(df, n=10, hash_grams=True).orderBy("doc_id").collect()
+    assert exact == hashed
+    assert sum(r.n_dup_tokens for r in exact) > 0  # fixture has planted dups
+
+
+def test_stability_under_repartition(spark):
+    df = fixture(spark)
+    a = mark_duplicate_spans(df.repartition(1), n=10).orderBy("doc_id").collect()
+    b = mark_duplicate_spans(df.repartition(13), n=10).orderBy("doc_id").collect()
+    assert a == b
