@@ -2886,6 +2886,40 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout clustering (beyond-reference scale operator;
+    functions/layout.py): events clustered along the Morton curve of
+    (user_id, hour-of-ts) and rewritten, so parquet min/max footers prune
+    point/range predicates on BOTH columns (measured vs a linear sort in
+    tests/test_layout.py). The oracle pins losslessness: the clustered
+    table must aggregate identically to the source."""
+    import shutil
+
+    from scio_spark.functions.layout import zorder_by
+
+    path = _rt_path(sf_dir, "zorder_events")
+    shutil.rmtree(path, ignore_errors=True)
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df.withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    zorder_by(ev, ["user_id", "hour"], n_partitions=8).write.parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("user_id") % 1000).alias("checksum"),
+    )
+
+
+ORACLE_ZORDER_LAYOUT = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(user_id % 1000) AS checksum
+FROM events GROUP BY event_type
+"""
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable BPE tokenizer end-to-end (beyond-reference text-analysis
     operator; functions/bpe.py): merges trained from the distributed word
@@ -3503,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "bpe_segment": q_bpe_segment,
         "substring_dedup": q_substring_dedup,
+        "zorder_layout": q_zorder_layout,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3673,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": ORACLE_WEBDATASET_ROUNDTRIP,
         "bpe_segment": ORACLE_BPE_SEGMENT,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "zorder_layout": ORACLE_ZORDER_LAYOUT,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -132,6 +132,100 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """int8 scalar quantization, per-vector absmax (the FAISS SQ8 scheme):
+    ``code_i = round(x_i / s * 127)`` with ``s = max|x|`` — 4× smaller
+    than float32 storage, ~0.4% worst-case per-component error for unit
+    vectors. Pure Catalyst expressions (transform/array_max), no UDF; the
+    float column can then be dropped for the stored index. Reconstruction:
+    ``x ≈ code * s / 127``."""
+    s = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))),
+        F.lit(1e-12),
+    )
+    code = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x / F.col(scale_col) * 127).cast("tinyint"),
+    )
+    return df.withColumn(scale_col, s.cast("float")).withColumn(code_col, code)
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 4,
+    score_decimals: int | None = 5,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Top-k cosine over an int8-quantized corpus with exact rescore: the
+    GEMM first pass runs on reconstructed SQ8 codes (float32 — a quarter
+    of the scan bytes of the float path), keeps k×oversample candidates
+    per query, and the survivors are rescored on the ORIGINAL float
+    vectors, so returned scores are exact; quantization only risks recall
+    at the candidate boundary (pinned ≥0.95@k in tests). Same output
+    contract as ``cosine_topk``: (query_id, neighbor_id, score, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    require_side_input_sized(
+        queries, max_query_rows, "cosine_topk_sq8", "max_query_rows"
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    kk_keep = k * oversample
+
+    qz = quantize_embeddings(corpus.select(id_col, vec_col), vec_col).drop(vec_col)
+
+    def gen(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            codes = np.array(list(pdf["code"]), dtype=np.float32)
+            scales = pdf["scale"].to_numpy(dtype=np.float32) / 127.0
+            block = codes * scales[:, None]  # reconstructed int8 corpus
+            b_ids = pdf[id_col].to_numpy()
+            sims = mat @ block.T
+            out_q, out_n = [], []
+            kk = min(kk_keep + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                keep = idx[b_ids[idx] != ids[qi]]
+                out_q.extend([ids[qi]] * len(keep))
+                out_n.extend(b_ids[keep])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = qz.mapInPandas(gen, "query_id long, neighbor_id long")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _exact_rescore(
     corpus: DataFrame,
     cands: DataFrame,
