@@ -1,7 +1,8 @@
 """Training-data curation pipeline: PII scrub → quality-filter → exact
-dedup → near-dup clustering (canonical survivor per duplicate group) →
-train/val split → eval-set decontamination → sequence packing →
-deterministic training shards (+ a RAG chunk index on the side).
+dedup → substring-level boilerplate strip → near-dup clustering (canonical
+survivor per duplicate group) → train/val split → eval-set decontamination
+→ BPE token accounting → sequence packing → deterministic training shards
+(+ tf.Example and WebDataset exports, and a RAG chunk index on the side).
 
 The canonical LLM-data flow this engine is built for (BASELINE.json north
 star). Run: python examples/dedup_pipeline.py [sf_dir] [out_dir]
@@ -15,7 +16,11 @@ sys.path.insert(0, ".")
 
 from scio_spark import ScioContext  # noqa: E402
 from scio_spark.functions import dedup as D  # noqa: E402
+from scio_spark.functions import substr_dedup as S  # noqa: E402
 from scio_spark.functions import text as T  # noqa: E402
+from scio_spark.functions.bpe import bpe_token_count, train_bpe  # noqa: E402
+from scio_spark.sources import proto as P  # noqa: E402
+from scio_spark.sources import webdataset as W  # noqa: E402
 from scio_spark.functions.training import (  # noqa: E402
     hash_split,
     pack_sequences,
@@ -48,6 +53,14 @@ def main():
     # 2. exact dedup on normalized text (keep min doc_id)
     exact = D.exact_dedup(kept)
     n2 = exact.count()
+
+    # 2b. substring-level boilerplate strip: duplicated 20-token spans are
+    # removed everywhere but their corpus-first occurrence (ExactSubstr at
+    # n-gram resolution; hash_grams ships 64-bit fingerprints through the
+    # shuffle — the web-scale mode)
+    exact = S.strip_duplicate_spans(
+        exact, n=20, hash_grams=True
+    ).drop("n_dup_tokens")
 
     # 3. near-dup removal, done right: MinHash-LSH pairs ≥ 0.8 Jaccard →
     # transitive closure into duplicate groups (connected_components) →
@@ -84,6 +97,29 @@ def main():
     packed.write.mode("overwrite").parquet(f"{out}/packed")
     val.write.mode("overwrite").parquet(f"{out}/val")
 
+    # 6b. tokenizer-accurate budget accounting: train a BPE on the clean
+    # corpus (word-histogram training — the corpus never reaches the
+    # driver) and record exact subword counts beside the whitespace
+    # estimate the packer used
+    merges = train_bpe(clean, "text", n_merges=500, max_words=20_000)
+    token_stats = clean.select(
+        F.sum(bpe_token_count(F.col("text"), merges)).alias("bpe_tokens"),
+        F.sum(T.token_count(F.col("text"))).alias("ws_tokens"),
+    ).head()
+
+    # 6c. trainer-facing exports: tf.Example TFRecords (the TF ingest
+    # format) and a WebDataset tar layout (the torch streaming format) —
+    # both one file per task, schema-stable
+    P.save_as_tf_example(
+        clean.select("doc_id", "source", "text"), f"{out}/tfexample"
+    )
+    W.save_as_webdataset(
+        clean.select(F.col("doc_id").cast("string").alias("key"), "text", "source"),
+        f"{out}/webdataset",
+        "key",
+        {"text": "txt", "source": "cls"},
+    )
+
     # 7. side artifact: RAG chunk index over the curated corpus
     # (sliding 64-token windows, exchange-free)
     T.chunk_text(clean, chunk_tokens=64, overlap=16).write.mode(
@@ -92,9 +128,11 @@ def main():
 
     print(
         f"{n0} docs → quality {n1} → exact-dedup {n2} → cluster-dedup {n3} "
-        f"→ decontaminated {n4} → {n5} packed sequences; shards at "
-        f"{out}/train, packed at {out}/packed, val at {out}/val, "
-        f"chunk index at {out}/chunks"
+        f"→ decontaminated {n4} → {n5} packed sequences "
+        f"({token_stats.bpe_tokens} BPE tokens vs {token_stats.ws_tokens} "
+        f"whitespace); shards at {out}/train, packed at {out}/packed, "
+        f"val at {out}/val, tf.Example at {out}/tfexample, WebDataset at "
+        f"{out}/webdataset, chunk index at {out}/chunks"
     )
 
 

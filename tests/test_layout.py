@@ -51,9 +51,9 @@ def test_overflow_guard(spark):
         with_z_value(df, ["a", "b"], bits=32)
 
 
-def _file_skip_fraction(path: str, col: str, point) -> float:
-    """Fraction of parquet files whose [min,max] of ``col`` excludes the
-    point — i.e. files a reader skips via footer stats alone."""
+def _file_skip_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of parquet files whose [min,max] of ``col`` does not
+    intersect [lo, hi] — files a reader skips via footer stats alone."""
     files = glob.glob(f"{path}/*.parquet")
     assert files
     skipped = 0
@@ -66,7 +66,7 @@ def _file_skip_fraction(path: str, col: str, point) -> float:
                 if c.path_in_schema == col and c.statistics is not None:
                     mins.append(c.statistics.min)
                     maxs.append(c.statistics.max)
-        if mins and (point < min(mins) or point > max(maxs)):
+        if mins and (hi < min(mins) or lo > max(maxs)):
             skipped += 1
     return skipped / len(files)
 
@@ -75,19 +75,25 @@ def test_zorder_prunes_on_both_dims(spark, tmp_path):
     """The headline property: z-ordered files skip on BOTH columns; a
     linear sort on x skips on x but nearly never on y."""
     n = 200_000
+    # non-negative uniform values so the probe point 0 is a CORNER of the
+    # 2-D space (a mid-range probe intersects the central z-bands of half
+    # the files and the measurement stops discriminating)
     df = spark.range(n).select(
-        (F.hash("id") % 10_000).alias("x"),
-        (F.hash(F.col("id") + 1) % 10_000).alias("y"),
+        F.pmod(F.hash("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.hash(F.col("id") + 1), F.lit(10_000)).alias("y"),
     )
     zpath = str(tmp_path / "zorder")
     lpath = str(tmp_path / "linear")
     zorder_by(df, ["x", "y"], n_partitions=16).write.parquet(zpath)
     df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
 
-    z_skip_x = _file_skip_fraction(zpath, "x", 0)
-    z_skip_y = _file_skip_fraction(zpath, "y", 0)
-    l_skip_x = _file_skip_fraction(lpath, "x", 0)
-    l_skip_y = _file_skip_fraction(lpath, "y", 0)
+    # a 1% band predicate: every file holds ~12.5k uniform rows, so a
+    # whole-range file almost surely intersects the band — the linear
+    # sort's y stats skip ~nothing, while clustered layouts skip most
+    z_skip_x = _file_skip_fraction(zpath, "x", 0, 99)
+    z_skip_y = _file_skip_fraction(zpath, "y", 0, 99)
+    l_skip_x = _file_skip_fraction(lpath, "x", 0, 99)
+    l_skip_y = _file_skip_fraction(lpath, "y", 0, 99)
     # linear: excellent on leading dim, useless on the other
     assert l_skip_x > 0.8
     assert l_skip_y < 0.2
