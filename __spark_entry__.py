@@ -2886,6 +2886,100 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked (functions/codecs.py): solid-fill
+    PPM assets are generated deterministically from asset_id arithmetic
+    (dims/fill are pure functions of the id), encoded to actual P6 bytes
+    executor-side, then decoded back by the real parser and feature-
+    extracted. DuckDB cannot decode PPM — it doesn't have to: the oracle
+    computes the expected width/height/mean analytically from the same
+    arithmetic over range(n), so any decode defect (stride, header,
+    channel order) breaks the value hash. Closes the 'multimodal decode is
+    take-my-word-for-it' gap for the uncompressed tier."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import encode_ppm, image_features
+
+    base = spark.range(64).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                h = 8 + (int(aid) % 5) * 4
+                w = 16 + (int(aid) % 7) * 2
+                fill = int(aid) % 256
+                img = np.full((h, w, 3), fill, dtype=np.uint8)
+                rows.append({"asset_id": int(aid), "content": encode_ppm(img)})
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+    return image_features(assets).select(
+        "asset_id", "width", "height", "channels", "mean_intensity", "std_intensity"
+    )
+
+
+ORACLE_IMAGE_DECODE = """
+SELECT i AS asset_id,
+       CAST(16 + (i % 7) * 2 AS INT) AS width,
+       CAST(8 + (i % 5) * 4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(i % 256 AS DOUBLE) AS mean_intensity,
+       CAST(0.0 AS DOUBLE) AS std_intensity
+FROM range(0, 64) t(i)
+"""
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-checked (functions/codecs.py): square-wave
+    WAV-PCM assets generated from asset_id arithmetic (amplitude A,
+    frame count, 8 kHz), written through the stdlib wave writer and parsed
+    back by the hand-built RIFF decoder. A ±A square wave has rms exactly
+    A and peak exactly A, and duration is frames/8 ms — all analytically
+    computable by the oracle over range(n), so the decode path (chunk
+    walk, sample width, channel reshape) is value-hash-checked without
+    DuckDB ever touching a WAV byte."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import audio_features, encode_wav
+
+    base = spark.range(48).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                a = 1000 + (int(aid) % 7) * 100
+                frames = 4000 + (int(aid) % 5) * 400
+                wave = np.empty(frames, dtype=np.int16)
+                wave[0::2] = a
+                wave[1::2] = -a
+                rows.append(
+                    {"asset_id": int(aid), "content": encode_wav(wave, 8000)}
+                )
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+    return audio_features(assets).select(
+        "asset_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "rms", "peak",
+    )
+
+
+ORACLE_AUDIO_DECODE = """
+SELECT i AS asset_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       CAST(4000 + (i % 5) * 400 AS BIGINT) AS n_frames,
+       CAST((4000 + (i % 5) * 400) / 8 AS BIGINT) AS duration_ms,
+       CAST(1000 + (i % 7) * 100 AS DOUBLE) AS rms,
+       CAST(1000 + (i % 7) * 100 AS INT) AS peak
+FROM range(0, 48) t(i)
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout clustering (beyond-reference scale operator;
     functions/layout.py): events clustered along the Morton curve of
@@ -3538,6 +3632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "substring_dedup": q_substring_dedup,
         "zorder_layout": q_zorder_layout,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3709,6 +3805,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": ORACLE_BPE_SEGMENT,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "zorder_layout": ORACLE_ZORDER_LAYOUT,
+        "image_decode": ORACLE_IMAGE_DECODE,
+        "audio_decode": ORACLE_AUDIO_DECODE,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -1,0 +1,366 @@
+"""Real codecs for uncompressed multimodal formats — no external libs.
+
+The multimodal design (functions/multimodal.py) gates PIL/ffmpeg work
+behind import-try stubs because this image ships no media libraries. That
+gate is only necessary for COMPRESSED formats; the uncompressed workhorse
+formats are pure arithmetic and get real, tested implementations here:
+
+- PPM (P6) / PGM (P5): netpbm binary images — header + raw pixels,
+- BMP: 24-bit uncompressed BI_RGB (bottom-up rows, 4-byte row padding),
+- WAV: PCM RIFF audio. The decoder parses RIFF chunks by hand; tests
+  round-trip it against the stdlib ``wave`` writer, so the two sides are
+  independent implementations.
+
+On top of the byte codecs: Spark-side feature extraction (dimensions,
+per-channel mean/std, RMS/peak audio energy), nearest-neighbor image
+resize, and PCM window segmentation — all real computation over
+mapInPandas Arrow batches (payload bytes cross into Python once per
+batch). ``sniff`` routes by magic bytes; unknown/compressed formats fall
+through to the gated path in multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# ------------------------------------------------------------- image: netpbm
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w, 3) → binary PPM (P6), or (h, w) → PGM (P5)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"encode_ppm: need (h,w,3) or (h,w), got {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """Binary PPM/PGM → uint8 array (h, w, 3) or (h, w). Handles comment
+    lines and arbitrary whitespace in the header, per the netpbm spec."""
+    if blob[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    if blob[:2] == b"P6":
+        data = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3)
+    data = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=pos)
+    return data.reshape(h, w)
+
+
+# --------------------------------------------------------------- image: BMP
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit uncompressed BMP (BI_RGB). Rows are
+    stored bottom-up, BGR, padded to 4 bytes, per the format."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_bmp: need (h,w,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += arr[y, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 (h, w, 3) RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(blob, np.uint8, count=row, offset=data_off + y * stride)
+        out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]  # BGR→RGB
+    return out
+
+
+# --------------------------------------------------------------- audio: WAV
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """int16 PCM samples (frames,) or (frames, channels) → WAV bytes via
+    the stdlib wave writer (deliberately NOT this module's own code — the
+    round-trip test then checks decode_wav against an independent
+    implementation)."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 2:
+        channels = arr.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """WAV (PCM 16-bit) → (sample_rate, int16 array (frames, channels)).
+    Hand-parses the RIFF chunk list (fmt then data; other chunks skipped)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, len(blob)
+    sample_rate = channels = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", blob, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, body)
+            (bits,) = struct.unpack_from("<H", blob, body + 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = blob[body : body + clen]
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    arr = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        arr = arr.reshape(-1, channels)
+    else:
+        arr = arr.reshape(-1, 1)
+    return sample_rate, arr
+
+
+# ------------------------------------------------------------------ routing
+
+
+def sniff(blob: bytes) -> str | None:
+    """Container detection by magic bytes; None for unknown/compressed
+    formats (those stay behind multimodal.py's import gate)."""
+    if blob[:2] == b"P6" or blob[:2] == b"P5":
+        return "ppm"
+    if blob[:2] == b"BM":
+        return "bmp"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps (the standard sampling
+    grid: center-aligned)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int), w - 1)
+    return arr[ys][:, xs]
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def image_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Real decode → features for PPM/PGM/BMP payloads: dimensions,
+    channels, per-image mean/std intensity. Unknown formats yield nulls
+    with decoder='unknown' (route those to the gated PIL path)."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, width int, height int, channels int, "
+        "mean_intensity double, std_intensity double, decoder string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                kind = sniff(b)
+                try:
+                    if kind == "ppm":
+                        arr = decode_ppm(b)
+                    elif kind == "bmp":
+                        arr = decode_bmp(b)
+                    else:
+                        raise ValueError("unknown")
+                    h, w = arr.shape[:2]
+                    c = 1 if arr.ndim == 2 else arr.shape[2]
+                    rows.append(
+                        {
+                            id_col: aid, "width": w, "height": h, "channels": c,
+                            "mean_intensity": float(arr.mean()),
+                            "std_intensity": float(arr.std()),
+                            "decoder": kind,
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            id_col: aid, "width": None, "height": None,
+                            "channels": None, "mean_intensity": None,
+                            "std_intensity": None, "decoder": "unknown",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Real nearest-neighbor resize for PPM/PGM/BMP payloads; output is
+    re-encoded PPM/PGM (the uncompressed interchange format). Unknown
+    payloads pass through unchanged with resized=false."""
+    import pandas as pd
+
+    schema = f"{id_col} long, {content_col} binary, resized boolean"
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                kind = sniff(b)
+                try:
+                    arr = (
+                        decode_ppm(b)
+                        if kind == "ppm"
+                        else decode_bmp(b)
+                        if kind == "bmp"
+                        else None
+                    )
+                except ValueError:
+                    arr = None
+                if arr is None:
+                    rows.append({id_col: aid, content_col: b, "resized": False})
+                else:
+                    out = resize_nearest(arr, out_h, out_w)
+                    rows.append(
+                        {id_col: aid, content_col: encode_ppm(out), "resized": True}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Real WAV-PCM decode → (sample_rate, channels, frames, duration_ms,
+    rms, peak). Unknown payloads → nulls with decoder='unknown'."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, sample_rate int, channels int, n_frames long, "
+        "duration_ms long, rms double, peak int, decoder string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                try:
+                    sr, arr = decode_wav(b)
+                    x = arr.astype(np.float64)
+                    rows.append(
+                        {
+                            id_col: aid, "sample_rate": sr,
+                            "channels": arr.shape[1], "n_frames": arr.shape[0],
+                            "duration_ms": int(arr.shape[0] * 1000 / sr),
+                            "rms": float(np.sqrt((x ** 2).mean())) if arr.size else 0.0,
+                            "peak": int(np.abs(arr).max()) if arr.size else 0,
+                            "decoder": "wav",
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            id_col: aid, "sample_rate": None, "channels": None,
+                            "n_frames": None, "duration_ms": None, "rms": None,
+                            "peak": None, "decoder": "unknown",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def segment_audio(
+    df: DataFrame,
+    window_ms: int,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Real PCM window segmentation: one row per (asset, window) with its
+    own WAV payload — the audio analog of video frame sampling, decode
+    included (vs multimodal.frame_sample_plan, which plans timestamps and
+    leaves the cut to a gated codec)."""
+    import pandas as pd
+
+    schema = f"{id_col} long, window_idx int, start_ms long, {content_col} binary"
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    sr, arr = decode_wav(bytes(blob))
+                except ValueError:
+                    continue
+                step = max(1, sr * window_ms // 1000)
+                for i, s in enumerate(range(0, arr.shape[0], step)):
+                    seg = arr[s : s + step]
+                    rows.append(
+                        {
+                            id_col: aid, "window_idx": i,
+                            "start_ms": s * 1000 // sr,
+                            content_col: encode_wav(seg, sr),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)

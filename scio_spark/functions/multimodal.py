@@ -7,11 +7,16 @@ Design (BASELINE.json north star; no direct scio analog — scio stops at
     meta: struct<mime: string, width: int, height: int,
                  sample_rate: int, duration_ms: long>
 
-Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested; the *codec* step (PIL/libsndfile/ffmpeg) is
-image/audio-library work this container doesn't ship, so decoders are
-import-gated: with the libs absent they run a deterministic fake (tested) or
-raise NotImplementedError (strict mode).
+Codec policy, two tiers:
+- UNCOMPRESSED formats (PPM/PGM, 24-bit BMP, WAV-PCM) have REAL decoders,
+  feature extraction, resize, and audio segmentation in
+  ``functions/codecs.py`` — pure numpy/stdlib, golden-byte tested, and
+  value-checked end-to-end by the image_decode/audio_decode contract
+  queries.
+- COMPRESSED formats (PNG/JPEG/MP3/video) are image/audio-library work
+  this container doesn't ship, so those decoders are import-gated: with
+  the libs absent they run a deterministic fake (tested) or raise
+  NotImplementedError (strict mode).
 
 Scale notes: binary payloads dominate row size — the helpers repartition by
 byte budget, not row count (maxPartitionBytes analog for in-flight data), and
