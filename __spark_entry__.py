@@ -2886,6 +2886,67 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE INTO on a plain-parquet table
+    (operators/merge.py — the table-format-less upsert primitive, same
+    mechanics as maintain_rollup's continuous upsert): target = orders
+    partitioned by o_orderstatus; the source updates every 100th order's
+    price and inserts new orders into a brand-new partition. Only touched
+    partitions are rewritten (pinned byte-identical in
+    tests/test_merge.py); the oracle reconstructs the merged state in SQL
+    (source ∪ unmatched target) and must agree value-exact."""
+    import shutil
+
+    from scio_spark.operators.merge import merge_into
+
+    path = _rt_path(sf_dir, "merge_target")
+    shutil.rmtree(path, ignore_errors=True)
+    sc = _ctx(spark)
+    orders = _t(sc, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+    updates = orders.filter("o_orderkey % 100 = 0").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = orders.filter("o_orderkey % 250 = 0").select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merge_into(
+        path,
+        updates.unionByName(inserts),
+        keys=["o_orderkey"],
+        partition_col="o_orderstatus",
+    )
+    merged = spark.read.parquet(path)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT -o_orderkey, 'X', 1.0 FROM orders WHERE o_orderkey % 250 = 0
+),
+keep AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+),
+merged AS (SELECT * FROM src UNION ALL SELECT * FROM keep)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, value-checked (functions/codecs.py): solid-fill
     PPM assets are generated deterministically from asset_id arithmetic
@@ -3634,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
+        "merge_upsert": q_merge_upsert,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3807,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": ORACLE_ZORDER_LAYOUT,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
+        "merge_upsert": ORACLE_MERGE_UPSERT,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -1,0 +1,106 @@
+"""MERGE INTO / DELETE for plain-parquet tables (operators/merge.py)."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from scio_spark.operators.merge import delete_where, merge_into
+
+
+def base_df(spark):
+    # 100 rows over 4 partitions (bucket = id % 4)
+    return spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        F.lit("v0").alias("val"),
+    )
+
+
+def rows(spark, path):
+    return {
+        (r.id, r.bucket, r.val) for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_merge_updates_and_inserts_partitioned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    # update ids 0,4 (bucket 0) and insert 200 (bucket 0), 201 (bucket 1)
+    src = spark.createDataFrame(
+        [(0, 0, "v1"), (4, 0, "v1"), (200, 0, "new"), (201, 1, "new")],
+        "id long, bucket long, val string",
+    )
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    got = rows(spark, t)
+    assert (0, 0, "v1") in got and (4, 0, "v1") in got
+    assert (0, 0, "v0") not in got
+    assert (200, 0, "new") in got and (201, 1, "new") in got
+    # untouched rows of other partitions intact
+    assert (2, 2, "v0") in got and (3, 3, "v0") in got
+    assert len(got) == 102
+
+
+def test_merge_prunes_untouched_partitions(spark, tmp_path):
+    """Files of partitions the source doesn't touch must be byte-identical
+    after the merge (proof the rewrite is pruned, not global)."""
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{t}/bucket=2/*.parquet")
+        + glob.glob(f"{t}/bucket=3/*.parquet")
+    }
+    src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{t}/bucket=2/*.parquet")
+        + glob.glob(f"{t}/bucket=3/*.parquet")
+    }
+    assert before == after  # same files, same mtimes — never rewritten
+
+
+def test_merge_creates_table_when_absent(spark, tmp_path):
+    t = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, 0, "a")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    assert rows(spark, t) == {(1, 0, "a")}
+
+
+def test_merge_unpartitioned_full_rewrite(spark, tmp_path):
+    t = str(tmp_path / "flat")
+    base_df(spark).drop("bucket").withColumn("bucket", F.lit(0)).write.parquet(t)
+    src = spark.createDataFrame([(0, 0, "v1"), (500, 0, "new")],
+                                "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"])
+    got = rows(spark, t)
+    assert (0, 0, "v1") in got and (500, 0, "new") in got and len(got) == 101
+
+
+def test_merge_idempotent_rerun(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    first = rows(spark, t)
+    merge_into(t, src, keys=["id"], partition_col="bucket")  # retry
+    assert rows(spark, t) == first
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    delete_where(spark, t, "id < 8", partition_col="bucket")
+    got = rows(spark, t)
+    assert all(i >= 8 for i, _, _ in got)
+    assert len(got) == 92
+
+
+def test_delete_removes_emptied_partition(spark, tmp_path):
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    delete_where(spark, t, "bucket = 1", partition_col="bucket")
+    assert not glob.glob(f"{t}/bucket=1")
+    got = rows(spark, t)
+    assert len(got) == 75 and all(b != 1 for _, b, _ in got)
