@@ -40,7 +40,11 @@ def _positional_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_grams: bool
 ) -> DataFrame:
     """(id, pos, gram) for every n-gram; docs shorter than n emit none."""
-    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+    )
+    # the length guard is over a computed array — inherently not pushable;
+    # the isNotNull above gives the scan its pushed predicate
     toks = toks.filter(F.size("_t") >= n)
     gram = F.transform(
         F.sequence(F.lit(0), F.size("_t") - n),
