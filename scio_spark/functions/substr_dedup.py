@@ -119,6 +119,115 @@ def mark_duplicate_spans(
     )
 
 
+def stage_gram_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    hash_grams: bool = True,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Persist the corpus gram index for incremental ingest: one row per
+    distinct gram with its first occurrence and total count, written as a
+    bucketed+sorted table on the gram key (same convention as
+    ``dedup.stage_shingles``/``stage_minhash_index`` — batch joins
+    co-locate by bucket instead of re-shuffling the corpus).
+    ``hash_grams`` defaults ON here: an index keyed by 64-bit fingerprints
+    is ~10× smaller than n-token strings and collision odds are
+    dedup-grade."""
+    occ = _positional_ngrams(df, id_col, text_col, n, hash_grams)
+    firsts = occ.groupBy("gram").agg(
+        F.min(F.struct("_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    (
+        firsts.write.mode("overwrite")
+        .bucketBy(num_buckets, "gram")
+        .sortBy("gram")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table)
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Mark duplicated spans in a NEW batch against corpus + batch without
+    re-processing the corpus (the continuous-ingest shape, matching
+    ``dedup.incremental_lsh_candidates``): a batch gram is duplicated if
+    (corpus count + batch count) ≥ min_count, and its first occurrence is
+    the corpus one when the corpus has seen the gram. Cost is O(batch)
+    grams + a join against the index pruned to the batch's gram keys; the
+    corpus is never re-tokenized. Same output contract as
+    ``mark_duplicate_spans``. After accepting a batch, refresh the index
+    by merging the batch grams (min-first / summed counts).
+
+    Equivalence contract with a full rebuild: ingest ids must be
+    monotone (batch ids > corpus ids), so the corpus occurrence is always
+    the global first — the natural shape for append-only ingest."""
+    spark = batch.sparkSession
+    idx = spark.table(index_table).select(
+        "gram",
+        F.col("first").alias("_corpus_first"),
+        F.col("cnt").alias("_corpus_cnt"),
+    )
+    occ = _positional_ngrams(batch, id_col, text_col, n, hash_grams)
+    batch_firsts = occ.groupBy("gram").agg(
+        F.min(F.struct("_id", "pos")).alias("_batch_first"),
+        F.count(F.lit(1)).alias("_batch_cnt"),
+    )
+    g = batch_firsts.join(idx, "gram", "left")
+    merged = g.select(
+        "gram",
+        F.coalesce("_corpus_first", "_batch_first").alias("first"),
+        (F.coalesce("_corpus_cnt", F.lit(0)) + F.col("_batch_cnt")).alias("cnt"),
+    )
+    dup = (
+        occ.join(merged.filter(F.col("cnt") >= min_count), "gram")
+        .filter(
+            (F.col("_id") != F.col("first._id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("_id", "pos", (F.col("pos") + n - 1).alias("end"))
+    )
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        dup.withColumn(
+            "brk",
+            F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+        .groupBy("_id", "island")
+        .agg(F.min("pos").alias("start"), F.max("end").alias("end"))
+    )
+    per_doc = islands.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("spans"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("n_dup_tokens"),
+    )
+    base = batch.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(id_col, F.size("_t").alias("n_tokens"))
+    return (
+        base.join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "spans", F.array().cast("array<struct<start:int,end:int>>")
+            ).alias("spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.col("n_tokens").cast("long"),
+        )
+    )
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -104,3 +104,67 @@ def test_stability_under_repartition(spark):
     a = mark_duplicate_spans(df.repartition(1), n=10).orderBy("doc_id").collect()
     b = mark_duplicate_spans(df.repartition(13), n=10).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_incremental_equals_full_rebuild(spark, tmp_path):
+    """Batch marking against the staged gram index == full-corpus
+    mark_duplicate_spans restricted to the batch (monotone ids)."""
+    from pyspark.sql import functions as F
+
+    from scio_spark.functions.substr_dedup import (
+        incremental_duplicate_spans,
+        stage_gram_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, A),                      # full dup of corpus doc 1
+            (11, "brand new content words here only once ok fine yes sir"),
+            (12, B),                      # full dup of corpus doc 2
+        ],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS gram_idx_t")
+    stage_gram_index(corpus, "gram_idx_t", n=10)
+    inc = {
+        r.doc_id: r
+        for r in incremental_duplicate_spans(batch, "gram_idx_t", n=10).collect()
+    }
+    full = {
+        r.doc_id: r
+        for r in mark_duplicate_spans(corpus.unionByName(batch), n=10)
+        .filter(F.col("doc_id") >= 10)
+        .collect()
+    }
+    assert set(inc) == set(full) == {10, 11, 12}
+    for k in inc:
+        assert inc[k].n_dup_tokens == full[k].n_dup_tokens, k
+        assert [tuple(s) for s in inc[k].spans] == [tuple(s) for s in full[k].spans], k
+    # dup docs fully marked, novel doc untouched
+    assert inc[10].n_dup_tokens == 14 and inc[11].n_dup_tokens == 0
+
+
+def test_incremental_intra_batch_dups(spark):
+    """Duplicates introduced WITHIN the batch (gram unseen by the corpus)
+    are still caught — later batch occurrence marked, batch-first kept."""
+    from scio_spark.functions.substr_dedup import (
+        incremental_duplicate_spans,
+        stage_gram_index,
+    )
+
+    corpus = spark.createDataFrame([(1, C)], "doc_id long, text string")
+    phrase = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    batch = spark.createDataFrame(
+        [(10, phrase + " endx"), (11, phrase + " endy")],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS gram_idx_t2")
+    stage_gram_index(corpus, "gram_idx_t2", n=10)
+    inc = {
+        r.doc_id: r.n_dup_tokens
+        for r in incremental_duplicate_spans(batch, "gram_idx_t2", n=10).collect()
+    }
+    assert inc == {10: 0, 11: 10}
