@@ -2886,6 +2886,49 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM scoring (text.bigram_model/bigram_logprob —
+    the CCNet-style upgrade over lm_score's unigram): per doc,
+    bits-per-token of p = 0.75·p(w2|w1) + 0.25·p_uni(w2) over adjacent
+    pairs. 0.75/0.25 are binary-exact so both engines interpolate
+    identically; −log2 is DECIMAL(28,6)-quantized pre-sum (the lm_score
+    determinism recipe). Output thinned to doc_id % 3 = 0 to keep the
+    compare set bounded."""
+    from scio_spark.functions.text import bigram_logprob
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df.select("doc_id", "text")
+    return bigram_logprob(d).filter("doc_id % 3 = 0")
+
+
+ORACLE_BIGRAM_LM = """
+WITH tok AS (
+  -- parallel unnests zip in DuckDB: (position, token) pairs
+  SELECT doc_id,
+         unnest(generate_series(1, len(w))) AS i,
+         unnest(w) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+),
+pairs AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+big AS (SELECT w1, w2, COUNT(*) AS cnt12 FROM pairs GROUP BY 1, 2),
+lft AS (SELECT w1, COUNT(*) AS cnt1 FROM pairs GROUP BY 1),
+bm AS (SELECT w1, w2, cnt12 / cnt1 AS p_bi FROM big JOIN lft USING (w1)),
+ucnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+utot AS (SELECT SUM(cnt) AS t FROM ucnt),
+um AS (SELECT token, cnt / t AS p_uni FROM ucnt, utot)
+SELECT doc_id, COUNT(*) AS n_scored,
+       CAST(CAST(SUM(CAST(-log2(0.75 * COALESCE(p_bi, 0.0) + 0.25 * p_uni)
+                          AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+         AS bits_per_token
+FROM pairs LEFT JOIN bm USING (w1, w2) JOIN um ON pairs.w2 = um.token
+WHERE doc_id % 3 = 0
+GROUP BY doc_id
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-pruned MERGE INTO on a plain-parquet table
     (operators/merge.py — the table-format-less upsert primitive, same
@@ -3696,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "merge_upsert": q_merge_upsert,
+        "bigram_lm": q_bigram_lm,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3870,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
+        "bigram_lm": ORACLE_BIGRAM_LM,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

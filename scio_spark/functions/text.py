@@ -403,6 +403,93 @@ def unigram_logprob(
     )
 
 
+def bigram_model(df, text_col: str = "text"):
+    """Train a bigram LM: one row per distinct adjacent token pair with
+    ``p_bi = cnt(w1,w2) / cnt(w1·)`` (denominator = w1's count as a pair
+    LEFT, so probabilities condition on exactly the events the numerator
+    draws from — SQL-replayable with no smoothing constants).
+
+    The CCNet-style upgrade over ``unigram_model``: bigram perplexity
+    separates fluent prose from shuffled-word soup that unigram statistics
+    cannot see. Cost shape at 100 TB: pair explode (~1× corpus tokens) →
+    one partially-aggregated shuffle on the pair; output is
+    bigram-vocabulary-sized, which broadcasts for scoring."""
+    t = df.select(tokens(text_col).alias("t")).filter(F.size("t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt12"))
+    left = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    return big.join(left, "w1").select(
+        "w1", "w2", "cnt12", "cnt1",
+        (F.col("cnt12") / F.col("cnt1")).alias("p_bi"),
+    )
+
+
+def bigram_logprob(
+    df,
+    bigram=None,
+    unigram=None,
+    lam: float = 0.75,  # binary-exact, as is 1-lam: engines interpolate identically
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document bits-per-token under an interpolated bigram LM:
+    ``p = lam·p(w2|w1) + (1−lam)·p_uni(w2)`` over each adjacent pair
+    (tokens 2..n are scored; unseen bigrams back off to the unigram term,
+    so a trained model scores novel text without zeros). Models default to
+    self-training on ``df``. Determinism follows ``unigram_logprob``:
+    −log2 p quantized to DECIMAL(28,6) before the per-doc sum. Returns
+    (id, n_scored, bits_per_token)."""
+    if bigram is None:
+        bigram = bigram_model(df, text_col)
+    if unigram is None:
+        unigram = unigram_model(df, text_col)
+    t = df.select(F.col(id_col), tokens(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = t.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select(id_col, "pr.w1", "pr.w2")
+    scored = (
+        pairs.join(
+            F.broadcast(bigram.select("w1", "w2", "p_bi")), ["w1", "w2"], "left"
+        )
+        .join(
+            F.broadcast(
+                unigram.select(F.col("token").alias("w2"), F.col("p").alias("p_uni"))
+            ),
+            "w2",
+            "inner",  # token absent from the unigram model → dropped (OOV)
+        )
+        .withColumn(
+            "p",
+            F.lit(lam) * F.coalesce("p_bi", F.lit(0.0))
+            + F.lit(1.0 - lam) * F.col("p_uni"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(-LOG2(p) AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(*) AS DOUBLE)"
+        ).alias("bits_per_token"),
+    )
+
+
 # ------------------------------------------------------------- TF-IDF keywords
 
 def tfidf_topk(

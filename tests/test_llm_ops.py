@@ -711,3 +711,44 @@ def test_cross_source_overlap_counts_fingerprint_dups(spark):
         for r in D.cross_source_overlap(df).collect()
     }
     assert out == {("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_bigram_model_hand_computed(spark):
+    """'a b a b': pairs (a,b),(b,a),(a,b) → p(b|a)=1.0 (2/2), p(a|b)=1.0
+    (1/1); left counts a=2, b=1."""
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    m = {(r.w1, r.w2): r for r in T.bigram_model(df).collect()}
+    assert m[("a", "b")].cnt12 == 2 and m[("a", "b")].cnt1 == 2
+    assert m[("a", "b")].p_bi == 1.0
+    assert m[("b", "a")].cnt12 == 1 and m[("b", "a")].p_bi == 1.0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Every pair scores p = 0.75*1.0 + 0.25*0.5 = 0.875 →
+    bits = -log2(0.875) ≈ 0.192645 (quantized to 6 decimals)."""
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    r = T.bigram_logprob(df).head()
+    assert r.n_scored == 3
+    assert abs(r.bits_per_token - 0.192645) < 1e-6
+
+
+def test_bigram_backoff_on_unseen_pair(spark):
+    """Scoring a new doc against a trained model: a novel bigram of known
+    unigrams backs off to 0.25*p_uni instead of zero."""
+    import math
+
+    corpus = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    bm, um = T.bigram_model(corpus), T.unigram_model(corpus)
+    new = spark.createDataFrame([(2, "y y")], "doc_id long, text string")
+    r = T.bigram_logprob(new, bigram=bm, unigram=um).head()
+    # pair (y,y) unseen; p_uni(y) = 0.5 → p = 0.125 → 3 bits
+    assert r.n_scored == 1
+    assert abs(r.bits_per_token - 3.0) < 1e-6
+
+
+def test_bigram_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in T.bigram_logprob(df).collect()}
+    assert out == {2}  # one-token docs have no pairs to score
