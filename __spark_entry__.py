@@ -2886,6 +2886,54 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-quantized interval join (operators/range_join.py — the
+    range-join-hint pattern from plain operators): clicks joined to
+    ±30-minute windows around sampled purchase events BY TIME ALONE, then
+    clicks-per-window. A bare BETWEEN join plans as a nested loop
+    (asserted in tests); this plans as an equi-join on the bucket key with
+    an exact re-check — same result, O(n+m) shuffle. Oracle = the naive
+    BETWEEN join in DuckDB."""
+    from scio_spark.operators.range_join import interval_join
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    wins = (
+        ev.filter("event_type = 'purchase' AND event_id % 97 = 0")
+        .select(
+            F.col("event_id").alias("win_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 minutes")).alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 minutes")).alias("win_end"),
+        )
+    )
+    joined = interval_join(
+        clicks, wins, "c_ts", "win_start", "win_end", bucket_width=1800
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.countDistinct("click_id").alias("n_distinct_clicks"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH wins AS (
+  SELECT event_id AS win_id,
+         ts - INTERVAL 30 MINUTE AS win_start,
+         ts + INTERVAL 30 MINUTE AS win_end
+  FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0
+)
+SELECT w.win_id, COUNT(*) AS n_clicks,
+       COUNT(DISTINCT c.event_id) AS n_distinct_clicks
+FROM events c JOIN wins w
+  ON c.ts >= w.win_start AND c.ts <= w.win_end
+WHERE c.event_type = 'click'
+GROUP BY w.win_id
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM scoring (text.bigram_model/bigram_logprob —
     the CCNet-style upgrade over lm_score's unigram): per doc,
@@ -3740,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode": q_audio_decode,
         "merge_upsert": q_merge_upsert,
         "bigram_lm": q_bigram_lm,
+        "interval_join": q_interval_join,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3915,6 +3964,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,
+        "interval_join": ORACLE_INTERVAL_JOIN,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
