@@ -3705,10 +3705,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         probe join, sortMergeTransform, unigram-LM scoring, TF-IDF
         keywords, cross-source overlap matrix).
 
+    Past the window, the r6 priority list: the eight displaced pure-SQL
+    re-checks, then the NINE further second-half queries
+    (webdataset_roundtrip, bpe_segment, substring_dedup, zorder_layout,
+    image_decode, audio_decode, merge_upsert, bigram_lm, interval_join) —
+    all value-exact under tools/check_oracle.py this round, awaiting
+    their first driver row in r6.
+
     Everything rotated out is green in CORRECTNESS_r04 and unchanged this
     round (data_mixture's r5 delta is an error-path guard outside the
-    query path). tools/check_oracle.py still value-checks all 109 every
-    round."""
+    query path). tools/check_oracle.py still value-checks ALL queries
+    every round."""
     return {
         # -- (1) last driver row r01-r03 — re-verify this round -------------
         "window_fixed": q_window_fixed,
