@@ -141,13 +141,23 @@ def stage_gram_index(
         F.min(F.struct("_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("cnt"),
     )
+    # a previous session may have left the warehouse dir without the
+    # catalog entry — saveAsTable refuses to reuse the location (same
+    # workaround as operators/smb.py save_sorted_bucket)
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     (
         firsts.write.mode("overwrite")
         .bucketBy(num_buckets, "gram")
         .sortBy("gram")
         .saveAsTable(table)
     )
-    return df.sparkSession.table(table)
+    return spark.table(table)
 
 
 def incremental_duplicate_spans(
