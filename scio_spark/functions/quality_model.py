@@ -62,7 +62,28 @@ def train_quality_classifier(
     df = labeled.select(
         F.col(text_col), F.col(label_col).cast("double").alias("label")
     )
-    return _pipeline(text_col, n_features, reg_param, seed).fit(df)
+    model = _pipeline(text_col, n_features, reg_param, seed).fit(df)
+    _drop_training_summaries(model)
+    return model
+
+
+def _drop_training_summaries(model) -> None:
+    """Detach fitted-stage training summaries. A summary pins the training
+    DATASET, whose SparkSession reference the prediction UDF's closure then
+    drags into task serialization — and in Spark 4.1 the session's
+    ObservationManager is not serializable, so scoring dies with
+    'Task not serializable' in any session where ANY df.observe ever ran
+    (e.g. after scio_spark.metrics). Summaries are training-time
+    diagnostics; the scoring artifact doesn't need them."""
+    import pyspark
+
+    sc = pyspark.SparkContext._active_spark_context
+    for stage in getattr(model, "stages", []):
+        if getattr(stage, "hasSummary", False):
+            try:
+                stage._java_obj.setSummary(sc._jvm.scala.Option.empty())
+            except Exception:  # noqa: BLE001 — best-effort diagnostic detach
+                pass
 
 
 def score_quality(

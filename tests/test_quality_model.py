@@ -69,3 +69,21 @@ def test_model_roundtrips_through_save(tmp_path, spark, model):
     a = score_quality(model, df).head().quality_prob
     b = score_quality(back, df).head().quality_prob
     assert a == b
+
+
+def test_scoring_survives_session_observations(spark, labeled):
+    """Regression: in Spark 4.1 a fitted LR model's training summary pins
+    the training Dataset -> session -> ObservationManager, and once ANY
+    df.observe has run in the session (scio_spark.metrics does), scoring
+    dies with 'Task not serializable'. train_quality_classifier detaches
+    the summary, so training and scoring work in an observation-tainted
+    session."""
+    from pyspark.sql import Observation
+
+    obs = Observation("qm_regression")
+    spark.range(3).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    m = train_quality_classifier(labeled, n_features=1 << 12)
+    out = score_quality(
+        m, spark.createDataFrame([(1, "buy spam now")], "id long, text string")
+    )
+    assert out.head().quality_prob < 0.5
