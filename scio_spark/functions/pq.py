@@ -1,0 +1,185 @@
+"""Product quantization (PQ) — compressed ANN codes with ADC scoring.
+
+Completes the ANN storage ladder (similarity.py brute/LSH/SQ8, ivf.py
+coarse lists): product quantization (Jégou, Douze, Schmid, "Product
+quantization for nearest neighbor search", public) splits each vector
+into ``m`` subspaces and learns a 256-entry k-means codebook per
+subspace, so a d-dim float32 vector stores as m BYTES (e.g. 128-dim ×
+4 B → 16 B at m=16 — 32× smaller than float32, vs SQ8's 4×). Search uses
+asymmetric distance computation (ADC): per query, precompute an
+m×256 table of query-subvector · codeword dot products; a corpus code's
+approximate score is then m table lookups — no float reconstruction.
+
+Spark shape:
+- **train**: codebooks fit on a BOUNDED collected sample per the IVF
+  quantizer convention (k-means on 256 centroids × m subspaces is
+  sample-sized work; codebooks are m×256×(d/m) floats — a broadcast);
+- **encode**: Arrow-batched numpy over mapInPandas — per batch, one GEMM
+  per subspace against the broadcast codebook, argmax → uint8 codes
+  (binary column, m bytes/vector);
+- **search**: per corpus batch, scores = sum of table[sub, code] lookups
+  (numpy fancy indexing — vectorized, no Python loop per row); top
+  k×oversample candidates per query rescored EXACTLY on the float
+  vectors, so returned scores are exact and quantization only affects
+  candidate recall (pinned in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import require_side_input_sized
+
+
+def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain Lloyd k-means (numpy) for codebook training: deterministic
+    seeded init from data points, empty clusters re-seeded from the
+    farthest points."""
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    if len(cent) < k:  # tiny sample: pad with jittered repeats
+        pad = cent[rng.choice(len(cent), k - len(cent))]
+        cent = np.vstack([cent, pad + rng.normal(0, 1e-6, pad.shape)])
+    xsq = (x**2).sum(1)
+    for _ in range(iters):
+        # argmin ||x−c||² == argmax (x·c − ||c||²/2): O(n·k) memory, not n·k·d
+        scores = x @ cent.T - 0.5 * (cent**2).sum(1)
+        assign = scores.argmax(1)
+        d2_min = xsq - 2.0 * scores.max(1)  # for empty-cluster reseeding
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(0)
+            else:
+                cent[j] = x[d2_min.argmax()]
+    return cent
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 7,
+    train_rows_cap: int = 50_000,
+) -> np.ndarray:
+    """Fit m per-subspace codebooks on a bounded sample. Returns an array
+    of shape (m, n_codes, d/m). d must divide by m."""
+    sample = corpus.select(vec_col).limit(train_rows_cap).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float32)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.empty((m, n_codes, sub), dtype=np.float32)
+    for j in range(m):
+        books[j] = _kmeans_np(
+            x[:, j * sub : (j + 1) * sub].astype(np.float64), n_codes, iters, seed + j
+        ).astype(np.float32)
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(id, pq_code binary): m bytes per vector — the stored index."""
+    import pandas as pd
+
+    m, n_codes, sub = codebooks.shape
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+
+    def gen(batches):
+        books = bc.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float32)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                # argmin ||xs - c||² == argmax (xs·c − ||c||²/2)
+                scores = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(1)
+                codes[:, j] = scores.argmax(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], code_col: [c.tobytes() for c in codes]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {code_col} binary"
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 8,
+    score_decimals: int | None = 5,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Top-k cosine via PQ/ADC candidates + exact float rescore. Output
+    contract matches cosine_topk: (query_id, neighbor_id, score, rank)
+    with EXACT scores; the m-byte codes only gate candidate recall."""
+    import pandas as pd
+
+    require_side_input_sized(queries, max_query_rows, "cosine_topk_pq", "max_query_rows")
+    m, n_codes, sub = codebooks.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
+    # ADC tables: per query and subspace, dot products against every codeword
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), codebooks)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, tables, codebooks))
+    kk_keep = k * oversample
+
+    coded = pq_encode(corpus, codebooks, vec_col, id_col)
+
+    def gen(batches):
+        ids, tabs, books = bc.value
+        for pdf in batches:
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            b_ids = pdf[id_col].to_numpy()
+            # scores[q, row] = Σ_j tabs[q, j, codes[row, j]]
+            sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+            out_q, out_n = [], []
+            kk = min(kk_keep + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                keep = idx[b_ids[idx] != ids[qi]]
+                out_q.extend([ids[qi]] * len(keep))
+                out_n.extend(b_ids[keep])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = coded.mapInPandas(gen, "query_id long, neighbor_id long")
+    from .similarity import _dot
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,98 @@
+"""Product-quantization ANN tests (functions/pq.py)."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from scio_spark.functions.pq import (
+    _kmeans_np,
+    cosine_topk_pq,
+    pq_encode,
+    train_pq_codebooks,
+)
+from scio_spark.functions.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    random.seed(31)
+    data = []
+    for i in range(400):
+        v = [random.gauss(0, 1) for _ in range(32)]
+        n = math.sqrt(sum(x * x for x in v))
+        data.append((i, [x / n for x in v]))
+    return spark.createDataFrame(data, ["vec_id", "embedding"])
+
+
+def test_kmeans_np_clusters_separated_data():
+    rng = np.random.RandomState(3)
+    a = rng.normal(0, 0.05, (200, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.05, (200, 4)) + np.array([0, 1, 0, 0])
+    cent = _kmeans_np(np.vstack([a, b]).astype(np.float64), 2, 10, 1)
+    # one centroid near each cluster mean
+    d_a = np.abs(cent - np.array([1, 0, 0, 0])).sum(1).min()
+    d_b = np.abs(cent - np.array([0, 1, 0, 0])).sum(1).min()
+    assert d_a < 0.1 and d_b < 0.1
+
+
+def test_codebook_shapes_and_dim_check(vecs):
+    books = train_pq_codebooks(vecs, m=8, n_codes=16, iters=4)
+    assert books.shape == (8, 16, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(vecs, m=5)
+
+
+def test_encode_is_m_bytes(vecs):
+    books = train_pq_codebooks(vecs, m=8, n_codes=16, iters=4)
+    coded = pq_encode(vecs, books).collect()
+    assert len(coded) == 400
+    assert all(len(bytes(r.pq_code)) == 8 for r in coded)  # 32 floats → 8 B
+
+
+def test_encode_reconstruction_beats_random(vecs):
+    """PQ codes reconstruct vectors far better than random codes — the
+    quantizer is actually learning."""
+    books = train_pq_codebooks(vecs, m=8, n_codes=32, iters=8)
+    rows = vecs.collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float32)
+    coded = {r.vec_id: np.frombuffer(bytes(r.pq_code), np.uint8)
+             for r in pq_encode(vecs, books).collect()}
+    m, _, sub = books.shape
+    err = 0.0
+    rand_err = 0.0
+    rng = np.random.RandomState(0)
+    for r in rows:
+        code = coded[r.vec_id]
+        rec = np.concatenate([books[j, code[j]] for j in range(m)])
+        rnd = np.concatenate(
+            [books[j, rng.randint(32)] for j in range(m)]
+        )
+        v = np.array(r.embedding, dtype=np.float32)
+        err += ((rec - v) ** 2).sum()
+        rand_err += ((rnd - v) ** 2).sum()
+    assert err < 0.5 * rand_err
+
+
+def test_pq_recall_and_exact_scores(vecs):
+    books = train_pq_codebooks(vecs, m=8, n_codes=64, iters=8)
+    exact = cosine_topk(vecs, vecs, k=5)
+    approx = cosine_topk_pq(vecs, vecs, books, k=5, oversample=8)
+    e = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    s = {(r.query_id, r.neighbor_id): r.score for r in approx.collect()}
+    recall = len(set(e) & set(s)) / len(e)
+    assert recall >= 0.7, recall  # 32x compression: recall is the tradeoff
+    for pair in set(e) & set(s):
+        assert e[pair] == s[pair]  # survivors carry exact rescored values
+
+
+def test_output_contract(vecs):
+    books = train_pq_codebooks(vecs, m=8, n_codes=16, iters=4)
+    out = cosine_topk_pq(vecs.limit(60), vecs.limit(10), books, k=3)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
