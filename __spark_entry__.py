@@ -2886,6 +2886,38 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) sink+source round-trip
+    (sources/arrow_ipc.py — the zero-copy interchange format Python
+    training stacks read natively; pyarrow owns the wire bytes, the module
+    owns the one-file-per-task distribution). zstd buffer compression;
+    customer subset re-aggregated against the parquet truth."""
+    from scio_spark.sources.arrow_ipc import read_arrow_ipc, save_as_arrow_ipc
+
+    path = _rt_path(sf_dir, "arrow_ipc")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "customer")
+        .df.filter("c_custkey % 4 = 0")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    save_as_arrow_ipc(sub, path)
+    back = read_arrow_ipc(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_bal"),
+    )
+
+
+ORACLE_ARROW_ROUNDTRIP = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM customer WHERE c_custkey % 4 = 0 GROUP BY c_mktsegment
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-quantized interval join (operators/range_join.py — the
     range-join-hint pattern from plain operators): clicks joined to
@@ -3796,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "bigram_lm": q_bigram_lm,
         "interval_join": q_interval_join,
+        "arrow_roundtrip": q_arrow_roundtrip,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -3972,6 +4005,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,
         "interval_join": ORACLE_INTERVAL_JOIN,
+        "arrow_roundtrip": ORACLE_ARROW_ROUNDTRIP,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
