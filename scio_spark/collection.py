@@ -531,6 +531,55 @@ class SCollection:
 
         self._write(io_id or f"jdbc:{table}", w)
 
+    def save_as_avro_file(self, path: str, io_id: str | None = None, codec: str = "deflate"):
+        """saveAsAvroFile (scio-avro AvroIO.scala): spark-avro writer when
+        the jar exists, else the repo's pure-Python object-container codec
+        (sources/avro.py, JVM-interop-tested)."""
+
+        def w(df):
+            try:
+                df.write.mode("overwrite").format("avro").save(path)
+            except Exception as e:  # noqa: BLE001
+                if "Failed to find data source" not in str(e):
+                    raise
+                from .sources.avro import save_as_avro
+
+                save_as_avro(df, path, codec=codec)
+
+        self._write(io_id or f"avro:{path}", w)
+
+    def save_as_tf_example_file(self, path: str, io_id: str | None = None):
+        """saveAsTfExampleFile (scio-tensorflow TFExampleIO.scala): rows →
+        tf.Example protobufs in CRC-framed TFRecords (sources/proto.py)."""
+        from .sources.proto import save_as_tf_example
+
+        self._write(
+            io_id or f"tfexample:{path}", lambda df: save_as_tf_example(df, path)
+        )
+
+    def save_as_webdataset(
+        self, path: str, key_col: str, ext_cols: dict, io_id: str | None = None
+    ):
+        """WebDataset tar shards for multimodal samples (sources/webdataset.py)."""
+        from .sources.webdataset import save_as_webdataset as _w
+
+        self._write(
+            io_id or f"webdataset:{path}",
+            lambda df: _w(df, path, key_col, ext_cols),
+        )
+
+    def save_as_arrow_file(
+        self, path: str, io_id: str | None = None, compression: str | None = "zstd"
+    ):
+        """Arrow IPC / Feather v2 shards (sources/arrow_ipc.py) — the
+        zero-copy interchange for Python training stacks."""
+        from .sources.arrow_ipc import save_as_arrow_ipc
+
+        self._write(
+            io_id or f"arrow:{path}",
+            lambda df: save_as_arrow_ipc(df, path, compression=compression),
+        )
+
     def save_as_custom_output(self, io_id: str, writer) -> None:
         """saveAsCustomOutput (SCollection.scala:1740): arbitrary writer fn,
         captured under JobTest like every named sink."""

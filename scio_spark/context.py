@@ -223,6 +223,40 @@ class ScioContext:
             reader = reader.option(k, v)
         return self._wrap(reader.load())
 
+    def tf_example_file(self, path: str, schema, io_id: str | None = None):
+        """tfRecordExampleFile analog (scio-tensorflow TFExampleIO.scala):
+        TFRecords of tf.Example protobufs → typed DataFrame shaped by the
+        feature ``schema`` (tf.Example files carry none)."""
+        sub = self._maybe_test_input(io_id or f"tfexample:{path}")
+        if sub is not None:
+            return sub
+        from .sources.proto import read_tf_example
+
+        return self._wrap(read_tf_example(self.spark, path, schema))
+
+    def webdataset_file(
+        self, path: str, ext_cols: dict, text_cols=None, io_id: str | None = None
+    ):
+        """WebDataset tar-shard reader (sources/webdataset.py): one row per
+        sample key, one column per extension."""
+        sub = self._maybe_test_input(io_id or f"webdataset:{path}")
+        if sub is not None:
+            return sub
+        from .sources.webdataset import read_webdataset
+
+        return self._wrap(
+            read_webdataset(self.spark, path, ext_cols, text_cols=text_cols)
+        )
+
+    def arrow_file(self, path: str, io_id: str | None = None):
+        """Arrow IPC / Feather v2 reader (sources/arrow_ipc.py)."""
+        sub = self._maybe_test_input(io_id or f"arrow:{path}")
+        if sub is not None:
+            return sub
+        from .sources.arrow_ipc import read_arrow_ipc
+
+        return self._wrap(read_arrow_ipc(self.spark, path))
+
     def custom_input(self, io_id: str, df: DataFrame):
         """customInput (ScioContext.scala:840): wrap an arbitrary DataFrame
         as a named input — still JobTest-substitutable by io_id."""

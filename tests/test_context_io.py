@@ -205,3 +205,38 @@ def test_sql_restores_preexisting_temp_view(sc):
         assert [tuple(r) for r in sc.spark.table("t").collect()] == [(99,)]
     finally:
         sc.spark.catalog.dropTempView("t")
+
+
+def test_fluent_io_new_formats(spark, tmp_path):
+    """Round-trip every round-5 sink/source pair through the fluent
+    SCollection/ScioContext surface (the API a reference user would call),
+    including JobTest io_id capture-ability via the default ids."""
+    from scio_spark import ScioContext
+
+    ctx = ScioContext(spark)
+    df = spark.range(40).selectExpr(
+        "id", "concat('n', id) AS name", "CAST(id * 0.5 AS DOUBLE) AS score"
+    )
+    c = ctx.custom_input("fluent:src", df)
+
+    d = str(tmp_path / "avro")
+    c.save_as_avro_file(d)
+    assert ctx.avro_file(d).df.count() == 40
+
+    d = str(tmp_path / "tfex")
+    c.save_as_tf_example_file(d)
+    back = ctx.tf_example_file(d, "id long, name string, score double").df
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+    d = str(tmp_path / "wds")
+    ctx.custom_input(
+        "fluent:wds", df.selectExpr("CAST(id AS STRING) AS key", "name")
+    ).save_as_webdataset(d, "key", {"name": "txt"})
+    assert ctx.webdataset_file(d, {"name": "txt"}, text_cols={"name"}).df.count() == 40
+
+    d = str(tmp_path / "arrow")
+    c.save_as_arrow_file(d)
+    assert ctx.arrow_file(d).df.schema == df.schema
+    assert ctx.arrow_file(d).df.count() == 40
