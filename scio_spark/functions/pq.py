@@ -183,3 +183,103 @@ def cosine_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    oversample: int = 8,
+    seed: int = 42,
+    score_decimals: int | None = 5,
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """IVF-PQ — the full FAISS-style composition: coarse k-means routing
+    (only the ``n_probe`` nearest inverted lists per query are touched,
+    from ivf.py) with PQ/ADC scoring inside each probed list (m-byte codes,
+    table lookups — from this module) and an exact float rescore of the
+    surviving candidates. Corpus work per query drops by ~n_probe/n_clusters
+    AND each scored vector costs m byte-lookups instead of d multiplies —
+    the two savings are independent and multiply. Output contract matches
+    cosine_topk (exact scores on survivors)."""
+    import pandas as pd
+
+    from .ivf import _centroids, assign_centroid
+    from .similarity import _dot
+
+    require_side_input_sized(
+        queries, max_query_rows, "cosine_topk_ivfpq", "max_query_rows"
+    )
+    m, n_codes, sub = codebooks.shape
+    cents = _centroids(corpus, vec_col, n_clusters, seed, 1.0)
+    inv = assign_centroid(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        cents,
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float32)
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), codebooks)
+    cmat = np.array(cents, dtype=np.float32)
+    p = min(n_probe, len(cents))
+    order = np.argsort(-(q_mat @ cmat.T), axis=1, kind="stable")[:, :p]
+    packed: dict[int, tuple] = {}
+    for c in np.unique(order):
+        rows = np.nonzero((order == c).any(axis=1))[0]
+        packed[int(c)] = (q_ids[rows], tables[rows])
+    bc = corpus.sparkSession.sparkContext.broadcast((packed, codebooks))
+    kk_keep = k * oversample
+
+    def gen(batches):
+        tbl, books = bc.value
+        for pdf in batches:
+            for cen, grp in pdf.groupby("centroid"):
+                hit = tbl.get(int(cen))
+                if hit is None:
+                    continue
+                ids, tabs = hit
+                x = np.array(list(grp["__cv"]), dtype=np.float32)
+                codes = np.empty((len(x), m), dtype=np.uint8)
+                for j in range(m):
+                    xs = x[:, j * sub : (j + 1) * sub]
+                    s = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(1)
+                    codes[:, j] = s.argmax(1)
+                b_ids = grp["neighbor_id"].to_numpy()
+                sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+                out_q, out_n = [], []
+                kk = min(kk_keep + 1, sims.shape[1])
+                for qi in range(sims.shape[0]):
+                    row = sims[qi]
+                    idx = (
+                        np.argpartition(-row, kk - 1)[:kk]
+                        if kk < len(row)
+                        else np.arange(len(row))
+                    )
+                    keep = idx[b_ids[idx] != ids[qi]]
+                    out_q.extend([ids[qi]] * len(keep))
+                    out_n.extend(b_ids[keep])
+                if out_q:
+                    yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = inv.mapInPandas(gen, "query_id long, neighbor_id long").distinct()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv2"))
+    scored = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv2")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -96,3 +96,25 @@ def test_output_contract(vecs):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_ivfpq_recall(vecs):
+    """The composed IVF-PQ path: routing restricts the scan, ADC scores
+    the probed lists, exact rescore fixes the scores. With generous
+    probing, recall vs exact stays high."""
+    books = train_pq_codebooks(vecs, m=8, n_codes=64, iters=8)
+    from scio_spark.functions.pq import cosine_topk_ivfpq
+    from scio_spark.functions.similarity import cosine_topk
+
+    exact = cosine_topk(vecs, vecs, k=5)
+    approx = cosine_topk_ivfpq(
+        vecs, vecs, books, k=5, n_clusters=8, n_probe=6, oversample=8
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    s = {(r.query_id, r.neighbor_id): r.score for r in approx.collect()}
+    recall = len(e & set(s)) / len(e)
+    assert recall >= 0.6, recall  # routing + 32x compression both cost recall
+    # full probing + exact rescore: scores of survivors are exact
+    ex = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for pair in e & set(s):
+        assert ex[pair] == s[pair]
