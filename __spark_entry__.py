@@ -2886,6 +2886,36 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (operators/fuzzy_join.py — Gravano-style
+    q-gram count filter + exact levenshtein re-check; the naive BETWEEN
+    formulation is a cross product): two disjoint part-name strata joined
+    at distance ≤ 6 (TPC-H names are 5-color phrases, so near-pairs
+    differing by one short color exist), reported as a distance histogram.
+    Oracle = the naive cross join in DuckDB (same builtin)."""
+    from scio_spark.operators.fuzzy_join import fuzzy_join
+
+    sc = _ctx(spark)
+    part = _t(sc, sf_dir, "part").df
+    left = part.filter("p_partkey % 20 = 0").select(
+        F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_text")
+    )
+    right = part.filter("p_partkey % 20 = 10").select(
+        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_text")
+    )
+    pairs = fuzzy_join(left, right, max_dist=6)
+    return pairs.groupBy("distance").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+ORACLE_FUZZY_JOIN = """
+SELECT levenshtein(l.p_name, r.p_name) AS distance, COUNT(*) AS n_pairs
+FROM (SELECT * FROM part WHERE p_partkey % 20 = 0) l,
+     (SELECT * FROM part WHERE p_partkey % 20 = 10) r
+WHERE levenshtein(l.p_name, r.p_name) <= 6
+GROUP BY 1
+"""
+
+
 def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow IPC (Feather v2) sink+source round-trip
     (sources/arrow_ipc.py — the zero-copy interchange format Python
@@ -3829,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "interval_join": q_interval_join,
         "arrow_roundtrip": q_arrow_roundtrip,
+        "fuzzy_join": q_fuzzy_join,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -4006,6 +4037,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": ORACLE_BIGRAM_LM,
         "interval_join": ORACLE_INTERVAL_JOIN,
         "arrow_roundtrip": ORACLE_ARROW_ROUNDTRIP,
+        "fuzzy_join": ORACLE_FUZZY_JOIN,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
