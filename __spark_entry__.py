@@ -2886,6 +2886,37 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (functions/privacy.py — the quasi-identifier
+    guard completing the scrub_pii privacy tier): events bucketed into
+    (user_id % 400, event_type) combinations, audited at k=5. One
+    partial-agg'd groupBy; the report row is fully SQL-replayable."""
+    from scio_spark.functions.privacy import k_anonymity_report
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df.select(
+        (F.col("user_id") % 400).alias("ub"), "event_type"
+    )
+    return k_anonymity_report(ev, ["ub", "event_type"], k=5)
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+  SELECT user_id % 400 AS ub, event_type, COUNT(*) AS gsize
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(SUM(gsize) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_groups,
+       CAST(MIN(gsize) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(SUM(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       MIN(gsize) >= 5 AS is_k_anonymous
+FROM g
+"""
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy join (operators/fuzzy_join.py — Gravano-style
     q-gram count filter + exact levenshtein re-check; the naive BETWEEN
@@ -3860,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "arrow_roundtrip": q_arrow_roundtrip,
         "fuzzy_join": q_fuzzy_join,
+        "k_anonymity": q_k_anonymity,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -4038,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": ORACLE_INTERVAL_JOIN,
         "arrow_roundtrip": ORACLE_ARROW_ROUNDTRIP,
         "fuzzy_join": ORACLE_FUZZY_JOIN,
+        "k_anonymity": ORACLE_K_ANONYMITY,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,
