@@ -100,3 +100,18 @@ def test_nulls_dropped_and_empty_raises(spark):
     empty = spark.createDataFrame([(None,)], "x double")
     with pytest.raises(ValueError, match="no non-null"):
         tdigest_sketch(empty, "x")
+
+
+def test_quantile_buckets(spark):
+    from scio_spark.functions.tdigest import quantile_buckets
+
+    df = spark.range(10_000).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    out = quantile_buckets(df, "x", 4)
+    sizes = {r.bucket: r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    for b, n in sizes.items():
+        assert abs(n - 2500) < 150, (b, n)  # ~equal mass within digest error
+    # monotone: bucket never decreases with x
+    rows = out.orderBy("x").select("bucket").collect()
+    vals = [r.bucket for r in rows]
+    assert vals == sorted(vals)
