@@ -48,9 +48,20 @@ def with_z_value(
         raise ValueError("with_z_value: need at least one column")
     if bits * len(cols) > 63:
         raise ValueError(f"z-value overflow: {bits} bits x {len(cols)} cols > 63")
+
+    def numeric(c: str):
+        """Temporal columns bucketize via their epoch numbers (date → days,
+        timestamp → seconds); everything else casts to double."""
+        dt = dict(df.dtypes)[c]
+        if dt == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if dt.startswith("timestamp"):
+            return (F.unix_micros(F.col(c).cast("timestamp")) / 1_000_000.0)
+        return F.col(c).cast("double")
+
     bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        *[F.min(numeric(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(numeric(c)).alias(f"mx_{c}") for c in cols],
     ).head()
     n = 1 << bits
     buckets = []
@@ -59,7 +70,7 @@ def with_z_value(
         if mn is None or mx is None or mn == mx:
             buckets.append(F.lit(0).cast("long"))
             continue
-        b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n))
+        b = F.width_bucket(numeric(c), F.lit(mn), F.lit(mx), F.lit(n))
         # width_bucket is 1-based and returns n+1 at the upper bound;
         # clamp into [0, n-1]
         buckets.append(F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1)).cast("long"))

@@ -112,3 +112,17 @@ def test_zorder_preserves_rows(spark, tmp_path):
     assert back.count() == 5000
     assert back.agg(F.sum("id")).head()[0] == df.agg(F.sum("id")).head()[0]
     assert "_z" not in back.columns
+
+
+def test_temporal_columns_bucketize(spark, tmp_path):
+    """DATE/TIMESTAMP cluster columns work via epoch normalization (found
+    by the analytics example: a date column used to fail the bounds cast)."""
+    df = spark.range(1000).selectExpr(
+        "id",
+        "date_add(DATE '2024-01-01', CAST(id % 365 AS INT)) AS d",
+        "timestamp_seconds(1700000000 + id * 60) AS ts",
+    )
+    out = with_z_value(df, ["d", "ts"], bits=8)
+    assert out.count() == 1000
+    zs = [r["_z"] for r in out.select("_z").distinct().collect()]
+    assert len(zs) > 100  # real spread, not a constant
