@@ -2886,6 +2886,64 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped sessionization (operators/windows.py capped_sessions — the
+    production variant F.session_window lacks: gap sessions SPLIT at a max
+    duration so an always-active key cannot form one infinite session):
+    events per user at gap=30 min, cap=1 h, rolled up to sessions-per-
+    user-bucket. Tie-safe by construction (equal timestamps always land in
+    the same session regardless of sort order), so the two-pass window
+    semantics replay exactly in DuckDB."""
+    from scio_spark.operators.windows import capped_sessions
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df.select("user_id", "ts")
+    s = capped_sessions(ev, "ts", 1800, 3600, "user_id")
+    return (
+        s.select((F.col("user_id") % 25).alias("ub"), "user_id", "session_id")
+        .groupBy("ub")
+        .agg(
+            F.countDistinct("user_id", "session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_CAPPED_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS sec FROM events
+),
+g AS (
+  SELECT user_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+),
+gs AS (
+  SELECT user_id, sec,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gsess
+  FROM g
+),
+sess AS (
+  SELECT user_id, sec, gsess,
+         MIN(sec) OVER (PARTITION BY user_id, gsess) AS start
+  FROM gs
+),
+labeled AS (
+  SELECT user_id,
+         'g' || gsess || '.' || CAST(FLOOR((sec - start) / 3600) AS BIGINT)
+           AS session_id
+  FROM sess
+)
+SELECT user_id % 25 AS ub,
+       COUNT(DISTINCT (user_id, session_id)) AS n_sessions,
+       COUNT(*) AS n_events
+FROM labeled GROUP BY 1
+"""
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (functions/privacy.py — the quasi-identifier
     guard completing the scrub_pii privacy tier): events bucketed into
@@ -3892,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_roundtrip": q_arrow_roundtrip,
         "fuzzy_join": q_fuzzy_join,
         "k_anonymity": q_k_anonymity,
+        "capped_sessions": q_capped_sessions,
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
         # data_mixture's r5 change is an error-path guard only (the query
@@ -4071,6 +4130,7 @@ def oracle_sql() -> dict[str, str]:
         "arrow_roundtrip": ORACLE_ARROW_ROUNDTRIP,
         "fuzzy_join": ORACLE_FUZZY_JOIN,
         "k_anonymity": ORACLE_K_ANONYMITY,
+        "capped_sessions": ORACLE_CAPPED_SESSIONS,
         "streaming_join": ORACLE_STREAMING_JOIN,
         "dedup_lines": ORACLE_DEDUP_LINES,
         "files_with_path": ORACLE_FILES_WITH_PATH,

@@ -15,7 +15,7 @@ mirroring scio's single SCollection API).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -129,4 +129,54 @@ def with_pane_info(df: DataFrame) -> DataFrame:
         .withColumn("pane_index", F.lit(0).cast("long"))
         .withColumn("pane_is_first", F.lit(True))
         .withColumn("pane_is_last", F.lit(True))
+    )
+
+
+def capped_sessions(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    max_duration_seconds: int,
+    *key_cols: str,
+    out_col: str = "session_id",
+):
+    """Gap-based sessionization with a MAXIMUM session duration — the
+    production variant ``F.session_window`` lacks (a bot clicking every
+    minute forever is ONE infinite Spark session; ops teams cap at e.g.
+    4 h). Two window passes per key, both partition-local sorts bounded by
+    per-key history:
+
+    1. classic gap sessions: new-session flag where the gap to the
+       previous event exceeds ``gap_seconds``; running sum → gap-session
+       ordinal;
+    2. duration cap: within each gap session, events split into
+       ``floor((ts − session_start) / max_duration)`` sub-sessions.
+
+    Returns the input plus ``out_col`` (string "g<gap_ordinal>.<split>",
+    unique per (keys, session)). Semantics are fully SQL-replayable —
+    the contract query's oracle replays both passes in DuckDB."""
+    if gap_seconds <= 0 or max_duration_seconds <= 0:
+        raise ValueError("capped_sessions: gap/max_duration must be positive")
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col) if keys else Window.orderBy(ts_col)
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000.0
+    prev = F.lag(sec).over(w)
+    brk = F.when(prev.isNull() | (sec - prev > gap_seconds), 1).otherwise(0)
+    with_gap = df.withColumn("__brk", brk).withColumn(
+        "__gsess", F.sum("__brk").over(w)
+    )
+    w2 = (
+        Window.partitionBy(*keys, "__gsess")
+        if keys
+        else Window.partitionBy("__gsess")
+    )
+    start = F.min(sec).over(w2.orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ))
+    split = F.floor((sec - start) / max_duration_seconds)
+    return (
+        with_gap.withColumn(
+            out_col, F.concat(F.lit("g"), F.col("__gsess"), F.lit("."), split)
+        )
+        .drop("__brk", "__gsess")
     )

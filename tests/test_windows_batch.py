@@ -218,3 +218,51 @@ def test_with_pane_info_batch_constant(spark):
         == ("ON_TIME", 0, True, True)
         for r in out
     )
+
+
+def test_capped_sessions_hand_computed(spark):
+    """Per-user events: 0,100,200 then a 1000s gap then 2000..2600 every
+    100s. gap=300 → two gap-sessions; cap=250 splits them further."""
+    from pyspark.sql import functions as F
+
+    from scio_spark.operators.windows import capped_sessions
+
+    rows = [(1, t) for t in [0, 100, 200, 1200, 2000, 2100, 2200, 2300, 2400, 2500, 2600]]
+    df = spark.createDataFrame(rows, "user long, t long").select(
+        "user", F.timestamp_seconds("t").alias("ts"), "t"
+    )
+    out = {r.t: r.session_id for r in capped_sessions(df, "ts", 300, 250, "user").collect()}
+    # gap session 1: t=0,100,200 → splits floor(dt/250): 0,0,0
+    assert out[0] == out[100] == "g1.0"
+    assert out[200] == "g1.0"
+    # t=1200 starts gap session 2 (gap 1000 > 300)
+    assert out[1200] == "g2.0"
+    # t=2000.. gap 800 > 300 → gap session 3; cap splits at [0,250),[250,500),[500,750)
+    assert out[2000] == out[2100] == out[2200] == "g3.0"
+    assert out[2300] == out[2400] == "g3.1"
+    assert out[2500] == out[2600] == "g3.2"
+
+
+def test_capped_sessions_per_key_isolation(spark):
+    from pyspark.sql import functions as F
+
+    from scio_spark.operators.windows import capped_sessions
+
+    rows = [(1, 0), (2, 0), (1, 1000), (2, 50)]
+    df = spark.createDataFrame(rows, "user long, t long").select(
+        "user", F.timestamp_seconds("t").alias("ts"), "t"
+    )
+    out = {(r.user, r.t): r.session_id for r in capped_sessions(df, "ts", 300, 10_000, "user").collect()}
+    assert out[(1, 0)] == "g1.0" and out[(1, 1000)] == "g2.0"
+    assert out[(2, 0)] == out[(2, 50)] == "g1.0"
+
+
+def test_capped_sessions_validation(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from scio_spark.operators.windows import capped_sessions
+
+    df = spark.range(1).select(F.current_timestamp().alias("ts"))
+    with _pt.raises(ValueError):
+        capped_sessions(df, "ts", 0, 100)
