@@ -166,22 +166,38 @@ class TDigest:
 # ---------------------------------------------------------------- Spark API
 
 
-def tdigest_sketch(df: DataFrame, col: str, delta: int = 200) -> TDigest:
+def tdigest_sketch(
+    df: DataFrame, col: str, delta: int = 200, weight_col: str | None = None
+) -> TDigest:
     """Build one mergeable digest over a column: per-partition digests on
     executors (one bytes row each crosses to the driver), merged here.
     Store the artifact (``to_bytes``) beside your table; tomorrow's batch
-    merges into it without re-reading history."""
+    merges into it without re-reading history.
+
+    ``weight_col`` feeds pre-aggregated (value, weight) histograms — e.g.
+    the output of ``groupBy(value).count()`` — so a low-cardinality column
+    digests exactly (distinct values each holding enough mass under the k1
+    scale function never merge, making the sketch a lossless weighted
+    histogram; the basis of the quantiles_tdigest oracle query)."""
     import pandas as pd
+
+    cols = [col] if weight_col is None else [col, weight_col]
 
     def gen(batches):
         td = TDigest(delta)
         for pdf in batches:
-            v = pdf[col].dropna().to_numpy(dtype=np.float64)
-            td.add(v)
+            pdf = pdf.dropna(subset=[col])
+            v = pdf[col].to_numpy(dtype=np.float64)
+            w = (
+                None
+                if weight_col is None
+                else pdf[weight_col].to_numpy(dtype=np.float64)
+            )
+            td.add(v, w)
         if td.count:
             yield pd.DataFrame({"sketch": [td.to_bytes()]})
 
-    parts = df.select(col).mapInPandas(gen, "sketch binary").collect()
+    parts = df.select(*cols).mapInPandas(gen, "sketch binary").collect()
     if not parts:
         raise ValueError(f"tdigest_sketch: no non-null values in {col!r}")
     out = TDigest.from_bytes(bytes(parts[0].sketch))

@@ -18,10 +18,13 @@ prunes further for free.
 Completeness: the count bound only prunes when it is >= 1, i.e. when
 max(len) >= q·(d+1). Pairs where BOTH strings are shorter than q·(d+1)
 can share zero grams yet be within distance d — that short×short stratum
-is joined directly (it is bounded by construction: strings under
-q·(d+1) chars). Short×long pairs satisfy the gram bound via the longer
-side. Result: exactly the naive join's pairs (parity-tested), at
-O(shared-gram pairs) instead of O(n·m).
+is joined on length bands of width d+1 (|Δlen| <= d implies adjacent or
+equal bands, so probing bands {b-1, b, b+1} is an exact superset): a
+shuffle-shaped equi-join, never an all-pairs cross, regardless of how
+many short strings the corpus holds. Short×long pairs satisfy the gram
+bound via the longer side. Result: exactly the naive join's pairs
+(parity-tested), at O(shared-gram pairs + per-band pairs) instead of
+O(n·m).
 
 Scale note: a gram shared by f strings on each side fans out f² candidate
 rows — the same boilerplate hazard as the dedup inverted indexes. The
@@ -107,15 +110,30 @@ def fuzzy_join(
         .select(left_id, right_id)
     )
 
-    # --- short×short stratum: direct length-banded join ------------------
-    short_pairs = (
+    # --- short×short stratum: length-band EQUI-join ----------------------
+    # A pair with |len_l - len_r| <= d sits in adjacent (or equal) bands of
+    # width d+1, so joining left band b against right bands {b-1, b, b+1}
+    # is an exact superset — a plain shuffle-shaped equi-join (AQE may
+    # still choose to broadcast a genuinely small side) instead of the
+    # r5-flagged forced-broadcast cross product, which bounded string
+    # LENGTH but not row COUNT and could OOM on a short-string-heavy
+    # corpus (titles/queries/codes).
+    lband = F.floor(F.col("__llen") / (d + 1)).cast("long")
+    short_l = (
         lt.filter(F.col("__llen") < short_cut)
-        .select(left_id, "__llen")
-        .crossJoin(
-            F.broadcast(
-                rt.filter(F.col("__rlen") < short_cut).select(right_id, "__rlen")
-            )
+        .select(
+            left_id,
+            "__llen",
+            F.explode(F.array(lband - 1, lband, lband + 1)).alias("__band"),
         )
+    )
+    short_r = rt.filter(F.col("__rlen") < short_cut).select(
+        right_id,
+        "__rlen",
+        F.floor(F.col("__rlen") / (d + 1)).cast("long").alias("__band"),
+    )
+    short_pairs = (
+        short_l.join(short_r, "__band")
         .filter(F.abs(F.col("__llen") - F.col("__rlen")) <= d)
         .select(left_id, right_id)
     )

@@ -16,8 +16,12 @@ this module generalizes them into a batch API:
    under retry, atomic per partition.
 
 Without a partition column the operation degrades to a documented full
-rewrite (still distributed and atomic-by-rename) — correct, but at 100 TB
-partition your tables. With a table format available (Delta/Iceberg) the
+rewrite — still distributed, swapped in with a crash-recoverable rename
+dance (old table aside → tmp into place → drop the old copy, so no crash
+window ever leaves the target path empty) — correct, but at 100 TB
+partition your tables. NULL partition values are rejected up front in
+the pruned path (they cannot be pruned with ``isin`` and would silently
+lose target rows). With a table format available (Delta/Iceberg) the
 same call maps to a real MERGE; this is the format-less fallback with the
 same pruning property.
 """
@@ -32,6 +36,63 @@ def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return jvm, hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+# Characters Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.escapePathName / Hive FileUtils): this set plus
+# all control chars; escaped as %XX (uppercase hex).
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_part_value(v) -> str:
+    """The directory-name form of a partition value, matching what Spark
+    writes under ``partitionBy`` — so cleanup paths derived from VALUES
+    line up with directories derived from WRITES (NULL would map to
+    __HIVE_DEFAULT_PARTITION__, but NULL partition values are rejected
+    up front by merge_into/delete_where)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        "%{:02X}".format(ord(ch)) if ch in _ESCAPE_CHARS or ord(ch) < 32 else ch
+        for ch in str(v)
+    )
+
+
+def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
+    """Pruned-merge contract guard: a NULL partition value cannot be
+    pruned with ``isin`` (NULL never matches) and would silently drop the
+    target's null-partition rows from 'keep' while the swap replaces the
+    __HIVE_DEFAULT_PARTITION__ directory with source-only rows. Explicitly
+    unsupported — fail loudly instead."""
+    if any(v is None for v in affected):
+        raise ValueError(
+            f"{op}: NULL values in partition column {partition_col!r} are "
+            "not supported by the partition-pruned path (NULL never "
+            "matches the isin prune filter, so target rows in the null "
+            "partition would be silently dropped). Filter them out or "
+            "merge without partition_col."
+        )
+    return affected
+
+
+def _swap_table(spark: SparkSession, tmp: str, target_path: str) -> None:
+    """Whole-table swap that never leaves the target path empty-and-gone:
+    rename the old table aside (target -> target__old), rename tmp into
+    place, then delete target__old. A crash between any two steps leaves
+    either the old table live or both tmp and target__old on disk —
+    always recoverable (the former delete-then-rename left a window with
+    NO live table)."""
+    jvm, tgt_path, fs = _fs(spark, target_path)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    old = HPath(target_path.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had = fs.exists(tgt_path)
+    if had:
+        fs.rename(tgt_path, old)
+    fs.rename(HPath(tmp), tgt_path)
+    if had:
+        fs.delete(old, True)
 
 
 def _swap_partitions(spark: SparkSession, tmp: str, target: str, part_col: str):
@@ -87,15 +148,17 @@ def merge_into(
             merged = source
         tmp = target_path.rstrip("/") + "__merge_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if fs.exists(tgt_path):
-            fs.delete(tgt_path, True)
-        fs.rename(HPath(tmp), tgt_path)
+        _swap_table(spark, tmp, target_path)
         return
 
-    affected = [
-        r[partition_col]
-        for r in source.select(partition_col).distinct().collect()
-    ]
+    affected = _reject_null_partitions(
+        [
+            r[partition_col]
+            for r in source.select(partition_col).distinct().collect()
+        ],
+        partition_col,
+        "merge_into",
+    )
     if not affected:
         return
     table_exists = bool(fs.globStatus(HPath(target_path, partition_col + "=*")))
@@ -135,13 +198,19 @@ def delete_where(
         remaining = target.filter(f"NOT ({predicate})")
         tmp = target_path.rstrip("/") + "__delete_tmp"
         remaining.write.mode("overwrite").parquet(tmp)
-        fs.delete(tgt_path, True)
-        fs.rename(HPath(tmp), tgt_path)
+        _swap_table(spark, tmp, target_path)
         return
-    affected = [
-        r[partition_col]
-        for r in target.filter(predicate).select(partition_col).distinct().collect()
-    ]
+    affected = _reject_null_partitions(
+        [
+            r[partition_col]
+            for r in target.filter(predicate)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ],
+        partition_col,
+        "delete_where",
+    )
     if not affected:
         return
     remaining = target.filter(F.col(partition_col).isin(affected)).filter(
@@ -166,7 +235,10 @@ def delete_where(
         if st.getPath().getName().startswith(partition_col + "=")
     } if fs2.exists(tmp_path2) else set()
     for v in affected:
-        name = f"{partition_col}={v}"
+        # derive the directory name with Spark's partition-value escaping,
+        # so a fully-deleted partition whose value needs escaping is
+        # actually found and removed (not left to resurface its rows)
+        name = f"{partition_col}={_escape_part_value(v)}"
         if name not in produced:
             dead = HPath(tgt_path, name)
             if fs.exists(dead):

@@ -28,10 +28,12 @@ this is the compatibility path; when a spark-avro jar IS present,
 Supported schema surface (both directions): null, boolean, int, long,
 float, double, bytes, string, fixed, enum (→ string), array, map
 (string keys), union (nullable two-branch), nested records, and the
-logical types date (int), timestamp-micros (long, Spark TIMESTAMP with
-UTC session tz), local-timestamp-micros (long, TIMESTAMP_NTZ), and
-decimal (bytes). Recursive/named-reference schemas resolve through a
-parse-time registry.
+logical types date (int), timestamp-micros (long, Spark TIMESTAMP;
+non-UTC session timezones are normalized to UTC executor-side before
+encoding), local-timestamp-micros (long, TIMESTAMP_NTZ), and decimal
+(bytes). Recursive/named-reference schemas compile lazily (references
+resolve through a per-compile cache at call time), so self-referential
+records (linked lists, trees) round-trip.
 """
 
 from __future__ import annotations
@@ -231,11 +233,23 @@ def _is_null(v: Any) -> bool:
         return False
 
 
-def _encoder(node: Any, named: dict[str, Any]):
-    """Compile an encode(out, value) closure for a schema node."""
+def _encoder(node: Any, named: dict[str, Any], cache: dict | None = None):
+    """Compile an encode(out, value) closure for a schema node.
+
+    Named-type references compile LAZILY: a reference returns a closure
+    that resolves through ``cache`` at call time, and record/enum/fixed
+    definitions publish their compiled closure into ``cache`` when they
+    finish compiling — so a self-referential record (linked list, tree)
+    compiles in one pass instead of recursing forever at compile time."""
+    if cache is None:
+        cache = {}
     if isinstance(node, str):
         if node in named:
-            return _encoder(named[node], named)
+
+            def enc_ref(out, v, _n=node):
+                cache[_n](out, v)
+
+            return enc_ref
         if node == "null":
             return lambda out, v: None
         if node == "boolean":
@@ -269,7 +283,7 @@ def _encoder(node: Any, named: dict[str, Any]):
         if null_idx is None or len(other) != 1:
             raise TypeError(f"only nullable 2-branch unions supported: {node}")
         idx, branch = other[0]
-        enc = _encoder(branch, named)
+        enc = _encoder(branch, named, cache)
 
         def enc_union(out, v):
             if _is_null(v):
@@ -320,7 +334,7 @@ def _encoder(node: Any, named: dict[str, Any]):
 
         return enc_dec
     if t == "array":
-        enc = _encoder(node["items"], named)
+        enc = _encoder(node["items"], named, cache)
 
         def enc_arr(out, v):
             items = list(v)
@@ -332,7 +346,7 @@ def _encoder(node: Any, named: dict[str, Any]):
 
         return enc_arr
     if t == "map":
-        enc = _encoder(node["values"], named)
+        enc = _encoder(node["values"], named, cache)
 
         def enc_map(out, v):
             items = dict(v)
@@ -350,7 +364,10 @@ def _encoder(node: Any, named: dict[str, Any]):
         nm = node.get("name")
         if nm:
             named[nm] = node
-        fencs = [(f["name"], _encoder(f["type"], named)) for f in node["fields"]]
+        fencs = [
+            (f["name"], _encoder(f["type"], named, cache))
+            for f in node["fields"]
+        ]
 
         def enc_rec(out, v):
             if hasattr(v, "asDict"):
@@ -358,11 +375,15 @@ def _encoder(node: Any, named: dict[str, Any]):
             for fname, fe in fencs:
                 fe(out, v[fname] if fname in v else None)
 
+        if nm:
+            cache[nm] = enc_rec  # forward references resolve here
         return enc_rec
     if t == "enum":
         named[node["name"]] = node
         symbols = {s: i for i, s in enumerate(node["symbols"])}
-        return lambda out, v: write_long(out, symbols[str(v)])
+        enc_enum = lambda out, v: write_long(out, symbols[str(v)])  # noqa: E731
+        cache[node["name"]] = enc_enum
+        return enc_enum
     if t == "fixed":
         named[node["name"]] = node
         size = node["size"]
@@ -373,17 +394,26 @@ def _encoder(node: Any, named: dict[str, Any]):
                 raise ValueError(f"fixed size {size} != {len(b)}")
             out.extend(b)
 
+        cache[node["name"]] = enc_fixed
         return enc_fixed
     if not lt:
-        return _encoder(t, named)
+        return _encoder(t, named, cache)
     raise TypeError(f"unsupported avro schema node {node}")
 
 
-def _decoder(node: Any, named: dict[str, Any]):
-    """Compile a decode(buf, pos) -> (value, pos) closure for a schema node."""
+def _decoder(node: Any, named: dict[str, Any], cache: dict | None = None):
+    """Compile a decode(buf, pos) -> (value, pos) closure for a schema
+    node. Named-type references resolve lazily through ``cache`` (see
+    _encoder) so recursive schemas compile without blowing the stack."""
+    if cache is None:
+        cache = {}
     if isinstance(node, str):
         if node in named:
-            return _decoder(named[node], named)
+
+            def dec_ref(buf, pos, _n=node):
+                return cache[_n](buf, pos)
+
+            return dec_ref
         if node == "null":
             return lambda buf, pos: (None, pos)
         if node == "boolean":
@@ -410,7 +440,7 @@ def _decoder(node: Any, named: dict[str, Any]):
             return dec_bytes
         raise TypeError(f"unknown avro type {node!r}")
     if isinstance(node, list):
-        decs = [_decoder(b, named) if b != "null" else None for b in node]
+        decs = [_decoder(b, named, cache) if b != "null" else None for b in node]
 
         def dec_union(buf, pos):
             idx, pos = read_long(buf, pos)
@@ -459,7 +489,7 @@ def _decoder(node: Any, named: dict[str, Any]):
 
         return dec_dec
     if t == "array":
-        dec = _decoder(node["items"], named)
+        dec = _decoder(node["items"], named, cache)
 
         def dec_arr(buf, pos):
             out = []
@@ -476,7 +506,7 @@ def _decoder(node: Any, named: dict[str, Any]):
 
         return dec_arr
     if t == "map":
-        dec = _decoder(node["values"], named)
+        dec = _decoder(node["values"], named, cache)
 
         def dec_map(buf, pos):
             out = {}
@@ -499,7 +529,10 @@ def _decoder(node: Any, named: dict[str, Any]):
         nm = node.get("name")
         if nm:
             named[nm] = node
-        fdecs = [(f["name"], _decoder(f["type"], named)) for f in node["fields"]]
+        fdecs = [
+            (f["name"], _decoder(f["type"], named, cache))
+            for f in node["fields"]
+        ]
 
         def dec_rec(buf, pos):
             row = {}
@@ -507,6 +540,8 @@ def _decoder(node: Any, named: dict[str, Any]):
                 row[fname], pos = fd(buf, pos)
             return row, pos
 
+        if nm:
+            cache[nm] = dec_rec  # forward references resolve here
         return dec_rec
     if t == "enum":
         named[node["name"]] = node
@@ -516,13 +551,19 @@ def _decoder(node: Any, named: dict[str, Any]):
             i, pos = read_long(buf, pos)
             return symbols[i], pos
 
+        cache[node["name"]] = dec_enum
         return dec_enum
     if t == "fixed":
         named[node["name"]] = node
         size = node["size"]
-        return lambda buf, pos: (bytes(buf[pos : pos + size]), pos + size)
+        dec_fixed = lambda buf, pos: (  # noqa: E731
+            bytes(buf[pos : pos + size]),
+            pos + size,
+        )
+        cache[node["name"]] = dec_fixed
+        return dec_fixed
     if not lt:
-        return _decoder(t, named)
+        return _decoder(t, named, cache)
     raise TypeError(f"unsupported avro schema node {node}")
 
 
@@ -640,6 +681,25 @@ def parse_container(blob: bytes) -> tuple[dict, list[dict]]:
 # --------------------------------------------------- distributed IO
 
 
+def _has_nested_ltz(schema: T.StructType) -> bool:
+    """True if a TIMESTAMP (LTZ) hides below the top level (inside an
+    array/map/struct), where the pandas column-wise tz normalization in
+    save_as_avro cannot reach it."""
+
+    def walk(dtype: T.DataType, top: bool) -> bool:
+        if isinstance(dtype, T.TimestampType):
+            return not top
+        if isinstance(dtype, T.ArrayType):
+            return walk(dtype.elementType, False)
+        if isinstance(dtype, T.MapType):
+            return walk(dtype.keyType, False) or walk(dtype.valueType, False)
+        if isinstance(dtype, T.StructType):
+            return any(walk(f.dataType, False) for f in dtype.fields)
+        return False
+
+    return any(walk(f.dataType, True) for f in schema.fields)
+
+
 def save_as_avro(
     df: DataFrame, path: str, codec: str = "deflate", suffix: str = ".avro"
 ) -> list:
@@ -659,9 +719,38 @@ def save_as_avro(
         os.remove(old)
     avsc = spark_to_avro_schema(df.schema)
 
+    # timestamp-micros columns reach mapInPandas as naive datetimes in the
+    # SESSION timezone; the wire encoder treats naive values as UTC. With a
+    # non-UTC session tz (build_session pins UTC, but callers may not),
+    # normalize executor-side so files never carry silently shifted epochs.
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    ltz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    if session_tz not in ("UTC", "Etc/UTC", "GMT") and _has_nested_ltz(df.schema):
+        raise ValueError(
+            "save_as_avro: nested TIMESTAMP (LTZ) columns with a non-UTC "
+            f"session timezone ({session_tz!r}) are not supported — set "
+            "spark.sql.session.timeZone=UTC (build_session's default) or "
+            "cast to TIMESTAMP_NTZ."
+        )
+
     def gen(batches: Iterator[pd.DataFrame]):
         rows: list[dict] = []
         for pdf in batches:
+            if session_tz not in ("UTC", "Etc/UTC", "GMT"):
+                pdf = pdf.copy()
+                for c in ltz_cols:
+                    # ambiguous/nonexistent wall times (DST folds) cannot be
+                    # round-tripped from a naive value — fail loudly
+                    pdf[c] = (
+                        pdf[c]
+                        .dt.tz_localize(
+                            session_tz, ambiguous="raise", nonexistent="raise"
+                        )
+                        .dt.tz_convert("UTC")
+                        .dt.tz_localize(None)
+                    )
             rows.extend(pdf.to_dict("records"))
         if not rows:
             return

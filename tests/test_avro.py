@@ -247,3 +247,44 @@ def test_context_avro_file_fallback(sc, spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def test_recursive_schema_roundtrip():
+    """ADVICE r5: self-referential records (here a linked list) must
+    compile lazily instead of recursing forever at closure-compile time,
+    and must round-trip value-exactly."""
+    avsc = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    rows = [
+        {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}},
+        {"v": 9, "next": None},
+    ]
+    blob = write_container(rows, avsc)
+    avsc2, back = parse_container(blob)
+    assert avsc2 == avsc
+    assert back == rows
+
+
+def test_non_utc_session_tz_writes_true_epochs(spark, tmp_path):
+    """ADVICE r5: with spark.sql.session.timeZone != UTC, naive pandas
+    timestamps are session-LOCAL; save_as_avro must normalize to UTC so
+    the stored epoch micros are the true instant (read back under UTC,
+    the value is unchanged)."""
+    path = str(tmp_path / "tz")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 12, 0, 0))], "id long, ts timestamp"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        save_as_avro(df, path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    back = read_avro(spark, path).collect()  # session tz is UTC again here
+    assert [(r.id, r.ts) for r in back] == [(1, dt.datetime(2024, 6, 1, 12, 0, 0))]

@@ -76,10 +76,12 @@ def test_exact_distance_values(spark):
     assert fuzzy_join(left, right, 2).count() == 0
 
 
-def test_no_cross_product_in_long_stratum_plan(rand_names):
-    """The candidate path for long strings is an equi-join on the gram;
-    the only cross join in the plan is the bounded short x short stratum
-    (broadcast)."""
+def test_no_all_pairs_join_anywhere_in_plan(rand_names):
+    """Both strata are equi-joins: grams for the long stratum, length
+    bands (width d+1, probe bands {b-1,b,b+1}) for the short×short
+    stratum — so with both strata non-trivial the plan contains NO
+    all-pairs operator (no CartesianProduct, no BroadcastNestedLoopJoin;
+    the r5-flagged forced-broadcast cross is gone)."""
     left, right = rand_names
     plan = (
         fuzzy_join(left, right, 1)
@@ -88,6 +90,7 @@ def test_no_cross_product_in_long_stratum_plan(rand_names):
         .toString()
     )
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_max_gram_freq_caps_but_documents_loss(spark):

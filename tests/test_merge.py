@@ -104,3 +104,50 @@ def test_delete_removes_emptied_partition(spark, tmp_path):
     assert not glob.glob(f"{t}/bucket=1")
     got = rows(spark, t)
     assert len(got) == 75 and all(b != 1 for _, b, _ in got)
+
+
+def test_merge_rejects_null_partition_values(spark, tmp_path):
+    """ADVICE r5: NULL partition values can't be pruned with isin (NULL
+    never matches) and would silently drop the target's null-partition
+    rows — the pruned path must refuse them loudly."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    src = spark.createDataFrame(
+        [(0, None, "v1")], "id long, bucket long, val string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_into(t, src, keys=["id"], partition_col="bucket")
+    # target untouched
+    assert (0, 0, "v0") in rows(spark, t)
+
+
+def test_delete_removes_emptied_partition_with_escaped_value(spark, tmp_path):
+    """ADVICE r5: a fully-deleted partition whose value needs directory
+    escaping (here ':' -> %3A) must actually be removed from disk, not
+    left to resurface its rows."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b", "x"), (2, "a:b", "y"), (3, "plain", "z")],
+        "id long, part string, val string",
+    )
+    df.write.partitionBy("part").parquet(t)
+    assert os.path.isdir(f"{t}/part=a%3Ab")
+    delete_where(spark, t, "part = 'a:b'", partition_col="part")
+    assert not os.path.isdir(f"{t}/part=a%3Ab")
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(t).collect()}
+    assert got == {(3, "plain", "z")}
+
+
+def test_unpartitioned_swap_never_leaves_target_missing(spark, tmp_path):
+    """ADVICE r5: the whole-table swap renames the old table aside before
+    renaming tmp into place — after a successful merge neither tmp nor the
+    __old copy remain, and the target is live."""
+    t = str(tmp_path / "t")
+    base_df(spark).write.parquet(t)
+    src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"])
+    assert (0, 0, "v1") in rows(spark, t)
+    assert not os.path.exists(t + "__merge_tmp")
+    assert not os.path.exists(t + "__old")

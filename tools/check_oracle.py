@@ -87,6 +87,55 @@ def timestamp_types(spark_dtypes, con, sql):
     return bad
 
 
+_INT_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def numeric_types(spark_dtypes, con, sql):
+    """Numeric-FAMILY-strict check (r5 verdict item #2): the driver's
+    value hash is type-tagged at the family level, so DuckDB
+    SUM(BIGINT) -> HUGEINT (surfaced through Arrow as decimal128(38,0))
+    hashes differently from Spark's BIGINT even when every value is
+    identical — exactly how tfexample_roundtrip went red in r5 while
+    passing the old value-only local gate.
+
+    Calibration note: width drift WITHIN the integer family (int32 vs
+    int64) is deliberately NOT flagged — dozens of driver-green rows
+    (histogram r1-r3 BIGINT-vs-int32, text_features r5 INT-vs-int64, ...)
+    prove the driver hash does not distinguish widths that both surface
+    as Python ints. What it does distinguish is the FAMILY: ints vs
+    HUGEINT/DECIMAL (Decimal objects), ints vs floats, floats vs
+    decimals. Flags exactly those:
+
+      * spark {tinyint..bigint} vs duckdb decimal/float  (the SUM trap)
+      * spark double/float      vs duckdb decimal/integer
+      * spark decimal           vs duckdb non-decimal
+
+    Returns human-readable mismatch strings (empty = ok).
+    """
+    import pyarrow as pa
+
+    schema = con.execute(f"SELECT * FROM ({sql}) __t LIMIT 0").arrow().schema
+    duck = {f.name: f.type for f in schema}
+    bad = []
+    for name, sdt in spark_dtypes:
+        if name not in duck:
+            continue
+        d = duck[name]
+        if sdt in _INT_DTYPES and not pa.types.is_integer(d):
+            hint = (
+                " (HUGEINT/DECIMAL — wrap the oracle expr in "
+                "CAST(... AS BIGINT))"
+                if pa.types.is_decimal(d)
+                else ""
+            )
+            bad.append(f"{name}: spark {sdt.upper()} vs duckdb {d}{hint}")
+        elif sdt in ("double", "float") and not pa.types.is_floating(d):
+            bad.append(f"{name}: spark {sdt.upper()} vs duckdb {d}")
+        elif sdt.startswith("decimal") and not pa.types.is_decimal(d):
+            bad.append(f"{name}: spark {sdt} vs duckdb {d}")
+    return bad
+
+
 def approx_eq(a, b, tol=1e-9):
     if isinstance(a, float) and isinstance(b, float):
         if math.isclose(a, b, rel_tol=tol, abs_tol=tol):
@@ -146,6 +195,10 @@ def main():
         if tmis:
             ok = False
             print(f"FAIL {name}: timestamp type drift {tmis}")
+        nmis = numeric_types(sdf.dtypes, con, oracles[name])
+        if nmis:
+            ok = False
+            print(f"FAIL {name}: numeric type drift {nmis}")
         if sorted(scols) != sorted(dcols):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
