@@ -66,6 +66,66 @@ def assert_pushdown(df: DataFrame, fragment: str):
     )
 
 
+def find_all_pairs_joins(
+    df: DataFrame, max_side_bytes: int = 32 << 20
+) -> list[str]:
+    """Size-aware all-pairs lint (r5 verdict item #8; the chained-GBK-lint
+    analog, ArtisanJoin.scala:49-67, inverted for Spark): walk the executed
+    plan for ``BroadcastNestedLoopJoin`` / ``CartesianProduct`` nodes and
+    flag those whose BOTH sides' Catalyst size estimates exceed
+    ``max_side_bytes`` — a 1-row scalar join (corpus total, threshold
+    broadcast) is fine; two non-trivial sides in an all-pairs operator is
+    the O(n·m) shape that breaks at 100 TB (the exact hazard r5 flagged in
+    fuzzy_join's short stratum before its length-band rewrite).
+
+    Side sizes come from each physical child's ``logicalLink`` statistics;
+    a child with no logical link is treated as over-threshold (unknown =
+    suspicious). Returns human-readable findings (empty = clean); pure
+    driver-side plan inspection, no job runs."""
+
+    def side_size(child) -> int | None:
+        link = child.logicalLink()
+        if not link.isDefined():
+            return None
+        # py4j maps scala BigInt to a Python int on some paths and leaves
+        # a JavaObject on others — str() round-trip covers both
+        return int(str(link.get().stats().sizeInBytes()))
+
+    findings: list[str] = []
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        kids = [ch.apply(i) for i in range(ch.length())]
+        if not kids:
+            # wrapper nodes hide their subtree behind an accessor instead
+            # of children(): AdaptiveSparkPlanExec.inputPlan(), the
+            # QueryStageExec family's plan()
+            for accessor in ("inputPlan", "plan"):
+                try:
+                    kids = [getattr(node, accessor)()]
+                    break
+                except Exception:  # noqa: BLE001 (py4j: no such method)
+                    continue
+        if node.nodeName() in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            sizes = [side_size(k) for k in kids]
+            if all(s is None or s > max_side_bytes for s in sizes):
+                shown = [("?" if s is None else s) for s in sizes]
+                findings.append(
+                    f"{node.nodeName()}: both side size estimates {shown} "
+                    f"exceed {max_side_bytes} bytes — O(n*m) at scale; use "
+                    "an equi-join (length bands, buckets) or broadcast a "
+                    "genuinely small side"
+                )
+        stack.extend(kids)
+    return findings
+
+
+def assert_no_unbounded_all_pairs(df: DataFrame, max_side_bytes: int = 32 << 20):
+    bad = find_all_pairs_joins(df, max_side_bytes)
+    assert not bad, f"unbounded all-pairs join(s): {bad}\n{executed_plan(df)}"
+
+
 def lint_report(df: DataFrame, max_shuffles: int = 6) -> list[str]:
     """Scale-anti-pattern warnings for a plan — the user-facing analog of
     scio's chained-GBK lint (ArtisanJoin.scala:49-67), inverted for Spark:

@@ -104,3 +104,32 @@ def test_data_mixture_pushes_source_filters(spark):
     from scio_spark.plans import lint
 
     assert lint.scan_pushed_filters(df)
+
+
+# ------------------------------------------------- all-pairs size lint
+
+
+def test_all_pairs_lint_red_on_synthetic_cross(spark):
+    """Two non-trivial sides in a cross join must be flagged."""
+    a = spark.range(200_000).select(F.col("id").alias("a"))
+    b = spark.range(200_000).select(F.col("id").alias("b"))
+    bad = lint.find_all_pairs_joins(a.crossJoin(b), max_side_bytes=1 << 10)
+    assert bad and "O(n*m)" in bad[0]
+
+
+def test_all_pairs_lint_allows_scalar_side(spark):
+    """A 1-row scalar join (corpus total) is the legitimate BNLJ shape."""
+    a = spark.range(100_000).select(F.col("id").alias("a"))
+    total = a.agg(F.count(F.lit(1)).alias("n"))
+    assert lint.find_all_pairs_joins(a.crossJoin(total)) == []
+
+
+@pytest.mark.parametrize(
+    "qname", ["fuzzy_join", "interval_join", "asof_join", "source_overlap"]
+)
+def test_contract_join_queries_have_no_unbounded_all_pairs(spark, qname):
+    """The non-equi-join-shaped contract queries stay shuffle-shaped:
+    no BroadcastNestedLoopJoin/CartesianProduct with two non-trivial
+    sides anywhere in their plans."""
+    df = ent.queries()[qname](spark, SF)
+    lint.assert_no_unbounded_all_pairs(df)
