@@ -1480,6 +1480,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_element_count_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-count trigger — ``Repeatedly.forever(
+    AfterPane.elementCountAtLeast(25))`` with ACCUMULATING panes
+    (reference: scio WindowedSCollection.scala:31-38 trigger surface;
+    previously a fully-documented gap, §4.4.1): a custom stateful
+    operator (streaming/core.py element_count_panes over
+    applyInPandasWithState) fires a pane at every 25th event per user
+    carrying the running spend total. Values pre-scaled to integer cents
+    so sums are engine-exact; single-batch input with in-batch (ts,
+    event_id) ordering makes each pane's (seen, total) deterministic and
+    SQL-replayable as a cumulative window at rn % 25 = 0."""
+    from scio_spark.streaming.core import element_count_panes, run_to_memory
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    stream = stream.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    panes = element_count_panes(
+        stream, ["user_id"], "cents", 25, ["ts", "event_id"]
+    )
+    return run_to_memory(panes, output_mode="update", num_state_partitions=8)
+
+
+ORACLE_ELEMENT_COUNT_PANES = """
+WITH e AS (
+  SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v, ts, event_id
+  FROM events
+),
+r AS (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM e
+)
+SELECT user_id, CAST(rn // 25 - 1 AS BIGINT) AS pane_index,
+       rn AS seen, CAST(cum AS BIGINT) AS total
+FROM r WHERE rn % 25 = 0
+"""
+
+
 def q_quantiles_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approxQuantilesByKey (PairSCollectionFunctions.scala:620) — exact
     percentile per key for oracle parity."""
@@ -3318,6 +3367,66 @@ FROM events GROUP BY event_type
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — cluster-scoped semantic dedup over the embeddings table
+    (Abbas et al. 2023; functions/semdedup.py; beyond-reference member of
+    the dedup family beside MinHash/SimHash/embedding-LSH): assign every
+    vector to its nearest of 8 deterministic centroids (the 8 smallest
+    vec_ids — the oracle mode; production trains ivf k-means), then mark
+    items having a smaller-id neighbor at cosine >= 0.45 WITHIN their
+    cluster only — O(Σ cluster²) instead of O(n²). Decision margins on
+    this corpus (nearest-centroid >= 4e-4, |cos-eps| >= 5e-4) sit many
+    orders above float64 round-off, so the numpy-GEMM path replays
+    exactly in DuckDB's list_cosine_similarity."""
+    from scio_spark.functions.semdedup import (
+        semantic_dedup,
+        semantic_dedup_stats,
+    )
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df.select("vec_id", "embedding")
+    cents = [
+        list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    marked = semantic_dedup(
+        emb, "vec_id", "embedding", centroids=cents, eps=0.45
+    )
+    return semantic_dedup_stats(marked)
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+c2 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INTEGER) AS centroid,
+         cv
+  FROM c0
+),
+asg AS (
+  SELECT vec_id, v, centroid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(v, cv) DESC, centroid) AS rk
+  FROM e CROSS JOIN c2
+),
+a AS (SELECT vec_id, v, centroid FROM asg WHERE rk = 1),
+d AS (
+  SELECT a1.vec_id, a1.centroid,
+         COALESCE(MAX(CASE WHEN list_cosine_similarity(a1.v, a2.v) >= 0.45
+                           THEN 1 ELSE 0 END), 0) AS is_dup
+  FROM a a1 LEFT JOIN a a2
+    ON a1.centroid = a2.centroid AND a2.vec_id < a1.vec_id
+  GROUP BY a1.vec_id, a1.centroid
+)
+SELECT centroid, COUNT(*) AS n_items,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN is_dup = 1 THEN vec_id ELSE 0 END) AS BIGINT)
+         AS dup_id_sum
+FROM d GROUP BY centroid
+"""
+
+
 def q_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantile sketch end-to-end (reference shape:
     scio's quantilesApprox / Algebird QTree monoid, SCollection.scala:834,
@@ -3986,6 +4095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": q_avro_roundtrip,
         # -- (5) NEW in round 6 ---------------------------------------------
         "quantiles_tdigest": q_quantiles_tdigest,
+        "element_count_panes": q_element_count_panes,
+        "semantic_dedup": q_semantic_dedup,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4000,9 +4111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
+        # ---- end of the 50-row driver window ------------------------------
         "pipe_identity": q_pipe_identity,
         "large_orders": q_large_orders,
-        # ---- end of the 50-row driver window ------------------------------
         # -- green in CORRECTNESS_r05, unchanged ----------------------------
         "window_fixed": q_window_fixed,
         "window_sliding": q_window_sliding,
@@ -4196,6 +4307,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "zorder_layout": ORACLE_ZORDER_LAYOUT,
         "quantiles_tdigest": ORACLE_QUANTILES_TDIGEST,
+        "element_count_panes": ORACLE_ELEMENT_COUNT_PANES,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -491,6 +491,97 @@ def stream_dedup(
     return stream.dropDuplicates(list(key_cols))
 
 
+def element_count_panes(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    n: int,
+    order_cols: Sequence[str],
+    accumulating: bool = True,
+) -> DataFrame:
+    """``Repeatedly.forever(AfterPane.elementCountAtLeast(n))`` — the
+    element-count trigger SURVEY §4.4.1 previously listed as fully
+    inexpressible. Structured Streaming has no per-pane trigger control in
+    its windowed-aggregation operators, but the trigger IS expressible as
+    a custom stateful operator: ``applyInPandasWithState`` keeps a per-key
+    (seen, total, fired, total_at_last_fire) state row across
+    micro-batches and fires a pane at every n-th element.
+
+    Semantics (deterministic, hence oracle-checkable): within each
+    micro-batch a key's elements are processed in ``order_cols`` order;
+    across batches, in arrival order — Beam's trigger also counts
+    arrivals. Each firing emits (key..., pane_index, seen, total) where
+
+    - ACCUMULATING (Beam accumulatingFiredPanes): ``total`` is the
+      running aggregate over ALL elements so far;
+    - DISCARDING (discardingFiredPanes — also previously a documented
+      gap): ``total`` covers only the n elements since the last firing.
+
+    ``value_col`` must be integer-valued (pre-scale currency to cents):
+    integer sums are engine-exact, so a single-batch run replays in SQL
+    as ``ROW_NUMBER ... WHERE rn % n = 0`` with a cumulative-sum window.
+
+    State is one 4-long row per key — bounded by key cardinality, the
+    same budget as any keyed aggregation; elements are never buffered
+    (the numpy pass reduces each batch to pane rows immediately). Output
+    mode must be ``update``. Reference: scio WindowedSCollection
+    trigger surface (WindowedSCollection.scala:31-38), LeaderBoard.scala
+    early-firing exemplar."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if n < 1:
+        raise ValueError("element_count_panes: n must be >= 1")
+    key_cols, order_cols = list(key_cols), list(order_cols)
+    dt = dict(stream.dtypes)
+    key_schema = ", ".join(f"{c} {dt[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, pane_index long, seen long, total long"
+
+    def update(key, pdf_iter, state: GroupState):
+        seen, total, fired, last_total = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            state.update((seen, total, fired, last_total))
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(vals) + total
+        idx = np.arange(1, len(vals) + 1, dtype=np.int64) + seen
+        fire_pos = np.nonzero(idx % n == 0)[0]
+        if len(fire_pos):
+            pane_totals = cum[fire_pos]
+            out_total = (
+                pane_totals
+                if accumulating
+                else np.diff(np.concatenate([[last_total], pane_totals]))
+            )
+            out = pd.DataFrame(
+                {
+                    "pane_index": fired + np.arange(len(fire_pos)),
+                    "seen": idx[fire_pos],
+                    "total": out_total,
+                }
+            )
+            for c in key_cols:
+                out[c] = pd.Series([key[key_cols.index(c)]] * len(out))
+            yield out[key_cols + ["pane_index", "seen", "total"]]
+            fired += len(fire_pos)
+            last_total = int(pane_totals[-1])
+        state.update((int(idx[-1]), int(cum[-1]), int(fired), int(last_total)))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="seen long, total long, fired long, last_total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def late_firing_panes(
     stream: DataFrame,
     ts_col: str,

@@ -504,3 +504,70 @@ def test_write_epoch_trace_overlap_is_idempotent(fixture, tmp_path):
     labeled = label_panes(fixture.spark, sink, ["team"]).collect()
     assert len(labeled) == len({(r["window_start"], r["team"], r["epoch"]) for r in labeled})
     assert {r["pane_index"] for r in labeled} <= {0, 1}
+
+
+# ---------------------------------------------- element-count trigger
+
+
+def test_element_count_panes_accumulating_across_batches(spark):
+    """AfterPane.elementCountAtLeast(3), ACCUMULATING: the counter
+    carries across micro-batches (2 elements in batch 1 + 1 in batch 2
+    fire the first pane), totals are running aggregates, pane_index
+    increments per key."""
+    from scio_spark.streaming.core import StreamFixture, element_count_panes
+
+    f = StreamFixture(spark, "k string, v long, seq long")
+    try:
+        f.add_batch([("a", 10, 1), ("a", 20, 2)])           # no pane yet
+        f.add_batch([("a", 30, 3), ("a", 40, 4), ("b", 1, 1)])  # a fires @3
+        f.add_batch([("a", 50, 5), ("a", 60, 6), ("b", 2, 2), ("b", 3, 3)])
+        out = f.run(
+            lambda s: element_count_panes(s, ["k"], "v", 3, ["seq"]),
+            output_mode="update",
+        )
+        rows = {(r.k, r.pane_index): (r.seen, r.total) for r in out.collect()}
+        assert rows[("a", 0)] == (3, 60)    # 10+20+30
+        assert rows[("a", 1)] == (6, 210)   # running total of all six
+        assert rows[("b", 0)] == (3, 6)     # 1+2+3, fired in batch 3
+        assert len(rows) == 3               # a's 7th element never fires
+    finally:
+        f.close()
+
+
+def test_element_count_panes_discarding_deltas(spark):
+    """DISCARDING mode (discardingFiredPanes): each pane carries only
+    the n elements since the last firing; pane deltas sum to the
+    accumulating total."""
+    from scio_spark.streaming.core import StreamFixture, element_count_panes
+
+    f = StreamFixture(spark, "k string, v long, seq long")
+    try:
+        f.add_batch([("a", i, i) for i in range(1, 7)])  # 1..6 in one batch
+        out = f.run(
+            lambda s: element_count_panes(
+                s, ["k"], "v", 3, ["seq"], accumulating=False
+            ),
+            output_mode="update",
+        )
+        rows = {r.pane_index: r.total for r in out.collect()}
+        assert rows == {0: 6, 1: 15}  # 1+2+3, then 4+5+6 only
+    finally:
+        f.close()
+
+
+def test_element_count_panes_in_batch_ordering(spark):
+    """Within a micro-batch, elements are processed in order_cols order —
+    out-of-order staging must not change which elements land in a pane."""
+    from scio_spark.streaming.core import StreamFixture, element_count_panes
+
+    f = StreamFixture(spark, "k string, v long, seq long")
+    try:
+        f.add_batch([("a", 30, 3), ("a", 10, 1), ("a", 20, 2), ("a", 99, 4)])
+        out = f.run(
+            lambda s: element_count_panes(s, ["k"], "v", 3, ["seq"]),
+            output_mode="update",
+        )
+        rows = [(r.pane_index, r.seen, r.total) for r in out.collect()]
+        assert rows == [(0, 3, 60)]  # seq 1,2,3 — not the staged order
+    finally:
+        f.close()
