@@ -3367,6 +3367,70 @@ FROM events GROUP BY event_type
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm; functions/text.py winnow_fingerprints — beyond-reference
+    member of the fingerprint/dedup family beside the token-sort md5 and
+    rolling-hash keys): k=5 token grams, windows of w=4 hashes, rightmost
+    minimum per window. Guarantees any shared >= 8-token run between two
+    docs shares a fingerprint at ~2/(w+1) density. Per source: selected
+    fingerprints, distinct hashes, position checksum, and how many
+    selected fingerprints are shared with another document anywhere in
+    the corpus. Entirely integer math over engine-portable md5-prefix
+    hashes, so the whole pipeline replays exactly in SQL."""
+    from scio_spark.functions.text import winnow_fingerprints
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "text")
+    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    shared = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    enriched = fps.join(d.select("doc_id", "source"), "doc_id").join(
+        shared, "fp"
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.countDistinct("fp").alias("n_distinct_fps"),
+        F.sum("pos").cast("long").alias("pos_checksum"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_fps"),
+    )
+
+
+ORACLE_WINNOW_FINGERPRINTS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, source,
+         list_transform(generate_series(1, len(t) - 4),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(list_slice(t, i, i + 4), chr(31))), 1, 12))
+                AS BIGINT)) AS h
+  FROM toks WHERE len(t) >= 8
+),
+f AS (
+  SELECT doc_id, source,
+         e - (list_min(list_transform(generate_series(0, 3),
+               r -> h[e - r] * 4 + r)) % 4) AS pos,
+         list_min(list_transform(generate_series(0, 3),
+               r -> h[e - r] * 4 + r)) // 4 AS fp
+  FROM hs, UNNEST(generate_series(4, len(h))) AS u(e)
+),
+d AS (SELECT DISTINCT doc_id, source, pos, fp FROM f),
+sh AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY fp)
+SELECT source, COUNT(*) AS n_fps,
+       COUNT(DISTINCT fp) AS n_distinct_fps,
+       CAST(SUM(pos) AS BIGINT) AS pos_checksum,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fps
+FROM d JOIN sh USING (fp) GROUP BY source
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup — cluster-scoped semantic dedup over the embeddings table
     (Abbas et al. 2023; functions/semdedup.py; beyond-reference member of
@@ -4097,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_tdigest": q_quantiles_tdigest,
         "element_count_panes": q_element_count_panes,
         "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4110,8 +4175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
-        "embedding_topk": q_embedding_topk,
         # ---- end of the 50-row driver window ------------------------------
+        "embedding_topk": q_embedding_topk,
         "pipe_identity": q_pipe_identity,
         "large_orders": q_large_orders,
         # -- green in CORRECTNESS_r05, unchanged ----------------------------
@@ -4309,6 +4374,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_tdigest": ORACLE_QUANTILES_TDIGEST,
         "element_count_panes": ORACLE_ELEMENT_COUNT_PANES,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

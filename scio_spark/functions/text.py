@@ -182,6 +182,59 @@ def normalized_text(col) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def winnow_fingerprints(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public). Complements the whole-doc
+    token-sort ``fingerprint``: LOCAL fingerprints with the winnowing
+    guarantee — any shared token run of length >= w + k - 1 between two
+    documents shares at least one fingerprint, at expected density
+    2/(w+1) of the k-gram count.
+
+    Mechanics, all JVM column expressions (no Python in the hot path):
+    token k-grams → 48-bit hashes (md5 hex prefix, engine-portable) →
+    for each window of w consecutive hashes keep the RIGHTMOST minimum.
+    The rightmost-tie argmin is one ``array_min`` over ``h*w + r`` where
+    ``r`` is the distance from the window end (r < w, and h < 2^48 keeps
+    the product well inside BIGINT) — so the whole selection is
+    deterministic integer math that replays exactly in SQL.
+
+    Returns (id_col, pos int, fp long): distinct selected fingerprints
+    with their 1-based gram positions. One projection + one explode —
+    no shuffle until the caller aggregates."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    sep = "\\u001f"
+    toks = (
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    hs = (
+        f"transform(sequence(1, size(__toks) - {k} + 1), "
+        f"i -> cast(conv(substring(md5("
+        f"array_join(slice(__toks, i, {k}), '{sep}')), 1, 12), 16, 10) "
+        f"as bigint))"
+    )
+    # enc(e) = min over r in [0, w) of h[e-r]*w + r  (rightmost min wins)
+    enc = (
+        f"array_min(transform(sequence(0, {w} - 1), "
+        f"r -> element_at(__hs, e - r) * {w} + r))"
+    )
+    selected = (
+        f"array_distinct(transform(sequence({w}, size(__hs)), "
+        f"e -> named_struct("
+        f"'pos', cast(e - ({enc}) % {w} as int), "
+        f"'fp', ({enc}) div {w})))"
+    )
+    return (
+        df.select(id_col, F.expr(toks).alias("__toks"))
+        .filter(F.size("__toks") >= k + w - 1)
+        .select(id_col, F.expr(hs).alias("__hs"))
+        .select(id_col, F.explode(F.expr(selected)).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    )
+
+
 def repetition_signals(
     df, id_col: str = "doc_id", text_col: str = "text"
 ) -> "DataFrame":

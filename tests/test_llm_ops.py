@@ -752,3 +752,61 @@ def test_bigram_short_docs_skipped(spark):
     )
     out = {r.doc_id for r in T.bigram_logprob(df).collect()}
     assert out == {2}  # one-token docs have no pairs to score
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): any shared token
+    run of length >= w + k - 1 produces at least one shared fingerprint."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(200)]
+    passage = " ".join(rng.choice(words) for _ in range(12))
+    a = " ".join(rng.choice(words) for _ in range(30)) + " " + passage
+    b = passage + " " + " ".join(rng.choice(words) for _ in range(30))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    fps = T.winnow_fingerprints(df, "doc_id", "text", k=3, w=3).collect()
+    f1 = {r.fp for r in fps if r.doc_id == 1}
+    f2 = {r.fp for r in fps if r.doc_id == 2}
+    assert f1 & f2
+
+
+def test_winnow_density_and_short_doc_exclusion(spark):
+    """Expected density ~2/(w+1) of the gram count; docs shorter than
+    k + w - 1 tokens yield nothing."""
+    import random
+
+    rng = random.Random(11)
+    long_text = " ".join(str(rng.randrange(10**6)) for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "too short here")], "doc_id long, text string"
+    )
+    fps = T.winnow_fingerprints(df, "doc_id", "text", k=5, w=4)
+    per_doc = {
+        r.doc_id: r.n
+        for r in fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 2 not in per_doc
+    n_grams = 2000 - 5 + 1
+    # density 2/(w+1) = 0.4; distinct-dedup pushes it a bit lower
+    assert 0.25 * n_grams < per_doc[1] < 0.55 * n_grams
+
+
+def test_winnow_positions_are_gram_positions(spark):
+    """Selected positions are 1-based k-gram indices within the doc: a
+    re-hash of the gram at each reported position (tokens joined by the
+    U+001F separator) reproduces the fingerprint exactly."""
+    import hashlib
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows_ = T.winnow_fingerprints(df, "doc_id", "text", k=3, w=2).collect()
+    assert rows_
+    toks = text.split()
+    for r in rows_:
+        gram = "\x1f".join(toks[r.pos - 1 : r.pos - 1 + 3])
+        expect = int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
+        assert r.fp == expect, (r.pos, gram)
