@@ -3367,6 +3367,84 @@ FROM events GROUP BY event_type
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (Xie et al. 2023; functions/dsir.py):
+    choose the 100 non-English documents whose hashed-unigram token
+    distribution is most English-like — log-importance under two add-1
+    smoothed bucket models (target = lang='en', raw = the rest), token
+    log-ratios DECIMAL(28,6)-staged before the per-doc sum so partition
+    order and libm ulps cannot move the ranking, deterministic top-k with
+    id tie-break. Models are ≤8192-row broadcasts; scoring is one
+    explode + broadcast join + one shuffle on doc_id."""
+    from scio_spark.functions.dsir import dsir_select
+
+    sc = _ctx(spark)
+    d = _t(sc, sf_dir, "documents").df
+    raw = d.filter("lang <> 'en'").select("doc_id", "lang", "text")
+    target = d.filter("lang = 'en'").select("text")
+    sel = dsir_select(raw, target, k=100, buckets=8192, mode="topk")
+    return sel.join(raw.select("doc_id", "lang"), "doc_id").groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+ORACLE_DSIR_SELECT = r"""
+WITH raw AS (
+  SELECT doc_id, lang, text FROM documents WHERE lang <> 'en'
+),
+ttok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                x -> x <> '')) AS token
+  FROM documents WHERE lang = 'en'
+),
+tb AS (
+  SELECT CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % 8192 AS bucket
+  FROM ttok
+),
+tcnt AS (SELECT bucket, COUNT(*) AS cnt FROM tb GROUP BY bucket),
+tn AS (SELECT SUM(cnt) AS n FROM tcnt),
+rtok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                x -> x <> '')) AS token
+  FROM raw
+),
+rb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % 8192 AS bucket
+  FROM rtok
+),
+rcnt AS (SELECT bucket, COUNT(*) AS cnt FROM rb GROUP BY bucket),
+rn AS (SELECT SUM(cnt) AS n FROM rcnt),
+ratio AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         CAST(COALESCE(LOG2((t.cnt + 1) / CAST(tn.n + 8192 AS DOUBLE)),
+                       LOG2(1.0 / (tn.n + 8192)))
+            - COALESCE(LOG2((r.cnt + 1) / CAST(rn.n + 8192 AS DOUBLE)),
+                       LOG2(1.0 / (rn.n + 8192)))
+           AS DECIMAL(28,6)) AS lr
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+  CROSS JOIN tn CROSS JOIN rn
+),
+w AS (
+  SELECT rb.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(lr) AS DECIMAL(28,6)) AS log_w
+  FROM rb JOIN ratio USING (bucket) GROUP BY rb.doc_id
+),
+sel AS (
+  SELECT doc_id, n_tokens FROM w ORDER BY log_w DESC, doc_id LIMIT 100
+)
+SELECT lang, COUNT(*) AS n_selected,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM sel JOIN raw USING (doc_id) GROUP BY lang
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints (Schleimer et al. 2003, the MOSS
     algorithm; functions/text.py winnow_fingerprints — beyond-reference
@@ -4162,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_count_panes": q_element_count_panes,
         "semantic_dedup": q_semantic_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "dsir_select": q_dsir_select,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4174,8 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
-        "corpus_stats": q_corpus_stats,
         # ---- end of the 50-row driver window ------------------------------
+        "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
         "pipe_identity": q_pipe_identity,
         "large_orders": q_large_orders,
@@ -4375,6 +4454,7 @@ def oracle_sql() -> dict[str, str]:
         "element_count_panes": ORACLE_ELEMENT_COUNT_PANES,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
+        "dsir_select": ORACLE_DSIR_SELECT,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -1,0 +1,137 @@
+"""DSIR — Data Selection with Importance Resampling.
+
+Beyond-reference curation operator (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling", NeurIPS — public): select raw
+web documents that look like a small high-quality TARGET corpus by
+importance weight under two hashed bag-of-words models,
+
+    log w(x) = Σ_tokens [ log p_target(b(t)) − log p_raw(b(t)) ]
+
+with tokens hashed into B buckets (the paper's hashed n-gram features) and
+add-1 smoothing so unseen buckets never zero out. Selection is either
+deterministic top-k by weight (the paper's variant; the oracle mode) or
+Gumbel top-k (proper sampling without replacement: rank by
+``log w + Gumbel(seed, id)``, the standard reservoir-free formulation).
+
+Scale shape (100 TB raw corpus):
+- the two models are B-row tables (B ≈ 8-64k) — broadcast, never shuffled;
+- scoring is one token explode + broadcast join + ONE partial-agg'd
+  shuffle on doc id;
+- top-k is Spark's TakeOrdered (per-partition heaps, no global sort).
+
+Determinism (oracle-exact, the unigram_logprob recipe): bucket ids come
+from engine-portable md5-prefix integers; each token's log-ratio is
+quantized to DECIMAL(28,6) BEFORE the per-doc sum (decimal addition is
+associative — partition order can't change the result — and the
+quantization absorbs last-ulp libm differences between engines); ties
+break by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scio_spark.functions.text import tokens
+
+_HASH = "CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)"
+
+
+def _bucket_model(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    """(bucket, logp): add-1-smoothed log2 probability per hash bucket.
+    Output is at most ``buckets`` rows — broadcastable at any corpus
+    size."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    cnt = (
+        tok.select(F.expr(f"{_HASH} % {buckets}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = cnt.agg(F.sum("cnt").alias("__n"))
+    return cnt.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        F.expr(f"LOG2((cnt + 1) / CAST(__n + {buckets} AS DOUBLE))").alias(
+            "logp"
+        ),
+        F.col("__n").alias("n_total"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-raw-document log2 importance weight toward the target corpus.
+    Returns (id_col, n_tokens, log_w decimal(28,6)). A token in a bucket
+    NEITHER corpus populated still scores (both sides smoothed), so any
+    raw doc gets a weight."""
+    tgt = _bucket_model(target, text_col, buckets)
+    rawm = _bucket_model(raw, text_col, buckets)
+    # smoothing denominators for buckets absent from a model
+    n_tgt = tgt.agg(F.first("n_total")).collect()[0][0]
+    n_raw = rawm.agg(F.first("n_total")).collect()[0][0]
+    ratio = (
+        tgt.select("bucket", F.col("logp").alias("lp_t"))
+        .join(
+            rawm.select("bucket", F.col("logp").alias("lp_r")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(COALESCE(lp_t, LOG2(1.0 / ({n_tgt} + {buckets})))"
+                f" - COALESCE(lp_r, LOG2(1.0 / ({n_raw} + {buckets})))"
+                " AS DECIMAL(28,6)) AS lr"
+            ),
+        )
+    )
+    tok = raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    scored = tok.select(
+        id_col, F.expr(f"{_HASH} % {buckets}").alias("bucket")
+    ).join(F.broadcast(ratio), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lr").cast("decimal(28,6)").alias("log_w"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    mode: str = "topk",
+    seed: int = 7,
+) -> DataFrame:
+    """Select ``k`` raw documents toward the target domain.
+
+    mode="topk": deterministic highest-weight-first (ties by id) — the
+    oracle-checkable variant. mode="gumbel": Gumbel top-k, i.e. sampling
+    WITHOUT replacement proportional to the importance weights — the
+    paper's resampling; the Gumbel is derived from a seeded md5 of the id
+    so a rerun selects the same set."""
+    w = dsir_weights(raw, target, id_col, text_col, buckets)
+    if mode == "topk":
+        key = F.col("log_w")
+    elif mode == "gumbel":
+        u = (
+            f"(CAST(conv(substring(md5(concat('{seed}', CAST({id_col} AS "
+            f"STRING))), 1, 12), 16, 10) AS DOUBLE) + 0.5) / 281474976710656.0"
+        )
+        key = F.col("log_w") + F.expr(
+            f"CAST(-LOG2(-LOG2({u})) AS DECIMAL(28,6))"
+        )
+    else:
+        raise ValueError(f"dsir_select: unknown mode {mode!r}")
+    return (
+        w.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
+    )
