@@ -2513,6 +2513,35 @@ def _rt_path(sf_dir: str, name: str) -> str:
     return f"/tmp/scio_spark_rt/{sf}/{name}"
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip (Spark-native columnar format beside
+    parquet; pushdown/pruning automatic like parquet_file). Aggregate is
+    decimal-staged so the sum is partition-order independent in both
+    engines."""
+    path = _rt_path(sf_dir, "orc")
+    sc = _ctx(spark)
+    sub = (
+        _t(sc, sf_dir, "orders")
+        .df.filter("o_orderkey % 8 = 0")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    sc.custom_input("orc_rt_in", sub).save_as_orc_file(path)
+    back = sc.orc_file(path).df
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM orders WHERE o_orderkey % 8 = 0 GROUP BY o_orderstatus
+"""
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source round-trip (scio-extra CsvIO.scala:26-54;
     SCollection.saveAsCsvFile). Doubles survive because Spark writes
@@ -4241,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dsir_select": q_dsir_select,
+        "orc_roundtrip": q_orc_roundtrip,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4252,8 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
-        "text_repetition": q_text_repetition,
         # ---- end of the 50-row driver window ------------------------------
+        "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
         "pipe_identity": q_pipe_identity,
@@ -4455,6 +4485,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
         "dsir_select": ORACLE_DSIR_SELECT,
+        "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

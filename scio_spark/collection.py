@@ -496,6 +496,10 @@ class SCollection:
     def save_as_json_file(self, path: str, io_id: str | None = None):
         self._write(io_id or f"json:{path}", lambda df: df.write.mode("overwrite").json(path))
 
+    def save_as_orc_file(self, path: str, io_id: str | None = None):
+        """Columnar ORC sink (Spark-native writer)."""
+        self._write(io_id or f"orc:{path}", lambda df: df.write.mode("overwrite").orc(path))
+
     def save_as_csv_file(self, path: str, io_id: str | None = None, header: bool = True):
         self._write(
             io_id or f"csv:{path}",

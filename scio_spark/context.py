@@ -154,6 +154,15 @@ class ScioContext:
             return sub
         return self._wrap(self.spark.read.parquet(path))
 
+    def orc_file(self, path: str, io_id: str | None = None):
+        """Columnar ORC source (Spark-native; beyond the reference's format
+        list — the Hive-ecosystem sibling of parquet_file, with the same
+        automatic projection/predicate pushdown)."""
+        sub = self._maybe_test_input(io_id or f"orc:{path}")
+        if sub is not None:
+            return sub
+        return self._wrap(self.spark.read.orc(path))
+
     def csv_file(self, path: str, schema=None, header: bool = True, io_id: str | None = None):
         """scio-extra CsvIO.scala:26-54 analog."""
         sub = self._maybe_test_input(io_id or f"csv:{path}")

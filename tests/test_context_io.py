@@ -29,6 +29,25 @@ def test_csv_roundtrip_with_schema(ctx, tmp_path):
     assert rows(back.df) == [(1, "a"), (2, "b")]
 
 
+def test_orc_roundtrip_with_pushdown(ctx, tmp_path):
+    path = str(tmp_path / "orc")
+    c = ctx.parallelize(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        schema=["id", "grp", "v"],
+    )
+    c.save_as_orc_file(path)
+    back = ctx.orc_file(path)
+    assert sorted(rows(back.df)) == [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)]
+    # ORC scans take pushed filters like parquet — assert the plan shows it
+    plan = (
+        back.df.filter("id > 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
 def test_json_roundtrip(ctx, tmp_path):
     path = str(tmp_path / "json")
     c = ctx.parallelize([(1, [1, 2]), (2, [3])], schema=["id", "vals"])
