@@ -13,6 +13,7 @@ EXAMPLES = [
     ("dedup_pipeline.py", ["/root/testdata/sf0.001", "/tmp/_ex_dedup"]),
     ("analytics_rollup.py", ["/root/testdata/sf0.001", "/tmp/_ex_rollup"]),
     ("leaderboard_streaming.py", []),
+    ("target_domain_selection.py", ["/root/testdata/sf0.001", "/tmp/_ex_select"]),
 ]
 
 
