@@ -3598,6 +3598,56 @@ FROM d GROUP BY centroid
 """
 
 
+def q_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCARDING-mode windowed panes — ``discardingFiredPanes()`` with
+    allowedLateness (scio streaming/package.scala:31-35; previously a
+    documented §4.4.1 gap): streaming/core.py discarding_panes keys
+    applyInPandasWithState by (event_type, hour window), each micro-batch
+    emits only its delta, and event-time timeouts evict state once the
+    watermark passes window end — Beam's exact bounded-state story.
+    Values pre-scaled to integer cents so pane sums are engine-exact;
+    single-batch input ⇒ one pane per (key, window) equal to the batch
+    aggregation, so the DuckDB oracle applies. Multi-batch delta
+    semantics are pinned in tests/test_streaming.py."""
+    from scio_spark.streaming.core import (
+        discarding_panes,
+        ensure_event_time,
+        run_to_memory,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("TIMESTAMP_MICROS(ts DIV 1000)"))
+    stream = ensure_event_time(stream, "ts").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    panes = discarding_panes(
+        stream, "ts", "1 hour", "1 hour", ["event_type"], "cents"
+    )
+    out = panes.select(
+        "event_type",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "pane_index",
+        "pane_value",
+    )
+    return run_to_memory(out, output_mode="update", num_state_partitions=8)
+
+
+ORACLE_DISCARDING_PANES = """
+SELECT event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       CAST(0 AS BIGINT) AS pane_index,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS pane_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantile sketch end-to-end (reference shape:
     scio's quantilesApprox / Algebird QTree monoid, SCollection.scala:834,
@@ -4271,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "dsir_select": q_dsir_select,
         "orc_roundtrip": q_orc_roundtrip,
+        "discarding_panes": q_discarding_panes,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4281,8 +4332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
-        "decontaminate": q_decontaminate,
         # ---- end of the 50-row driver window ------------------------------
+        "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
         "embedding_topk": q_embedding_topk,
@@ -4486,6 +4537,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": ORACLE_WINNOW_FINGERPRINTS,
         "dsir_select": ORACLE_DSIR_SELECT,
         "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
+        "discarding_panes": ORACLE_DISCARDING_PANES,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

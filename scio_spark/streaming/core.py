@@ -582,6 +582,93 @@ def element_count_panes(
     )
 
 
+def discarding_panes(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    allowed_lateness: str,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """DISCARDING-mode windowed panes — ``discardingFiredPanes()`` with
+    ``allowedLateness`` (Beam WindowingStrategy; scio streaming/
+    package.scala:31-35 accumulation aliases). Structured Streaming's
+    built-in windowed aggregation can only ACCUMULATE (update mode) or
+    emit once (append mode); the discarding shape — each firing carries
+    ONLY the delta since the last firing, including late-arrival deltas —
+    was a documented §4.4.1 gap. Like element_count_panes, it IS
+    expressible as a custom stateful operator: applyInPandasWithState
+    keyed by (keys..., window_start) emits each micro-batch's
+    contribution as its own pane and keeps just (pane_index, total) in
+    state, with EVENT-TIME TIMEOUT eviction once the watermark passes
+    window end + allowed lateness (state stays bounded by windows in
+    flight — Beam's exact state story).
+
+    ``value_col`` must be integer-valued (pre-scale currency to cents):
+    integer pane sums are engine-exact, so a single-batch run replays in
+    SQL as the plain windowed aggregation. Rows later than the watermark
+    horizon are dropped by Spark before reaching the operator — the
+    allowedLateness drop. Returns (keys..., window_start, pane_index,
+    pane_value, total_so_far); output mode must be ``update``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_cols = list(key_cols)
+    wm = stream.withWatermark(ts_col, allowed_lateness)
+    with_win = wm.withColumn(
+        "window_start", F.window(F.col(ts_col), window_duration)["start"]
+    ).withColumn(
+        "__window_end_ms",
+        (
+            F.unix_timestamp(
+                F.window(F.col(ts_col), window_duration)["end"]
+            )
+            * 1000
+        ).cast("long"),
+    )
+    dt = dict(with_win.dtypes)
+    key_schema = ", ".join(
+        f"{c} {dt[c]}" for c in key_cols + ["window_start"]
+    )
+    out_schema = (
+        f"{key_schema}, pane_index long, pane_value long, total_so_far long"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # watermark passed window end + lateness: evict
+            return
+        pane_index, total = state.get if state.exists else (0, 0)
+        delta = 0
+        end_ms = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                delta += int(pdf[value_col].sum())
+                end_ms = int(pdf["__window_end_ms"].iloc[0])
+        total += delta
+        state.update((pane_index + 1, total))
+        if end_ms is not None:
+            # evict once the (lateness-delayed) watermark passes window end
+            state.setTimeoutTimestamp(end_ms)
+        yield pd.DataFrame(
+            {
+                **{c: [key[i]] for i, c in enumerate(key_cols)},
+                "window_start": [key[len(key_cols)]],
+                "pane_index": [pane_index],
+                "pane_value": [delta],
+                "total_so_far": [total],
+            }
+        )
+
+    return with_win.groupBy(*key_cols, "window_start").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="pane_index long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def late_firing_panes(
     stream: DataFrame,
     ts_col: str,

@@ -506,6 +506,70 @@ def test_write_epoch_trace_overlap_is_idempotent(fixture, tmp_path):
     assert {r["pane_index"] for r in labeled} <= {0, 1}
 
 
+# ---------------------------------------------- discarding panes
+
+
+def test_discarding_panes_emit_deltas_and_evict(spark):
+    """discardingFiredPanes: each firing carries only the batch's delta;
+    deltas sum to the window total; state evicts on watermark passage
+    (next-window data still processes cleanly)."""
+    from scio_spark.streaming.core import StreamFixture, discarding_panes
+
+    f = StreamFixture(spark, "k string, v long, event_time timestamp")
+    try:
+        f.add_batch([("a", 10, ts(1)), ("a", 5, ts(2)), ("b", 1, ts(3))])
+        f.add_batch([("a", 7, ts(5)), ("b", 2, ts(59))])
+        f.add_batch([("a", 100, ts(59, 59))])
+        out = f.run(
+            lambda s: discarding_panes(
+                s, "event_time", "1 hour", "0 seconds", ["k"], "v"
+            ),
+            output_mode="update",
+        )
+        rows = sorted(
+            (r.k, r.pane_index, r.pane_value, r.total_so_far)
+            for r in out.collect()
+        )
+        assert rows == [
+            ("a", 0, 15, 15),   # batch 1 delta only
+            ("a", 1, 7, 22),    # batch 2 delta only — NOT the running 22
+            ("a", 2, 100, 122),
+            ("b", 0, 1, 1),
+            ("b", 1, 2, 3),
+        ]
+    finally:
+        f.close()
+
+
+def test_discarding_panes_single_batch_equals_batch_agg(spark):
+    """One micro-batch ⇒ exactly one pane per (key, window), equal to the
+    batch aggregation — the oracle-mode contract."""
+    from scio_spark.streaming.core import StreamFixture, discarding_panes
+
+    f = StreamFixture(spark, "k string, v long, event_time timestamp")
+    try:
+        f.add_batch(
+            [("a", 10, ts(1)), ("a", 5, ts(40)), ("b", 2, ts(3))]
+        )
+        out = f.run(
+            lambda s: discarding_panes(
+                s, "event_time", "30 minutes", "0 seconds", ["k"], "v"
+            ),
+            output_mode="update",
+        )
+        rows = {
+            (r.k, str(r.window_start)): (r.pane_index, r.pane_value)
+            for r in out.collect()
+        }
+        assert rows == {
+            ("a", "2024-01-01 10:00:00"): (0, 10),
+            ("a", "2024-01-01 10:30:00"): (0, 5),
+            ("b", "2024-01-01 10:00:00"): (0, 2),
+        }
+    finally:
+        f.close()
+
+
 # ---------------------------------------------- element-count trigger
 
 
