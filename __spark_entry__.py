@@ -713,6 +713,58 @@ GROUP BY tr.doc_id
 """
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-fraction report (dedup.py contamination_fraction —
+    the GPT-3 appendix-C dirty-document metric): docs with doc_id % 37
+    == 0 play the eval set; every other doc is scored by the share of its
+    distinct 5-grams found in the eval corpus. Per source: scored docs,
+    docs over the 10% dirty threshold, and the exact hit/shingle integer
+    sums (engine-exact; frac itself is a single double division, so the
+    threshold compare is bit-identical in both engines)."""
+    from scio_spark.functions.dedup import contamination_fraction
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    scored = contamination_fraction(tr, ev, n=5)
+    return scored.join(docs.select("doc_id", "source"), "doc_id").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs_scored"),
+        F.sum(F.when(F.col("frac") > 0.10, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dirty"),
+        F.sum("n_hit").cast("long").alias("sum_hits"),
+        F.sum("n_shingles").cast("long").alias("sum_shingles"),
+    )
+
+
+ORACLE_CONTAMINATION_REPORT = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents),
+sh AS (SELECT DISTINCT doc_id, source, s FROM toks,
+  UNNEST(list_transform(generate_series(1, len(w) - 4),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4])) u(s)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+tr AS (SELECT doc_id, source, s FROM sh WHERE doc_id % 37 <> 0),
+per AS (
+  SELECT tr.doc_id, tr.source,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM tr LEFT JOIN ev ON tr.s = ev.s
+  GROUP BY tr.doc_id, tr.source
+)
+SELECT source, COUNT(*) AS n_docs_scored,
+       CAST(SUM(CASE WHEN n_hit / CAST(n_shingles AS DOUBLE) > 1e-1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+       CAST(SUM(n_hit) AS BIGINT) AS sum_hits,
+       CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles
+FROM per GROUP BY source
+"""
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data mixing (functions/training.py mixture_sample):
     three pseudo-sources (doc_id mod 3) retained at 1.0/0.5/0.25 via
@@ -4322,6 +4374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "orc_roundtrip": q_orc_roundtrip,
         "discarding_panes": q_discarding_panes,
+        "contamination_report": q_contamination_report,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4331,8 +4384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding": q_dedup_embedding,
         # ---- end of the 50-row driver window ------------------------------
+        "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
         "corpus_stats": q_corpus_stats,
@@ -4538,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": ORACLE_DSIR_SELECT,
         "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "discarding_panes": ORACLE_DISCARDING_PANES,
+        "contamination_report": ORACLE_CONTAMINATION_REPORT,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

@@ -546,6 +546,45 @@ def ngram_contamination(
     )
 
 
+def contamination_fraction(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination FRACTION — the GPT-3 appendix-C "dirty
+    document" metric the count-based ``ngram_contamination`` flag doesn't
+    expose: for every training doc with at least one n-gram, the share of
+    its DISTINCT n-grams that appear anywhere in the eval corpus.
+    Returns (id_col, n_shingles, n_hit, frac) for ALL scored docs
+    (frac = 0.0 for clean ones), so callers can sweep thresholds
+    ("drop if > 10% dirty") instead of a fixed flag.
+
+    Shuffle shape matches ngram_contamination: the eval side reduces to a
+    distinct shingle set (broadcast/Bloom-joined), the training side
+    never shuffles on the shingle key; the per-doc rollup is one
+    partial-agg'd shuffle on the id."""
+    t = shingles(train, id_col, text_col, n)
+    e = (
+        shingles(eval_df, id_col, text_col, n)
+        .select("s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        t.join(e, "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .withColumn(
+            "frac", F.col("n_hit") / F.col("n_shingles")
+        )
+    )
+
+
 # ------------------------------------------------------- incremental dedup
 
 

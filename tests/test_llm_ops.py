@@ -810,3 +810,19 @@ def test_winnow_positions_are_gram_positions(spark):
         gram = "\x1f".join(toks[r.pos - 1 : r.pos - 1 + 3])
         expect = int(hashlib.md5(gram.encode()).hexdigest()[:12], 16)
         assert r.fp == expect, (r.pos, gram)
+
+
+def test_contamination_fraction_values(spark):
+    """Hand-computed fractions: doc sharing half its distinct 2-grams with
+    the eval set scores 0.5; a clean doc scores 0.0 and still appears."""
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(100, "a b c q")], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hit, r.frac)
+        for r in D.contamination_fraction(train, ev, n=2).collect()
+    }
+    # doc 1 grams: {a b, b c, c d}; eval grams: {a b, b c, c q} -> 2/3 hit
+    assert got[1] == (3, 2, 2 / 3)
+    assert got[2] == (3, 0, 0.0)
