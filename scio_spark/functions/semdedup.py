@@ -105,6 +105,115 @@ def semantic_dedup(
     )
 
 
+def stage_semantic_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    path: str,
+) -> None:
+    """Persist the corpus's cluster-assigned embeddings as a
+    centroid-partitioned parquet index — the historical side of
+    INCREMENTAL SemDeDup (the embedding sibling of dedup.py's
+    stage_minhash_index / substr_dedup's gram index): tomorrow's batch
+    dedups against years of corpus reading ONLY the cluster partitions
+    the batch actually touches (static directory pruning), never
+    re-assigning or re-comparing the history. Centroids are frozen
+    beside the index (centroids.json) so every future batch shares the
+    same cluster geometry."""
+    import json
+    import os
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    from scio_spark.functions.ivf import assign_centroid
+
+    assigned = assign_centroid(df.select(id_col, vec_col), vec_col, cent.tolist())
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(
+        os.path.join(path, "index")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cent.tolist(), f)
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    eps: float = 0.45,
+    max_cluster_rows: int = 20_000,
+    append: bool = True,
+) -> DataFrame:
+    """Mark a NEW batch against a staged semantic index: a batch item is
+    a duplicate iff an index item in its cluster, or a smaller-id batch
+    item in its cluster, is within ``eps`` cosine — exactly the marks a
+    full ``semantic_dedup`` over (index ∪ batch) would give the batch
+    rows when index ids precede batch ids (equivalence is pinned in
+    tests). Cost is O(|batch| × touched-cluster history), never a corpus
+    re-scan: the index read is partition-pruned to the batch's clusters.
+    With ``append=True`` the surviving (non-duplicate) batch rows join
+    the index for the next day — the accepted-rows policy the MinHash
+    index uses (stage_minhash_index): the index stays the CLEANED
+    corpus. Note the standard incremental-dedup caveat: comparing
+    against survivors-only can differ from a from-scratch rebuild when a
+    new item is within eps of a dropped duplicate but not of its keeper
+    (cosine is not transitive); single-increment marks against a staged
+    index are exactly the rebuild's marks (the pinned test)."""
+    import json
+    import os
+
+    spark = batch.sparkSession
+    with open(os.path.join(path, "centroids.json")) as f:
+        cent = json.load(f)
+    from scio_spark.functions.ivf import assign_centroid
+
+    b = assign_centroid(batch.select(id_col, vec_col), vec_col, cent)
+    touched = [int(r.centroid) for r in b.select("centroid").distinct().collect()]
+    idx = (
+        spark.read.parquet(os.path.join(path, "index"))
+        .filter(F.col("centroid").isin(touched))
+        .withColumn("__is_new", F.lit(0))
+    )
+    both = idx.unionByName(b.withColumn("__is_new", F.lit(1)))
+
+    def mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"incremental_semantic_dedup: cluster "
+                f"{int(pdf['centroid'].iloc[0])} has {len(pdf)} rows > "
+                f"max_cluster_rows={max_cluster_rows}; increase n_clusters "
+                "when staging the index"
+            )
+        # index rows first (they always precede the batch), then batch by id
+        pdf = pdf.sort_values(
+            ["__is_new", id_col], kind="mergesort"
+        ).reset_index(drop=True)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        new_pos = np.nonzero(pdf["__is_new"].to_numpy() == 1)[0]
+        is_dup = []
+        for r in new_pos:
+            sims = mat[r] @ mat[:r].T if r else np.empty(0)
+            is_dup.append(1 if (sims >= eps).any() else 0)
+        out = pdf.iloc[new_pos][[id_col, "centroid"]].copy()
+        out["is_dup"] = np.array(is_dup, dtype="int32")
+        return out
+
+    marked = both.groupBy("centroid").applyInPandas(
+        mark,
+        f"{id_col} {dict(batch.dtypes)[id_col]}, centroid int, is_dup int",
+    )
+    if append:
+        survivors = b.join(
+            marked.filter("is_dup = 0").select(id_col), id_col
+        )
+        survivors.write.mode("append").partitionBy("centroid").parquet(
+            os.path.join(path, "index")
+        )
+    return marked
+
+
 def semantic_dedup_stats(marked: DataFrame) -> DataFrame:
     """Per-cluster accounting of a semantic_dedup result: items, dups, and
     the dup-id checksum (hash-strength column for oracle comparison)."""

@@ -79,3 +79,56 @@ def test_trained_centroids_mode(spark):
     rows = marked.collect()
     assert len(rows) == emb.count()
     assert {r.centroid for r in rows} <= set(range(4))
+
+
+def test_incremental_matches_full_rebuild(spark, tmp_path):
+    """Single-increment equivalence: marks for a new batch against a
+    staged index equal the batch rows' marks in a full semantic_dedup
+    over (index UNION batch) with the same centroids."""
+    from scio_spark.functions.semdedup import (
+        incremental_semantic_dedup,
+        stage_semantic_index,
+    )
+
+    emb = _load(spark)
+    rows_ = emb.orderBy("vec_id").collect()
+    cents = [list(r.embedding) for r in rows_[:6]]
+    hist = emb.filter("vec_id < 400")      # the staged corpus
+    batch = emb.filter("vec_id >= 400")    # today's arrivals (larger ids)
+    path = str(tmp_path / "semidx")
+    stage_semantic_index(hist, "vec_id", "embedding", cents, path)
+    inc = {
+        int(r.vec_id): (int(r.centroid), int(r.is_dup))
+        for r in incremental_semantic_dedup(
+            batch, path, "vec_id", "embedding", eps=0.45, append=False
+        ).collect()
+    }
+    full = {
+        int(r.vec_id): (int(r.centroid), int(r.is_dup))
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", centroids=cents, eps=0.45
+        ).collect()
+        if r.vec_id >= 400
+    }
+    assert inc == full and len(inc) == batch.count()
+
+
+def test_incremental_append_grows_index(spark, tmp_path):
+    """append=True adds exactly the surviving batch rows to the index."""
+    from scio_spark.functions.semdedup import (
+        incremental_semantic_dedup,
+        stage_semantic_index,
+    )
+
+    emb = _load(spark)
+    cents = [list(r.embedding) for r in emb.orderBy("vec_id").limit(6).collect()]
+    hist = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    path = str(tmp_path / "semidx")
+    stage_semantic_index(hist, "vec_id", "embedding", cents, path)
+    marked = incremental_semantic_dedup(
+        batch, path, "vec_id", "embedding", eps=0.45, append=True
+    )
+    n_survivors = marked.filter("is_dup = 0").count()
+    idx_n = spark.read.parquet(f"{path}/index").count()
+    assert idx_n == hist.count() + n_survivors
