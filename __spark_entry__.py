@@ -3700,6 +3700,73 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (functions/semdedup.py stage_semantic_index /
+    incremental_semantic_dedup — the embedding sibling of the MinHash and
+    ExactSubstr incremental indexes): vectors with vec_id < 400 are the
+    staged historical corpus (centroid-partitioned index, frozen
+    centroids), the rest arrive as today's batch and are marked reading
+    ONLY the pruned cluster partitions. Because index ids precede batch
+    ids, the batch marks equal a full rebuild's marks restricted to the
+    batch (pinned in tests), so the oracle is the semantic_dedup SQL
+    filtered to batch ids."""
+    import tempfile
+
+    from scio_spark.functions.semdedup import (
+        incremental_semantic_dedup,
+        semantic_dedup_stats,
+        stage_semantic_index,
+    )
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df.select("vec_id", "embedding")
+    cents = [
+        list(r.embedding) for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    hist = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    path = tempfile.mkdtemp(prefix="scio_spark_semidx_")
+    stage_semantic_index(hist, "vec_id", "embedding", cents, path)
+    marked = incremental_semantic_dedup(
+        batch, path, "vec_id", "embedding", eps=0.45, append=False
+    )
+    return semantic_dedup_stats(marked)
+
+
+ORACLE_SEMANTIC_DEDUP_INCREMENTAL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+c2 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INTEGER) AS centroid,
+         cv
+  FROM c0
+),
+asg AS (
+  SELECT vec_id, v, centroid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(v, cv) DESC, centroid) AS rk
+  FROM e CROSS JOIN c2
+),
+a AS (SELECT vec_id, v, centroid FROM asg WHERE rk = 1),
+d AS (
+  SELECT a1.vec_id, a1.centroid,
+         COALESCE(MAX(CASE WHEN list_cosine_similarity(a1.v, a2.v) >= 0.45
+                           THEN 1 ELSE 0 END), 0) AS is_dup
+  FROM a a1 LEFT JOIN a a2
+    ON a1.centroid = a2.centroid AND a2.vec_id < a1.vec_id
+  WHERE a1.vec_id >= 400
+  GROUP BY a1.vec_id, a1.centroid
+)
+SELECT centroid, COUNT(*) AS n_items,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN is_dup = 1 THEN vec_id ELSE 0 END) AS BIGINT)
+         AS dup_id_sum
+FROM d GROUP BY centroid
+"""
+
+
 def q_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantile sketch end-to-end (reference shape:
     scio's quantilesApprox / Algebird QTree monoid, SCollection.scala:834,
@@ -4375,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "discarding_panes": q_discarding_panes,
         "contamination_report": q_contamination_report,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4383,8 +4451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- end of the 50-row driver window ------------------------------
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
         "text_repetition": q_text_repetition,
@@ -4592,6 +4660,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": ORACLE_ORC_ROUNDTRIP,
         "discarding_panes": ORACLE_DISCARDING_PANES,
         "contamination_report": ORACLE_CONTAMINATION_REPORT,
+        "semantic_dedup_incremental": ORACLE_SEMANTIC_DEDUP_INCREMENTAL,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
