@@ -3767,6 +3767,47 @@ FROM d GROUP BY centroid
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample of exactly n (SCollection.scala:926;
+    collection.py sample_weighted) in its row-stable mode: A-Res
+    priorities u^(1/w) with u from a seeded md5 of the order key —
+    deterministic under any partitioning and SQL-replayable (boundary
+    gap at rank 200 is ~1e-9, six orders above cross-libm pow error).
+    200 orders sampled proportional to o_totalprice; per-status counts +
+    key/price checksums. Plan: TakeOrderedAndProject — per-partition
+    heaps, no global sort."""
+    sc = _ctx(spark)
+    sampled = (
+        _t(sc, sf_dir, "orders")
+        .sample_weighted(200, "o_totalprice", seed=42, id_col="o_orderkey")
+        .df
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH pr AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         POWER((CAST(('0x' || substr(md5('42' || '|' ||
+                     CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                + 0.5) / 281474976710656.0,
+               1.0 / CAST(o_totalprice AS DOUBLE)) AS p
+  FROM orders
+),
+sel AS (SELECT * FROM pr ORDER BY p DESC LIMIT 200)
+SELECT o_orderstatus, COUNT(*) AS n_sampled,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM sel GROUP BY o_orderstatus
+"""
+
+
 def q_quantiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantile sketch end-to-end (reference shape:
     scio's quantilesApprox / Algebird QTree monoid, SCollection.scala:834,
@@ -4443,6 +4484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discarding_panes": q_discarding_panes,
         "contamination_report": q_contamination_report,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "weighted_sample": q_weighted_sample,
         # -- (6) stalest r4-checked re-verification (displaceable) ----------
         "stateful_stream": q_stateful_stream,
         "dedup_simhash": q_dedup_simhash,
@@ -4450,8 +4492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # ---- end of the 50-row driver window ------------------------------
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
         "decontaminate": q_decontaminate,
@@ -4661,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "discarding_panes": ORACLE_DISCARDING_PANES,
         "contamination_report": ORACLE_CONTAMINATION_REPORT,
         "semantic_dedup_incremental": ORACLE_SEMANTIC_DEDUP_INCREMENTAL,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "image_decode": ORACLE_IMAGE_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,

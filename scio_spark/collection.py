@@ -317,15 +317,33 @@ class SCollection:
         like scio's iterator-of-one-sample)."""
         return self.df.rdd.takeSample(False, n, seed if seed is not None else 42)
 
-    def sample_weighted(self, n: int, weight_expr, seed: int = 42) -> "SCollection":
+    def sample_weighted(
+        self, n: int, weight_expr, seed: int = 42, id_col: str | None = None
+    ) -> "SCollection":
         """SCollection.scala:926 weighted reservoir sample of exactly n —
         A-Res (Efraimidis–Spirakis): each row gets priority u^(1/w) with
         u ~ U(0,1); the global top-n by priority is a weighted reservoir
         sample without replacement. Spark plans TakeOrderedAndProject
         (per-partition heaps + driver merge of n rows) — no full sort, no
-        driver materialization beyond the sample itself."""
+        driver materialization beyond the sample itself.
+
+        ``id_col=None`` draws u with ``F.rand(seed)`` — seeded but
+        partition-order dependent (a repartition changes the sample).
+        Passing a unique ``id_col`` derives u from a seeded md5 of the id
+        instead: the sample is then ROW-STABLE (same rows regardless of
+        partitioning/engine — the hash_split convention) and replays
+        exactly in SQL, at identical distribution (u is uniform on the
+        48-bit grid)."""
         w = _col(weight_expr).cast("double")
-        pr = F.pow(F.rand(seed), F.lit(1.0) / w)
+        if id_col is None:
+            u = F.rand(seed)
+        else:
+            u = F.expr(
+                f"(CAST(conv(substring(md5(concat('{seed}', '|', "
+                f"CAST({id_col} AS STRING))), 1, 12), 16, 10) AS DOUBLE)"
+                " + 0.5) / 281474976710656.0"
+            )
+        pr = F.pow(u, F.lit(1.0) / w)
         return self._wrap(
             self.df.withColumn("__pr", pr).orderBy(F.desc("__pr")).limit(n).drop("__pr")
         )

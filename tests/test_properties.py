@@ -151,6 +151,23 @@ def test_sample_weighted_biases_toward_heavy(spark):
     assert sum(heavy_frac) / len(heavy_frac) > 0.7  # E≈0.91 under A-Res
 
 
+def test_sample_weighted_row_stable_mode(spark):
+    """id_col mode: the sample is identical under repartitioning (hash
+    priorities, not F.rand), still exactly n, and still weight-biased."""
+    from scio_spark import ScioContext
+
+    sc = ScioContext(spark)
+    data = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+    c = sc.parallelize(data, schema=["id", "w"])
+    a = sorted(r["id"] for r in c.sample_weighted(40, "w", id_col="id").collect())
+    c2 = sc.parallelize(data, schema=["id", "w"])
+    c2.df = c2.df.repartition(7)  # different physical layout
+    b = sorted(r["id"] for r in c2.sample_weighted(40, "w", id_col="id").collect())
+    assert a == b and len(a) == 40
+    heavy = sum(1 for i in a if i % 2 == 0) / 40
+    assert heavy > 0.7
+
+
 def test_sample_byte_sized_respects_budget(spark):
     from scio_spark import ScioContext
 
