@@ -68,8 +68,11 @@ def dsir_weights(
     Returns (id_col, n_tokens, log_w decimal(28,6)). A token in a bucket
     NEITHER corpus populated still scores (both sides smoothed), so any
     raw doc gets a weight."""
-    tgt = _bucket_model(target, text_col, buckets)
-    rawm = _bucket_model(raw, text_col, buckets)
+    # models are <= buckets rows: cache them so the totals collect below
+    # and the ratio join share ONE token-explode pass per corpus (uncached,
+    # each model's full scan+explode would run twice)
+    tgt = _bucket_model(target, text_col, buckets).cache()
+    rawm = _bucket_model(raw, text_col, buckets).cache()
     # smoothing denominators for buckets absent from a model
     n_tgt = tgt.agg(F.first("n_total")).collect()[0][0]
     n_raw = rawm.agg(F.first("n_total")).collect()[0][0]
