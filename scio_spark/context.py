@@ -145,14 +145,25 @@ class ScioContext:
         df = self.spark.read.text(path).withColumn("path", F.input_file_name())
         return self._wrap(df.select("path", "value"))
 
-    def parquet_file(self, path: str, io_id: str | None = None):
+    def parquet_file(
+        self, path: str, io_id: str | None = None, merge_schema: bool = False
+    ):
         """scio-parquet ParquetAvroIO analog — projection/predicate pushdown is
         automatic in Spark (scio needs manual ``projection=``/``predicate=``,
-        scio-parquet/.../ScioContextSyntax.scala:47-48)."""
+        scio-parquet/.../ScioContextSyntax.scala:47-48).
+
+        ``merge_schema=True`` reconciles schema drift across files (a lake
+        whose writers added columns over time — Avro schema evolution's
+        reader-side analog): added columns surface as nulls on old files.
+        Off by default because schema merging footer-reads every file at
+        planning time."""
         sub = self._maybe_test_input(io_id or f"parquet:{path}")
         if sub is not None:
             return sub
-        return self._wrap(self.spark.read.parquet(path))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return self._wrap(reader.parquet(path))
 
     def orc_file(self, path: str, io_id: str | None = None):
         """Columnar ORC source (Spark-native; beyond the reference's format

@@ -29,6 +29,22 @@ def test_csv_roundtrip_with_schema(ctx, tmp_path):
     assert rows(back.df) == [(1, "a"), (2, "b")]
 
 
+def test_parquet_merge_schema_reads_evolved_lake(ctx, tmp_path):
+    """Schema-drifted parquet directories (a writer added a column over
+    time) read coherently under merge_schema: old files surface the new
+    column as NULL."""
+    path = str(tmp_path / "lake")
+    ctx.parallelize([(1, "a")], schema=["id", "v"]).df.write.parquet(
+        f"{path}/day=1"
+    )
+    ctx.parallelize(
+        [(2, "b", 9.5)], schema=["id", "v", "score"]
+    ).df.write.parquet(f"{path}/day=2")
+    back = ctx.parquet_file(path, merge_schema=True).df
+    got = {(r.id, r.v, r.score) for r in back.select("id", "v", "score").collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+
+
 def test_orc_roundtrip_with_pushdown(ctx, tmp_path):
     path = str(tmp_path / "orc")
     c = ctx.parallelize(
