@@ -87,3 +87,99 @@ def assert_approx_equal(df, expected: Iterable, tol: float = 1e-6):
 
     mism = [(a, b) for a, b in zip(got, want) if not close(a, b)]
     assert not mism, f"approx mismatch (tol={tol}): {mism[:5]}"
+
+
+# ------------------------------------------------- windowed pane matchers
+# SCollectionMatchers.scala:249-330 — inWindow:258, inOnTimePane:249,
+# inEarlyPane:304, inLatePane:290, inFinalPane:276. Ours operate over the
+# pane records produced by streaming.core.late_firing_panes /
+# early_firing_panes-style harnesses (or label_panes rows collected):
+# dicts {"timing", "pane_index", "row"} where row carries window_start,
+# keys and aggregates. `expected` entries are field-subset dicts — an
+# expected matches a firing iff every listed field equals the row's value.
+
+
+def _pane_matches(row, expected: dict) -> bool:
+    try:
+        return all(row[k] == v for k, v in expected.items())
+    except (KeyError, ValueError):
+        return False
+
+
+def _panes_in(panes, window_start, timing=None):
+    out = []
+    for p in panes:
+        row = p["row"] if isinstance(p, dict) else p
+        t = p["timing"] if isinstance(p, dict) else p["timing"]
+        if row["window_start"] != window_start:
+            continue
+        if timing is not None and t != timing:
+            continue
+        out.append((t, p["pane_index"] if isinstance(p, dict) else p["pane_index"], row))
+    return out
+
+
+def _assert_pane_set(firings, expected, what):
+    rows = [r for _, _, r in firings]
+    unmatched = list(range(len(rows)))
+    for e in expected:
+        hit = next((i for i in unmatched if _pane_matches(rows[i], e)), None)
+        assert hit is not None, (
+            f"{what}: no firing matches {e}; firings={[tuple(r) for r in rows]}"
+        )
+        unmatched.remove(hit)
+    assert not unmatched, (
+        f"{what}: {len(unmatched)} unexpected firing(s): "
+        f"{[tuple(rows[i]) for i in unmatched]}"
+    )
+
+
+def assert_in_window(panes, window_start, expected: list):
+    """inWindow (SCollectionMatchers.scala:258): each expected field-subset
+    dict matches at least one firing (any timing) in the window."""
+    firings = _panes_in(panes, window_start)
+    for e in expected:
+        assert any(_pane_matches(r, e) for _, _, r in firings), (
+            f"inWindow({window_start}): nothing matches {e}; "
+            f"firings={[tuple(r) for _, _, r in firings]}"
+        )
+
+
+def assert_in_on_time_pane(panes, window_start, expected: list):
+    """inOnTimePane (:249): the window's ON_TIME firings match ``expected``
+    exactly (bijectively)."""
+    _assert_pane_set(
+        _panes_in(panes, window_start, "ON_TIME"), expected,
+        f"inOnTimePane({window_start})",
+    )
+
+
+def assert_in_early_pane(panes, window_start, expected: list):
+    """inEarlyPane (:304): the window's EARLY firings match exactly."""
+    _assert_pane_set(
+        _panes_in(panes, window_start, "EARLY"), expected,
+        f"inEarlyPane({window_start})",
+    )
+
+
+def assert_in_late_pane(panes, window_start, expected: list):
+    """inLatePane (:290): the window's LATE firings match exactly."""
+    _assert_pane_set(
+        _panes_in(panes, window_start, "LATE"), expected,
+        f"inLatePane({window_start})",
+    )
+
+
+def assert_in_final_pane(panes, window_start, key_cols, expected: list):
+    """inFinalPane (:276): per key, the HIGHEST-pane_index firing in the
+    window is that key's final pane; the set of final panes matches
+    ``expected`` exactly."""
+    firings = _panes_in(panes, window_start)
+    best = {}
+    for t, idx, r in firings:
+        k = tuple(r[c] for c in key_cols)
+        if k not in best or idx > best[k][1]:
+            best[k] = (t, idx, r)
+    _assert_pane_set(
+        list(best.values()), expected, f"inFinalPane({window_start})"
+    )

@@ -44,3 +44,49 @@ def test_approx_equal(sc):
     M.assert_approx_equal(c, [1.0, 2.0], tol=1e-5)
     with pytest.raises(AssertionError):
         M.assert_approx_equal(c, [1.1, 2.0], tol=1e-5)
+
+
+def test_windowed_pane_matchers(spark):
+    """SCollectionMatchers windowed assertions (inWindow/inOnTimePane/
+    inEarlyPane/inLatePane/inFinalPane, SCollectionMatchers.scala:249-330)
+    over the LeaderBoard early/on-time/late scripted scenario."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from scio_spark.streaming.core import StreamFixture, late_firing_panes
+    from scio_spark.testing import (
+        assert_in_early_pane,
+        assert_in_final_pane,
+        assert_in_late_pane,
+        assert_in_on_time_pane,
+        assert_in_window,
+    )
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    f = StreamFixture(spark, "user string, team string, score int, event_time timestamp")
+    try:
+        f.add_batch([("u1", "red", 1, ts(1))])
+        f.add_batch([("u1", "red", 1, ts(5)), ("u1", "red", 1, ts(12))])
+        f.add_batch([("u1", "red", 1, ts(2))])  # late, admitted
+        panes = late_firing_panes(
+            f.stream(), "event_time", "10 minutes", "30 minutes",
+            ["team"], [F.count(F.lit(1)).alias("n")],
+        )
+        w = ts(0)
+        assert_in_window(panes, w, [{"team": "red", "n": 1}, {"team": "red", "n": 3}])
+        assert_in_early_pane(panes, w, [{"team": "red", "n": 1}])
+        assert_in_on_time_pane(panes, w, [{"team": "red", "n": 2}])
+        assert_in_late_pane(panes, w, [{"team": "red", "n": 3}])
+        assert_in_final_pane(panes, w, ["team"], [{"team": "red", "n": 3}])
+        # negative: a wrong expectation must raise with a readable message
+        import pytest
+
+        with pytest.raises(AssertionError, match="inOnTimePane"):
+            assert_in_on_time_pane(panes, w, [{"team": "red", "n": 99}])
+        with pytest.raises(AssertionError, match="unexpected firing"):
+            assert_in_late_pane(panes, w, [])
+    finally:
+        f.close()
