@@ -3541,7 +3541,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sc = _ctx(spark)
     d = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "text")
-    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4)
+    # the fingerprint table feeds BOTH the shared-count aggregation and the
+    # probe join (a diamond) — persist so the scan+explode runs once, not
+    # twice (partial-agg vs probe exchanges differ, so ReuseExchange can't)
+    fps = winnow_fingerprints(d, "doc_id", "text", k=5, w=4).persist()
     shared = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     enriched = fps.join(d.select("doc_id", "source"), "doc_id").join(
         shared, "fp"
