@@ -394,6 +394,18 @@ class SCollection:
         part = F.pmod(_col(expr), F.lit(n))
         return [self._wrap(cached.filter(part == i)) for i in range(n)]
 
+    def hash_filter(self, other: "SCollection", on=None) -> "SCollection":
+        """SCollection.scala ``hashFilter(sideInput)`` — keep elements whose
+        value appears in the (small) side collection: a broadcast LEFT SEMI
+        join, the set-membership sibling of ``hash_lookup``. ``on`` names
+        the matching column(s); default = all of the side's columns."""
+        cols = [on] if isinstance(on, str) else list(on or other.df.columns)
+        return self._wrap(
+            self.df.join(
+                F.broadcast(other.df.select(*cols).distinct()), cols, "left_semi"
+            )
+        )
+
     def hash_partition(self, n: int) -> "SCollection":
         """SCollection.scala:398 — physical repartition by row hash."""
         return self._wrap(self.df.repartition(n))

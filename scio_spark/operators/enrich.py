@@ -44,6 +44,14 @@ def side_input_list(df: DataFrame):
     return df.sparkSession.sparkContext.broadcast(rows)
 
 
+def side_input_set(df: DataFrame):
+    """asSetSingletonSideInput (SideInput.scala:110): the collection as ONE
+    broadcast python set — the membership-test side input (hashFilter's
+    substrate when the predicate runs inside a pandas fn)."""
+    rows = {r[0] if len(r) == 1 else tuple(r) for r in df.collect()}
+    return df.sparkSession.sparkContext.broadcast(rows)
+
+
 def side_input_map(df: DataFrame, key_col: str, value_col: str):
     """asMapSideInput (:117) — unique keys."""
     m = {}

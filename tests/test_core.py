@@ -101,3 +101,28 @@ def test_quantiles_exact(sc):
     c = sc.parallelize([float(x) for x in range(1, 101)])
     q = c.quantiles_exact("value", [0.5]).df.collect()[0]["quantiles"]
     assert abs(q[0] - 50.5) < 1e-9
+
+
+def test_hash_filter_broadcast_semi(sc):
+    """hashFilter: keep elements present in a small side collection —
+    broadcast LEFT SEMI, no shuffle."""
+    big = sc.parallelize([(i, f"v{i}") for i in range(100)], schema=["id", "v"])
+    side = sc.parallelize([(3,), (7,), (7,), (999,)], schema=["id"])
+    got = sorted(r["id"] for r in big.hash_filter(side, on="id").collect())
+    assert got == [3, 7]
+    plan = (
+        big.hash_filter(side, on="id")
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    # the PROBE side never shuffles: the only exchange in the plan is the
+    # tiny side's pre-broadcast distinct (bounded by |side|)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    probe_subtree = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_subtree
+
+
+def test_side_input_set(sc):
+    from scio_spark.operators.enrich import side_input_set
+
+    s = side_input_set(sc.parallelize([(1,), (2,), (2,)], schema=["k"]).df)
+    assert s.value == {1, 2}
