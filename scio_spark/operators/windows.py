@@ -48,14 +48,51 @@ def with_session_windows(df: DataFrame, ts_col: str, gap: str, *key_cols: str) -
     return df.groupBy(F.session_window(F.col(ts_col), gap), *key_cols)
 
 
-def with_calendar_window(df: DataFrame, ts_col: str, unit: str = "month") -> DataFrame:
-    """Calendar windows (:1275-1300) — date_trunc-derived window column
-    (years/months/weeks/days).
+def with_calendar_window(
+    df: DataFrame, ts_col: str, unit: str = "month", number: int = 1
+) -> DataFrame:
+    """Calendar windows (windowByYears/Months/Weeks/Days,
+    SCollection.scala:1275-1300 → Beam CalendarWindows). ``number=1`` is a
+    plain date_trunc; ``number>1`` gives multi-unit calendar windows (e.g.
+    unit='month', number=3 = quarters) aligned the way CalendarWindows
+    aligns them — counting whole units since the epoch (1970-01-01;
+    weeks start Monday, Beam's default startDayOfWeek) and flooring to
+    multiples of ``number``. All pure date arithmetic: no shuffle, and
+    the window_start column stays visible to partition pruning.
 
     Type-preserving like F.window(): DATE and TIMESTAMP_NTZ inputs yield a
     TIMESTAMP_NTZ window_start (date_trunc on DATE otherwise promotes to
     session-tz TIMESTAMP, which hashes differently from an NTZ oracle)."""
-    start = F.date_trunc(unit, F.col(ts_col))
+    if number < 1:
+        raise ValueError("with_calendar_window: number must be >= 1")
+    c = F.col(ts_col)
+    if number == 1:
+        start = F.date_trunc(unit, c)
+    elif unit == "day":
+        idx = F.floor(F.datediff(c, F.lit("1970-01-01")) / number)
+        start = F.date_add(F.lit("1970-01-01").cast("date"), (idx * number).cast("int")).cast("timestamp")
+    elif unit == "week":
+        # 1970-01-05 is the first epoch Monday — Beam's week boundary
+        idx = F.floor(F.datediff(c, F.lit("1970-01-05")) / (7 * number))
+        start = F.date_add(
+            F.lit("1970-01-05").cast("date"), (idx * 7 * number).cast("int")
+        ).cast("timestamp")
+    elif unit == "month":
+        m = (F.year(c) - 1970) * 12 + F.month(c) - 1
+        idx = F.floor(m / number)
+        start = F.add_months(
+            F.lit("1970-01-01").cast("date"), (idx * number).cast("int")
+        ).cast("timestamp")
+    elif unit == "year":
+        idx = F.floor((F.year(c) - 1970) / number)
+        start = F.make_date(
+            (F.lit(1970) + idx * number).cast("int"), F.lit(1), F.lit(1)
+        ).cast("timestamp")
+    else:
+        raise ValueError(
+            f"with_calendar_window: unit {unit!r} with number>1 must be "
+            "day/week/month/year"
+        )
     src = dict(df.dtypes).get(ts_col, "")
     if src in ("date", "timestamp_ntz"):
         start = start.cast("timestamp_ntz")

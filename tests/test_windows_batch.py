@@ -266,3 +266,45 @@ def test_capped_sessions_validation(spark):
     df = spark.range(1).select(F.current_timestamp().alias("ts"))
     with _pt.raises(ValueError):
         capped_sessions(df, "ts", 0, 100)
+
+
+def test_multi_unit_calendar_windows(spark):
+    """windowByMonths(3) = quarters, windowByDays(10), windowByYears(2) —
+    CalendarWindows alignment: whole units since the epoch floored to
+    multiples of `number` (weeks start Monday)."""
+    import datetime as dt
+
+    from scio_spark.operators.windows import with_calendar_window
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 15),), (dt.datetime(2024, 4, 1),),
+         (dt.datetime(2024, 12, 31),)],
+        "ts timestamp",
+    )
+    q = {
+        (str(r.ts), str(r.window_start))
+        for r in with_calendar_window(df, "ts", "month", 3).collect()
+    }
+    assert q == {
+        ("2024-02-15 00:00:00", "2024-01-01 00:00:00"),
+        ("2024-04-01 00:00:00", "2024-04-01 00:00:00"),
+        ("2024-12-31 00:00:00", "2024-10-01 00:00:00"),
+    }
+    y = {
+        str(r.window_start)
+        for r in with_calendar_window(df, "ts", "year", 2).collect()
+    }
+    assert y == {"2024-01-01 00:00:00"}  # 2024-1970=54, floor(54/2)*2=54
+    d = with_calendar_window(
+        spark.createDataFrame([(dt.datetime(1970, 1, 25),)], "ts timestamp"),
+        "ts", "day", 10,
+    ).collect()[0]
+    assert str(d.window_start) == "1970-01-21 00:00:00"
+    w = with_calendar_window(
+        spark.createDataFrame([(dt.datetime(2024, 1, 10),)], "ts timestamp"),
+        "ts", "week", 2,
+    ).collect()[0]
+    # 2024-01-10 is a Wednesday; the enclosing 2-week Monday-aligned
+    # window starts 2024-01-08: 19728 days after 1970-01-05 floors to
+    # 19726 = 1409 × 14 (hand-checked epoch-day arithmetic)
+    assert str(w.window_start) == "2024-01-08 00:00:00"
