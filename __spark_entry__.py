@@ -2423,20 +2423,24 @@ GROUP BY c_nationkey
 
 def q_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupByKey (PairSCollectionFunctions.scala:790) — values into an
-    array per key (sorted afterwards for a deterministic hash; collect_list
-    order is partition-dependent)."""
+    array per key, sorted (collect_list order is partition-dependent) and
+    joined to one scalar string: the driver's pandas canonicalizer cannot
+    hash list cells (r6 red row), so the grouped array is projected to
+    '|'-joined text in BOTH engines."""
     sc = _ctx(spark)
     n = _t(sc, sf_dir, "nation").key_by("n_regionkey")
     grouped = sc.custom_input(
         "nation_names", n.df.select("n_regionkey", "n_name")
     ).key_by("n_regionkey").group_by_key()
     return grouped.df.select(
-        "n_regionkey", F.array_sort("values").alias("names")
+        "n_regionkey",
+        F.array_join(F.array_sort("values"), "|").alias("names"),
     )
 
 
 ORACLE_GROUP_BY_KEY = """
-SELECT n_regionkey, list_sort(list(n_name)) AS names
+SELECT n_regionkey,
+       array_to_string(list_sort(list(n_name)), '|') AS names
 FROM nation GROUP BY n_regionkey
 """
 

@@ -92,6 +92,15 @@ def dsir_weights(
             ),
         )
     )
+    # materialize the <=buckets-row ratio table to the driver and rebuild
+    # it as a literal DataFrame: the cached bucket models can then be
+    # unpersisted HERE instead of leaking cached blocks into the session
+    # for the lifetime of the (lazy) result plan
+    spark = raw.sparkSession
+    ratio_rows = ratio.collect()
+    tgt.unpersist()
+    rawm.unpersist()
+    ratio = spark.createDataFrame(ratio_rows, schema=ratio.schema)
     tok = raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     scored = tok.select(
         id_col, F.expr(f"{_HASH} % {buckets}").alias("bucket")

@@ -38,6 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _write_text(spark, path: str, text: str) -> None:
+    """Small-file write through the Hadoop FileSystem API (same route as
+    operators/merge._fs) so the index works on hdfs://, s3a://, etc.,
+    not just the local filesystem."""
+    from scio_spark.operators.merge import _fs
+
+    jvm, hpath, fs = _fs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str:
+    from scio_spark.operators.merge import _fs
+
+    jvm, hpath, fs = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -132,8 +158,11 @@ def stage_semantic_index(
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(
         os.path.join(path, "index")
     )
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(cent.tolist(), f)
+    _write_text(
+        df.sparkSession,
+        os.path.join(path, "centroids.json"),
+        json.dumps(cent.tolist()),
+    )
 
 
 def incremental_semantic_dedup(
@@ -164,8 +193,7 @@ def incremental_semantic_dedup(
     import os
 
     spark = batch.sparkSession
-    with open(os.path.join(path, "centroids.json")) as f:
-        cent = json.load(f)
+    cent = json.loads(_read_text(spark, os.path.join(path, "centroids.json")))
     from scio_spark.functions.ivf import assign_centroid
 
     b = assign_centroid(batch.select(id_col, vec_col), vec_col, cent)

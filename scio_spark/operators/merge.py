@@ -75,6 +75,19 @@ def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
     return affected
 
 
+def _recover_swap(spark: SparkSession, target_path: str) -> None:
+    """Crash-retry guard for _swap_table: a crash between the
+    rename-aside and the rename-into-place leaves the target path absent
+    with ``target__old`` intact; a naive retry would then read an empty
+    table and write source-only rows, silently dropping history. Called
+    on entry by every operation that reads the target — restores the
+    aside copy before anything looks at the path."""
+    jvm, tgt_path, fs = _fs(spark, target_path)
+    old = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "__old")
+    if not fs.exists(tgt_path) and fs.exists(old):
+        fs.rename(old, tgt_path)
+
+
 def _swap_table(spark: SparkSession, tmp: str, target_path: str) -> None:
     """Whole-table swap that never leaves the target path empty-and-gone:
     rename the old table aside (target -> target__old), rename tmp into
@@ -135,6 +148,7 @@ def merge_into(
     primitive ints/dates/simple strings (directory names use Spark's
     partition encoding)."""
     spark = source.sparkSession
+    _recover_swap(spark, target_path)
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
 
@@ -191,6 +205,7 @@ def delete_where(
     """Delete rows matching ``predicate`` from the parquet table. With
     ``partition_col``, only partitions that contain matching rows are
     rewritten (found with one pruned aggregate); others are untouched."""
+    _recover_swap(spark, target_path)
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
     target = spark.read.parquet(target_path)

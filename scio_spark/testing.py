@@ -106,16 +106,25 @@ def _pane_matches(row, expected: dict) -> bool:
         return False
 
 
+def _fmt_row(r):
+    """Render a firing row with its VALUES in failure messages (dict rows
+    iterate as keys-only under tuple())."""
+    if hasattr(r, "asDict"):
+        r = r.asDict()
+    if isinstance(r, dict):
+        return dict(sorted(r.items(), key=lambda kv: str(kv[0])))
+    return r
+
+
 def _panes_in(panes, window_start, timing=None):
     out = []
     for p in panes:
         row = p["row"] if isinstance(p, dict) else p
-        t = p["timing"] if isinstance(p, dict) else p["timing"]
         if row["window_start"] != window_start:
             continue
-        if timing is not None and t != timing:
+        if timing is not None and p["timing"] != timing:
             continue
-        out.append((t, p["pane_index"] if isinstance(p, dict) else p["pane_index"], row))
+        out.append((p["timing"], p["pane_index"], row))
     return out
 
 
@@ -125,12 +134,12 @@ def _assert_pane_set(firings, expected, what):
     for e in expected:
         hit = next((i for i in unmatched if _pane_matches(rows[i], e)), None)
         assert hit is not None, (
-            f"{what}: no firing matches {e}; firings={[tuple(r) for r in rows]}"
+            f"{what}: no firing matches {e}; firings={[_fmt_row(r) for r in rows]}"
         )
         unmatched.remove(hit)
     assert not unmatched, (
         f"{what}: {len(unmatched)} unexpected firing(s): "
-        f"{[tuple(rows[i]) for i in unmatched]}"
+        f"{[_fmt_row(rows[i]) for i in unmatched]}"
     )
 
 
@@ -141,7 +150,7 @@ def assert_in_window(panes, window_start, expected: list):
     for e in expected:
         assert any(_pane_matches(r, e) for _, _, r in firings), (
             f"inWindow({window_start}): nothing matches {e}; "
-            f"firings={[tuple(r) for _, _, r in firings]}"
+            f"firings={[_fmt_row(r) for _, _, r in firings]}"
         )
 
 

@@ -151,3 +151,35 @@ def test_unpartitioned_swap_never_leaves_target_missing(spark, tmp_path):
     assert (0, 0, "v1") in rows(spark, t)
     assert not os.path.exists(t + "__merge_tmp")
     assert not os.path.exists(t + "__old")
+
+
+def test_merge_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
+    """ADVICE r6: a crash between _swap_table's rename-aside and
+    rename-into-place leaves the target absent with target__old intact.
+    A retried merge_into must restore the aside copy first — NOT treat
+    the table as new and write source-only rows."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    base_df(spark).write.parquet(t)
+    # simulate the crash window: target renamed aside, tmp never landed
+    shutil.move(t, t + "__old")
+    assert not os.path.exists(t)
+    src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"])
+    got = rows(spark, t)
+    assert (0, 0, "v1") in got
+    assert (99, 3, "v0") in got  # history survived the retry
+    assert len(got) == 100
+    assert not os.path.exists(t + "__old")
+
+
+def test_delete_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
+    import shutil
+
+    t = str(tmp_path / "t")
+    base_df(spark).write.parquet(t)
+    shutil.move(t, t + "__old")
+    delete_where(spark, t, "id < 10")
+    got = rows(spark, t)
+    assert len(got) == 90 and (50, 2, "v0") in got
