@@ -224,13 +224,43 @@ class PairSCollection:
             )
         )
 
-    def top_by_key(self, n: int, order_by, ascending: bool = False) -> "PairSCollection":
-        """PairSCollectionFunctions.scala:1138 ``topByKey`` → ranked window.
-        Single shuffle on key; AQE handles skewed key groups."""
+    def top_by_key(
+        self, n: int, order_by, ascending: bool = False, skew_safe: bool = False
+    ) -> "PairSCollection":
+        """PairSCollectionFunctions.scala:1138 ``topByKey``.
+
+        Default: ranked window — single shuffle on key; AQE handles
+        moderately skewed key groups, but ONE task sorts every row of a
+        hot key.
+
+        ``skew_safe=True``: two-phase top-n with scio Top.perKey's cost
+        shape (map-side heap truncation). Phase 1 ranks within
+        (input-partition id, key) — the exchange hashes on (pid, key), so
+        a hot key's rows spread evenly over reducers and each sort is
+        bounded by one input partition's share; only the per-(pid, key)
+        top-n survive. Phase 2 re-ranks the ≤ n×P survivors per key — a
+        tiny second shuffle. Use when a key can hold a macroscopic
+        fraction of the data; the extra exchange is wasted work on
+        uniform keys, hence not the default."""
         c = _col(order_by)
-        w = Window.partitionBy(*self.key_cols).orderBy(c.asc() if ascending else c.desc())
+        oc = c.asc() if ascending else c.desc()
+        if not skew_safe:
+            w = Window.partitionBy(*self.key_cols).orderBy(oc)
+            return self._wrap(
+                self.df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
+        w1 = Window.partitionBy(F.col("__pid"), *self.key_cols).orderBy(oc)
+        local = (
+            self.df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= n)
+            .drop("__pid", "__rn")
+        )
+        w2 = Window.partitionBy(*self.key_cols).orderBy(oc)
         return self._wrap(
-            self.df.withColumn("__rn", F.row_number().over(w))
+            local.withColumn("__rn", F.row_number().over(w2))
             .filter(F.col("__rn") <= n)
             .drop("__rn")
         )

@@ -33,13 +33,35 @@ def save_as_object_file(spark: SparkSession, objs: Iterable[Any], path: str):
     df.write.mode("overwrite").parquet(path)
 
 
-def read_object_file(spark: SparkSession, path: str) -> list[Any]:
-    rows = spark.read.parquet(path).orderBy("idx").collect()
+def read_object_file(
+    spark: SparkSession, path: str, max_rows: int = 100_000
+) -> list[Any]:
+    """DRIVER-SIZED contract (same as side inputs, enrich.py:31-71, and the
+    HNSW corpus, similarity.py:497): the whole file is collected and
+    unpickled on the driver — object files are the Kryo-fallback escape
+    hatch for driver-scale object lists (models, configs, manifests), not
+    a distributed dataset path. A file above ``max_rows`` fails actionably
+    instead of OOMing the driver; distributed pickled data belongs in a
+    binary column read with spark.read.parquet + a batch decoder."""
+    src = spark.read.parquet(path)
+    n = src.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"read_object_file: {path} has >{max_rows} rows but is "
+            "collected to the driver by contract. Read it as a DataFrame "
+            "(spark.read.parquet) and decode the 'payload' column in a "
+            "mapInPandas batch instead, or raise max_rows if the driver "
+            "genuinely has the memory."
+        )
+    rows = src.orderBy("idx").collect()
     return [pickle.loads(bytes(r["payload"])) for r in rows]
 
 
 def object_file_df(df: DataFrame, pickle_cols: list[str], path: str):
-    """Mixed mode: keep scalar columns queryable, pickle the opaque ones."""
+    """Mixed mode: keep scalar columns queryable, pickle the opaque ones.
+    The per-row python UDF is the sanctioned slow path here — pickling is
+    inherently per-object python work and this writer is, like
+    read_object_file, the declared escape hatch, not a hot-path format."""
     out = df
     for c in pickle_cols:
         out = out.withColumn(

@@ -129,6 +129,11 @@ def test_object_file_roundtrip(spark, tmp_path):
     path = str(tmp_path / "objs")
     FM.save_as_object_file(spark, objs, path)
     assert FM.read_object_file(spark, path) == objs
+    # driver-sized contract: an over-cap file fails actionably, no collect
+    import pytest
+
+    with pytest.raises(ValueError, match="collected to the driver"):
+        FM.read_object_file(spark, path, max_rows=2)
 
 
 def test_tfrecord_codec_roundtrip():

@@ -486,3 +486,41 @@ def test_kv_store_key_only_semi_join(spark, tmp_path):
     out = J.kv_store_join(left, store)
     assert out.columns == ["key", "v"]
     assert [tuple(r) for r in out.collect()] == [("a", 1)]
+
+
+def test_top_by_key_skew_safe_parity(sc):
+    """Two-phase (skew_safe) topByKey returns the same per-key multiset of
+    order values as the window path, on a fixture with one hot key spread
+    over many partitions (the case the variant exists for)."""
+    import random
+
+    rnd = random.Random(7)
+    data = [("hot", rnd.randrange(100_000)) for _ in range(5_000)]
+    data += [(f"k{i % 20}", rnd.randrange(100_000)) for i in range(2_000)]
+    kv = sc.parallelize(data, schema=["key", "v"]).key_by("key")
+    kv = kv._wrap(kv.df.repartition(16))
+
+    def per_key(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["key"], []).append(r["v"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    base = per_key(kv.top_by_key(5, "v").df)
+    two = per_key(kv.top_by_key(5, "v", skew_safe=True).df)
+    assert two == base
+    asc = per_key(kv.top_by_key(3, "v", ascending=True, skew_safe=True).df)
+    assert asc == per_key(kv.top_by_key(3, "v", ascending=True).df)
+
+
+def test_top_by_key_skew_safe_truncates_before_final_shuffle(sc):
+    """Plan shape: the skew-safe path carries TWO hash exchanges with a
+    row_number filter BETWEEN them (partition-local truncation), so the
+    final per-key sort sees <= n x P rows instead of the hot key's total."""
+    kv = sc.parallelize(
+        [("hot", i) for i in range(1000)], schema=["key", "v"]
+    ).key_by("key")
+    plan = kv.top_by_key(3, "v", skew_safe=True).df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    # phase-1 exchange clusters on (pid, key): the hot key cannot land on one reducer
+    assert "__pid" in plan
