@@ -10,10 +10,10 @@ giant suffix array — a single-machine design; the Spark-first shape below
 gets the same n-gram-resolution answer with bounded shuffles:
 
 1. tokenize → positional n-grams (one explode; grams stay JVM-side),
-2. first occurrence per gram = ``min(struct(doc_id, pos))`` — a partial
-   aggregation (map-side combine), deliberately NOT a row_number window:
-   a hot boilerplate gram would make a per-gram sort skew-bound, while
-   min() stays mergeable no matter how hot the gram,
+2. first occurrence per gram = ``min(doc_id * 2^24 + pos)`` (one encoded
+   BIGINT — hash-aggregable with map-side combine), deliberately NOT a
+   row_number window: a hot boilerplate gram would make a per-gram sort
+   skew-bound, while min() stays mergeable no matter how hot the gram,
 3. later occurrences (anti-first) → per-doc interval merge of their
    [pos, pos+n-1] spans with the classic islands pattern (running max over
    a per-doc window — the only per-doc sort, bounded by doc length),
@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
+
+# (doc_id, pos) pairs are compared/aggregated as ONE encoded BIGINT
+# id * 2^24 + pos: numeric MIN is hash-aggregable (min(struct) falls back
+# to SortAggregate) and the anti-first filter is a single comparison.
+# Contract bounds: pos < 2^24 tokens per doc, ids < 2^39.
+_ENC_BASE = 1 << 24
 
 
 def _positional_ngrams(
@@ -73,17 +79,24 @@ def mark_duplicate_spans(
     canonical copy."""
     occ = _positional_ngrams(df, id_col, text_col, n, hash_grams)
     # first occurrence + occurrence count per gram — one partial-agg'd
-    # shuffle on gram; immune to hot-gram skew (min/count are mergeable)
+    # shuffle on gram; immune to hot-gram skew (min/count are mergeable).
+    # (doc_id, pos) is encoded into ONE BIGINT (id * 2^24 + pos) so the
+    # aggregate is a plain numeric MIN: min(struct) plans as SortAggregate
+    # (a full sort of every gram on both sides of the shuffle) while the
+    # encoded min stays HashAggregate with map-side combine (both gram-
+    # sort passes drop out of the plan). Bounds (documented contract, same family as
+    # sortValues' memory contract): pos < 2^24 tokens per document
+    # (~100 MB of text) and doc ids < 2^39 — far beyond a 100 TB corpus's
+    # ~2×10^10 docs. Lexicographic (id, pos) order == numeric order of the
+    # encoding within those bounds.
+    enc = (F.col("_id") * _ENC_BASE) + F.col("pos")
     firsts = occ.groupBy("gram").agg(
-        F.min(F.struct("_id", "pos")).alias("first"),
+        F.min(enc).alias("first_enc"),
         F.count(F.lit(1)).alias("cnt"),
     )
     dup = (
         occ.join(firsts.filter(F.col("cnt") >= min_count), "gram")
-        .filter(
-            (F.col("_id") != F.col("first._id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        .filter(enc != F.col("first_enc"))
         .select("_id", "pos", (F.col("pos") + n - 1).alias("end"))
     )
     # islands: a new span starts where pos exceeds the running max end of
@@ -138,7 +151,7 @@ def stage_gram_index(
     dedup-grade."""
     occ = _positional_ngrams(df, id_col, text_col, n, hash_grams)
     firsts = occ.groupBy("gram").agg(
-        F.min(F.struct("_id", "pos")).alias("first"),
+        F.min((F.col("_id") * _ENC_BASE) + F.col("pos")).alias("first_enc"),
         F.count(F.lit(1)).alias("cnt"),
     )
     # a previous session may have left the warehouse dir without the
@@ -185,26 +198,24 @@ def incremental_duplicate_spans(
     spark = batch.sparkSession
     idx = spark.table(index_table).select(
         "gram",
-        F.col("first").alias("_corpus_first"),
+        F.col("first_enc").alias("_corpus_first"),
         F.col("cnt").alias("_corpus_cnt"),
     )
     occ = _positional_ngrams(batch, id_col, text_col, n, hash_grams)
+    enc = (F.col("_id") * _ENC_BASE) + F.col("pos")
     batch_firsts = occ.groupBy("gram").agg(
-        F.min(F.struct("_id", "pos")).alias("_batch_first"),
+        F.min(enc).alias("_batch_first"),
         F.count(F.lit(1)).alias("_batch_cnt"),
     )
     g = batch_firsts.join(idx, "gram", "left")
     merged = g.select(
         "gram",
-        F.coalesce("_corpus_first", "_batch_first").alias("first"),
+        F.coalesce("_corpus_first", "_batch_first").alias("first_enc"),
         (F.coalesce("_corpus_cnt", F.lit(0)) + F.col("_batch_cnt")).alias("cnt"),
     )
     dup = (
         occ.join(merged.filter(F.col("cnt") >= min_count), "gram")
-        .filter(
-            (F.col("_id") != F.col("first._id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
+        .filter(enc != F.col("first_enc"))
         .select("_id", "pos", (F.col("pos") + n - 1).alias("end"))
     )
     w = Window.partitionBy("_id").orderBy("pos")
