@@ -923,10 +923,17 @@ SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
 
 def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
     rpb = k // bands
-    mins = ", ".join(f"MIN(md5(concat('{i}|', s))) AS mh{i}" for i in range(k))
+    # 48-bit md5-prefix BIGINT minhashes (dedup.minhash_signature) — the
+    # engine-portable integer recipe; band bucket = md5 of the '|'-joined
+    # decimal renderings
+    mins = ", ".join(
+        f"MIN(CAST(('0x' || substr(md5('{i}|' || s), 1, 12)) AS BIGINT)) AS mh{i}"
+        for i in range(k)
+    )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({cc}) AS bucket FROM sig".format(
-            b=b, cc=" || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+            b=b,
+            cc=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
         )
         for b in range(bands)
     )

@@ -222,11 +222,21 @@ def ngram_jaccard_dedup(
 
 
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id", k: int = 16) -> DataFrame:
-    """k min-hashes per doc: mh_i = MIN(md5(i || '|' || shingle)) as strings
-    (lexicographic min over a uniform hash ⇒ valid MinHash). One partial-agg
-    shuffle; signature is k×32 bytes per doc."""
+    """k min-hashes per doc: mh_i = MIN over shingles of the first 48 bits
+    of md5(i || '|' || shingle) as a BIGINT (min over a uniform hash ⇒
+    valid MinHash; the engine-portable md5-prefix integer recipe). Numeric
+    rather than the md5 hex string deliberately: min(string) plans as
+    SortAggregate (sorts every shingle row on both sides of the shuffle)
+    while min(bigint) is a HashAggregate with map-side combine, and the
+    shuffled signature is k×8 bytes instead of k×32. One partial-agg
+    shuffle."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+        F.min(
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{i}|', s)), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            )
+        ).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -242,8 +252,13 @@ def minhash_bands(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # '|' separator: BIGINT minhashes render as decimal digits, and
+        # unseparated concat would alias ("12","34") with ("1","234")
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
         )
     return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
