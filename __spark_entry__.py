@@ -2762,6 +2762,90 @@ ORDER BY length(n_name) DESC, n_name DESC LIMIT 1
 """
 
 
+def q_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SideOutput / SCollectionWithSideOutput (values/SideOutput.scala:1-89
+    → enrich.side_outputs): ONE cached pass over orders fanned into three
+    tagged outputs by priority class (SURVEY §4.4.3's documented
+    one-cached-scan cost for Beam's multi-output ParDo); per-tag counts
+    re-unioned for the gate."""
+    from scio_spark.operators.enrich import side_outputs
+
+    sc = _ctx(spark)
+    o = _t(sc, sf_dir, "orders").df
+    outs = side_outputs(
+        o,
+        {
+            "urgent": "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+            "normal": "o_orderpriority = '3-MEDIUM'",
+            "low": "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')",
+        },
+    )
+    parts = [
+        outs[tag].agg(
+            F.lit(tag).alias("tag"), F.count(F.lit(1)).alias("n_orders")
+        )
+        for tag in ["urgent", "normal", "low"]
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+ORACLE_SIDE_OUTPUTS = """
+SELECT 'urgent' AS tag, COUNT(*) AS n_orders FROM orders
+ WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+UNION ALL
+SELECT 'normal', COUNT(*) FROM orders WHERE o_orderpriority = '3-MEDIUM'
+UNION ALL
+SELECT 'low', COUNT(*) FROM orders
+ WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+"""
+
+
+def q_map_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapFile (SCollectionFileDownloadSyntax.scala:43,66 →
+    enrich.map_file): a DataFrame of file:// URIs downloaded to
+    worker-local temp files per Arrow batch; fn reads each local copy.
+    Files are derived deterministically from region names so the oracle
+    replays in SQL."""
+    import os
+
+    from scio_spark.operators.enrich import map_file
+
+    d = _rt_path(sf_dir, "map_file")
+    os.makedirs(d, exist_ok=True)
+    sc = _ctx(spark)
+    regions = _t(sc, sf_dir, "region").df.select("r_regionkey", "r_name")
+    uris = []
+    for r in regions.collect():  # 5 rows — driver-sized by construction
+        p = os.path.join(d, f"region_{r['r_regionkey']}.txt")
+        with open(p, "w") as f:
+            f.write(r["r_name"].lower() + "\n")
+        uris.append((int(r["r_regionkey"]), "file://" + p))
+    files = spark.createDataFrame(uris, "r_regionkey long, uri string")
+
+    def fn(local_path):
+        with open(local_path) as f:
+            content = f.read().strip()
+        return {"content": content, "n_chars": len(content)}
+
+    return map_file(
+        files,
+        "uri",
+        fn,
+        "r_regionkey long, content string, n_chars long",
+        keep_cols=["r_regionkey"],
+    )
+
+
+ORACLE_MAP_FILE = """
+SELECT r_regionkey, lower(r_name) AS content,
+       length(r_name) AS n_chars
+FROM region
+"""
+
+
 # -------------------------------------------------- IO round-trip oracles
 # Each query writes a deterministic subset through a scio_spark sink, reads
 # it back through the matching source, and aggregates/projets — while the
@@ -4621,7 +4705,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 141 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 143 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates
     which queries sit in that window (policy + per-round membership:
     COVERAGE.md, regenerable via tools/coverage_map.py). Round-7 window,
@@ -4703,6 +4787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_by_key": q_aggregate_by_key,
         "aggregate_global": q_aggregate_global,
         # ---- end of the 50-row driver window ------------------------------
+        # NEW in r7 beyond the window (oracle-checked locally; r8 window
+        # candidates)
+        "side_outputs": q_side_outputs,
+        "map_file": q_map_file,
         "csv_roundtrip": q_csv_roundtrip,
         "streaming_window": q_streaming_window,
         # green r6 rows, unchanged
@@ -4896,6 +4984,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_filter": ORACLE_HASH_FILTER,
         "aggregate_by_key": ORACLE_AGGREGATE_BY_KEY,
         "aggregate_global": ORACLE_AGGREGATE_GLOBAL,
+        "side_outputs": ORACLE_SIDE_OUTPUTS,
+        "map_file": ORACLE_MAP_FILE,
         "map_with_parallelism": ORACLE_MAP_WITH_PARALLELISM,
         "side_input_multimap": ORACLE_SIDE_INPUT_MULTIMAP,
         "dist_cache": ORACLE_DIST_CACHE,
