@@ -76,16 +76,31 @@ def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
 
 
 def _recover_swap(spark: SparkSession, target_path: str) -> None:
-    """Crash-retry guard for _swap_table: a crash between the
-    rename-aside and the rename-into-place leaves the target path absent
-    with ``target__old`` intact; a naive retry would then read an empty
-    table and write source-only rows, silently dropping history. Called
-    on entry by every operation that reads the target — restores the
-    aside copy before anything looks at the path."""
+    """Crash-retry guard for _swap_table/_swap_partitions: a crash between
+    the rename-aside and the rename-into-place leaves the target (table or
+    one partition directory) absent with its ``__old`` aside copy intact;
+    a naive retry would then read a table missing history and silently
+    drop it. Called on entry by every operation that reads the target —
+    restores aside copies before anything looks at the path. An ``__old``
+    WITH a live sibling is the opposite (post-replace, pre-cleanup) crash:
+    the live data is newer, so the aside is deleted."""
     jvm, tgt_path, fs = _fs(spark, target_path)
-    old = jvm.org.apache.hadoop.fs.Path(target_path.rstrip("/") + "__old")
+    HPath = jvm.org.apache.hadoop.fs.Path
+    old = HPath(target_path.rstrip("/") + "__old")
     if not fs.exists(tgt_path) and fs.exists(old):
         fs.rename(old, tgt_path)
+        return
+    if not fs.exists(tgt_path):
+        return
+    for st in fs.listStatus(tgt_path):
+        name = st.getPath().getName()
+        if not name.endswith("__old"):
+            continue
+        live = HPath(tgt_path, name[: -len("__old")])
+        if fs.exists(live):
+            fs.delete(st.getPath(), True)
+        else:
+            fs.rename(st.getPath(), live)
 
 
 def _swap_table(spark: SparkSession, tmp: str, target_path: str) -> None:
@@ -120,10 +135,20 @@ def _swap_partitions(spark: SparkSession, tmp: str, target: str, part_col: str):
         name = st.getPath().getName()
         if not name.startswith(part_col + "="):
             continue
+        # per-partition rename-aside (same no-gap protocol as _swap_table):
+        # delete-then-rename would leave a crash window with the partition
+        # on NEITHER path, and a retried merge would rebuild from a target
+        # missing that partition's history
         dest = HPath(tgt, name)
-        if fs.exists(dest):
-            fs.delete(dest, True)
+        old = HPath(tgt, name + "__old")
+        if fs.exists(old):
+            fs.delete(old, True)
+        had = fs.exists(dest)
+        if had:
+            fs.rename(dest, old)
         fs.rename(st.getPath(), dest)
+        if had:
+            fs.delete(old, True)
     fs.delete(tmp_path, True)
 
 

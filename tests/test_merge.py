@@ -183,3 +183,36 @@ def test_delete_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
     delete_where(spark, t, "id < 10")
     got = rows(spark, t)
     assert len(got) == 90 and (50, 2, "v0") in got
+
+
+def test_partitioned_merge_retry_after_mid_swap_crash(spark, tmp_path):
+    """Partition-level crash window: rename-aside left bucket=0 absent with
+    bucket=0__old intact. A retried partitioned merge must restore it
+    before reading, not rebuild the partition from source alone."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    shutil.move(f"{t}/bucket=0", f"{t}/bucket=0__old")
+    src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    got = rows(spark, t)
+    assert (0, 0, "v1") in got and (4, 0, "v0") in got  # history back
+    assert len(got) == 100
+    assert not os.path.isdir(f"{t}/bucket=0__old")
+
+
+def test_partitioned_merge_cleans_stale_aside_with_live_sibling(spark, tmp_path):
+    """The post-replace pre-cleanup crash: bucket=1__old beside a live
+    bucket=1 — the live data is newer; the aside must be dropped, not
+    restored over it."""
+    import shutil
+
+    t = str(tmp_path / "t")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    shutil.copytree(f"{t}/bucket=1", f"{t}/bucket=1__old")
+    src = spark.createDataFrame([(1, 1, "v1")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    got = rows(spark, t)
+    assert (1, 1, "v1") in got and len(got) == 100
+    assert not os.path.isdir(f"{t}/bucket=1__old")
