@@ -923,11 +923,13 @@ SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
 
 def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
     rpb = k // bands
-    # 48-bit md5-prefix BIGINT minhashes (dedup.minhash_signature) — the
-    # engine-portable integer recipe; band bucket = md5 of the '|'-joined
+    # 48-bit md5-slice BIGINT minhashes (dedup.minhash_signature) — the
+    # engine-portable integer recipe, two hash functions sliced per md5
+    # (hex chars 1-12 / 13-24); band bucket = md5 of the '|'-joined
     # decimal renderings
     mins = ", ".join(
-        f"MIN(CAST(('0x' || substr(md5('{i}|' || s), 1, 12)) AS BIGINT)) AS mh{i}"
+        f"MIN(CAST(('0x' || substr(md5('{i // 2}|' || s),"
+        f" {1 + 12 * (i % 2)}, 12)) AS BIGINT)) AS mh{i}"
         for i in range(k)
     )
     band_selects = " UNION ALL ".join(

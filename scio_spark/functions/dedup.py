@@ -222,19 +222,23 @@ def ngram_jaccard_dedup(
 
 
 def minhash_signature(sh: DataFrame, id_col: str = "doc_id", k: int = 16) -> DataFrame:
-    """k min-hashes per doc: mh_i = MIN over shingles of the first 48 bits
-    of md5(i || '|' || shingle) as a BIGINT (min over a uniform hash ⇒
-    valid MinHash; the engine-portable md5-prefix integer recipe). Numeric
-    rather than the md5 hex string deliberately: min(string) plans as
-    SortAggregate (sorts every shingle row on both sides of the shuffle)
-    while min(bigint) is a HashAggregate with map-side combine, and the
-    shuffled signature is k×8 bytes instead of k×32. One partial-agg
-    shuffle."""
+    """k min-hashes per doc, each a 48-bit md5-slice BIGINT (min over a
+    uniform hash ⇒ valid MinHash; the engine-portable md5-prefix integer
+    recipe). Numeric rather than the md5 hex string deliberately:
+    min(string) plans as SortAggregate (sorts every shingle row on both
+    sides of the shuffle) while min(bigint) is a HashAggregate with
+    map-side combine, and the shuffled signature is k×8 bytes instead of
+    k×32. One partial-agg shuffle.
+
+    The k hash functions are SLICED two-per-md5 (hex chars 1-12 and 13-24
+    of md5(i//2 || '|' || shingle)): md5 is the dominant per-shingle CPU
+    and its bits are independent, so k/2 digests give k valid hash
+    functions at half the hashing cost (standard wide-hash slicing)."""
     aggs = [
         F.min(
             F.expr(
-                f"CAST(conv(substring(md5(concat('{i}|', s)), 1, 12), 16, 10)"
-                " AS BIGINT)"
+                f"CAST(conv(substring(md5(concat('{i // 2}|', s)),"
+                f" {1 + 12 * (i % 2)}, 12), 16, 10) AS BIGINT)"
             )
         ).alias(f"mh{i}")
         for i in range(k)
@@ -342,10 +346,14 @@ def simhash(
     if bits > 60:
         raise ValueError("bits must be ≤ 60 (BIGINT-exact signature)")
     n_hex = (bits + 3) // 4
+    # array_distinct already dedupes tokens WITHIN the doc, and ids are
+    # unique by contract (one row per document) — an extra .distinct()
+    # here would be a second full shuffle of every (id, token) row for
+    # nothing
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
-    ).distinct()
+    )
     v = " + ".join(
         f"(instr('{HEX}', substring(md5(t), {i + 1}, 1)) - 1) * CAST(POW(16, {n_hex - 1 - i}) AS BIGINT)"
         for i in range(n_hex)
