@@ -1922,6 +1922,71 @@ SELECT event_type AS key, COUNT(*) AS total FROM events GROUP BY event_type
 """
 
 
+def q_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowedLateness / guaranteed late-data DROP (WindowOptions,
+    WindowedSCollection.scala:31-38 → streaming/core.py): a scripted
+    three-batch stream — hour-0 events with even event_id arrive on time,
+    hour-3 events advance the watermark past hour-0's window end, then the
+    ODD-id hour-0 events replay guaranteed-late (two watermark advances
+    after their window closed, state already evicted). Append mode emits
+    the finalized hour-0 window WITHOUT the late rows; the oracle counts
+    only the even-id stratum, so any failure to drop hash-mismatches."""
+    from scio_spark.streaming.core import (
+        StreamFixture,
+        run_to_memory,
+        windowed_stream_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    def hour(h):
+        return ev.filter(
+            f"ts >= TIMESTAMP '2024-01-01 0{h}:00:00'"
+            f" AND ts < TIMESTAMP '2024-01-01 0{h + 1}:00:00'"
+        )
+
+    def recs(df):  # scripted fixtures are hour-slices — driver-sized
+        return [(r["event_id"], r["ts"], r["event_type"]) for r in df.collect()]
+
+    f = StreamFixture(spark, "event_id long, ts timestamp, event_type string")
+    try:
+        f.add_batch(recs(hour(0).filter("event_id % 2 = 0")))
+        f.add_batch(recs(hour(3)))  # watermark past hour-0's end
+        f.add_batch(recs(hour(5)))  # hour-0 window emitted + state evicted
+        # two watermark advances after its window — the drop is GUARANTEED
+        # (while state is alive it is best-effort; see test_streaming)
+        f.add_batch(recs(hour(0).filter("event_id % 2 = 1")))
+        res = windowed_stream_agg(
+            f.stream(), "ts", "1 hour", "30 minutes", ["event_type"],
+            [F.count(F.lit(1)).alias("n")],
+        ).select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        return run_to_memory(res, output_mode="append", num_state_partitions=8)
+    finally:
+        f.close()
+
+
+ORACLE_ALLOWED_LATENESS = """
+SELECT TIMESTAMP '2024-01-01 00:00:00' AS window_start, event_type,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-01 01:00:00'
+  AND event_id % 2 = 0
+GROUP BY event_type
+UNION ALL
+SELECT TIMESTAMP '2024-01-01 03:00:00', event_type, COUNT(*)
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 03:00:00'
+  AND ts <  TIMESTAMP '2024-01-01 04:00:00'
+GROUP BY event_type
+"""
+
+
 def q_pipe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe (SCollectionPipeSyntax.scala:45): documents' text through an
     identity subprocess (`cat`) — per-partition process lifecycle, output
@@ -4707,7 +4772,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 143 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 144 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates
     which queries sit in that window (policy + per-round membership:
     COVERAGE.md, regenerable via tools/coverage_map.py). Round-7 window,
@@ -4793,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates)
         "side_outputs": q_side_outputs,
         "map_file": q_map_file,
+        "allowed_lateness": q_allowed_lateness,
         "csv_roundtrip": q_csv_roundtrip,
         "streaming_window": q_streaming_window,
         # green r6 rows, unchanged
@@ -4988,6 +5054,7 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_global": ORACLE_AGGREGATE_GLOBAL,
         "side_outputs": ORACLE_SIDE_OUTPUTS,
         "map_file": ORACLE_MAP_FILE,
+        "allowed_lateness": ORACLE_ALLOWED_LATENESS,
         "map_with_parallelism": ORACLE_MAP_WITH_PARALLELISM,
         "side_input_multimap": ORACLE_SIDE_INPUT_MULTIMAP,
         "dist_cache": ORACLE_DIST_CACHE,
