@@ -285,3 +285,50 @@ def test_scrub_pii_idempotent_and_digit_free_masks(spark, doc):
         inj.select(scrub_pii("t").alias("s")).collect()[0]["s"]
         == a + " <EMAIL> <IP> <SSN> <PHONE>"
     )
+
+
+@given(
+    toks=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_md5_slice_hash_portable_across_engines(spark, toks):
+    """The engine-portable hash recipe underneath MinHash signatures,
+    winnowing, DSIR buckets and hash_split: Spark's
+    CAST(conv(substring(md5(x), off, 12), 16, 10) AS BIGINT) must equal
+    DuckDB's CAST('0x' || substr(md5(x), off, 12) AS BIGINT) for BOTH
+    md5 slices (hex chars 1-12 and 13-24) on arbitrary printable input."""
+    import duckdb
+
+    df = spark.createDataFrame([(t,) for t in toks], "s string")
+    got = {
+        (r["s"], r["h1"], r["h2"])
+        for r in df.select(
+            "s",
+            F.expr(
+                "CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"
+            ).alias("h1"),
+            F.expr(
+                "CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)"
+            ).alias("h2"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    expected = set()
+    for t in toks:
+        r = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 12)) AS BIGINT),"
+            "       CAST(('0x' || substr(md5(?), 13, 12)) AS BIGINT)",
+            [t, t],
+        ).fetchone()
+        expected.add((t, r[0], r[1]))
+    con.close()
+    assert got == expected
