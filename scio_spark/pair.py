@@ -265,6 +265,14 @@ class PairSCollection:
             .drop("__rn")
         )
 
+    def hash_partition_by_key(self, n: int) -> "PairSCollection":
+        """PairSCollectionFunctions.scala ``hashPartitionByKey`` — physical
+        repartition clustering rows by key hash (co-locates each key's
+        rows; the manual pre-shuffle scio uses before key-local work)."""
+        return self._wrap(
+            self.df.repartition(n, *[F.col(c) for c in self.key_cols])
+        )
+
     def distinct_by_key(self) -> "PairSCollection":
         """PairSCollectionFunctions.scala:719 — one representative per key."""
         return self._wrap(self.df.dropDuplicates(self.key_cols))

@@ -524,3 +524,19 @@ def test_top_by_key_skew_safe_truncates_before_final_shuffle(sc):
     assert plan.count("Exchange hashpartitioning") == 2
     # phase-1 exchange clusters on (pid, key): the hot key cannot land on one reducer
     assert "__pid" in plan
+
+
+def test_hash_partition_by_key(kv1):
+    out = kv1.hash_partition_by_key(4)
+    assert rows(out.df, "key", "v") == [("a", 1), ("a", 2), ("b", 3), ("c", 4)]
+    # clustering: both 'a' rows land in the same partition
+    from pyspark.sql import functions as F
+
+    pids = {
+        r["key"]: r["pids"]
+        for r in out.df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("key")
+        .agg(F.collect_set("__pid").alias("pids"))
+        .collect()
+    }
+    assert all(len(p) == 1 for p in pids.values())
