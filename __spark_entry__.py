@@ -4410,8 +4410,8 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _ctx(spark)
     ev = _t(sc, sf_dir, "events").df
     split = F.lit("2024-01-16 00:30:00").cast(dict(ev.dtypes)["ts"])
-    ev.filter(F.col("ts") < split).coalesce(1).write.parquet(f"{stage}/batch_00000")
-    ev.filter(F.col("ts") >= split).coalesce(1).write.parquet(f"{stage}/batch_00001")
+    ev.filter(F.col("ts") < split).repartition(1).write.parquet(f"{stage}/batch_00000")
+    ev.filter(F.col("ts") >= split).repartition(1).write.parquet(f"{stage}/batch_00001")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

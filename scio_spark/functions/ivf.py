@@ -174,7 +174,7 @@ def build_ivf_index(
 
     spark.createDataFrame(
         [(json.dumps(cents),)], "centroids string"
-    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__centroids")
+    ).repartition(1).write.mode("overwrite").json(path.rstrip("/") + "__centroids")
     return cents
 
 

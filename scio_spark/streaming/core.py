@@ -390,7 +390,7 @@ def write_epoch_trace(query, path: str) -> int:
         spark = SparkSession.getActiveSession()
         spark.createDataFrame(
             rows, "epoch long, event_max timestamp"
-        ).coalesce(1).write.mode("append").parquet(path + "__epochs")
+        ).repartition(1).write.mode("append").parquet(path + "__epochs")
     return len(rows)
 
 
@@ -790,7 +790,12 @@ class StreamFixture:
 
     def add_batch(self, rows: list) -> "StreamFixture":
         df = self.spark.createDataFrame(rows, self.schema)
-        df.coalesce(1).write.mode("overwrite").parquet(
+        # repartition(1), NOT coalesce(1): coalesce folds the parallelized
+        # local relation's 32 python-pickled partitions into ONE task that
+        # starts a python worker per partition serially (~5 s per batch);
+        # repartition evaluates them in parallel and one reducer writes
+        # (~0.5 s) — same single-file output
+        df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(self.dir, f"batch_{self._n:05d}")
         )
         self._n += 1
