@@ -230,7 +230,7 @@ def test_checkpoint_recovery_across_restarts(spark, tmp_path):
     os.makedirs(src)
 
     def add_file(n, rows):
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/b{n}")
 
@@ -276,7 +276,7 @@ def test_maintain_rollup_incremental_upsert(spark, tmp_path):
     os.makedirs(src)
 
     def add_file(n, rows):
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(rows, SCHEMA).repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/b{n}")
 
@@ -318,7 +318,7 @@ def test_maintain_rollup_per_window_partitioning(spark, tmp_path):
     os.makedirs(src)
     spark.createDataFrame(
         [("u1", "red", 5, ts(1)), ("u2", "blue", 3, ts(25))], SCHEMA
-    ).coalesce(1).write.parquet(f"{src}/b0")
+    ).repartition(1).write.parquet(f"{src}/b0")
     stream = (
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
         .parquet(src + "/b*")
