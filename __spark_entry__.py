@@ -2913,6 +2913,41 @@ FROM region
 """
 
 
+def q_vector_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-semigroup sumByKey (scio-extra Breeze.scala DenseVector
+    Semigroup → functions/vectors.sum_vectors_by_key): element-wise
+    per-label embedding sums, decimal-staged per component so the float
+    addition order cannot change the result. The assembled array is
+    re-exploded to scalar rows for the gate (the canonicalizer cannot
+    hash array cells)."""
+    from scio_spark.functions.vectors import sum_vectors_by_key
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sum_vectors_by_key(emb.select("label", "embedding"), "embedding", ["label"])
+    return out.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.posexplode("vec_sum").alias("pos", "comp"),
+    )
+
+
+ORACLE_VECTOR_SUM = """
+WITH comps AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,8)) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT label, pos, CAST(SUM(v) AS DOUBLE) AS comp
+  FROM comps GROUP BY label, pos
+),
+n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT s.label, n.n_vectors, s.pos, s.comp
+FROM sums s JOIN n ON s.label = n.label
+"""
+
+
 # -------------------------------------------------- IO round-trip oracles
 # Each query writes a deterministic subset through a scio_spark sink, reads
 # it back through the matching source, and aggregates/projets — while the
@@ -4772,7 +4807,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 144 queries. ORDER IS DELIBERATE: the driver's correctness gate
+    """All 145 queries. ORDER IS DELIBERATE: the driver's correctness gate
     records rows for exactly the first 50 entries, so the dict rotates
     which queries sit in that window (policy + per-round membership:
     COVERAGE.md, regenerable via tools/coverage_map.py). Round-7 window,
@@ -4859,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "side_outputs": q_side_outputs,
         "map_file": q_map_file,
         "allowed_lateness": q_allowed_lateness,
+        "vector_sum_by_key": q_vector_sum_by_key,
         "csv_roundtrip": q_csv_roundtrip,
         "streaming_window": q_streaming_window,
         # green r6 rows, unchanged
@@ -5055,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "side_outputs": ORACLE_SIDE_OUTPUTS,
         "map_file": ORACLE_MAP_FILE,
         "allowed_lateness": ORACLE_ALLOWED_LATENESS,
+        "vector_sum_by_key": ORACLE_VECTOR_SUM,
         "map_with_parallelism": ORACLE_MAP_WITH_PARALLELISM,
         "side_input_multimap": ORACLE_SIDE_INPUT_MULTIMAP,
         "dist_cache": ORACLE_DIST_CACHE,

@@ -236,7 +236,12 @@ def map_with_parallelism(
     calls. The cap is per task (a driver-side semaphore would be pickled
     per task and never contend); across an executor the ceiling is
     task_slots × max_parallelism — size accordingly for rate-limited
-    services. Results are yielded in input order."""
+    services. Results are yielded in input order.
+
+    Also covers flatMap/filter/collectWithParallelism
+    (SCollectionParallelismSyntax.scala:43-71): ``fn`` returns a pandas
+    frame of ANY row count, so emitting extra rows (flatMap) or a subset
+    (filter/collect) needs no separate operator."""
     from concurrent.futures import ThreadPoolExecutor
 
     def gen(batches: Iterator):
