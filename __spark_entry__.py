@@ -4090,7 +4090,7 @@ def q_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pane_index",
         "pane_value",
     )
-    return run_to_memory(out, output_mode="update", num_state_partitions=8)
+    return run_to_memory(out, output_mode="update", num_state_partitions=16)
 
 
 ORACLE_DISCARDING_PANES = """
