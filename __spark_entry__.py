@@ -4798,6 +4798,112 @@ GROUP BY 1, 2
 """
 
 
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue over the ship log (one-month lineitem slice):
+    running sum of discounted price in (shipdate, orderkey, linenumber)
+    order. Distributed two-phase scan (operators/scan.py running_agg) —
+    range exchange + partition-local window + broadcast of #partition
+    prefix offsets; NO single-partition window touches the data. Decimal
+    staging makes the two-phase combine bit-exact (associative adds)."""
+    from scio_spark.operators.scan import running_agg
+
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").df
+    d = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-03-01")
+    ).withColumn(
+        "rev",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"),
+    )
+    out = running_agg(
+        d,
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "rev",
+        agg="sum",
+        out_col="running_rev",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("running_rev").cast("decimal(38,4)").alias("running_rev"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+              OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,4)) AS running_rev
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-03-01'
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (functions/training.py
+    pack_chunks): documents concatenated in doc_id order into one token
+    stream split at a 512-token budget; each doc assigned to the chunk
+    where it starts (floor(tokens_before/512)). The exclusive prefix sum
+    is the distributed scan, so the layout computation holds at corpus
+    scale. Returns per-chunk composition stats."""
+    from scio_spark.functions.training import pack_chunks
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "text")
+    packed = pack_chunks(docs, token_budget=512)
+    return packed.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tokens").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+ORACLE_PACK_CHUNKS = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM t)
+SELECT CAST(FLOOR(tokens_before / 512) AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS chunk_tokens,
+       MIN(doc_id) AS first_doc
+FROM c
+GROUP BY 1
+"""
+
+
+def q_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training_shuffle permutation materialized as positions
+    (functions/training.py shuffle_positions): 1-based rank under the
+    seeded engine-portable md5-slice hash order, computed with the
+    distributed scan's row_numbers — not a single-partition ROW_NUMBER.
+    Verifies both the shuffle's determinism and the scan's count mode."""
+    from scio_spark.functions.training import shuffle_positions
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id")
+    return shuffle_positions(docs, "doc_id", seed=7).select("doc_id", "pos")
+
+
+ORACLE_SHUFFLE_POSITIONS = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY CAST(('0x' || substring(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT),
+                  doc_id) AS pos
+FROM documents
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -4988,6 +5094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "tfidf_keywords": q_tfidf_keywords,
         "source_overlap": q_source_overlap,
+        "running_total": q_running_total,
+        "pack_chunks": q_pack_chunks,
+        "shuffle_positions": q_shuffle_positions,
     }
 
 
@@ -5040,6 +5149,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": ORACLE_LM_SCORE,
         "tfidf_keywords": ORACLE_TFIDF_KEYWORDS,
         "source_overlap": ORACLE_SOURCE_OVERLAP,
+        "running_total": ORACLE_RUNNING_TOTAL,
+        "pack_chunks": ORACLE_PACK_CHUNKS,
+        "shuffle_positions": ORACLE_SHUFFLE_POSITIONS,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

@@ -196,3 +196,71 @@ def mixture_sample(
         kept = df.filter(_unit_hash(id_col, f"{seed}:{name}") < F.lit(float(frac)))
         outs.append(kept.withColumn(source_col, F.lit(name)))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    token_col=None,
+    text_col: str = "text",
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Concat-and-chunk packing assignment — the standard LLM-pretraining
+    layout: imagine every document concatenated in ``id_col`` order into one
+    token stream, split into fixed ``token_budget`` windows; each document
+    is assigned to the chunk where it STARTS (``floor(tokens_before /
+    budget)``). Complements ``pack_sequences`` (greedy budget-close): this
+    variant is fully declarative, order-stable under any partitioning, and
+    SQL-replayable.
+
+    Built on operators/scan.running_agg — the exclusive prefix sum of token
+    counts is a distributed two-phase scan, NOT a single-partition window,
+    so the assignment holds at corpus scale. Token counts are BIGINTs, so
+    the prefix combine is exact.
+
+    Returns ``df`` + (``__tokens``, ``tokens_before``, ``chunk_col``).
+    """
+    from scio_spark.functions.text import token_count
+    from scio_spark.operators.scan import running_agg
+
+    tok = (
+        token_count(text_col)
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    d = df.withColumn("__tokens", tok.cast("long"))
+    d = running_agg(
+        d, id_col, "__tokens", agg="sum", out_col="tokens_before", inclusive=False
+    )
+    return d.withColumn(
+        chunk_col,
+        F.floor(F.col("tokens_before") / F.lit(int(token_budget))).cast("long"),
+    )
+
+
+def shuffle_positions(
+    df: DataFrame, id_col: str, seed: int = 42, out_col: str = "pos"
+) -> DataFrame:
+    """The permutation behind ``training_shuffle``, materialized: each row's
+    1-based position under the seeded hash order, computed with the
+    distributed scan (operators/scan.row_numbers) instead of a
+    single-partition ROW_NUMBER.
+
+    Uses the engine-portable md5-slice hash (48-bit prefix) rather than
+    xxhash64 so the permutation replays bit-for-bit in any engine:
+    ``ROW_NUMBER() OVER (ORDER BY ('0x'||substr(md5(seed||'|'||id),1,12))::BIGINT, id)``.
+    """
+    from scio_spark.operators.scan import row_numbers
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = df.withColumn("__h", h)
+    return row_numbers(d, ["__h", id_col], out_col=out_col).drop("__h")

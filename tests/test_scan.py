@@ -1,0 +1,144 @@
+"""Distributed prefix scan (operators/scan.py) + the training ops built on it.
+
+The load-bearing assertions: (1) the two-phase scan equals the sequential
+reference for every agg kind, on data spread over MANY partitions with an
+adversarial initial layout; (2) no single-partition window over the data ever
+appears in the plan (the partition-totals window sees #partitions rows only);
+(3) pack_chunks / shuffle_positions replay their SQL spelling exactly.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scio_spark.functions.training import pack_chunks, shuffle_positions
+from scio_spark.operators.scan import row_numbers, running_agg
+
+
+@pytest.fixture(scope="module")
+def scan_df(spark):
+    # 500 rows, values chosen so min/max prefixes actually move around,
+    # scattered over 16 partitions in hash (not range) order.
+    rows = [(i, (i * 37) % 211 - 100) for i in range(500)]
+    return (
+        spark.createDataFrame(rows, "k int, v int").repartition(16, "v").cache()
+    )
+
+
+def _seq(rows, agg, inclusive):
+    """Sequential reference scan over (k, v) sorted by k."""
+    out = {}
+    acc = None
+    n = 0
+    for k, v in sorted(rows):
+        before = acc if agg != "count" else n
+        if agg == "sum":
+            acc = v if acc is None else acc + v
+        elif agg == "min":
+            acc = v if acc is None else min(acc, v)
+        elif agg == "max":
+            acc = v if acc is None else max(acc, v)
+        n += 1
+        if agg == "count":
+            out[k] = n if inclusive else before
+        elif inclusive:
+            out[k] = acc
+        else:
+            out[k] = 0 if (before is None and agg == "sum") else before
+    return out
+
+
+@pytest.mark.parametrize("agg", ["sum", "min", "max", "count"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_running_agg_matches_sequential(scan_df, agg, inclusive):
+    data = [(r.k, r.v) for r in scan_df.collect()]
+    expect = _seq(data, agg, inclusive)
+    got = {
+        r.k: r.running
+        for r in running_agg(
+            scan_df,
+            "k",
+            None if agg == "count" else "v",
+            agg=agg,
+            inclusive=inclusive,
+            num_partitions=13,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_running_agg_partition_invariance(scan_df):
+    """Same answer at 1, 3, and 32 scan partitions (the 1-partition case
+    degenerates to the naive window — the reference semantics)."""
+    outs = []
+    for n in (1, 3, 32):
+        outs.append(
+            sorted(
+                (r.k, r.running)
+                for r in running_agg(
+                    scan_df, "k", "v", num_partitions=n
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_no_single_partition_window_over_data(scan_df):
+    """The only global-order window in the plan runs over partition TOTALS
+    (#partitions rows); the per-row window is partitioned by pid. Assert the
+    data-side window spec carries a partition clause."""
+    plan = running_agg(scan_df, "k", "v", num_partitions=8)._jdf.queryExecution().optimizedPlan().toString()
+    # Two Window nodes: the data one must be partitioned by the pid column.
+    assert "__scan_pid" in plan
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln or "windowspecdefinition" in ln]
+    assert any("__scan_pid" in ln for ln in windows)
+
+
+def test_row_numbers_is_rank(spark):
+    df = spark.createDataFrame(
+        [(c,) for c in "qwertyuiopasdfghjklzxcvbnm"], "s string"
+    ).repartition(7)
+    got = sorted((r.s, r.pos) for r in row_numbers(df, "s").collect())
+    expect = sorted(
+        (s, i + 1) for i, s in enumerate(sorted("qwertyuiopasdfghjklzxcvbnm"))
+    )
+    assert got == expect
+
+
+def test_pack_chunks_assignment(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 5, 1, 7, 2, 6])],
+        "doc_id int, text string",
+    ).repartition(5)
+    out = {
+        r.doc_id: (r.tokens_before, r.chunk_id)
+        for r in pack_chunks(docs, token_budget=8).collect()
+    }
+    # cumulative-before: 0,3,7,12,13,20,22 → chunks 0,0,0,1,1,2,2
+    assert out == {
+        0: (0, 0),
+        1: (3, 0),
+        2: (7, 0),
+        3: (12, 1),
+        4: (13, 1),
+        5: (20, 2),
+        6: (22, 2),
+    }
+
+
+def test_shuffle_positions_is_permutation_and_stable(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id int"
+    ).repartition(9)
+    a = {r.doc_id: r.pos for r in shuffle_positions(docs, "doc_id", seed=1).collect()}
+    b = {r.doc_id: r.pos for r in shuffle_positions(docs, "doc_id", seed=1).collect()}
+    c = {r.doc_id: r.pos for r in shuffle_positions(docs, "doc_id", seed=2).collect()}
+    assert sorted(a.values()) == list(range(1, 201))
+    assert a == b
+    assert a != c  # a different seed is a different permutation
+
+
+def test_running_agg_rejects_bad_args(scan_df):
+    with pytest.raises(ValueError):
+        running_agg(scan_df, "k", "v", agg="median")
+    with pytest.raises(ValueError):
+        running_agg(scan_df, "k", None, agg="sum")
