@@ -4904,6 +4904,84 @@ FROM documents
 """
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency length bucketing (functions/training.py
+    length_buckets): NTILE(8) by token-count rank via the distributed
+    ntile (scan row_numbers + 1-row scalar count broadcast) — the
+    batching-efficiency layout that keeps padding waste flat. Per-bucket
+    composition stats; replays as SQL NTILE."""
+    from scio_spark.functions.training import length_buckets
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "text")
+    out = length_buckets(docs, 8)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("__tokens").alias("min_tokens"),
+        F.max("__tokens").alias("max_tokens"),
+        F.sum("__tokens").alias("bucket_tokens"),
+    )
+
+
+ORACLE_LENGTH_BUCKETS = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, tok,
+         NTILE(8) OVER (ORDER BY tok, doc_id) AS bucket
+  FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(tok) AS BIGINT) AS max_tokens,
+       CAST(SUM(tok) AS BIGINT) AS bucket_tokens
+FROM b
+GROUP BY 1
+"""
+
+
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard write + read-back
+    (functions/training.py write_training_shards, hash='md5'): shard
+    membership is pmod of the engine-portable md5-slice hash, one exchange
+    total (the repartition IS the layout), partitionBy(shard) on disk.
+    Verifies membership + per-shard composition replay bit-for-bit."""
+    from scio_spark.functions.training import write_training_shards
+
+    path = _rt_path(sf_dir, "shards")
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "n_chars")
+    write_training_shards(
+        docs, path, n_shards=8, id_col="doc_id", seed=11, hash="md5"
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+ORACLE_SHARD_LAYOUT = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(CAST(('0x' || substring(md5('11|' || CAST(doc_id AS VARCHAR)),
+                                      1, 12)) AS BIGINT) % 8 AS INT) AS shard
+  FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM s
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5097,6 +5175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "pack_chunks": q_pack_chunks,
         "shuffle_positions": q_shuffle_positions,
+        "length_buckets": q_length_buckets,
+        "shard_layout": q_shard_layout,
     }
 
 
@@ -5152,6 +5232,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total": ORACLE_RUNNING_TOTAL,
         "pack_chunks": ORACLE_PACK_CHUNKS,
         "shuffle_positions": ORACLE_SHUFFLE_POSITIONS,
+        "length_buckets": ORACLE_LENGTH_BUCKETS,
+        "shard_layout": ORACLE_SHARD_LAYOUT,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

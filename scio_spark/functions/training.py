@@ -27,6 +27,24 @@ def _unit_hash(id_col: str, seed: int):
     return F.conv(h, 16, 10).cast("double") / F.lit(float(2**32))
 
 
+def _md5_slice(id_col: str, seed) -> "F.Column":
+    """48-bit BIGINT hash of (seed, id) — the engine-portable slice:
+    ``CAST(conv(substring(md5(seed||'|'||id),1,12),16,10) AS BIGINT)`` in
+    Spark == ``('0x'||substr(md5(seed||'|'||id),1,12))::BIGINT`` in DuckDB.
+    Always non-negative, so ``pmod`` and ``%`` agree across engines."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_split(
     df: DataFrame,
     splits: Mapping[str, float],
@@ -82,20 +100,32 @@ def write_training_shards(
     id_col: str,
     seed: int = 42,
     sort_within: Sequence[str] | None = None,
+    hash: str = "xxhash64",
 ) -> None:
     """Write the corpus as ``shard=N`` parquet partitions with deterministic
     shard membership (pmod of the seeded id hash) and a deterministic
     within-shard order (second-seed hash sort). Trainers stream shards
     independently; re-running the writer reproduces byte-identical shard
-    membership. One exchange total (the repartition IS the shard layout)."""
-    shard = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(n_shards))
+    membership. One exchange total (the repartition IS the shard layout).
+
+    ``hash="xxhash64"`` (default) is the fast JVM path; ``hash="md5"``
+    derives the shard from the engine-portable md5-slice hash instead, so
+    the layout replays bit-for-bit in any engine
+    (``('0x'||substr(md5(seed||'|'||id),1,12))::BIGINT % n_shards``)."""
+    if hash == "xxhash64":
+        h1 = F.xxhash64(F.lit(seed), F.col(id_col))
+        h2 = F.xxhash64(F.lit(seed + 1), F.col(id_col))
+    elif hash == "md5":
+        h1 = _md5_slice(id_col, seed)
+        h2 = _md5_slice(id_col, seed + 1)
+    else:
+        raise ValueError(f"hash must be 'xxhash64' or 'md5', got {hash!r}")
+    shard = F.pmod(h1, F.lit(n_shards))
     order = sort_within or [id_col]
     (
         df.withColumn("shard", shard.cast("int"))
         .repartition(n_shards, "shard")
-        .sortWithinPartitions(
-            F.xxhash64(F.lit(seed + 1), F.col(id_col)), *order
-        )
+        .sortWithinPartitions(h2, *order)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -253,14 +283,33 @@ def shuffle_positions(
     """
     from scio_spark.operators.scan import row_numbers
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    d = df.withColumn("__h", h)
+    d = df.withColumn("__h", _md5_slice(id_col, seed))
     return row_numbers(d, ["__h", id_col], out_col=out_col).drop("__h")
+
+
+def length_buckets(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col=None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency length bucketing: assign each document to one of
+    ``k`` buckets by token-count rank (NTILE semantics, ties broken by
+    ``id_col``) — the batching-efficiency layout that groups like-length
+    sequences so padding waste stays flat across batches. Built on the
+    distributed ntile (operators/scan.py): holds at corpus scale, and
+    replays in SQL as ``NTILE(k) OVER (ORDER BY tokens, id)``.
+
+    Returns ``df`` + (``__tokens``, ``out_col``)."""
+    from scio_spark.functions.text import token_count
+    from scio_spark.operators.scan import ntile
+
+    tok = (
+        token_count(text_col)
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    d = df.withColumn("__tokens", tok.cast("long"))
+    return ntile(d, k, ["__tokens", id_col], out_col=out_col)

@@ -142,3 +142,70 @@ def test_running_agg_rejects_bad_args(scan_df):
         running_agg(scan_df, "k", "v", agg="median")
     with pytest.raises(ValueError):
         running_agg(scan_df, "k", None, agg="sum")
+
+
+@pytest.mark.parametrize("n,k", [(103, 4), (103, 5), (500, 8), (3, 7), (96, 8)])
+def test_ntile_matches_sql_ntile(spark, n, k):
+    """Distributed ntile == Spark SQL NTILE, including shapes where the
+    remainder distribution differs from even spreading (103/5, 500/8) and
+    n < k (every row its own bucket)."""
+    from scio_spark.operators.scan import ntile
+
+    df = spark.createDataFrame([(i, (i * 31) % 97) for i in range(n)], "k int, v int").repartition(8)
+    got = {r.k: r.bucket for r in ntile(df, k, ["v", "k"]).collect()}
+    df.createOrReplaceTempView("ntile_src")
+    expect = {
+        r.k: r.b
+        for r in spark.sql(
+            f"SELECT k, NTILE({k}) OVER (ORDER BY v, k) AS b FROM ntile_src"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_length_buckets_monotone(spark):
+    """Bucket boundaries respect token-count order and sizes differ by <=1."""
+    from collections import Counter
+
+    from scio_spark.functions.training import length_buckets
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ((i * 13) % 29 + 1))) for i in range(100)],
+        "doc_id int, text string",
+    ).repartition(6)
+    out = length_buckets(docs, 4).select("doc_id", "__tokens", "bucket").collect()
+    sizes = Counter(r.bucket for r in out)
+    assert sorted(sizes) == [1, 2, 3, 4]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # every doc in bucket b has tokens <= every doc in bucket b+1
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r["__tokens"])
+    for b in (1, 2, 3):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+
+
+def test_portable_shards_roundtrip(spark, tmp_path):
+    """md5-hash sharding: deterministic membership, replayable in Python."""
+    import hashlib
+
+    from scio_spark.functions.training import write_training_shards
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(60)], "doc_id int, text string")
+    p = str(tmp_path / "shards")
+    write_training_shards(docs, p, n_shards=4, id_col="doc_id", seed=9, hash="md5")
+    back = spark.read.parquet(p)
+    got = {r.doc_id: r.shard for r in back.collect()}
+    expect = {
+        i: int(hashlib.md5(f"9|{i}".encode()).hexdigest()[:12], 16) % 4
+        for i in range(60)
+    }
+    assert got == expect
+
+
+def test_write_training_shards_rejects_bad_hash(spark, tmp_path):
+    from scio_spark.functions.training import write_training_shards
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "x"), 2, "doc_id", hash="sha1")
