@@ -4982,6 +4982,80 @@ GROUP BY 1
 """
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-source cap (functions/training.py cap_per_key): at most 40
+    docs per source, survivors chosen by seeded portable-hash rank — the
+    web-corpus guard against a few hosts swamping the mixture. Row-stable:
+    replays as ROW_NUMBER over the md5-slice hash."""
+    from scio_spark.functions.training import cap_per_key
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "n_chars")
+    capped = cap_per_key(docs, "source", 40, "doc_id", seed=5)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+ORACLE_SOURCE_CAP = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(md5('5|' || CAST(doc_id AS VARCHAR)),
+                                            1, 12)) AS BIGINT), doc_id) AS rk
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM r
+WHERE rk <= 40
+GROUP BY 1
+"""
+
+
+def q_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token quota (functions/training.py token_quota_per_key):
+    walk each source's docs in seeded-hash order, keep while the exclusive
+    running token sum stays under 2000 — "sample ~N tokens per domain".
+    One partitioned window; the first doc of a source always survives."""
+    from scio_spark.functions.training import token_quota_per_key
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "source", "text")
+    kept = token_quota_per_key(docs, "source", 2000, "doc_id", seed=3)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tokens").alias("sum_tokens"),
+    )
+
+
+ORACLE_TOKEN_QUOTA = """
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, tok,
+         COALESCE(SUM(tok) OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(md5('3|' || CAST(doc_id AS VARCHAR)),
+                                            1, 12)) AS BIGINT), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS taken
+  FROM t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens
+FROM c
+WHERE taken < 2000
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5177,6 +5251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_positions": q_shuffle_positions,
         "length_buckets": q_length_buckets,
         "shard_layout": q_shard_layout,
+        "source_cap": q_source_cap,
+        "token_quota": q_token_quota,
     }
 
 
@@ -5234,6 +5310,8 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_positions": ORACLE_SHUFFLE_POSITIONS,
         "length_buckets": ORACLE_LENGTH_BUCKETS,
         "shard_layout": ORACLE_SHARD_LAYOUT,
+        "source_cap": ORACLE_SOURCE_CAP,
+        "token_quota": ORACLE_TOKEN_QUOTA,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

@@ -313,3 +313,74 @@ def length_buckets(
     )
     d = df.withColumn("__tokens", tok.cast("long"))
     return ntile(d, k, ["__tokens", id_col], out_col=out_col)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Cap each key's contribution at ``n`` rows — the dominant-domain guard
+    in web-corpus curation (a handful of hosts otherwise swamp the mixture).
+    Which rows survive is a pure function of (seed, id): rank rows within
+    each key by the portable md5-slice hash and keep the first ``n``, so the
+    cap is row-stable across runs/engines and a corpus refresh never swaps
+    an unrelated key's survivors.
+
+    One partitioned window (hash-shuffle on ``key_col``); for a key hot
+    enough that its rows overflow an executor, use the two-phase
+    ``pair.top_by_key`` shape instead — same semantics, pre-aggregated."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_md5_slice(id_col, seed), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def token_quota_per_key(
+    df: DataFrame,
+    key_col: str,
+    token_budget: int,
+    id_col: str,
+    seed: int = 42,
+    text_col: str = "text",
+    token_col=None,
+) -> DataFrame:
+    """Per-key token quota: walk each key's rows in seeded portable-hash
+    order and keep rows while the tokens taken so far (EXCLUSIVE prefix
+    sum) stay under ``token_budget`` — "sample ~N tokens per domain", the
+    token-denominated version of ``cap_per_key``. The first row of a key
+    always survives (its exclusive prefix is 0), so no key disappears
+    outright. Deterministic: survivors are a pure function of (seed, ids).
+
+    One partitioned window; replays in SQL as
+    ``SUM(tok) OVER (PARTITION BY key ORDER BY hash, id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < budget``."""
+    from pyspark.sql import Window
+
+    from scio_spark.functions.text import token_count
+
+    tok = (
+        token_count(text_col)
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    d = df.withColumn("__tokens", tok.cast("long"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_md5_slice(id_col, seed), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("__taken", F.coalesce(F.sum("__tokens").over(w), F.lit(0)))
+        .filter(F.col("__taken") < token_budget)
+        .drop("__taken")
+    )

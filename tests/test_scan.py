@@ -209,3 +209,53 @@ def test_write_training_shards_rejects_bad_hash(spark, tmp_path):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "x"), 2, "doc_id", hash="sha1")
+
+
+def test_cap_per_key_deterministic(spark):
+    import hashlib
+
+    from scio_spark.functions.training import cap_per_key
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, source string").repartition(5)
+    out = sorted(r.doc_id for r in cap_per_key(df, "source", 4, "doc_id", seed=5).collect())
+    # python replay: per source, 4 smallest by (md5-slice, id)
+    expect = []
+    by_src = {}
+    for i, s in rows:
+        h = int(hashlib.md5(f"5|{i}".encode()).hexdigest()[:12], 16)
+        by_src.setdefault(s, []).append((h, i))
+    for s, lst in by_src.items():
+        expect += [i for _, i in sorted(lst)[:4]]
+    assert out == sorted(expect)
+    # idempotent re-run
+    out2 = sorted(r.doc_id for r in cap_per_key(df, "source", 4, "doc_id", seed=5).collect())
+    assert out == out2
+
+
+def test_token_quota_per_key(spark):
+    import hashlib
+
+    from scio_spark.functions.training import token_quota_per_key
+
+    rows = [(i, f"s{i % 2}", " ".join(["w"] * (i % 7 + 1))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string").repartition(4)
+    out = sorted(
+        r.doc_id
+        for r in token_quota_per_key(df, "source", 10, "doc_id", seed=3).collect()
+    )
+    expect = []
+    by_src = {}
+    for i, s, t in rows:
+        h = int(hashlib.md5(f"3|{i}".encode()).hexdigest()[:12], 16)
+        by_src.setdefault(s, []).append((h, i, len(t.split())))
+    for s, lst in by_src.items():
+        taken = 0
+        for _, i, tk in sorted(lst):
+            if taken < 10:
+                expect.append(i)
+            taken += tk
+    assert out == sorted(expect)
+    # first row of every key survives even when it alone busts the budget
+    big = spark.createDataFrame([(1, "a", " ".join(["w"] * 99))], "doc_id int, source string, text string")
+    assert token_quota_per_key(big, "source", 10, "doc_id").count() == 1
