@@ -5,14 +5,18 @@ with no ``partitionBy`` — collapses the whole dataset into ONE task, which is
 the canonical 100 TB scale-killer. This module implements the classic
 two-phase distributed scan instead:
 
-1. range-partition on the order key (``repartitionByRange`` — Spark's
-   sampled range exchange, the same machinery ``orderBy`` uses) and sort
-   within partitions, so partition *i* holds a contiguous, ordered slice;
-2. compute the running aggregate *locally* per partition (a window
-   partitioned by ``spark_partition_id()`` — parallel, no extra shuffle);
-3. aggregate one total per partition (a few hundred rows), prefix-combine
-   those totals on the driver-sized side, and broadcast-join the per-partition
-   *offset* back.
+1. derive a monotone range-bucket id 0..n-1 for the leading order key from
+   sampled approximate quantile boundaries (a one-column pruned probe scan);
+2. compute the running aggregate *locally* per bucket — a window
+   partitioned by the bucket column, whose own hash exchange is the ONLY
+   full-data shuffle in the plan (spelling this with repartitionByRange +
+   ``spark_partition_id()`` shuffles the data twice: Catalyst cannot prove
+   the pid layout satisfies the window distribution and adds a second
+   exchange — measured 2x slower; kept only as the fallback for
+   non-numeric leading keys);
+3. aggregate one total per bucket (map-side partial, #buckets rows moved),
+   prefix-combine those totals, and broadcast-join the per-bucket *offset*
+   back.
 
 Every phase is parallel except the prefix over partition totals, which is
 O(#partitions) rows. This is the textbook Blelloch scan lowered onto Spark's
@@ -63,6 +67,42 @@ def _cols(order_by) -> list:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+_BUCKETABLE = ("tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal", "timestamp")
+
+
+def _bucket_expr(df: DataFrame, key: Column, n: int, key_type: str = "") -> Column | None:
+    """A monotone bucket id 0..n-1 for the leading order key, from sampled
+    approximate quantile boundaries — any monotone bucketing is CORRECT
+    (the totals prefix absorbs imbalance); the quantiles only buy balance.
+    The probe scans ONE column (pruned parquet read), far cheaper than the
+    extra full-row exchange it replaces. Returns None when the key's type
+    can't be bucketed numerically (caller falls back to repartitionByRange).
+
+    Equal key values always land in the same bucket (strict ``>`` against
+    each boundary), which is what makes the bucketing monotone w.r.t. the
+    full composite order. NULL keys get bucket -1 — Spark orders NULLS
+    FIRST, so they prefix-combine as the earliest bucket."""
+    # TIMESTAMP_NTZ has no direct double cast — hop through TIMESTAMP
+    knum = key.cast("timestamp") if key_type.startswith("timestamp") else key
+    probe = df.select(knum.cast("double").alias("__scan_key")).filter(
+        F.col("__scan_key").isNotNull()
+    )
+    qs = [i / n for i in range(1, n)]
+    try:
+        bounds = probe.approxQuantile("__scan_key", qs, max(0.001, 0.25 / n))
+    except Exception:
+        return None
+    uniq = sorted(set(bounds))
+    if not uniq:
+        return None
+    k = knum.cast("double")
+    bucket = F.lit(0)
+    for b in uniq:
+        bucket = bucket + (k > F.lit(b)).cast("int")
+    return F.when(key.isNull(), F.lit(-1)).otherwise(bucket)
+
+
 def running_agg(
     df: DataFrame,
     order_by: str | Column | Sequence,
@@ -97,11 +137,28 @@ def running_agg(
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    d = (
-        df.repartitionByRange(n, *order)
-        .sortWithinPartitions(*order)
-        .withColumn(_PID, F.spark_partition_id())
-    )
+    # Preferred path: derive a monotone range-bucket column for the leading
+    # order key from sampled quantile boundaries, and let the WINDOW's own
+    # hash exchange on it be the only full-data shuffle. (The naive
+    # repartitionByRange + partitionBy(spark_partition_id()) spelling
+    # shuffles the data TWICE — Catalyst can't prove the pid layout
+    # satisfies the window's distribution and inserts a second exchange.)
+    bucket = None
+    try:
+        key_type = df.select(order[0].alias("__scan_key")).schema[0].dataType.simpleString()
+    except Exception:
+        key_type = ""
+    if n > 1 and key_type.startswith(_BUCKETABLE):
+        bucket = _bucket_expr(df, order[0], n, key_type)
+    if bucket is not None:
+        d = df.withColumn(_PID, bucket)
+    else:
+        # fallback (non-numeric leading key): physical range layout + pid
+        d = (
+            df.repartitionByRange(n, *order)
+            .sortWithinPartitions(*order)
+            .withColumn(_PID, F.spark_partition_id())
+        )
 
     hi = 0 if inclusive else -1
     w_local = (

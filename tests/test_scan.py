@@ -259,3 +259,25 @@ def test_token_quota_per_key(spark):
     # first row of every key survives even when it alone busts the budget
     big = spark.createDataFrame([(1, "a", " ".join(["w"] * 99))], "doc_id int, source string, text string")
     assert token_quota_per_key(big, "source", 10, "doc_id").count() == 1
+
+
+def test_bucket_path_has_no_range_exchange(scan_df):
+    """Numeric leading key takes the sampled-bucket path: no range exchange
+    (the repartitionByRange + pid spelling costs a SECOND full-data shuffle
+    because Catalyst re-exchanges for the window's pid distribution)."""
+    df = running_agg(scan_df, "k", "v", num_partitions=8)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan or "rangepartitioning" not in plan
+
+
+def test_string_key_falls_back_to_range_exchange(spark):
+    """Non-numeric leading keys still work via the physical-range fallback."""
+    df = spark.createDataFrame(
+        [(c, i) for i, c in enumerate("zyxwvutsrq")], "s string, v int"
+    ).repartition(4)
+    got = {r.s: r.running for r in running_agg(df, "s", "v", num_partitions=3).collect()}
+    acc, expect = 0, {}
+    for s, v in sorted((c, i) for i, c in enumerate("zyxwvutsrq")):
+        acc += v
+        expect[s] = acc
+    assert got == expect
