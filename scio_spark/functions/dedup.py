@@ -206,7 +206,9 @@ def ngram_jaccard_dedup(
     sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     if max_doc_freq is None:
         return jaccard_pairs(sh, id_col, min_jaccard)
-    capped = cap_shingle_frequency(sh, max_doc_freq, id_col)
+    # capped feeds both self-join sides (a diamond): persist so the
+    # doc-frequency cap (shingle + agg + semi-join) computes once
+    capped = cap_shingle_frequency(sh, max_doc_freq, id_col).persist()
     a = capped.withColumnRenamed(id_col, "id_1")
     b = capped.withColumnRenamed(id_col, "id_2")
     cands = (
@@ -275,7 +277,10 @@ def lsh_candidate_pairs(
     """Band the signature (bands × k/bands rows), bucket by md5 of the band's
     concatenated minhashes, self-join within buckets → distinct candidate
     pairs (id_1 < id_2)."""
-    exploded = minhash_bands(sig, id_col, k, bands)
+    # the banded table feeds BOTH sides of the self-join (a diamond) —
+    # persist so the signature aggregation (explode + k md5 min-aggs, the
+    # expensive part) runs once; the cached table is only #docs × bands rows
+    exploded = minhash_bands(sig, id_col, k, bands).persist()
     a = exploded.withColumnRenamed(id_col, "id_1")
     b = exploded.withColumnRenamed(id_col, "id_2")
     return (
@@ -354,15 +359,15 @@ def simhash(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
     )
-    v = " + ".join(
-        f"(instr('{HEX}', substring(md5(t), {i + 1}, 1)) - 1) * CAST(POW(16, {n_hex - 1 - i}) AS BIGINT)"
-        for i in range(n_hex)
+    # one md5 + one conv per token (identical value to the digit-by-digit
+    # base-16 expansion it replaces: conv IS that expansion); bits via
+    # integer shiftright, not a per-bit double POW — same numbers, cheaper
+    withv = toks.withColumn(
+        "v",
+        F.expr(f"CAST(conv(substring(md5(t), 1, {n_hex}), 16, 10) AS BIGINT)"),
     )
-    withv = toks.withColumn("v", F.expr(v))
     bit_sums = [
-        F.sum(
-            F.expr(f"2 * (CAST(FLOOR(v / POW(2, {k})) AS BIGINT) % 2) - 1")
-        ).alias(f"b{k}")
+        F.sum(F.expr(f"2 * (shiftright(v, {k}) % 2) - 1")).alias(f"b{k}")
         for k in range(bits)
     ]
     sums = withv.groupBy(id_col).agg(*bit_sums)
@@ -405,9 +410,14 @@ def simhash_dedup(
             for b in range(4)
         ]
     )
+    # both self-join sides derive from banded (a diamond): persist so the
+    # signature aggregation (explode + `bits` sum-aggs over md5'd tokens)
+    # runs once — the cached table is only #docs × 4 rows
     banded = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(nibbles).alias("bb")
-    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib"))
+    ).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib")
+    ).persist()
     a = banded.withColumnRenamed(id_col, "id_1").withColumnRenamed("simhash", "sh_1")
     b = banded.withColumnRenamed(id_col, "id_2").withColumnRenamed("simhash", "sh_2")
     # filter on hamming BEFORE the distinct: the band join's fan-out is the
