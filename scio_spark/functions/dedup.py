@@ -206,9 +206,7 @@ def ngram_jaccard_dedup(
     sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     if max_doc_freq is None:
         return jaccard_pairs(sh, id_col, min_jaccard)
-    # capped feeds both self-join sides (a diamond): persist so the
-    # doc-frequency cap (shingle + agg + semi-join) computes once
-    capped = cap_shingle_frequency(sh, max_doc_freq, id_col).persist()
+    capped = cap_shingle_frequency(sh, max_doc_freq, id_col)
     a = capped.withColumnRenamed(id_col, "id_1")
     b = capped.withColumnRenamed(id_col, "id_2")
     cands = (
@@ -277,10 +275,11 @@ def lsh_candidate_pairs(
     """Band the signature (bands × k/bands rows), bucket by md5 of the band's
     concatenated minhashes, self-join within buckets → distinct candidate
     pairs (id_1 < id_2)."""
-    # the banded table feeds BOTH sides of the self-join (a diamond) —
-    # persist so the signature aggregation (explode + k md5 min-aggs, the
-    # expensive part) runs once; the cached table is only #docs × bands rows
-    exploded = minhash_bands(sig, id_col, k, bands).persist()
+    # both self-join sides share the banded subplan; a persist here
+    # measured 45% SLOWER cold in a fresh-session A/B (pipelining lost,
+    # and the bands are cheap to recompute relative to simhash's) — leave
+    # the diamond to the optimizer
+    exploded = minhash_bands(sig, id_col, k, bands)
     a = exploded.withColumnRenamed(id_col, "id_1")
     b = exploded.withColumnRenamed(id_col, "id_2")
     return (
@@ -410,9 +409,11 @@ def simhash_dedup(
             for b in range(4)
         ]
     )
-    # both self-join sides derive from banded (a diamond): persist so the
-    # signature aggregation (explode + `bits` sum-aggs over md5'd tokens)
-    # runs once — the cached table is only #docs × 4 rows
+    # persist the banded table (#docs × 4 rows) across the self-join: the
+    # upstream 32-sum-agg signature is expensive enough that materializing
+    # beats recompute here (fresh-session A/B: 4.5 s vs 5.5 s cold at
+    # sf0.1) — the OPPOSITE call from lsh_candidate_pairs, where the
+    # cheap-to-recompute bands make persist a 45% loss
     banded = sh.select(
         F.col(id_col), F.col("simhash"), F.explode(nibbles).alias("bb")
     ).select(

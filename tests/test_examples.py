@@ -14,6 +14,7 @@ EXAMPLES = [
     ("analytics_rollup.py", ["/root/testdata/sf0.001", "/tmp/_ex_rollup"]),
     ("leaderboard_streaming.py", []),
     ("target_domain_selection.py", ["/root/testdata/sf0.001", "/tmp/_ex_select"]),
+    ("mixture_layout.py", ["/root/testdata/sf0.001", "/tmp/_ex_layout"]),
 ]
 
 
