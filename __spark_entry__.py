@@ -5056,6 +5056,56 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/merge.py snapshot_diff): yesterday's
+    documents vs a deterministic "today" (1-in-17 removed, 1-in-13 edited,
+    1-in-29 re-crawled under new ids) — one full-outer join on the id with
+    md5 content equality; the audit step between MERGE runs and the input
+    to incremental recomputes."""
+    from scio_spark.operators.merge import snapshot_diff
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df.select("doc_id", "text")
+    new = docs.filter("doc_id % 17 != 0").withColumn(
+        "text",
+        F.when(F.expr("doc_id % 13 = 0"), F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).unionByName(
+        docs.filter("doc_id % 29 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    diff = snapshot_diff(docs, new, "doc_id", compare_cols=["text"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM j
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5253,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_layout": q_shard_layout,
         "source_cap": q_source_cap,
         "token_quota": q_token_quota,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5312,6 +5363,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_layout": ORACLE_SHARD_LAYOUT,
         "source_cap": ORACLE_SOURCE_CAP,
         "token_quota": ORACLE_TOKEN_QUOTA,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

@@ -28,7 +28,9 @@ same pruning property.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -284,3 +286,49 @@ def delete_where(
             if fs.exists(dead):
                 fs.delete(dead, True)
     _swap_partitions(spark, tmp, target_path, partition_col)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: Sequence[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Diff two corpus/table snapshots by key: one row per id present in
+    either side, labeled ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, any compare column differs), or ``unchanged`` —
+    the audit step between MERGE runs (what did yesterday's crawl actually
+    change?) and the input to incremental downstream recomputes (re-dedup /
+    re-embed only ``added``+``changed``).
+
+    ONE full-outer shuffle join on the id; rows never leave the cluster.
+    Column comparison goes through an md5 over null-tagged concatenated
+    values ('' vs NULL distinguished by a per-column marker), so arbitrary
+    many columns compare as one 32-byte equality and the join payload
+    stays (id, hash) regardless of row width. ``compare_cols=None``
+    compares every non-id column shared by both sides."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != id_col and c in set(new.columns)
+        ]
+
+    def content(df: DataFrame) -> Column:
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null"))
+            )
+        return F.md5(F.concat_ws("\x1f", *parts)) if parts else F.lit("")
+
+    o = old.select(F.col(id_col), content(old).alias("__h_old"))
+    n = new.select(F.col(id_col), content(new).alias("__h_new"))
+    joined = o.join(n, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("__h_old").isNull(), "added")
+        .when(F.col("__h_new").isNull(), "removed")
+        .when(F.col("__h_old") == F.col("__h_new"), "unchanged")
+        .otherwise("changed")
+        .alias(status_col),
+    )

@@ -216,3 +216,39 @@ def test_partitioned_merge_cleans_stale_aside_with_live_sibling(spark, tmp_path)
     got = rows(spark, t)
     assert (1, 1, "v1") in got and len(got) == 100
     assert not os.path.isdir(f"{t}/bucket=1__old")
+
+
+def test_snapshot_diff_statuses(spark):
+    from scio_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id int, txt string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, "", 40), (5, "e", 50)],
+        "id int, txt string, v int",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id").collect()}
+    # id 4: NULL -> '' must count as changed (null-tagged hash)
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_subset_columns(spark):
+    from scio_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "id int, txt string, seen int")
+    new = spark.createDataFrame([(1, "a", 2)], "id int, txt string, seen int")
+    all_cols = {r.id: r.status for r in snapshot_diff(old, new, "id").collect()}
+    only_txt = {
+        r.id: r.status
+        for r in snapshot_diff(old, new, "id", compare_cols=["txt"]).collect()
+    }
+    assert all_cols == {1: "changed"}
+    assert only_txt == {1: "unchanged"}
