@@ -1965,7 +1965,9 @@ def q_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
         )
-        return run_to_memory(res, output_mode="append", num_state_partitions=8)
+        # 4 state stores: fixture-sized state (A/B: 4.2 s vs 4.8 s at 16,
+        # maintenance-bound) — a capacity knob, raise with real cardinality
+        return run_to_memory(res, output_mode="append", num_state_partitions=4)
     finally:
         f.close()
 
@@ -4408,10 +4410,11 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 minutes")),
         "inner",
     )
-    # 8 state stores (vs the session's 32) ~3x faster at this volume:
-    # per-store maintenance dominates when state is small. Capacity knob —
-    # goes UP on a real cluster (state_bytes / ~1 GB per store).
-    pairs = run_to_memory(joined, output_mode="append", num_state_partitions=8)
+    # 4 state stores (vs the session's 32) ~3x faster at this volume:
+    # per-store maintenance dominates when state is small (A/B: 2.7 s at 4,
+    # 3.0 at 8, 5.2 at 16 warm). Capacity knob — goes UP on a real cluster
+    # (state_bytes / ~1 GB per store).
+    pairs = run_to_memory(joined, output_mode="append", num_state_partitions=4)
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -4456,7 +4459,7 @@ def q_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = maintain_rollup(
         stream, table, "ts", "1 hour", "1 hour",
         ["event_type"], [F.count(F.lit(1)).alias("n")],
-        num_state_partitions=8,  # capacity knob — see state_partitions
+        num_state_partitions=4,  # capacity knob (A/B: 3.4 s vs 3.7 at 8)
     )
     try:
         q.processAllAvailable()
