@@ -332,3 +332,61 @@ def test_md5_slice_hash_portable_across_engines(spark, toks):
         expected.add((t, r[0], r[1]))
     con.close()
     assert got == expected
+
+
+scan_rows = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.integers(-50, 50)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=scan_rows, agg=st.sampled_from(["sum", "min", "max", "count"]),
+       n=st.sampled_from([1, 3, 7]))
+@settings(**SETTINGS)
+def test_running_agg_matches_python_scan(spark, rows, agg, n):
+    """Two-phase distributed scan == sequential Python scan for every agg
+    kind, bucket count, and an arbitrary (unique-keyed) input."""
+    from scio_spark.operators.scan import running_agg
+
+    df = spark.createDataFrame(rows, "k int, v int").repartition(4)
+    got = {
+        r.k: r.running
+        for r in running_agg(
+            df, "k", None if agg == "count" else "v", agg=agg, num_partitions=n
+        ).collect()
+    }
+    expect, acc, cnt = {}, None, 0
+    for k, v in sorted(rows):
+        cnt += 1
+        if agg == "sum":
+            acc = v if acc is None else acc + v
+        elif agg == "min":
+            acc = v if acc is None else min(acc, v)
+        elif agg == "max":
+            acc = v if acc is None else max(acc, v)
+        expect[k] = cnt if agg == "count" else acc
+    assert got == expect
+
+
+@given(rows=scan_rows, k=st.sampled_from([1, 2, 5]))
+@settings(**SETTINGS)
+def test_ntile_matches_python_ntile(spark, rows, k):
+    """Distributed NTILE == the SQL definition: first n%k buckets get
+    ceil(n/k) rows, in (v, k) order."""
+    from scio_spark.operators.scan import ntile
+
+    df = spark.createDataFrame(rows, "k int, v int").repartition(3)
+    got = {r.k: r.bucket for r in ntile(df, k, ["v", "k"]).collect()}
+    n = len(rows)
+    q, r = divmod(n, k)
+    expect = {}
+    for pos, (key, _v) in enumerate(
+        sorted(rows, key=lambda t: (t[1], t[0])), start=1
+    ):
+        if pos <= r * (q + 1):
+            expect[key] = (pos - 1) // (q + 1) + 1
+        else:
+            expect[key] = r + (pos - r * (q + 1) - 1) // q + 1
+    assert got == expect
