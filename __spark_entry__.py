@@ -5109,6 +5109,72 @@ GROUP BY 1
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (functions/journeys.py
+    funnel_counts): per-user earliest strictly-increasing completion times
+    via k-1 keyed joins against the shrinking per-user stage table (never
+    a ts-self-join of the log), then one stack() report row per stage."""
+    from scio_spark.functions.journeys import funnel_counts
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return funnel_counts(ev, steps)
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT 'view' AS step, CAST(1 AS INT) AS step_index,
+       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'click', CAST(2 AS INT), CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase', CAST(3 AS INT), CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (functions/journeys.py cohort_retention):
+    cohort = epoch-week of each user's first event, offset = activity week
+    − cohort week, n_users = distinct actives. Integer epoch-grid buckets
+    (no calendar truncation) — exact and engine-portable; two partial-agg'd
+    keyed aggregations."""
+    from scio_spark.functions.journeys import cohort_retention
+
+    sc = _ctx(spark)
+    return cohort_retention(_t(sc, sf_dir, "events").df)
+
+
+ORACLE_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY 1),
+a AS (
+  SELECT e.user_id,
+         CAST(FLOOR(epoch(f.first_ts) / 604800) AS BIGINT) AS cohort_period,
+         CAST(FLOOR(epoch(e.ts) / 604800)
+              - FLOOR(epoch(f.first_ts) / 604800) AS BIGINT) AS period_offset
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort_period, period_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM a
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5307,6 +5373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "token_quota": q_token_quota,
         "snapshot_diff": q_snapshot_diff,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -5367,6 +5435,8 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": ORACLE_SOURCE_CAP,
         "token_quota": ORACLE_TOKEN_QUOTA,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "funnel": ORACLE_FUNNEL,
+        "cohort_retention": ORACLE_COHORT_RETENTION,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
