@@ -5175,6 +5175,98 @@ GROUP BY 1, 2
 """
 
 
+def q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoComplete parity (scio-examples/.../complete/AutoComplete.scala →
+    functions/text.py autocomplete_topk): corpus term counts → bounded
+    prefix explode (1..4 chars) → top-3 terms per prefix by (count DESC,
+    term ASC). Prefix fan-out scales with vocabulary, not corpus."""
+    from scio_spark.functions.text import autocomplete_topk
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    return autocomplete_topk(docs, "text", k=3, min_prefix=1, max_prefix=4)
+
+
+ORACLE_AUTOCOMPLETE = """
+WITH terms AS (
+  SELECT u.term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                          x -> x <> '')) u(term)
+  GROUP BY 1),
+pref AS (
+  SELECT term, n, substring(term, 1, p.len) AS prefix
+  FROM terms,
+       UNNEST(range(1, LEAST(length(term), 4) + 1)) p(len)),
+ranked AS (
+  SELECT prefix, term, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                                 ORDER BY n DESC, term ASC) AS INT) AS rank
+  FROM pref)
+SELECT prefix, term, n, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopWikipediaSessions parity (scio-examples/.../complete/
+    TopWikipediaSessions.scala): 30-min-gap sessionization per user
+    (operators/windows.py session_agg), then the top-3 longest sessions
+    per calendar month of session start, ties broken by (user, start)."""
+    from pyspark.sql import Window
+
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    sess = W.session_agg(
+        ev, "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )
+    month = F.date_trunc("month", F.col("session_start")).cast("timestamp_ntz")
+    w = Window.partitionBy("month").orderBy(
+        F.desc("n_events"), F.asc("user_id"), F.asc("session_start")
+    )
+    return (
+        sess.withColumn("month", month)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("month", "rank", "user_id", "session_start", "n_events")
+    )
+
+
+ORACLE_TOP_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, sid),
+ranked AS (
+  SELECT CAST(date_trunc('month', session_start) AS TIMESTAMP) AS month,
+         CAST(ROW_NUMBER() OVER (PARTITION BY date_trunc('month', session_start)
+                                 ORDER BY n_events DESC, user_id ASC,
+                                          session_start ASC) AS INT) AS rank,
+         user_id, session_start, n_events
+  FROM sess)
+SELECT month, rank, user_id, session_start, n_events
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5375,6 +5467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "autocomplete": q_autocomplete,
+        "top_sessions": q_top_sessions,
     }
 
 
@@ -5437,6 +5531,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "funnel": ORACLE_FUNNEL,
         "cohort_retention": ORACLE_COHORT_RETENTION,
+        "autocomplete": ORACLE_AUTOCOMPLETE,
+        "top_sessions": ORACLE_TOP_SESSIONS,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

@@ -589,3 +589,50 @@ def tfidf_topk(
             "rank",
         )
     )
+
+
+def autocomplete_topk(
+    df,
+    text_col: str = "text",
+    k: int = 3,
+    min_prefix: int = 1,
+    max_prefix: int = 4,
+) -> Column:
+    """Top-k autocomplete candidates per prefix — the scio AutoComplete
+    example (scio-examples/.../complete/AutoComplete.scala) re-expressed
+    declaratively: count terms corpus-wide, explode each term into its
+    prefixes (lengths ``min_prefix..max_prefix`` — bounding prefix length
+    bounds the explode fan-out at scale), rank terms per prefix by
+    (count DESC, term ASC) and keep the top ``k``.
+
+    Returns (prefix, term, n, rank). The per-prefix ranked window is the
+    hot-key-aware spot: prefix cardinality grows with vocabulary (not
+    corpus), and each prefix group holds at most |terms sharing it| rows —
+    for web-scale vocabularies switch the final rank to the two-phase
+    pair.top_by_key shape."""
+    from pyspark.sql import Window
+
+    terms = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pref = terms.select(
+        "term",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(min_prefix),
+                    F.least(F.length("term"), F.lit(max_prefix)),
+                ),
+                lambda i: F.col("term").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        pref.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix", "term", "n", "rank")
+    )

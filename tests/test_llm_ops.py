@@ -826,3 +826,23 @@ def test_contamination_fraction_values(spark):
     # doc 1 grams: {a b, b c, c d}; eval grams: {a b, b c, c q} -> 2/3 hit
     assert got[1] == (3, 2, 2 / 3)
     assert got[2] == (3, 0, 0.0)
+
+
+def test_autocomplete_topk(spark):
+    from scio_spark.functions.text import autocomplete_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cap dog"), (2, "cat dot dog dog")], "doc_id int, text string"
+    )
+    out = autocomplete_topk(docs, k=2, min_prefix=1, max_prefix=3)
+    got = {
+        (r.prefix, r.rank): (r.term, r.n) for r in out.collect()
+    }
+    # counts: cat=3, dog=3, cap=1, dot=1; ties break term-ASC
+    assert got[("c", 1)] == ("cat", 3)
+    assert got[("c", 2)] == ("cap", 1)
+    assert got[("d", 1)] == ("dog", 3)
+    assert got[("d", 2)] == ("dot", 1)
+    assert got[("ca", 1)] == ("cat", 3)
+    assert got[("cat", 1)] == ("cat", 3)
+    assert ("cat", 2) not in got  # only one term has prefix 'cat'
