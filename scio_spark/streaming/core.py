@@ -821,3 +821,45 @@ class StreamFixture:
 
     def close(self):
         shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def refreshing_side_input(
+    stream: DataFrame,
+    side_path: str,
+    on: str | Sequence[str],
+    sink,
+    fmt: str = "parquet",
+    how: str = "left",
+    broadcast: bool = True,
+):
+    """Stream enriched by a side table that REFRESHES between micro-batches
+    — the scio RefreshingSideInputExample
+    (scio-examples/.../extra/RefreshingSideInputExample.scala) pattern
+    (there: a Guava Supplier re-polled per bundle; here: per micro-batch).
+
+    A naive stream-static join does NOT refresh: the static side's file
+    index is snapshotted at plan time, so an atomically-replaced side
+    table either serves stale rows or kills the query with deleted-file
+    errors (verified in tests). The correct Spark shape is ``foreachBatch``
+    with a FRESH read of the side path per batch — each micro-batch plans
+    its own scan, picking up whatever the path holds at batch start; an
+    atomic publisher (write aside + rename, operators/merge.py _swap_table)
+    guarantees each batch sees a complete snapshot.
+
+    ``sink(enriched_batch_df, batch_id)`` receives the joined batch —
+    same contract as ``run_foreach_batch``. The side read is broadcast by
+    default (driver-sized refresh data, the scio side-input contract).
+    Returns the started StreamingQuery (caller stops it)."""
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        side = spark.read.format(fmt).load(side_path)
+        if broadcast:
+            side = F.broadcast(side)
+        sink(batch_df.join(side, on=on, how=how), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .start()
+    )

@@ -635,3 +635,38 @@ def test_element_count_panes_in_batch_ordering(spark):
         assert rows == [(0, 3, 60)]  # seq 1,2,3 — not the staged order
     finally:
         f.close()
+
+
+def test_refreshing_side_input_picks_up_replaced_table(spark, tmp_path):
+    """Per-batch fresh read: a side table atomically replaced between
+    micro-batches enriches the NEXT batch with the new content (the scio
+    RefreshingSideInputExample contract). A plain stream-static join
+    cannot do this — its file index snapshots at plan time."""
+    from scio_spark.streaming.core import StreamFixture, refreshing_side_input
+
+    side = str(tmp_path / "side")
+    spark.createDataFrame(
+        [("a", "v1"), ("b", "v1")], "k string, label string"
+    ).repartition(1).write.mode("overwrite").parquet(side)
+
+    f = StreamFixture(spark, "k string, x int")
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r.k, r.x, r.label) for r in df.collect())
+
+    f.add_batch([("a", 1)])
+    q = refreshing_side_input(f.stream(), side, "k", sink)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("a", "v2")], "k string, label string"
+        ).repartition(1).write.mode("overwrite").parquet(side)
+        f.add_batch([("a", 2), ("b", 3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        f.close()
+    # batch 1 joined v1; batch 2 joined v2 (and b, dropped from v2, goes
+    # NULL under the left join — the refresh is total, not incremental)
+    assert sorted(got) == [("a", 1, "v1"), ("a", 2, "v2"), ("b", 3, None)]
