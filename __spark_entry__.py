@@ -5267,6 +5267,51 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_spam_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GameStats spam-detection parity (scio-examples/.../complete/game/
+    GameStats.scala CalculateSpammyUsers): users whose total score exceeds
+    mean + 2.5·stddev_pop of per-user totals. Per-user sums are
+    decimal-staged (order-independent); the threshold compare is double
+    with empirically verified margin ≥6.4 vs ~1e-10 float error (the
+    recipes' float-decision rule). Mean/stddev join in as a 1-row
+    broadcast scalar."""
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s")
+    )
+    stats = per_user.agg(
+        F.avg(F.col("s").cast("double")).alias("m"),
+        F.stddev_pop(F.col("s").cast("double")).alias("sd"),
+    )
+    flagged = per_user.join(F.broadcast(stats)).select(
+        "user_id",
+        "s",
+        (F.col("s").cast("double") > F.col("m") + 2.5 * F.col("sd")).alias(
+            "is_spammy"
+        ),
+    )
+    return flagged.groupBy("is_spammy").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("s").cast("decimal(38,6)").alias("total_value"),
+    )
+
+
+ORACLE_SPAM_USERS = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(28,6))) AS s
+  FROM events GROUP BY 1),
+st AS (
+  SELECT AVG(CAST(s AS DOUBLE)) AS m, STDDEV_POP(CAST(s AS DOUBLE)) AS sd
+  FROM per_user)
+SELECT CAST(s AS DOUBLE) > m + 2.5 * sd AS is_spammy,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s) AS DECIMAL(38,6)) AS total_value
+FROM per_user, st
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5469,6 +5514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
+        "spam_users": q_spam_users,
     }
 
 
@@ -5533,6 +5579,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": ORACLE_COHORT_RETENTION,
         "autocomplete": ORACLE_AUTOCOMPLETE,
         "top_sessions": ORACLE_TOP_SESSIONS,
+        "spam_users": ORACLE_SPAM_USERS,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
