@@ -5312,6 +5312,58 @@ GROUP BY 1
 """
 
 
+def q_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (functions/checks.py run_checks): TPC-H lineitem
+    validity rules — quantity/discount/tax ranges, shipdate present — in
+    ONE conditional-sum aggregate pass, plus (orderkey, linenumber)
+    uniqueness via one partial-agg'd groupBy. NULL predicate = violation
+    (a rule you cannot evaluate is not satisfied)."""
+    from scio_spark.functions.checks import run_checks
+
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").df
+    return run_checks(
+        li,
+        row_rules={
+            "qty_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+            "discount_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 0.1),
+            "tax_nonneg": F.col("l_tax") >= 0,
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+        },
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    )
+
+
+ORACLE_DATA_CHECKS = """
+WITH r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50,
+                                     FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN COALESCE(l_discount >= 0 AND l_discount <= 1e-1,
+                                     FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN COALESCE(l_tax >= 0, FALSE) THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_tax,
+         CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_ship
+  FROM lineitem),
+u AS (
+  SELECT CAST(SUM(c - 1) AS BIGINT) AS v, CAST(SUM(c) AS BIGINT) AS n
+  FROM (SELECT COUNT(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber))
+SELECT 'qty_range' AS check, 'row_rule' AS kind, v_qty AS n_violations,
+       n AS n_rows, v_qty = 0 AS passed FROM r
+UNION ALL
+SELECT 'discount_range', 'row_rule', v_disc, n, v_disc = 0 FROM r
+UNION ALL
+SELECT 'tax_nonneg', 'row_rule', v_tax, n, v_tax = 0 FROM r
+UNION ALL
+SELECT 'shipdate_present', 'row_rule', v_ship, n, v_ship = 0 FROM r
+UNION ALL
+SELECT 'unique(l_orderkey,l_linenumber)', 'uniqueness', v, n, v = 0 FROM u
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5515,6 +5567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
+        "data_checks": q_data_checks,
     }
 
 
@@ -5580,6 +5633,7 @@ def oracle_sql() -> dict[str, str]:
         "autocomplete": ORACLE_AUTOCOMPLETE,
         "top_sessions": ORACLE_TOP_SESSIONS,
         "spam_users": ORACLE_SPAM_USERS,
+        "data_checks": ORACLE_DATA_CHECKS,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
