@@ -952,6 +952,54 @@ WHERE j.jaccard >= {thr}
 """
 
 
+def _incremental_minhash_oracle(k: int = 16, bands: int = 4, mod: int = 5) -> str:
+    """Bucket-sharing pairs where ≥1 side is in the NEW batch (doc_id %
+    mod = 0) — banding per doc is independent of which set a doc is
+    signed in, so the staged-index path equals this whole-corpus SQL."""
+    rpb = k // bands
+    mins = ", ".join(
+        f"MIN(CAST(('0x' || substr(md5('{i // 2}|' || s),"
+        f" {1 + 12 * (i % 2)}, 12)) AS BIGINT)) AS mh{i}"
+        for i in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cc}) AS bucket FROM sig".format(
+            b=b,
+            cc=" || '|' || ".join(f"mh{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE a.doc_id % {mod} = 0 OR b.doc_id % {mod} = 0
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (functions/dedup.py stage_minhash_index +
+    incremental_lsh_candidates): the corpus (doc_id % 5 != 0) is staged
+    ONCE as a (band,bucket)-bucketed index table; the daily batch
+    (doc_id % 5 = 0) bands itself and joins the index co-located —
+    O(batch) per ingestion, the corpus is never re-hashed. Candidates =
+    bucket-sharing pairs with ≥1 new side; the oracle recomputes them
+    from the whole corpus in SQL (per-doc signatures are set-independent,
+    so equality proves the staged path loses nothing)."""
+    from scio_spark.functions import dedup as D
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    index = D.stage_minhash_index(docs.filter("doc_id % 5 != 0"), "mh_index")
+    return D.incremental_lsh_candidates(docs.filter("doc_id % 5 = 0"), index)
+
+
+ORACLE_INCREMENTAL_DEDUP = _incremental_minhash_oracle()
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates, exact-Jaccard-verified ≥ 0.8
     (functions/dedup.py minhash_lsh_dedup)."""
@@ -5568,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
         "data_checks": q_data_checks,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -5634,6 +5683,7 @@ def oracle_sql() -> dict[str, str]:
         "top_sessions": ORACLE_TOP_SESSIONS,
         "spam_users": ORACLE_SPAM_USERS,
         "data_checks": ORACLE_DATA_CHECKS,
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

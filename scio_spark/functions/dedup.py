@@ -639,6 +639,16 @@ def stage_minhash_index(
     index current (saveAsTable append preserves the bucket spec)."""
     sh = shingles(df, id_col, text_col, n)
     banded = minhash_bands(minhash_signature(sh, id_col, k), id_col, k, bands)
+    # a previous session may have left the warehouse dir without the
+    # catalog entry — saveAsTable refuses to reuse the location (same
+    # guard as smb.save_sorted_bucket)
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     (
         banded.write.mode("overwrite")
         .bucketBy(buckets, "band", "bucket")
