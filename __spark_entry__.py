@@ -993,11 +993,15 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sc = _ctx(spark)
     docs = _t(sc, sf_dir, "documents").df
-    index = D.stage_minhash_index(docs.filter("doc_id % 5 != 0"), "mh_index")
-    return D.incremental_lsh_candidates(docs.filter("doc_id % 5 = 0"), index)
+    index = D.stage_minhash_index(
+        docs.filter("doc_id % 5 != 0"), "mh_index", k=8, buckets=16
+    )
+    return D.incremental_lsh_candidates(
+        docs.filter("doc_id % 5 = 0"), index, k=8
+    )
 
 
-ORACLE_INCREMENTAL_DEDUP = _incremental_minhash_oracle()
+ORACLE_INCREMENTAL_DEDUP = _incremental_minhash_oracle(k=8)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
