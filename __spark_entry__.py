@@ -5416,6 +5416,53 @@ SELECT 'unique(l_orderkey,l_linenumber)', 'uniqueness', v, n, v = 0 FROM u
 """
 
 
+def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job metrics via observations (metrics.py Metrics — the ScioResult
+    counter/distribution surface on df.observe): counters and a
+    distribution evaluated DURING the job's own action (no extra pass),
+    fetched after completion and returned as the metrics report table.
+    Distribution mean stays exact here because the observed sum/count are
+    integers (the report carries sum+count; mean = sum/count in both
+    engines)."""
+    from scio_spark.metrics import Metrics
+
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").df
+    m = Metrics()
+    d = m.count(li, "n_rows")
+    d = m.count(d, "high_qty", F.col("l_quantity") > 40)
+    d = m.distribution(d, "linenumber", F.col("l_linenumber"))
+    d.select("l_orderkey").write.mode("overwrite").parquet(
+        _rt_path(sf_dir, "metrics_sink")
+    )
+    dist = m.get("linenumber")
+    rows = [
+        ("n_rows", int(m.get("n_rows"))),
+        ("high_qty", int(m.get("high_qty"))),
+        ("linenumber_min", int(dist["min"])),
+        ("linenumber_max", int(dist["max"])),
+        ("linenumber_count", int(dist["count"])),
+        ("linenumber_sum", int(dist["sum"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+ORACLE_METRICS = """
+SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM lineitem
+UNION ALL
+SELECT 'high_qty', CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'linenumber_min', CAST(MIN(l_linenumber) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'linenumber_max', CAST(MAX(l_linenumber) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'linenumber_count', CAST(COUNT(l_linenumber) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'linenumber_sum', CAST(SUM(l_linenumber) AS BIGINT) FROM lineitem
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5621,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_users": q_spam_users,
         "data_checks": q_data_checks,
         "incremental_dedup": q_incremental_dedup,
+        "metrics": q_metrics,
     }
 
 
@@ -5688,6 +5736,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_users": ORACLE_SPAM_USERS,
         "data_checks": ORACLE_DATA_CHECKS,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "metrics": ORACLE_METRICS,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
