@@ -79,13 +79,16 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # NO .distinct() here: array_distinct already dedupes within the doc
-    # and ids are unique per row, so the exploded (id, s) pairs are unique
-    # by construction — a distinct would re-shuffle every shingle row in
-    # every consumer for nothing (measured: one full exchange per dedup op)
+    # The .distinct() is semantically redundant (array_distinct already
+    # dedupes within the doc, ids are unique per row) but KEPT on purpose:
+    # it anchors a reusable exchange+aggregate that every consumer of the
+    # multi-use shingle diamond (cap, candidates, verify, counts) shares —
+    # removing it measured 35-45% SLOWER on ngram/cluster dedup at sf0.1
+    # (each consumer re-derives the explode and AQE loses the materialized
+    # row statistics that pick the downstream join strategies).
     return staged.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("s")
-    )
+    ).distinct()
 
 
 def cap_shingle_frequency(
