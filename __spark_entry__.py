@@ -5463,6 +5463,40 @@ SELECT 'linenumber_sum', CAST(SUM(l_linenumber) AS BIGINT) FROM lineitem
 """
 
 
+def q_compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/merge.py compact_parquet): a
+    40-file fragmented copy of orders is rewritten to byte-targeted file
+    count and atomically swapped (rename-aside, crash-recoverable). The
+    query proves content preservation — the read-back aggregate must
+    equal the oracle's aggregate over the pristine source."""
+    from scio_spark.operators.merge import compact_parquet
+
+    path = _rt_path(sf_dir, "compact")
+    sc = _ctx(spark)
+    src = _t(sc, sf_dir, "orders").df.filter("o_orderkey % 4 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src.repartition(40).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total"),
+    )
+
+
+ORACLE_COMPACT_TABLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+FROM orders
+WHERE o_orderkey % 4 = 0
+GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5669,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": q_data_checks,
         "incremental_dedup": q_incremental_dedup,
         "metrics": q_metrics,
+        "compact_table": q_compact_table,
     }
 
 
@@ -5737,6 +5772,7 @@ def oracle_sql() -> dict[str, str]:
         "data_checks": ORACLE_DATA_CHECKS,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "metrics": ORACLE_METRICS,
+        "compact_table": ORACLE_COMPACT_TABLE,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,

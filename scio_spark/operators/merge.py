@@ -332,3 +332,44 @@ def snapshot_diff(
         .otherwise("changed")
         .alias(status_col),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance op every
+    continuously-ingested parquet table needs: streaming/incremental
+    writers accrete thousands of tiny files, and scan-task count (plus
+    NameNode/liststatus pressure) grows with FILES, not bytes. Rewrite the
+    table as ``ceil(total_bytes / target_file_bytes)`` files and swap it
+    into place atomically.
+
+    - file count is computed from the REAL on-disk byte size (Hadoop
+      ``getContentSummary``), not row counts — compaction is a layout op;
+    - ``sort_by`` optionally re-sorts within output files (repartition +
+      sortWithinPartitions), restoring min/max row-group pruning that
+      interleaved ingests destroy;
+    - the rewrite lands in ``path__compact`` and swaps via ``_swap_table``
+      (rename-aside; crash-recoverable by ``_recover_swap``), so readers
+      never observe a partial table.
+
+    Returns the number of output files requested. Content-preserving by
+    construction (one repartition, no filters)."""
+    jvm, hpath, fs = _fs(spark, path)
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartition(n_files).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact"
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_path):
+        fs.delete(tmp_path, True)
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_table(spark, tmp, path)
+    return n_files

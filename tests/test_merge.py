@@ -252,3 +252,42 @@ def test_snapshot_diff_subset_columns(spark):
     }
     assert all_cols == {1: "changed"}
     assert only_txt == {1: "unchanged"}
+
+
+def test_compact_parquet_shrinks_files_preserves_content(spark, tmp_path):
+    import glob
+
+    from scio_spark.operators.merge import compact_parquet
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 5000).withColumn("v", F.col("id") * 2)
+    # fragment: 50 tiny files
+    df.repartition(50).write.mode("overwrite").parquet(p)
+    before = len(glob.glob(f"{p}/part-*"))
+    assert before == 50
+    before_sum = spark.read.parquet(p).agg(F.sum("v")).collect()[0][0]
+
+    n = compact_parquet(spark, p, target_file_bytes=10 * 1024 * 1024)
+    after_files = glob.glob(f"{p}/part-*")
+    assert len(after_files) < before
+    assert len(after_files) == n
+    after = spark.read.parquet(p)
+    assert after.count() == 5000
+    assert after.agg(F.sum("v")).collect()[0][0] == before_sum
+    # no leftover staging dirs
+    import os
+    assert not os.path.exists(p + "__compact")
+    assert not os.path.exists(p + "__old")
+
+
+def test_compact_parquet_sorted_layout(spark, tmp_path):
+    from scio_spark.operators.merge import compact_parquet
+
+    p = str(tmp_path / "frag2")
+    spark.range(0, 1000).withColumn("k", (F.col("id") * 37) % 100).repartition(
+        20
+    ).write.mode("overwrite").parquet(p)
+    compact_parquet(spark, p, target_file_bytes=1 << 30, sort_by=["k"])
+    # single output file, globally sorted within it
+    vals = [r.k for r in spark.read.parquet(p).collect()]
+    assert vals == sorted(vals)
