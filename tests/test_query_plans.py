@@ -133,3 +133,39 @@ def test_contract_join_queries_have_no_unbounded_all_pairs(spark, qname):
     sides anywhere in their plans."""
     df = ent.queries()[qname](spark, SF)
     lint.assert_no_unbounded_all_pairs(df)
+
+
+def test_running_total_single_data_exchange_and_pushdown(spark):
+    """The scan's bucket path: the shipdate predicate reaches the parquet
+    scan, and the only full-data exchange is the window's hash exchange on
+    the bucket column (no rangepartitioning anywhere — the
+    repartitionByRange spelling would add a second full shuffle)."""
+    df = ent.q_running_total(spark, SF)
+    assert any("l_shipdate" in p for p in lint.scan_pushed_filters(df))
+    plan = lint.executed_plan(df)
+    assert "rangepartitioning" not in plan
+    assert "__scan_pid" in plan
+
+
+def test_source_cap_prunes_columns(spark):
+    df = ent.q_source_cap(spark, SF)
+    schemas = lint.scan_read_schemas(df)
+    # text (the wide column) must not be read for a cap on doc_id/source
+    assert schemas and all("text" not in s for s in schemas)
+
+
+def test_funnel_joins_stay_keyed(spark):
+    """No cartesian/BNLJ anywhere in the funnel chain — each stage is an
+    equi-join on the user key."""
+    df = ent.q_funnel(spark, SF)
+    plan = lint.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_data_checks_row_rules_single_scan(spark):
+    """All four row rules share one aggregate; lineitem is scanned once
+    for them (the uniqueness rule adds its own scan + partial agg)."""
+    df = ent.q_data_checks(spark, SF)
+    plan = lint.executed_plan(df)
+    assert plan.count("FileScan parquet") <= 2
