@@ -5497,6 +5497,89 @@ GROUP BY 1
 """
 
 
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb-style quality filter funnel: the per-rule rejection
+    report a curation run publishes before dropping documents —
+    functions/checks.py run_checks composed over functions/text.py signals
+    (token bounds, mean word length 3-10, punctuation ratio, ≥2
+    stopwords), ALL in one aggregate pass. Ratio thresholds are single
+    divisions of the same integers in both engines, so the boundary
+    comparisons replay exactly."""
+    from scio_spark.functions.checks import run_checks
+    from scio_spark.functions.text import punct_ratio, token_count
+
+    sc = _ctx(spark)
+    docs = _t(sc, sf_dir, "documents").df
+    d = (
+        docs.withColumn("__tok", token_count("text"))
+        .withColumn(
+            "__chars", F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+        )
+        .withColumn("__pr", punct_ratio("text"))
+        .withColumn(
+            "__sw",
+            F.size(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda t: F.lower(t).isin(
+                        "the", "a", "of", "and", "to", "in", "is", "it"
+                    ),
+                )
+            ),
+        )
+    )
+    wl = F.col("__chars") / F.col("__tok")
+    return run_checks(
+        d,
+        row_rules={
+            "min_tokens": F.col("__tok") >= 20,
+            "max_tokens": F.col("__tok") <= 2000,
+            "word_length": (wl >= 3.0) & (wl <= 10.0),
+            "punct": F.col("__pr") <= 0.2,
+            "stopwords": F.col("__sw") >= 2,
+        },
+    )
+
+
+ORACLE_QUALITY_FUNNEL = """
+WITH f AS (
+  SELECT
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+      AS tok,
+    len(regexp_replace(trim(text), '\\s+', '', 'g')) AS chars_nospace,
+    CASE WHEN len(text) = 0 THEN 0.0
+         ELSE len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / len(text)
+    END AS pr,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        t -> list_contains(['the','a','of','and','to','in','is','it'],
+                           lower(t)))) AS sw
+  FROM documents),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN COALESCE(tok >= 20, FALSE) THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_min,
+    CAST(SUM(CASE WHEN COALESCE(tok <= 2000, FALSE) THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_max,
+    CAST(SUM(CASE WHEN COALESCE(
+                 CASE WHEN tok = 0 THEN NULL
+                      ELSE chars_nospace / tok END >= 3.0
+                 AND CASE WHEN tok = 0 THEN NULL
+                          ELSE chars_nospace / tok END <= 10.0, FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_wl,
+    CAST(SUM(CASE WHEN COALESCE(pr <= 2e-1, FALSE) THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_pr,
+    CAST(SUM(CASE WHEN COALESCE(sw >= 2, FALSE) THEN 0 ELSE 1 END)
+         AS BIGINT) AS v_sw
+  FROM f)
+SELECT 'min_tokens' AS check, 'row_rule' AS kind, v_min AS n_violations,
+       n AS n_rows, v_min = 0 AS passed FROM r
+UNION ALL SELECT 'max_tokens', 'row_rule', v_max, n, v_max = 0 FROM r
+UNION ALL SELECT 'word_length', 'row_rule', v_wl, n, v_wl = 0 FROM r
+UNION ALL SELECT 'punct', 'row_rule', v_pr, n, v_pr = 0 FROM r
+UNION ALL SELECT 'stopwords', 'row_rule', v_sw, n, v_sw = 0 FROM r
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5704,6 +5787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "metrics": q_metrics,
         "compact_table": q_compact_table,
+        "quality_funnel": q_quality_funnel,
     }
 
 
@@ -5773,6 +5857,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "metrics": ORACLE_METRICS,
         "compact_table": ORACLE_COMPACT_TABLE,
+        "quality_funnel": ORACLE_QUALITY_FUNNEL,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
