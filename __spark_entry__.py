@@ -5580,6 +5580,62 @@ UNION ALL SELECT 'stopwords', 'row_rule', v_sw, n, v_sw = 0 FROM r
 """
 
 
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/training.py pack_sequences —
+    the BatchDoFn/batchWeighted shape: close a pack when the next doc
+    would overflow 512 tokens; an oversized doc packs alone). Packing is
+    partition-local, so the query pins a deterministic layout
+    (1 partition, doc_id order); the oracle replays the EXACT greedy walk
+    with a pack-jump recursive CTE over the token cumsum — one recursion
+    step per PACK (≈ total_tokens/512), not per doc."""
+    from scio_spark.functions.training import pack_sequences
+
+    sc = _ctx(spark)
+    docs = (
+        _t(sc, sf_dir, "documents").df.select("doc_id", "text")
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+    packed = pack_sequences(docs, token_budget=512)
+    return packed.select(
+        F.element_at("doc_ids", 1).alias("first_doc"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").alias("total_tokens"),
+    )
+
+
+ORACLE_PACK_GREEDY = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok,
+         SUM(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT))
+           OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents),
+packs(pack_id, start_cum, end_cum) AS (
+  SELECT 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)
+  UNION ALL
+  SELECT p.pack_id + 1, p.end_cum,
+         COALESCE((SELECT MAX(cum) FROM t
+                   WHERE cum <= p.end_cum + 512 AND cum > p.end_cum),
+                  (SELECT MIN(cum) FROM t WHERE cum > p.end_cum))
+  FROM packs p
+  WHERE EXISTS (SELECT 1 FROM t WHERE cum > p.end_cum)),
+assigned AS (
+  SELECT t.doc_id, t.tok, p.pack_id
+  FROM t JOIN packs p
+    ON t.cum > p.start_cum AND t.cum <= p.end_cum
+  WHERE p.pack_id > 0)
+SELECT MIN(doc_id) AS first_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY pack_id
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -5788,6 +5844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics": q_metrics,
         "compact_table": q_compact_table,
         "quality_funnel": q_quality_funnel,
+        "pack_greedy": q_pack_greedy,
     }
 
 
@@ -5858,6 +5915,7 @@ def oracle_sql() -> dict[str, str]:
         "metrics": ORACLE_METRICS,
         "compact_table": ORACLE_COMPACT_TABLE,
         "quality_funnel": ORACLE_QUALITY_FUNNEL,
+        "pack_greedy": ORACLE_PACK_GREEDY,
         "streaming_window": ORACLE_STREAMING_WINDOW,
         "streaming_dedup": ORACLE_STREAMING_DEDUP,
         "skewed_join": ORACLE_SKEWED_JOIN,
