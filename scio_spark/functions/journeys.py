@@ -43,6 +43,9 @@ def funnel_steps(
     right side shrinks down the funnel, not a ts-self-join of the log."""
     if not steps:
         raise ValueError("funnel_steps: steps must be non-empty")
+    names = [n for n, _ in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"funnel_steps: duplicate step names in {names}")
     name0, pred0 = steps[0]
     out = (
         df.filter(pred0)

@@ -363,7 +363,10 @@ def token_quota_per_key(
 
     One partitioned window; replays in SQL as
     ``SUM(tok) OVER (PARTITION BY key ORDER BY hash, id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < budget``."""
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < budget``.
+
+    Returns the surviving rows of ``df`` plus a ``__tokens`` column (the
+    per-row token count used for the quota walk)."""
     from pyspark.sql import Window
 
     from scio_spark.functions.text import token_count

@@ -102,3 +102,11 @@ def test_cohort_retention_epoch_grid(spark):
 def test_funnel_rejects_empty_steps(events):
     with pytest.raises(ValueError):
         funnel_steps(events, [])
+
+
+def test_funnel_rejects_duplicate_names(events):
+    with pytest.raises(ValueError):
+        funnel_steps(
+            events,
+            [("x", F.col("event_type") == "view"), ("x", F.col("event_type") == "click")],
+        )
