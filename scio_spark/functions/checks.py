@@ -41,6 +41,16 @@ def run_checks(
     unique_keys = [list(k) for k in (unique_keys or [])]
     if not row_rules and not unique_keys:
         raise ValueError("run_checks: no checks given")
+    # names become both string literals and __v_<name> column references
+    # inside a generated stack() selectExpr — restrict to identifier
+    # characters so they can neither break nor inject into the SQL
+    import re
+
+    for name in row_rules:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(
+                f"run_checks: check name {name!r} must match [A-Za-z0-9_]+"
+            )
     spark = df.sparkSession
     reports = []
 

@@ -46,6 +46,14 @@ def funnel_steps(
     names = [n for n, _ in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"funnel_steps: duplicate step names in {names}")
+    # names become ts_<name> columns and, in funnel_counts, literals and
+    # column refs inside a generated stack() selectExpr — identifier
+    # characters only, so they can neither break nor inject into the SQL
+    import re
+
+    for n in names:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", n):
+            raise ValueError(f"funnel_steps: step name {n!r} must match [A-Za-z0-9_]+")
     name0, pred0 = steps[0]
     out = (
         df.filter(pred0)

@@ -58,3 +58,9 @@ def test_single_pass_for_row_rules(table):
 def test_requires_some_check(table):
     with pytest.raises(ValueError):
         run_checks(table)
+
+
+def test_rejects_non_identifier_names(table):
+    for bad in ["has space", "q'uote", "semi;colon", "tick`name"]:
+        with pytest.raises(ValueError):
+            run_checks(table, row_rules={bad: F.col("v") > 0})

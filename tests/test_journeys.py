@@ -110,3 +110,8 @@ def test_funnel_rejects_duplicate_names(events):
             events,
             [("x", F.col("event_type") == "view"), ("x", F.col("event_type") == "click")],
         )
+
+
+def test_funnel_rejects_non_identifier_names(events):
+    with pytest.raises(ValueError):
+        funnel_steps(events, [("bad name", F.col("event_type") == "view")])
