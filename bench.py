@@ -69,16 +69,22 @@ def main():
         """Execute one query to completion. Returns (seconds, used_fallback):
         fallback = the noop-format write failed and we re-ran with .count()
         (so the timing includes a failed attempt — flagged, not hidden)."""
+        from scio_spark.functions.dedup import release_cached
+
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            return round(time.perf_counter() - t0, 3), False
+            elapsed = round(time.perf_counter() - t0, 3)
+            release_cached(df)  # drop operator-attached caches per query
+            return elapsed, False
         except Exception:
             try:
                 df = fn(spark, sf_dir)
                 df.count()
-                return round(time.perf_counter() - t0, 3), True
+                elapsed = round(time.perf_counter() - t0, 3)
+                release_cached(df)
+                return elapsed, True
             except Exception as e:
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 return None, False

@@ -58,8 +58,13 @@ def run_checks(
         aggs = [F.count(F.lit(1)).alias("__n")]
         for name, pred in row_rules.items():
             aggs.append(
-                F.sum(
-                    F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                # coalesce: SUM over zero rows is NULL — an empty table
+                # must report 0 violations / passed=true, not NULL
+                F.coalesce(
+                    F.sum(
+                        F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                    ),
+                    F.lit(0),
                 ).alias(f"__v_{name}")
             )
         row = df.agg(*aggs)
@@ -82,8 +87,10 @@ def run_checks(
         name = "unique(" + ",".join(keys) + ")"
         grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
         rep = grouped.agg(
-            F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
-            F.sum("__c").cast("long").alias("n_rows"),
+            F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
         ).select(
             F.lit(name).alias("check"),
             F.lit("uniqueness").alias("kind"),

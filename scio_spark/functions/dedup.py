@@ -400,7 +400,13 @@ def simhash_dedup(
     Candidates via 4 equal bands (pigeonhole: d ≤ 3 ⇒ ≥1 band equal — the
     banded join is exact, not approximate), verified with bit_count(xor).
     Band extraction uses integer DIV (double division is inexact past 2^53
-    for wide signatures)."""
+    for wide signatures).
+
+    The banded table is persist()ed across the self-join (measured win —
+    see inline A/B note). Cached blocks outlive the returned DataFrame, so
+    CALLERS OWN THE CLEANUP: after the consuming action, call
+    ``release_cached(result)`` (or ``result._scio_cached.unpersist()``) to
+    drop the #docs×4-row cache from the session."""
     band_width = bits // 4
     sh = simhash(df, id_col, text_col, bits)
     nibbles = F.array(
@@ -429,7 +435,7 @@ def simhash_dedup(
     b = banded.withColumnRenamed(id_col, "id_2").withColumnRenamed("simhash", "sh_2")
     # filter on hamming BEFORE the distinct: the band join's fan-out is the
     # big intermediate; post-filter dedup shuffles only surviving pairs
-    return (
+    pairs = (
         a.join(b, ["band", "nib"])
         .filter(F.col("id_1") < F.col("id_2"))
         .withColumn("hamming", F.expr("bit_count(sh_1 ^ sh_2)"))
@@ -437,6 +443,17 @@ def simhash_dedup(
         .select("id_1", "id_2", "hamming")
         .distinct()
     )
+    pairs._scio_cached = banded  # caller-owned cleanup handle
+    return pairs
+
+
+def release_cached(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist the internal cache an operator attached to its result
+    (``_scio_cached``). Call AFTER the consuming action; no-op for results
+    without an attached cache."""
+    cached = getattr(df, "_scio_cached", None)
+    if cached is not None:
+        cached.unpersist(blocking)
 
 
 # ----------------------------------------------------- duplicate clustering

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import tokens
 
@@ -45,13 +46,48 @@ _ENC_BASE = 1 << 24
 def _positional_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int, hash_grams: bool
 ) -> DataFrame:
-    """(id, pos, gram) for every n-gram; docs shorter than n emit none."""
+    """(id, pos, gram) for every n-gram; docs shorter than n emit none.
+
+    The id column must be integral: the downstream first-occurrence
+    aggregate encodes (id, pos) into one BIGINT (id * 2^24 + pos). With a
+    string id Spark would promote string*int to DOUBLE — non-numeric ids
+    go NULL (no duplicate ever detected, silently) and numeric-looking
+    ones lose exactness past 2^53 — so reject it up front."""
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"substr_dedup requires an integral {id_col!r} (got "
+            f"{id_type.simpleString()}): the (doc_id, pos) first-occurrence "
+            "encoding is exact only for BIGINT ids < 2^39. Map string ids "
+            "to a surrogate first, e.g. "
+            "df.withColumn('doc_no', xxhash64(id_col)) or zipWithIndex."
+        )
     toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+        F.col(id_col).cast("bigint").alias("_id"),
+        tokens(F.col(text_col)).alias("_t"),
     )
     # the length guard is over a computed array — inherently not pushable;
     # the isNotNull above gives the scan its pushed predicate
     toks = toks.filter(F.size("_t") >= n)
+    # runtime enforcement of the documented encoding bound (pos < 2^24,
+    # one comparison per DOC, not per gram): an overlong doc would
+    # otherwise silently corrupt first-occurrence selection
+    toks = toks.withColumn(
+        "_bound_ok",
+        F.assert_true(
+            F.size("_t") < _ENC_BASE,
+            F.concat(
+                F.lit("substr_dedup: document exceeds the 2^24-token "
+                      "positional-encoding bound (doc "),
+                F.col("_id").cast("string"),
+                F.lit(", "),
+                F.size("_t").cast("string"),
+                F.lit(" tokens); split oversized documents upstream"),
+            ),
+        ),
+    ).drop("_bound_ok")
     gram = F.transform(
         F.sequence(F.lit(0), F.size("_t") - n),
         lambda i: F.concat_ws("\x1f", F.slice("_t", i + 1, n)),

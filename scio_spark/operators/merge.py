@@ -94,6 +94,10 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
         return
     if not fs.exists(tgt_path):
         return
+    if fs.exists(old):
+        # post-replace, pre-cleanup crash at TABLE level: live target is
+        # the newer data, the aside copy is the leftover — drop it
+        fs.delete(old, True)
     for st in fs.listStatus(tgt_path):
         name = st.getPath().getName()
         if not name.endswith("__old"):
@@ -316,8 +320,18 @@ def snapshot_diff(
     def content(df: DataFrame) -> Column:
         parts = []
         for c in compare_cols:
+            s = F.col(c).cast("string")
+            # length-prefixed encoding ("v<len>:<value>" / "null") is
+            # prefix-decodable: a value CONTAINING the separator cannot
+            # shift content across column boundaries (('x\x1fv:y','z') vs
+            # ('x','y\x1fv:z') hash differently here)
             parts.append(
-                F.coalesce(F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null"))
+                F.coalesce(
+                    F.concat(
+                        F.lit("v"), F.length(s).cast("string"), F.lit(":"), s
+                    ),
+                    F.lit("null"),
+                )
             )
         return F.md5(F.concat_ws("\x1f", *parts)) if parts else F.lit("")
 
@@ -358,6 +372,10 @@ def compact_parquet(
 
     Returns the number of output files requested. Content-preserving by
     construction (one repartition, no filters)."""
+    # self-heal a crashed prior swap (target renamed aside, not yet
+    # replaced) BEFORE sizing/reading the path — otherwise the next
+    # compaction dies on the missing directory instead of recovering
+    _recover_swap(spark, path)
     jvm, hpath, fs = _fs(spark, path)
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-int(total_bytes) // int(target_file_bytes)))

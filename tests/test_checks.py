@@ -64,3 +64,19 @@ def test_rejects_non_identifier_names(table):
     for bad in ["has space", "q'uote", "semi;colon", "tick`name"]:
         with pytest.raises(ValueError):
             run_checks(table, row_rules={bad: F.col("v") > 0})
+
+
+def test_empty_input_passes_cleanly(spark):
+    """SUM over zero rows is NULL — an empty table must report 0
+    violations and passed=True (not NULL) for row rules AND uniqueness."""
+    empty = spark.createDataFrame([], "id int, v double")
+    out = {
+        r.check: (r.n_violations, r.n_rows, r.passed)
+        for r in run_checks(
+            empty,
+            row_rules={"v_nonneg": F.col("v") >= 0},
+            unique_keys=[["id"]],
+        ).collect()
+    }
+    assert out["v_nonneg"] == (0, 0, True)
+    assert out["unique(id)"] == (0, 0, True)

@@ -291,3 +291,52 @@ def test_compact_parquet_sorted_layout(spark, tmp_path):
     # single output file, globally sorted within it
     vals = [r.k for r in spark.read.parquet(p).collect()]
     assert vals == sorted(vals)
+
+
+def test_snapshot_diff_separator_in_value_not_aliased(spark):
+    """The content hash is length-prefixed: a value CONTAINING the \\x1f
+    separator must not shift content across column boundaries —
+    ('x\\x1fv123:y', 'z') vs ('x', 'y\\x1fv123:z') are CHANGED, not
+    'unchanged'."""
+    from scio_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x\x1fv1:y", "z")], "id int, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", "y\x1fv1:z")], "id int, a string, b string"
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "changed"}
+
+
+def test_snapshot_diff_empty_vs_null_distinguished(spark):
+    from scio_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "")], "id int, a string")
+    new = spark.createDataFrame([(1, None)], "id int, a string")
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "changed"}
+
+
+def test_compact_parquet_self_heals_crashed_swap(spark, tmp_path):
+    """A crash between rename-aside and rename-into-place leaves the
+    target ABSENT with target__old intact; the next compaction must
+    recover it instead of failing on the missing path. A leftover __old
+    WITH a live target (post-replace crash) is dropped."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "t")
+    base_df(spark).repartition(8).write.parquet(t)
+    want = rows(spark, t)
+    # simulate the mid-swap crash: target renamed aside, never replaced
+    os.rename(t, t + "__old")
+    n = compact_parquet(spark, t, target_file_bytes=1 << 30)
+    assert n == 1
+    assert rows(spark, t) == want
+    assert not os.path.exists(t + "__old")
+    # post-replace crash leftover: live target + stale aside -> aside dies
+    os.makedirs(t + "__old")
+    compact_parquet(spark, t, target_file_bytes=1 << 30)
+    assert rows(spark, t) == want
+    assert not os.path.exists(t + "__old")

@@ -168,3 +168,18 @@ def test_incremental_intra_batch_dups(spark):
         for r in incremental_duplicate_spans(batch, "gram_idx_t2", n=10).collect()
     }
     assert inc == {10: 0, 11: 10}
+
+
+def test_rejects_non_integral_id(spark):
+    """String ids would silently disable duplicate detection (string*int
+    promotes to DOUBLE -> NULL encodings), so they are rejected up front
+    with a remediation hint."""
+    import pytest
+
+    from scio_spark.functions.substr_dedup import mark_duplicate_spans
+
+    df = spark.createDataFrame(
+        [("a", "one two three four")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="integral.*doc_id"):
+        mark_duplicate_spans(df, n=2).collect()
