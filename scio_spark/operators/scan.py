@@ -36,6 +36,7 @@ two-phase combine is bit-identical to the sequential scan.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -97,10 +98,59 @@ def _bucket_expr(df: DataFrame, key: Column, n: int, key_type: str = "") -> Colu
     if not uniq:
         return None
     k = knum.cast("double")
-    bucket = F.lit(0)
-    for b in uniq:
-        bucket = bucket + (k > F.lit(b)).cast("int")
+    bucket = _searchsorted(k, uniq)
     return F.when(key.isNull(), F.lit(-1)).otherwise(bucket)
+
+
+def _searchsorted(k: Column, bounds: list[float]) -> Column:
+    """``#bounds strictly below k`` as a CONSTANT-NODE-COUNT expression.
+
+    The naive chained spelling ``sum((k > b) for b in bounds)`` builds one
+    comparison NODE per boundary — fine at 200 partitions, codegen bloat
+    at 10k. Here the boundaries live in array LITERALS (one plan node each
+    regardless of length) behind a two-level lookup: a uniform outer grid
+    locates the cell (one fixed arithmetic expression — the width_bucket
+    shape), ``element_at`` fetches that cell's precomputed prefix count
+    plus its (typically tiny) boundary sublist, and one ``aggregate``
+    lambda resolves the residual comparisons. Per-row work is
+    O(B/cells + 1) on average and the plan holds ~6 nodes + 2 literals at
+    ANY partition count. Grid math is IEEE-double on both driver and
+    executors, so cell assignment of a boundary equals cell assignment of
+    a key with the same value — no boundary is ever skipped or counted
+    twice."""
+    lo, hi = bounds[0], bounds[-1]
+    if hi == lo:
+        return (k > F.lit(lo)).cast("int")
+    n_cells = min(1024, len(bounds))
+    step = (hi - lo) / n_cells
+
+    def cell_of(b: float) -> int:
+        return min(n_cells - 1, max(0, int(math.floor((b - lo) / step))))
+
+    sublists: list[list[float]] = [[] for _ in range(n_cells)]
+    for b in bounds:
+        sublists[cell_of(b)].append(b)
+    base, acc = [], 0
+    for c in range(n_cells):
+        base.append(acc)
+        acc += len(sublists[c])
+
+    cell = F.least(
+        F.lit(n_cells - 1),
+        F.greatest(
+            F.lit(0), F.floor((k - F.lit(lo)) / F.lit(step)).cast("int")
+        ),
+    )
+    prefix = F.element_at(
+        F.lit(base).cast("array<int>"), cell + F.lit(1)
+    )
+    sub = F.element_at(
+        F.lit(sublists).cast("array<array<double>>"), cell + F.lit(1)
+    )
+    residual = F.aggregate(
+        sub, F.lit(0), lambda a, b: a + (k > b).cast("int")
+    )
+    return prefix + residual
 
 
 def running_agg(

@@ -281,3 +281,44 @@ def test_string_key_falls_back_to_range_exchange(spark):
         acc += v
         expect[s] = acc
     assert got == expect
+
+
+def test_bucket_expr_plan_size_flat_at_high_partition_count(spark):
+    """The searchsorted bucket expression must hold a CONSTANT node count:
+    boundaries live in array literals, not one comparison node per
+    boundary — at num_partitions=2048 the analyzed plan must not blow up
+    (the old chained spelling grew one `(k > b)` node per partition)."""
+    df = spark.range(100_000).select(
+        F.col("id").cast("double").alias("k"),
+        F.lit(1).alias("v"),
+    )
+    out = running_agg(df, "k", "v", agg="sum", num_partitions=2048)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # one aggregate lambda comparison regardless of partition count
+    assert plan.count("lambda") < 20
+    assert len(plan) < 100_000
+
+
+def test_searchsorted_matches_bisect(spark):
+    import bisect
+    import random
+
+    from scio_spark.operators.scan import _searchsorted
+
+    random.seed(11)
+    bounds = sorted({random.uniform(-50, 50) for _ in range(300)})
+    df = spark.range(1500).select((F.rand(5) * 140 - 70).alias("k"))
+    got = df.withColumn("b", _searchsorted(F.col("k"), bounds)).collect()
+    for r in got:
+        assert r["b"] == bisect.bisect_left(bounds, r["k"])
+
+
+def test_searchsorted_single_boundary(spark):
+    from scio_spark.operators.scan import _searchsorted
+
+    df = spark.createDataFrame([(4.0,), (5.0,), (6.0,)], "k double")
+    got = [
+        (r.k, r.b)
+        for r in df.withColumn("b", _searchsorted(F.col("k"), [5.0])).collect()
+    ]
+    assert got == [(4.0, 0), (5.0, 0), (6.0, 1)]
