@@ -2123,6 +2123,77 @@ GROUP BY phase
 """
 
 
+def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d)
+    trigger (scio LeaderBoard.scala:110-121 user-score exemplar;
+    streaming/core.py processing_time_panes) — panes fire at WALL-CLOCK
+    cadence via processing-time state timeouts, delivered in DATA-LESS
+    micro-batches; previously the documented §4.4.1 residual. Scripted for
+    determinism: ONE staged micro-batch (a 2% customer slice keyed by
+    mktsegment, integer nationkey values), pane delay 1.5 s — every key
+    fires exactly its pane 0 with the full per-key sum, in a batch that
+    carries no data (the stream is drained well before the deadline). Any
+    per-micro-batch firing, double firing, or missed data-less-batch
+    delivery changes pane_index/row-count and hash-mismatches the oracle.
+    Multi-batch pane collapse, DISCARDING mode, and wall-clock eviction
+    are wall-clock-racy under load and stay pytest-pinned
+    (tests/test_streaming.py)."""
+    import time
+
+    from scio_spark.streaming.core import (
+        StreamFixture,
+        processing_time_panes,
+        state_partitions,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_custkey % 50 = 0"
+    )
+    batch = [(r["c_mktsegment"], r["c_nationkey"]) for r in cust.collect()]
+    n_keys = len({seg for seg, _ in batch})  # 5 at sf>=0.01, fewer at 0.001
+    f = StreamFixture(spark, "segment string, v int")
+    f.add_batch(batch)
+    panes = processing_time_panes(
+        f.stream(), ["segment"], "v", delay_ms=1500
+    )
+    rows: list = []
+
+    def cap(df: DataFrame, _bid: int) -> None:
+        rows.extend(
+            (r["segment"], r["pane_index"], r["pane_value"], r["total_so_far"])
+            for r in df.collect()
+        )
+
+    # 4 state stores: fixture-sized state (see allowed_lateness A/B)
+    with state_partitions(spark, 4):
+        q = (
+            panes.writeStream.outputMode("update")
+            .foreachBatch(cap)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len({r[0] for r in rows}) < n_keys:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        f.close()
+    return spark.createDataFrame(
+        rows,
+        "segment string, pane_index long, pane_value long, total_so_far long",
+    )
+
+
+ORACLE_PROCESSING_TIME_PANES = """
+SELECT c_mktsegment AS segment, CAST(0 AS BIGINT) AS pane_index,
+       CAST(SUM(c_nationkey) AS BIGINT) AS pane_value,
+       CAST(SUM(c_nationkey) AS BIGINT) AS total_so_far
+FROM customer WHERE c_custkey % 50 = 0
+GROUP BY c_mktsegment
+"""
+
+
 def q_pipe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipe (SCollectionPipeSyntax.scala:45): documents' text through an
     identity subprocess (`cat`) — per-partition process lifecycle, output
@@ -5742,9 +5813,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. refreshing_side_input — NEW: per-micro-batch side-table refresh
        semantics (scio RefreshingSideInputExample), previously
        pytest-only;
-    3. the 23 queries that had never been driver-checked (all strict
+    3. processing_time_panes — NEW: the repeated AfterProcessingTime
+       trigger at wall-clock cadence (the former §4.4.1 residual);
+    4. the 23 queries that had never been driver-checked (all strict
        local-oracle PASS since r7);
-    4. 25 of the 42 r5-stale queries — quantiles, quantiles_by_key and
+    5. 24 of the 42 r5-stale queries — quantiles, quantiles_by_key and
        sorted_groups first (their implementations changed most since
        their last driver row).
 
@@ -5758,8 +5831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) r7's one red row: value-exact, but the raw decimal(28,2)
         #     output defeated the driver's type-tagged hash; now double
         "hash_filter": q_hash_filter,
-        # (b) NEW in round 8 — the last pytest-only streaming surface
+        # (b) NEW in round 8 — the last pytest-only streaming surfaces:
+        #     per-batch side refresh + wall-clock processing-time panes
         "refreshing_side_input": q_refreshing_side_input,
+        "processing_time_panes": q_processing_time_panes,
         # (c) the 23 queries that have never had a driver row (all strict-
         #     local PASS; the 4 decimal outputs among them now cast double)
         "side_outputs": q_side_outputs,
@@ -6054,6 +6129,7 @@ def oracle_sql() -> dict[str, str]:
         "map_file": ORACLE_MAP_FILE,
         "allowed_lateness": ORACLE_ALLOWED_LATENESS,
         "refreshing_side_input": ORACLE_REFRESHING_SIDE_INPUT,
+        "processing_time_panes": ORACLE_PROCESSING_TIME_PANES,
         "vector_sum_by_key": ORACLE_VECTOR_SUM,
         "map_with_parallelism": ORACLE_MAP_WITH_PARALLELISM,
         "side_input_multimap": ORACLE_SIDE_INPUT_MULTIMAP,

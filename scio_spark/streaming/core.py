@@ -8,8 +8,13 @@ Streaming expresses the watermark-representable subset:
 - fixed/sliding/session agg  → same window exprs as batch (operators/windows)
 - ACCUMULATING panes         → output mode ``update``
 - DISCARDING + final pane    → output mode ``append`` (emit on watermark pass)
-- early/late firing triggers → micro-batch cadence (Trigger.ProcessingTime);
-  per-pane firing control has NO Spark analog — documented gap (SURVEY §4.4.1)
+- early/late firing triggers → micro-batch cadence (Trigger.ProcessingTime)
+  for the AfterWatermark composite (late_firing_panes); element-count panes
+  (element_count_panes) and the repeated processing-time trigger at true
+  wall-clock cadence (processing_time_panes) are custom stateful operators.
+  Residual §4.4.1 gap: ONLY the AfterWatermark composite's LATE firings
+  stay quantized to micro-batch cadence — the standalone
+  AfterProcessingTime trigger fires off-cadence via data-less batches.
 
 Late-data caveat (differs subtly from Beam): Spark drops a late row
 *best-effort* while its window's state is alive, and *guarantees* the drop
@@ -769,6 +774,117 @@ def late_firing_panes(
                 {"epoch": epoch_id, "timing": timing, "pane_index": idx, "row": r}
             )
     return panes
+
+
+def processing_time_panes(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    delay_ms: int,
+    accumulating: bool = True,
+    evict_after_ms: int | None = None,
+) -> DataFrame:
+    """``Repeatedly.forever(AfterProcessingTime.pastFirstElementInPane()
+    .plusDelayOf(d))`` — the scio LeaderBoard user-score trigger
+    (scio-examples/.../complete/game/LeaderBoard.scala:110-121; trigger
+    surface WindowedSCollection.scala:31-38) and the LAST §4.4.1 residual:
+    pane firings at WALL-CLOCK cadence, decoupled from micro-batch
+    arrival.
+
+    Mechanism: ``applyInPandasWithState`` with a PROCESSING-TIME timeout.
+    The first element of a pane arms a wall-clock deadline ``delay_ms``
+    out; elements arriving before it expires accumulate SILENTLY — later
+    arrivals re-register the timeout with the REMAINING time (Spark
+    clears a key's timeout on every invocation), never extending the
+    deadline, which is exactly ``pastFirstElementInPane`` (a
+    reset-per-element spelling would be a debounce — different trigger).
+    The pane EMITS when the deadline expires; Spark delivers that in a
+    DATA-LESS micro-batch if nothing new arrived (pinned by test), so
+    firings genuinely happen off the data cadence — run the query with a
+    ``Trigger.ProcessingTime`` interval a few× smaller than ``delay_ms``
+    (the interval quantizes firing latency). The next element after a
+    firing arms a fresh pane: ``Repeatedly.forever``.
+
+    - ACCUMULATING (Beam accumulatingFiredPanes, the LeaderBoard mode):
+      ``pane_value`` is the running aggregate over ALL elements so far;
+    - DISCARDING: ``pane_value`` covers only the elements since the last
+      firing. ``total_so_far`` always carries the running aggregate.
+
+    ``value_col`` must be integer-valued (pre-scale currency to cents) so
+    pane sums are engine-exact. State is one 4-long row per key, bounded
+    by key cardinality — Beam's GlobalWindows state story; pass
+    ``evict_after_ms`` to additionally drop a key's state after that much
+    wall-clock idleness following a firing (the next element then starts
+    from zero). Fixed-window panes at processing-time cadence: include a
+    precomputed window-start column in ``key_cols`` (eviction is then
+    wall-clock-based, not watermark-based — the AfterWatermark composite
+    with processing-time LATE firings stays approximated by
+    ``late_firing_panes`` at micro-batch cadence). Output mode must be
+    ``update``. Emits (key..., pane_index, pane_value, total_so_far)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if delay_ms < 1:
+        raise ValueError("processing_time_panes: delay_ms must be >= 1")
+    key_cols = list(key_cols)
+    dt = dict(stream.dtypes)
+    key_schema = ", ".join(f"{c} {dt[c]}" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, pane_index long, pane_value long, total_so_far long"
+    )
+    _IDLE, _PANE, _EVICT = 0, 1, 2
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            total, delta, pane_index, phase, _ = state.get
+            if phase == _PANE:
+                if evict_after_ms is not None:
+                    state.update((total, 0, pane_index + 1, _EVICT, 0))
+                    state.setTimeoutDuration(evict_after_ms)
+                else:
+                    state.update((total, 0, pane_index + 1, _IDLE, 0))
+                yield pd.DataFrame(
+                    {
+                        **{c: [key[i]] for i, c in enumerate(key_cols)},
+                        "pane_index": [pane_index],
+                        "pane_value": [total if accumulating else delta],
+                        "total_so_far": [total],
+                    }
+                )
+            else:  # _EVICT with no arrivals since the firing: drop the key
+                state.remove()
+            return
+        total, delta, pane_index, phase, deadline = (
+            state.get if state.exists else (0, 0, 0, _IDLE, 0)
+        )
+        arrived = 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                arrived += int(pdf[value_col].sum())
+        total += arrived
+        delta += arrived
+        # Spark clears a key's timeout on EVERY invocation: an armed pane
+        # must re-register the REMAINDER of its original deadline (never
+        # the full delay — that would be a debounce, not
+        # pastFirstElementInPane). The clock is Spark's processing-time
+        # clock, the same one timeouts are evaluated against.
+        now_ms = state.getCurrentProcessingTimeMs()
+        if phase != _PANE:  # first element of this pane: arm the deadline
+            deadline = now_ms + delay_ms
+        state.update((total, delta, pane_index, _PANE, deadline))
+        state.setTimeoutDuration(max(1, deadline - now_ms))
+        return
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "total long, delta long, pane_index long, phase int, "
+            "deadline long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 class StreamFixture:

@@ -670,3 +670,114 @@ def test_refreshing_side_input_picks_up_replaced_table(spark, tmp_path):
     # batch 1 joined v1; batch 2 joined v2 (and b, dropped from v2, goes
     # NULL under the left join — the refresh is total, not incremental)
     assert sorted(got) == [("a", 1, "v1"), ("a", 2, "v2"), ("b", 3, None)]
+
+
+def _drive_wall_clock_panes(spark, panes, until, deadline_s=60.0, n_state=2):
+    """Start an update-mode foreachBatch query over ``panes`` with a fast
+    processing-time trigger and poll the captured pane rows until
+    ``until(rows)`` is truthy or the deadline passes. Returns (rows, stop)
+    — caller may keep driving via stop()/the returned list."""
+    import time
+
+    from scio_spark.streaming.core import state_partitions
+
+    rows: list = []
+
+    def cap(df, _bid):
+        rows.extend(df.collect())
+
+    with state_partitions(spark, n_state):
+        q = (
+            panes.writeStream.outputMode("update")
+            .foreachBatch(cap)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def wait(pred, deadline=deadline_s):
+        end = time.time() + deadline
+        while time.time() < end:
+            if pred(rows):
+                return True
+            time.sleep(0.25)
+        return False
+
+    assert wait(until), f"no pane satisfied the predicate; got {rows}"
+    return rows, q, wait
+
+
+def test_processing_time_panes_fire_on_wall_clock_not_batch_cadence(spark):
+    """AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d),
+    repeated forever (LeaderBoard user-score trigger): two micro-batches
+    landing within the delay collapse into ONE pane (a per-micro-batch
+    spelling would fire two), the pane fires in a DATA-LESS batch after
+    d, and the next element starts pane 2."""
+    from scio_spark.streaming.core import StreamFixture, processing_time_panes
+
+    f = StreamFixture(spark, "user string, score int")
+    # both staged BEFORE start → two back-to-back micro-batches, well
+    # inside the 5 s pane delay even on a loaded machine
+    f.add_batch([("u1", 10)])
+    f.add_batch([("u1", 5), ("u2", 7)])
+    panes = processing_time_panes(
+        f.stream(), ["user"], "score", delay_ms=5000
+    )
+    rows, q, wait = _drive_wall_clock_panes(
+        spark, panes, lambda rs: {r.user for r in rs} >= {"u1", "u2"}
+    )
+    try:
+        u1 = [r for r in rows if r.user == "u1"]
+        assert [(r.pane_index, r.pane_value, r.total_so_far) for r in u1] == [
+            (0, 15, 15)
+        ], "both micro-batches must collapse into one wall-clock pane"
+        assert [
+            (r.pane_index, r.pane_value) for r in rows if r.user == "u2"
+        ] == [(0, 7)]
+        # Repeatedly.forever: a fresh element arms pane 2; ACCUMULATING
+        # panes carry the full running aggregate
+        f.add_batch([("u1", 3)])
+        assert wait(
+            lambda rs: any(r.user == "u1" and r.pane_index == 1 for r in rs)
+        )
+        p2 = [r for r in rows if r.user == "u1" and r.pane_index == 1]
+        assert [(r.pane_value, r.total_so_far) for r in p2] == [(18, 18)]
+    finally:
+        q.stop()
+        f.close()
+
+
+def test_processing_time_panes_discarding_and_eviction(spark):
+    """DISCARDING panes carry only the delta since the last firing; an
+    idle key's state is dropped evict_after_ms after a firing, so a later
+    element starts from zero (wall-clock-bounded state)."""
+    import time
+
+    from scio_spark.streaming.core import StreamFixture, processing_time_panes
+
+    f = StreamFixture(spark, "user string, score int")
+    f.add_batch([("u1", 1)])
+    f.add_batch([("u1", 2)])
+    panes = processing_time_panes(
+        f.stream(),
+        ["user"],
+        "score",
+        delay_ms=2500,
+        accumulating=False,
+        evict_after_ms=2000,
+    )
+    rows, q, wait = _drive_wall_clock_panes(spark, panes, lambda rs: len(rs) >= 1)
+    try:
+        assert [(r.pane_index, r.pane_value, r.total_so_far) for r in rows] == [
+            (0, 3, 3)
+        ]
+        # let the eviction timer fire (2 s after the pane), with margin
+        time.sleep(6)
+        f.add_batch([("u1", 10)])
+        assert wait(lambda rs: len(rs) >= 2)
+        # evicted state restarts the key: totals reset, pane_index restarts
+        assert [(r.pane_index, r.pane_value, r.total_so_far) for r in rows[1:]] == [
+            (0, 10, 10)
+        ]
+    finally:
+        q.stop()
+        f.close()
