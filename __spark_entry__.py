@@ -2153,8 +2153,10 @@ def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys = len({seg for seg, _ in batch})  # 5 at sf>=0.01, fewer at 0.001
     f = StreamFixture(spark, "segment string, v int")
     f.add_batch(batch)
+    # 1 s pane delay is pure latency here (ONE staged batch: the deadline
+    # arms at its processing time; no second batch can split the pane)
     panes = processing_time_panes(
-        f.stream(), ["segment"], "v", delay_ms=1500
+        f.stream(), ["segment"], "v", delay_ms=1000
     )
     rows: list = []
 
@@ -2175,7 +2177,7 @@ def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len({r[0] for r in rows}) < n_keys:
-            time.sleep(0.25)
+            time.sleep(0.15)
     finally:
         q.stop()
         f.close()
@@ -2191,6 +2193,124 @@ SELECT c_mktsegment AS segment, CAST(0 AS BIGINT) AS pane_index,
        CAST(SUM(c_nationkey) AS BIGINT) AS total_so_far
 FROM customer WHERE c_custkey % 50 = 0
 GROUP BY c_mktsegment
+"""
+
+
+def q_watermark_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AfterWatermark.pastEndOfWindow().withLateFirings(
+    AfterProcessingTime.pastFirstElementInPane().plusDelayOf(d)) — the
+    full LeaderBoard team-score trigger (LeaderBoard.scala:111-170;
+    streaming/core.py watermark_panes), with every §4.4.1 bound removed:
+    the ON_TIME pane is delivered in a DATA-LESS micro-batch (no
+    data-carrying batch needed at the crossing) and the LATE pane fires
+    on a WALL-CLOCK delay, not the batch cadence. Scripted: hour-0
+    even-id events arrive on time keyed by event_type (1-hour windows,
+    6-hour lateness); an hour-3 batch advances the on-time watermark past
+    hour-0's end — each even-stratum type's ON_TIME pane then fires with
+    no new data; the odd-id hour-0 rows replay late-but-admissible
+    (delayed watermark ≈ 21:59 prior day) and their LATE panes fire 1.5 s
+    later with the ACCUMULATED total. Types seen only in the odd stratum
+    first fire after the crossing, so their first pane is the (late-
+    armed) ON_TIME value — the oracle derives both pane sets exactly from
+    the two strata; any missed data-less delivery, double firing, stale
+    accumulation, or dropped admissible row changes rows/values and
+    hash-mismatches."""
+    import time
+
+    from scio_spark.streaming.core import (
+        StreamFixture,
+        state_partitions,
+        watermark_panes,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+
+    def hour(h, par=None):
+        df = ev.filter(
+            f"ts >= TIMESTAMP '2024-01-01 0{h}:00:00'"
+            f" AND ts < TIMESTAMP '2024-01-01 0{h + 1}:00:00'"
+        )
+        return df if par is None else df.filter(f"event_id % 2 = {par}")
+
+    def recs(df):  # hour-slice fixtures — driver-sized
+        return [(r["event_type"], r["ts"], 1) for r in df.collect()]
+
+    even, odd = recs(hour(0, 0)), recs(hour(0, 1))
+    even_types, odd_types = {r[0] for r in even}, {r[0] for r in odd}
+    # every type fires ON_TIME once (even-stratum at the crossing,
+    # odd-only via its late-armed first pane); types in BOTH strata add
+    # a LATE pane
+    expected = {(t, "ON_TIME") for t in even_types | odd_types} | {
+        (t, "LATE") for t in even_types & odd_types
+    }
+    f = StreamFixture(spark, "event_type string, ts timestamp, one int")
+    f.add_batch(even)
+    # 1 s late delay is latency, not a race margin: the deadline arms at
+    # the processing time of the (single) late batch, so the pane can
+    # never fire early or split — shrinking it only trims wall time
+    panes = watermark_panes(
+        f.stream(), "ts", "1 hour", "6 hours", ["event_type"], "one",
+        late_delay_ms=1000,
+    )
+    rows: list = []
+
+    def cap(df: DataFrame, _bid: int) -> None:
+        rows.extend(
+            (r["event_type"], r["timing"], r["pane_index"], r["pane_value"],
+             r["total_so_far"])
+            for r in df.collect()
+        )
+
+    def wait(pred, deadline_s=90.0) -> None:
+        end = time.time() + deadline_s
+        while time.time() < end and not pred():
+            time.sleep(0.15)
+
+    # 2 state stores: fixture-sized state; the sweeps re-invoke every
+    # armed key each trigger, so per-batch store overhead dominates wall
+    # time here (A/B: 7.8 s at 4, 6.3 s at 2, 6.0 s at 1 on sf0.1)
+    with state_partitions(spark, 2):
+        q = (
+            panes.writeStream.outputMode("update")
+            .foreachBatch(cap)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+    try:
+        f.add_batch(recs(hour(3)))  # on-time watermark → ~03:59 > 01:00
+        wait(lambda: even_types <= {t for t, tm, *_ in rows if tm == "ON_TIME"})
+        f.add_batch(odd)  # late-but-admissible replay
+        wait(lambda: {(t, tm) for t, tm, *_ in rows} >= expected)
+    finally:
+        q.stop()
+        f.close()
+    return spark.createDataFrame(
+        rows,
+        "event_type string, timing string, pane_index long, "
+        "pane_value long, total_so_far long",
+    )
+
+
+ORACLE_WATERMARK_PANES = """
+WITH h0 AS (
+  SELECT event_type, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-01 01:00:00'),
+e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM h0 WHERE event_id % 2 = 0 GROUP BY event_type),
+o AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM h0 WHERE event_id % 2 = 1 GROUP BY event_type)
+SELECT COALESCE(e.event_type, o.event_type) AS event_type,
+       'ON_TIME' AS timing,
+       CAST(0 AS BIGINT) AS pane_index,
+       COALESCE(e.n, o.n) AS pane_value,
+       COALESCE(e.n, o.n) AS total_so_far
+FROM e FULL OUTER JOIN o ON e.event_type = o.event_type
+UNION ALL
+SELECT e.event_type, 'LATE', CAST(1 AS BIGINT), e.n + o.n, e.n + o.n
+FROM e JOIN o ON e.event_type = o.event_type
 """
 
 
@@ -5814,14 +5934,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        semantics (scio RefreshingSideInputExample), previously
        pytest-only;
     3. processing_time_panes — NEW: the repeated AfterProcessingTime
-       trigger at wall-clock cadence (the former §4.4.1 residual);
+       trigger at wall-clock cadence;
+    3b. watermark_panes — NEW: the full AfterWatermark composite with
+       wall-clock EARLY/LATE firings and data-less ON_TIME delivery,
+       closing §4.4.1 outright (no trigger residual remains);
     4. the 23 queries that had never been driver-checked (all strict
        local-oracle PASS since r7);
-    5. 24 of the 42 r5-stale queries — quantiles, quantiles_by_key and
+    5. 23 of the 42 r5-stale queries — quantiles, quantiles_by_key and
        sorted_groups first (their implementations changed most since
        their last driver row).
 
-    The 17 remaining r5-stale queries (IO roundtrips and other surfaces
+    The 19 remaining r5-stale queries (IO roundtrips and other surfaces
     unchanged since r5) head the post-window section as the r9 rotation.
     Everything past the window is green in CORRECTNESS_r05/r06/r07 and
     unchanged this round. tools/check_oracle.py still value-checks ALL
@@ -5835,6 +5958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     per-batch side refresh + wall-clock processing-time panes
         "refreshing_side_input": q_refreshing_side_input,
         "processing_time_panes": q_processing_time_panes,
+        "watermark_panes": q_watermark_panes,
         # (c) the 23 queries that have never had a driver row (all strict-
         #     local PASS; the 4 decimal outputs among them now cast double)
         "side_outputs": q_side_outputs,
@@ -6130,6 +6254,7 @@ def oracle_sql() -> dict[str, str]:
         "allowed_lateness": ORACLE_ALLOWED_LATENESS,
         "refreshing_side_input": ORACLE_REFRESHING_SIDE_INPUT,
         "processing_time_panes": ORACLE_PROCESSING_TIME_PANES,
+        "watermark_panes": ORACLE_WATERMARK_PANES,
         "vector_sum_by_key": ORACLE_VECTOR_SUM,
         "map_with_parallelism": ORACLE_MAP_WITH_PARALLELISM,
         "side_input_multimap": ORACLE_SIDE_INPUT_MULTIMAP,

@@ -887,6 +887,198 @@ def processing_time_panes(
     )
 
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+    "day": 86_400_000, "week": 604_800_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark duration string ('30 minutes', '1 hour') to millis —
+    the fixed-length units watermark delays are written in (calendar
+    units like month/year are not valid watermark delays)."""
+    import re
+
+    total, matched = 0, False
+    for num, unit in re.findall(
+        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?\b",
+        interval.strip().lower(),
+    ):
+        total += int(num) * _INTERVAL_UNIT_MS[unit]
+        matched = True
+    if not matched:
+        raise ValueError(f"unparseable interval: {interval!r}")
+    return total
+
+
+def watermark_panes(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    allowed_lateness: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    late_delay_ms: int,
+    early_delay_ms: int | None = None,
+    accumulating: bool = True,
+    poll_ms: int = 300,
+) -> DataFrame:
+    """``AfterWatermark.pastEndOfWindow().withEarlyFirings(
+    AfterProcessingTime...).withLateFirings(AfterProcessingTime
+    .pastFirstElementInPane().plusDelayOf(d))`` — the full LeaderBoard
+    team-score trigger (scio-examples/.../complete/game/
+    LeaderBoard.scala:111-170; WindowedSCollection.scala:31-38) with LATE
+    (and optional EARLY) firings at TRUE wall-clock cadence. This closes
+    the last §4.4.1 residual: ``late_firing_panes`` could only fire on
+    micro-batch arrival, and an ON_TIME pane needed a data-carrying batch.
+
+    Mechanism: one stateful operator keyed by (keys..., window_start)
+    under a PROCESSING-TIME timeout, reading the EVENT-TIME watermark via
+    ``GroupState.getCurrentWatermarkMs()`` each sweep — the two clocks
+    Beam's composite trigger needs, available together because the
+    timeout kind only fixes when the operator is re-invoked, not which
+    clocks it may read. Every armed key is swept each ``poll_ms``:
+
+    - EARLY  — with ``early_delay_ms``, the first element of a pane arms
+      a wall-clock deadline (remainder re-arm, never extended — Beam's
+      pastFirstElementInPane); firing emits and starts the next pane.
+    - ON_TIME — the input is watermarked by ``allowed_lateness``, so the
+      ON-TIME watermark (lateness 0) is ``getCurrentWatermarkMs() +
+      lateness``; the first sweep where it passes the window end emits
+      the on-time pane — in a DATA-LESS micro-batch if no data arrived,
+      the case ``late_firing_panes`` documents as unexpressible.
+    - LATE   — after the on-time firing, the first late-but-admissible
+      element arms a fresh wall-clock deadline; firing emits ``delay_ms``
+      later, decoupled from batch cadence.
+    - EVICTION — when the DELAYED watermark passes the window end (i.e.
+      the on-time watermark passes end + lateness) the key's state is
+      dropped; an armed-but-unfired pane first emits as the final LATE
+      pane (Beam's isLast). Later rows never reach the operator: Spark
+      drops them against the same delayed watermark — the guaranteed
+      allowedLateness drop, identical to ``discarding_panes``.
+
+    ACCUMULATING panes carry the running total, DISCARDING the delta
+    since the last firing; ``total_so_far`` always carries the total.
+    ``value_col`` must be integer-valued (pre-scale currency to cents).
+    State is one fixed-width row per in-flight (key, window) — Beam's
+    exact state story; sweep cost is one re-invocation per armed key per
+    ``poll_ms`` (set poll to seconds on a real cluster; it only bounds
+    firing latency). Output mode must be ``update``. Emits
+    (keys..., window_start, timing, pane_index, pane_value,
+    total_so_far)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if late_delay_ms < 1:
+        raise ValueError("watermark_panes: late_delay_ms must be >= 1")
+    key_cols = list(key_cols)
+    lateness_ms = _interval_ms(allowed_lateness)
+    wm = stream.withWatermark(ts_col, allowed_lateness)
+    with_win = wm.withColumn(
+        "window_start", F.window(F.col(ts_col), window_duration)["start"]
+    ).withColumn(
+        "__window_end_ms",
+        (
+            F.unix_timestamp(F.window(F.col(ts_col), window_duration)["end"])
+            * 1000
+        ).cast("long"),
+    )
+    dt = dict(with_win.dtypes)
+    key_schema = ", ".join(f"{c} {dt[c]}" for c in key_cols + ["window_start"])
+    out_schema = (
+        f"{key_schema}, timing string, pane_index long, pane_value long, "
+        "total_so_far long"
+    )
+
+    def emit(key, timing, pane_index, pane_value, total):
+        return pd.DataFrame(
+            {
+                **{c: [key[i]] for i, c in enumerate(key_cols)},
+                "window_start": [key[len(key_cols)]],
+                "timing": [timing],
+                "pane_index": [pane_index],
+                "pane_value": [pane_value],
+                "total_so_far": [total],
+            }
+        )
+
+    def update(key, pdf_iter, state: GroupState):
+        # delayed wm = on-time wm − lateness (0 until the first batch sets
+        # one; real event times dwarf lateness, so 0 never crosses a window)
+        wm_ms = state.getCurrentWatermarkMs()
+        if state.hasTimedOut:
+            total, delta, pane_index, fired, end_ms, armed, deadline = state.get
+            now_ms = state.getCurrentProcessingTimeMs()
+            if not fired and wm_ms + lateness_ms >= end_ms:
+                # on-time watermark passed the window end: the ON_TIME pane
+                # (Beam fires it even if no element arrived since the last
+                # early pane — update mode re-emits the accumulated value)
+                state.update((total, 0, pane_index + 1, 1, end_ms, 0, 0))
+                state.setTimeoutDuration(poll_ms)
+                yield emit(
+                    key, "ON_TIME", pane_index,
+                    total if accumulating else delta, total,
+                )
+            elif fired and wm_ms >= end_ms:
+                # delayed watermark passed the end: evict — flushing an
+                # armed-but-unfired late pane first (Beam's final pane)
+                state.remove()
+                if armed:
+                    yield emit(
+                        key, "LATE", pane_index,
+                        total if accumulating else delta, total,
+                    )
+            elif armed and now_ms >= deadline:
+                timing = "LATE" if fired else "EARLY"
+                state.update((total, 0, pane_index + 1, fired, end_ms, 0, 0))
+                state.setTimeoutDuration(poll_ms)
+                yield emit(
+                    key, timing, pane_index,
+                    total if accumulating else delta, total,
+                )
+            else:  # nothing due: keep sweeping (remainder first if armed)
+                state.update((total, delta, pane_index, fired, end_ms, armed, deadline))
+                state.setTimeoutDuration(
+                    max(1, min(poll_ms, deadline - now_ms)) if armed else poll_ms
+                )
+            return
+        total, delta, pane_index, fired, end_ms, armed, deadline = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+        )
+        arrived = 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                arrived += int(pdf[value_col].sum())
+                end_ms = int(pdf["__window_end_ms"].iloc[0])
+        total += arrived
+        delta += arrived
+        now_ms = state.getCurrentProcessingTimeMs()
+        if fired or early_delay_ms is not None:
+            # first element of a late (or early) pane arms its wall-clock
+            # deadline; later elements re-register the REMAINDER (Spark
+            # clears the timeout each invocation) — pastFirstElementInPane
+            if not armed:
+                armed, deadline = 1, now_ms + (
+                    late_delay_ms if fired else early_delay_ms
+                )
+        state.update((total, delta, pane_index, fired, end_ms, armed, deadline))
+        state.setTimeoutDuration(
+            max(1, min(poll_ms, deadline - now_ms)) if armed else poll_ms
+        )
+        return
+
+    return with_win.groupBy(*key_cols, "window_start").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=(
+            "total long, delta long, pane_index long, fired int, "
+            "end_ms long, armed int, deadline long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 class StreamFixture:
     """TestStream analog (testing/package.scala:27-34): scripted micro-batches
     with watermark advancement between them.

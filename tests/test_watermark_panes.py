@@ -1,0 +1,157 @@
+"""AfterWatermark composite trigger with wall-clock LATE firings
+(streaming.core.watermark_panes) — the operator that closes the last
+SURVEY §4.4.1 residual. Pins:
+
+- ON_TIME pane fires when the on-time watermark passes the window end,
+  delivered in a DATA-LESS micro-batch (no data-carrying batch needed —
+  the exact case late_firing_panes documents as unexpressible);
+- a late-but-admissible replay arms a wall-clock pane that fires
+  late_delay_ms later, labeled LATE, accumulating the full total;
+- rows later than the allowed lateness never reach the operator
+  (guaranteed drop against the delayed watermark);
+- _interval_ms parses the watermark-delay grammar.
+"""
+
+import time
+
+import pytest
+
+from scio_spark.streaming.core import (
+    StreamFixture,
+    _interval_ms,
+    state_partitions,
+    watermark_panes,
+)
+
+T0 = "2024-01-01 00:{m:02d}:00"
+
+
+def _ts(minute):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def _drive(spark, panes, until, deadline_s=60.0):
+    rows: list = []
+
+    def cap(df, _bid):
+        rows.extend(df.collect())
+
+    with state_partitions(spark, 2):
+        q = (
+            panes.writeStream.outputMode("update")
+            .foreachBatch(cap)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    def wait(pred, deadline=deadline_s):
+        end = time.time() + deadline
+        while time.time() < end:
+            if pred(rows):
+                return True
+            time.sleep(0.25)
+        return False
+
+    assert wait(until), f"predicate never satisfied; got {rows}"
+    return rows, q, wait
+
+
+def test_interval_ms_grammar():
+    assert _interval_ms("30 minutes") == 1_800_000
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("1 minute 30 seconds") == 90_000
+    assert _interval_ms("500 milliseconds") == 500
+    with pytest.raises(ValueError):
+        _interval_ms("2 fortnights")
+
+
+def test_on_time_pane_fires_data_less_then_late_pane_accumulates(spark):
+    """Batch 1: on-time elements (minute 0-9 window). Batch 2: a minute-40
+    row advances the on-time watermark (lateness 20 min → delayed wm =
+    minute 20) past the window end (minute 10) — the ON_TIME pane for the
+    first window must fire in a later DATA-LESS batch. Then a late replay
+    of the same window (admissible: minute 5 ≥ delayed wm would be
+    dropped only past minute 20) arms a wall-clock LATE pane carrying the
+    accumulated total."""
+    f = StreamFixture(spark, "user string, ts timestamp, score int")
+    f.add_batch([("u1", _ts(1), 10), ("u1", _ts(2), 5)])
+    panes = watermark_panes(
+        f.stream(),
+        "ts",
+        "10 minutes",
+        "20 minutes",
+        ["user"],
+        "score",
+        late_delay_ms=1500,
+    )
+    rows, q, wait = _drive(
+        spark, panes, lambda rs: len(rs) >= 0
+    )
+    try:
+        # nothing may fire before the watermark crosses: no early trigger
+        time.sleep(2)
+        assert rows == [], "no EARLY firings were configured"
+        f.add_batch([("u9", _ts(40), 1)])  # on-time wm → 00:40 > 00:10 end
+        assert wait(lambda rs: any(r.timing == "ON_TIME" for r in rs))
+        on_time = [r for r in rows if r.timing == "ON_TIME"]
+        assert [
+            (r.user, r.pane_index, r.pane_value, r.total_so_far)
+            for r in on_time
+        ] == [("u1", 0, 15, 15)]
+        assert on_time[0].window_start == _ts(0)
+        # delayed wm is now 00:20, PAST the window end (00:10): the state
+        # is evicted on the next sweep and a replay at 00:05 < wm is
+        # dropped by Spark before the operator — the guaranteed
+        # beyond-lateness drop. No pane may fire for it.
+        f.add_batch([("u1", _ts(5), 100)])
+        time.sleep(4)
+        assert not any(r.timing == "LATE" for r in rows), (
+            "a row later than the allowed lateness must be dropped, "
+            f"got {rows}"
+        )
+    finally:
+        q.stop()
+        f.close()
+
+
+def test_late_pane_fires_wall_clock_for_admissible_replay(spark):
+    """Lateness wide enough (2 hours) that the hour-0 replay stays
+    admissible after the on-time watermark passed the window end: the
+    replay arms a wall-clock deadline and fires a LATE pane with the
+    accumulated total 1.5 s later — off the data cadence."""
+    f = StreamFixture(spark, "user string, ts timestamp, score int")
+    f.add_batch([("u1", _ts(1), 10)])
+    panes = watermark_panes(
+        f.stream(),
+        "ts",
+        "10 minutes",
+        "2 hours",
+        ["user"],
+        "score",
+        late_delay_ms=1500,
+    )
+    rows, q, wait = _drive(spark, panes, lambda rs: len(rs) >= 0)
+    try:
+        # on-time wm → 00:40 > 00:10 end; delayed wm = 00:40 − 2h < 0, so
+        # the window's state survives and hour-0 rows stay admissible
+        f.add_batch([("u9", _ts(40), 1)])
+        assert wait(
+            lambda rs: any(r.user == "u1" and r.timing == "ON_TIME" for r in rs)
+        )
+        t_fired = time.time()
+        f.add_batch([("u1", _ts(5), 7)])  # late-but-admissible replay
+        assert wait(
+            lambda rs: any(r.user == "u1" and r.timing == "LATE" for r in rs)
+        )
+        late = [r for r in rows if r.user == "u1" and r.timing == "LATE"]
+        assert [
+            (r.pane_index, r.pane_value, r.total_so_far) for r in late
+        ] == [(1, 17, 17)], "LATE pane accumulates on-time + late elements"
+        assert time.time() - t_fired >= 1.0, (
+            "LATE pane must fire on the wall-clock delay, not on batch arrival"
+        )
+    finally:
+        q.stop()
+        f.close()

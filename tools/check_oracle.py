@@ -133,6 +133,11 @@ def numeric_types(spark_dtypes, con, sql):
             bad.append(f"{name}: spark {sdt.upper()} vs duckdb {d}")
         elif sdt.startswith("decimal") and not pa.types.is_decimal(d):
             bad.append(f"{name}: spark {sdt} vs duckdb {d}")
+        elif (sdt == "boolean") != pa.types.is_boolean(d):
+            # True == 1 in Python, so the value check alone cannot see a
+            # bool-vs-int engine drift — but the driver's type-tagged
+            # hash can (the same class as r7's decimal-vs-float64)
+            bad.append(f"{name}: spark {sdt.upper()} vs duckdb {d}")
     return bad
 
 
