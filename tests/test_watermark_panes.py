@@ -155,3 +155,90 @@ def test_late_pane_fires_wall_clock_for_admissible_replay(spark):
     finally:
         q.stop()
         f.close()
+
+
+def test_early_firings_discarding_mode_and_on_time_sequence(spark):
+    """withEarlyFirings + discardingFiredPanes: each early pane carries
+    only the delta since the last firing; the ON_TIME pane then re-fires
+    at the crossing with a ZERO delta (everything was already emitted
+    early — Beam's possibly-empty on-time pane); pane_index counts all
+    firings; total_so_far always accumulates."""
+    f = StreamFixture(spark, "user string, ts timestamp, score int")
+    f.add_batch([("u1", _ts(1), 10)])
+    panes = watermark_panes(
+        f.stream(),
+        "ts",
+        "10 minutes",
+        "20 minutes",
+        ["user"],
+        "score",
+        late_delay_ms=1000,
+        early_delay_ms=1000,
+        accumulating=False,
+    )
+    rows, q, wait = _drive(
+        spark, panes, lambda rs: any(r.timing == "EARLY" for r in rs)
+    )
+    try:
+        assert [
+            (r.user, r.timing, r.pane_index, r.pane_value, r.total_so_far)
+            for r in rows
+        ] == [("u1", "EARLY", 0, 10, 10)]
+        f.add_batch([("u1", _ts(2), 5)])  # second early pane: delta only
+        assert wait(
+            lambda rs: any(r.timing == "EARLY" and r.pane_index == 1 for r in rs)
+        )
+        assert (rows[1].pane_value, rows[1].total_so_far) == (5, 15)
+        f.add_batch([("u9", _ts(40), 1)])  # on-time wm 00:40 > end 00:10
+        assert wait(lambda rs: any(r.timing == "ON_TIME" for r in rs))
+        on_time = [r for r in rows if r.timing == "ON_TIME"]
+        assert [
+            (r.user, r.pane_index, r.pane_value, r.total_so_far)
+            for r in on_time
+        ] == [("u1", 2, 0, 15)], (
+            "discarding ON_TIME pane re-fires with zero delta after early "
+            f"panes drained it; got {rows}"
+        )
+    finally:
+        q.stop()
+        f.close()
+
+
+def test_eviction_flushes_an_armed_unfired_late_pane_exactly_once(spark):
+    """A late pane armed just before the delayed watermark passes the
+    window end must emit EXACTLY once — either its wall-clock deadline
+    fires first or eviction flushes it as the final pane (Beam's isLast);
+    both paths carry the same content, so the assertion is race-free."""
+    f = StreamFixture(spark, "user string, ts timestamp, score int")
+    f.add_batch([("u1", _ts(1), 10)])
+    panes = watermark_panes(
+        f.stream(),
+        "ts",
+        "10 minutes",
+        "30 minutes",
+        ["user"],
+        "score",
+        late_delay_ms=1000,
+    )
+    rows, q, wait = _drive(spark, panes, lambda rs: len(rs) >= 0)
+    try:
+        f.add_batch([("u9", _ts(35), 1)])  # on-time wm 00:35 > 00:10; delayed 00:05
+        assert wait(
+            lambda rs: any(r.user == "u1" and r.timing == "ON_TIME" for r in rs)
+        )
+        # arm a late pane, then immediately push the delayed wm past the
+        # window end (00:45 − 30 min = 00:15 > 00:10) — eviction races the
+        # 1 s late deadline
+        f.add_batch([("u1", _ts(6), 7)])
+        f.add_batch([("u9", _ts(45), 1)])
+        assert wait(
+            lambda rs: any(r.user == "u1" and r.timing == "LATE" for r in rs)
+        )
+        time.sleep(2)  # a double emission (flush + deadline) would land here
+        late = [r for r in rows if r.user == "u1" and r.timing == "LATE"]
+        assert [
+            (r.pane_index, r.pane_value, r.total_so_far) for r in late
+        ] == [(1, 17, 17)], f"late pane must emit exactly once; got {rows}"
+    finally:
+        q.stop()
+        f.close()
