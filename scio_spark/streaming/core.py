@@ -911,6 +911,83 @@ def _interval_ms(interval: str) -> int:
     return total
 
 
+class _WatermarkPaneMachine:
+    """The pure per-(key, window) state machine behind ``watermark_panes``,
+    factored out of the Spark closure so its interleavings are unit- and
+    property-testable without a streaming query (tests/
+    test_watermark_panes.py drives it through randomized event sequences).
+
+    State tuple: (total, delta, pane_index, fired, end_ms, armed,
+    deadline) — exactly the operator's stateStructType. Transitions:
+
+    - ``on_data(state, arrived, end_ms, now_ms)`` → (state', timeout_ms)
+    - ``on_timeout(state, wm_ms, now_ms)`` → (state' | None, pane | None,
+      timeout_ms | None) — ``state' is None`` means evict; ``pane`` is
+      (timing, pane_index, pane_value, total_so_far).
+    """
+
+    ZERO = (0, 0, 0, 0, 0, 0, 0)
+
+    def __init__(self, lateness_ms, late_delay_ms, early_delay_ms,
+                 accumulating, poll_ms):
+        self.lateness_ms = lateness_ms
+        self.late_delay_ms = late_delay_ms
+        self.early_delay_ms = early_delay_ms
+        self.accumulating = accumulating
+        self.poll_ms = poll_ms
+
+    def _pane(self, timing, pane_index, total, delta):
+        return (timing, pane_index, total if self.accumulating else delta,
+                total)
+
+    def _sweep(self, armed, deadline, now_ms):
+        # remainder first if a pane is armed, else the plain poll cadence
+        return max(1, min(self.poll_ms, deadline - now_ms)) if armed else self.poll_ms
+
+    def on_data(self, st, arrived, end_ms_in, now_ms):
+        total, delta, pane_index, fired, end_ms, armed, deadline = st
+        if end_ms_in is not None:
+            end_ms = end_ms_in
+        total += arrived
+        delta += arrived
+        if (fired or self.early_delay_ms is not None) and not armed:
+            # first element of a late (or early) pane arms its wall-clock
+            # deadline; later elements re-register the REMAINDER (Spark
+            # clears the timeout each invocation) — pastFirstElementInPane
+            armed, deadline = 1, now_ms + (
+                self.late_delay_ms if fired else self.early_delay_ms
+            )
+        return (
+            (total, delta, pane_index, fired, end_ms, armed, deadline),
+            self._sweep(armed, deadline, now_ms),
+        )
+
+    def on_timeout(self, st, wm_ms, now_ms):
+        total, delta, pane_index, fired, end_ms, armed, deadline = st
+        if not fired and wm_ms + self.lateness_ms >= end_ms:
+            # on-time watermark passed the window end: the ON_TIME pane
+            # (Beam fires it even if no element arrived since the last
+            # early pane — update mode re-emits the accumulated value)
+            return (
+                (total, 0, pane_index + 1, 1, end_ms, 0, 0),
+                self._pane("ON_TIME", pane_index, total, delta),
+                self.poll_ms,
+            )
+        if fired and wm_ms >= end_ms:
+            # delayed watermark passed the end: evict — flushing an
+            # armed-but-unfired late pane first (Beam's final pane)
+            pane = self._pane("LATE", pane_index, total, delta) if armed else None
+            return None, pane, None
+        if armed and now_ms >= deadline:
+            return (
+                (total, 0, pane_index + 1, fired, end_ms, 0, 0),
+                self._pane("LATE" if fired else "EARLY", pane_index, total, delta),
+                self.poll_ms,
+            )
+        # nothing due: keep sweeping
+        return st, None, self._sweep(armed, deadline, now_ms)
+
+
 def watermark_panes(
     stream: DataFrame,
     ts_col: str,
@@ -1002,69 +1079,34 @@ def watermark_panes(
             }
         )
 
+    machine = _WatermarkPaneMachine(
+        lateness_ms, late_delay_ms, early_delay_ms, accumulating, poll_ms
+    )
+
     def update(key, pdf_iter, state: GroupState):
         # delayed wm = on-time wm − lateness (0 until the first batch sets
         # one; real event times dwarf lateness, so 0 never crosses a window)
         wm_ms = state.getCurrentWatermarkMs()
+        now_ms = state.getCurrentProcessingTimeMs()
         if state.hasTimedOut:
-            total, delta, pane_index, fired, end_ms, armed, deadline = state.get
-            now_ms = state.getCurrentProcessingTimeMs()
-            if not fired and wm_ms + lateness_ms >= end_ms:
-                # on-time watermark passed the window end: the ON_TIME pane
-                # (Beam fires it even if no element arrived since the last
-                # early pane — update mode re-emits the accumulated value)
-                state.update((total, 0, pane_index + 1, 1, end_ms, 0, 0))
-                state.setTimeoutDuration(poll_ms)
-                yield emit(
-                    key, "ON_TIME", pane_index,
-                    total if accumulating else delta, total,
-                )
-            elif fired and wm_ms >= end_ms:
-                # delayed watermark passed the end: evict — flushing an
-                # armed-but-unfired late pane first (Beam's final pane)
+            new, pane, timeout = machine.on_timeout(state.get, wm_ms, now_ms)
+            if new is None:
                 state.remove()
-                if armed:
-                    yield emit(
-                        key, "LATE", pane_index,
-                        total if accumulating else delta, total,
-                    )
-            elif armed and now_ms >= deadline:
-                timing = "LATE" if fired else "EARLY"
-                state.update((total, 0, pane_index + 1, fired, end_ms, 0, 0))
-                state.setTimeoutDuration(poll_ms)
-                yield emit(
-                    key, timing, pane_index,
-                    total if accumulating else delta, total,
-                )
-            else:  # nothing due: keep sweeping (remainder first if armed)
-                state.update((total, delta, pane_index, fired, end_ms, armed, deadline))
-                state.setTimeoutDuration(
-                    max(1, min(poll_ms, deadline - now_ms)) if armed else poll_ms
-                )
+            else:
+                state.update(new)
+                state.setTimeoutDuration(timeout)
+            if pane is not None:
+                yield emit(key, *pane)
             return
-        total, delta, pane_index, fired, end_ms, armed, deadline = (
-            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
-        )
-        arrived = 0
+        st = state.get if state.exists else _WatermarkPaneMachine.ZERO
+        arrived, end_ms = 0, None
         for pdf in pdf_iter:
             if len(pdf):
                 arrived += int(pdf[value_col].sum())
                 end_ms = int(pdf["__window_end_ms"].iloc[0])
-        total += arrived
-        delta += arrived
-        now_ms = state.getCurrentProcessingTimeMs()
-        if fired or early_delay_ms is not None:
-            # first element of a late (or early) pane arms its wall-clock
-            # deadline; later elements re-register the REMAINDER (Spark
-            # clears the timeout each invocation) — pastFirstElementInPane
-            if not armed:
-                armed, deadline = 1, now_ms + (
-                    late_delay_ms if fired else early_delay_ms
-                )
-        state.update((total, delta, pane_index, fired, end_ms, armed, deadline))
-        state.setTimeoutDuration(
-            max(1, min(poll_ms, deadline - now_ms)) if armed else poll_ms
-        )
+        new, timeout = machine.on_data(st, arrived, end_ms, now_ms)
+        state.update(new)
+        state.setTimeoutDuration(timeout)
         return
 
     return with_win.groupBy(*key_cols, "window_start").applyInPandasWithState(

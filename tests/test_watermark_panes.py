@@ -242,3 +242,111 @@ def test_eviction_flushes_an_armed_unfired_late_pane_exactly_once(spark):
     finally:
         q.stop()
         f.close()
+
+
+# ---------------------------------------------------------------- machine
+# Property tests of the pure state machine (_WatermarkPaneMachine) — the
+# interleavings a wall-clock harness can't reach deterministically: data
+# racing sweeps, watermark crossings between arrivals, eviction with and
+# without an armed pane, discarding vs accumulating bookkeeping.
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from scio_spark.streaming.core import _WatermarkPaneMachine  # noqa: E402
+
+END_MS = 10_000
+LATENESS = 5_000
+
+
+class _Harness:
+    """Models Spark's contract around the machine: one key, a single
+    registered timeout re-armed per invocation, rows admitted only while
+    the delayed watermark is before the window end."""
+
+    def __init__(self, machine):
+        self.m = machine
+        self.clock = 0
+        self.wm = 0
+        self.state = None
+        self.due_at = None
+        self.emissions = []
+        self.admitted = 0
+        self.evicted = False
+
+    def data(self, amount):
+        if self.wm >= END_MS or self.evicted:
+            return  # beyond-lateness rows never reach the operator
+        st_ = self.state if self.state is not None else self.m.ZERO
+        self.admitted += amount
+        self.state, timeout = self.m.on_data(st_, amount, END_MS, self.clock)
+        self.due_at = self.clock + timeout
+
+    def advance(self, dt):
+        target = self.clock + dt
+        while self.due_at is not None and self.due_at <= target:
+            self.clock = self.due_at
+            new, pane, timeout = self.m.on_timeout(self.state, self.wm, self.clock)
+            if pane is not None:
+                self.emissions.append(pane)
+            if new is None:
+                self.state, self.due_at, self.evicted = None, None, True
+            else:
+                self.state, self.due_at = new, self.clock + timeout
+        self.clock = target
+
+    def raise_wm(self, to):
+        self.wm = max(self.wm, to)
+
+
+events = st.lists(
+    st.one_of(
+        st.tuples(st.just("data"), st.integers(1, 100)),
+        st.tuples(st.just("advance"), st.integers(1, 2_000)),
+        st.tuples(st.just("wm"), st.integers(0, 20_000)),
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(evs=events, accumulating=st.booleans(), early=st.sampled_from([None, 500]))
+def test_machine_invariants_under_random_interleavings(evs, accumulating, early):
+    m = _WatermarkPaneMachine(LATENESS, 1_000, early, accumulating, 300)
+    h = _Harness(m)
+    for kind, v in evs:
+        if kind == "data":
+            h.data(v)
+        elif kind == "advance":
+            h.advance(v)
+        else:
+            h.raise_wm(v)
+    # drain: cross the on-time watermark, sweep, then cross eviction
+    h.raise_wm(END_MS - LATENESS)
+    h.advance(10_000)
+    had_data = h.admitted > 0
+    h.raise_wm(END_MS)
+    h.advance(10_000)
+
+    timings = [e[0] for e in h.emissions]
+    # one ON_TIME exactly when the window ever held data; EARLY strictly
+    # before it; LATE strictly after
+    assert timings.count("ON_TIME") == (1 if had_data else 0), h.emissions
+    if "ON_TIME" in timings:
+        i = timings.index("ON_TIME")
+        assert all(t == "EARLY" for t in timings[:i])
+        assert all(t == "LATE" for t in timings[i + 1:])
+    # pane_index is the consecutive firing count
+    assert [e[1] for e in h.emissions] == list(range(len(h.emissions)))
+    # totals: non-decreasing, conserve the admitted sum by the final pane
+    totals = [e[3] for e in h.emissions]
+    assert totals == sorted(totals)
+    if had_data:
+        assert totals[-1] == h.admitted
+        if accumulating:
+            assert all(e[2] == e[3] for e in h.emissions)
+        else:
+            assert sum(e[2] for e in h.emissions) == h.admitted
+    # the delayed watermark passed the end: any created state must be gone
+    # (a key that never saw data never had state to evict)
+    assert h.evicted == had_data
+    assert h.state is None
