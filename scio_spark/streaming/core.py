@@ -776,6 +776,56 @@ def late_firing_panes(
     return panes
 
 
+class _ProcessingTimePaneMachine:
+    """The pure per-key state machine behind ``processing_time_panes``,
+    factored out of the Spark closure for unit/property testing
+    (tests/test_watermark_panes.py drives randomized interleavings).
+
+    State tuple: (total, delta, pane_index, phase, deadline) — the
+    operator's stateStructType; phases IDLE → PANE → (EVICT | IDLE).
+
+    - ``on_data(state, arrived, now_ms)`` → (state', timeout_ms)
+    - ``on_timeout(state, now_ms)`` → (state' | None, pane | None,
+      timeout_ms | None) — ``state' is None`` means evict; ``pane`` is
+      (pane_index, pane_value, total_so_far).
+    """
+
+    IDLE, PANE, EVICT = 0, 1, 2
+    ZERO = (0, 0, 0, 0, 0)
+
+    def __init__(self, delay_ms, accumulating, evict_after_ms):
+        self.delay_ms = delay_ms
+        self.accumulating = accumulating
+        self.evict_after_ms = evict_after_ms
+
+    def on_data(self, st, arrived, now_ms):
+        total, delta, pane_index, phase, deadline = st
+        total += arrived
+        delta += arrived
+        # Spark clears a key's timeout on EVERY invocation: an armed pane
+        # must re-register the REMAINDER of its original deadline (never
+        # the full delay — that would be a debounce, not
+        # pastFirstElementInPane). The clock is Spark's processing-time
+        # clock, the same one timeouts are evaluated against.
+        if phase != self.PANE:  # first element of this pane: arm it
+            deadline = now_ms + self.delay_ms
+        return (
+            (total, delta, pane_index, self.PANE, deadline),
+            max(1, deadline - now_ms),
+        )
+
+    def on_timeout(self, st, now_ms):
+        total, delta, pane_index, phase, _ = st
+        if phase == self.PANE:
+            pane = (pane_index, total if self.accumulating else delta, total)
+            if self.evict_after_ms is not None:
+                new = (total, 0, pane_index + 1, self.EVICT, 0)
+                return new, pane, self.evict_after_ms
+            return (total, 0, pane_index + 1, self.IDLE, 0), pane, None
+        # EVICT with no arrivals since the firing: drop the key
+        return None, None, None
+
+
 def processing_time_panes(
     stream: DataFrame,
     key_cols: Sequence[str],
@@ -787,9 +837,8 @@ def processing_time_panes(
     """``Repeatedly.forever(AfterProcessingTime.pastFirstElementInPane()
     .plusDelayOf(d))`` — the scio LeaderBoard user-score trigger
     (scio-examples/.../complete/game/LeaderBoard.scala:110-121; trigger
-    surface WindowedSCollection.scala:31-38) and the LAST §4.4.1 residual:
-    pane firings at WALL-CLOCK cadence, decoupled from micro-batch
-    arrival.
+    surface WindowedSCollection.scala:31-38): pane firings at WALL-CLOCK
+    cadence, decoupled from micro-batch arrival.
 
     Mechanism: ``applyInPandasWithState`` with a PROCESSING-TIME timeout.
     The first element of a pane arms a wall-clock deadline ``delay_ms``
@@ -817,9 +866,8 @@ def processing_time_panes(
     wall-clock idleness following a firing (the next element then starts
     from zero). Fixed-window panes at processing-time cadence: include a
     precomputed window-start column in ``key_cols`` (eviction is then
-    wall-clock-based, not watermark-based — the AfterWatermark composite
-    with processing-time LATE firings stays approximated by
-    ``late_firing_panes`` at micro-batch cadence). Output mode must be
+    wall-clock-based; for watermark-based windows with the full
+    AfterWatermark composite use ``watermark_panes``). Output mode must be
     ``update``. Emits (key..., pane_index, pane_value, total_so_far)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -832,47 +880,40 @@ def processing_time_panes(
     out_schema = (
         f"{key_schema}, pane_index long, pane_value long, total_so_far long"
     )
-    _IDLE, _PANE, _EVICT = 0, 1, 2
+    machine = _ProcessingTimePaneMachine(delay_ms, accumulating, evict_after_ms)
 
     def update(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
-            total, delta, pane_index, phase, _ = state.get
-            if phase == _PANE:
-                if evict_after_ms is not None:
-                    state.update((total, 0, pane_index + 1, _EVICT, 0))
-                    state.setTimeoutDuration(evict_after_ms)
-                else:
-                    state.update((total, 0, pane_index + 1, _IDLE, 0))
+            new, pane, timeout = machine.on_timeout(
+                state.get, state.getCurrentProcessingTimeMs()
+            )
+            if new is None:
+                state.remove()
+            else:
+                state.update(new)
+                if timeout is not None:
+                    state.setTimeoutDuration(timeout)
+            if pane is not None:
+                pane_index, pane_value, total = pane
                 yield pd.DataFrame(
                     {
                         **{c: [key[i]] for i, c in enumerate(key_cols)},
                         "pane_index": [pane_index],
-                        "pane_value": [total if accumulating else delta],
+                        "pane_value": [pane_value],
                         "total_so_far": [total],
                     }
                 )
-            else:  # _EVICT with no arrivals since the firing: drop the key
-                state.remove()
             return
-        total, delta, pane_index, phase, deadline = (
-            state.get if state.exists else (0, 0, 0, _IDLE, 0)
-        )
+        st = state.get if state.exists else _ProcessingTimePaneMachine.ZERO
         arrived = 0
         for pdf in pdf_iter:
             if len(pdf):
                 arrived += int(pdf[value_col].sum())
-        total += arrived
-        delta += arrived
-        # Spark clears a key's timeout on EVERY invocation: an armed pane
-        # must re-register the REMAINDER of its original deadline (never
-        # the full delay — that would be a debounce, not
-        # pastFirstElementInPane). The clock is Spark's processing-time
-        # clock, the same one timeouts are evaluated against.
-        now_ms = state.getCurrentProcessingTimeMs()
-        if phase != _PANE:  # first element of this pane: arm the deadline
-            deadline = now_ms + delay_ms
-        state.update((total, delta, pane_index, _PANE, deadline))
-        state.setTimeoutDuration(max(1, deadline - now_ms))
+        new, timeout = machine.on_data(
+            st, arrived, state.getCurrentProcessingTimeMs()
+        )
+        state.update(new)
+        state.setTimeoutDuration(timeout)
         return
 
     return stream.groupBy(*key_cols).applyInPandasWithState(

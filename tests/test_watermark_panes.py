@@ -350,3 +350,104 @@ def test_machine_invariants_under_random_interleavings(evs, accumulating, early)
     # (a key that never saw data never had state to evict)
     assert h.evicted == had_data
     assert h.state is None
+
+
+from scio_spark.streaming.core import _ProcessingTimePaneMachine  # noqa: E402
+
+DELAY = 1_000
+EVICT_AFTER = 3_000
+
+
+class _PTHarness:
+    """Models the processing-time-pane operator contract: one key, one
+    re-armed timeout, state recreated from ZERO after eviction."""
+
+    def __init__(self, machine):
+        self.m = machine
+        self.clock = 0
+        self.state = None
+        self.due_at = None
+        self.emissions = []  # (fire_time, pane_index, pane_value, total)
+        self.arm_times = []  # wall-clock instant each pane was armed
+        self.evictions = 0
+
+    def data(self, amount):
+        st_ = self.state if self.state is not None else self.m.ZERO
+        if st_[3] != self.m.PANE:  # IDLE or EVICT: this element arms a pane
+            self.arm_times.append(self.clock)
+        self.state, timeout = self.m.on_data(st_, amount, self.clock)
+        self.due_at = self.clock + timeout
+
+    def advance(self, dt):
+        target = self.clock + dt
+        while self.due_at is not None and self.due_at <= target:
+            self.clock = self.due_at
+            new, pane, timeout = self.m.on_timeout(self.state, self.clock)
+            if pane is not None:
+                self.emissions.append((self.clock,) + pane)
+            if new is None:
+                self.state, self.due_at = None, None
+                self.evictions += 1
+            else:
+                self.state = new
+                self.due_at = None if timeout is None else self.clock + timeout
+        self.clock = target
+
+
+pt_events = st.lists(
+    st.one_of(
+        st.tuples(st.just("data"), st.integers(1, 100)),
+        st.tuples(st.just("advance"), st.integers(1, 2_500)),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(evs=pt_events, accumulating=st.booleans(), evict=st.booleans())
+def test_processing_time_machine_invariants(evs, accumulating, evict):
+    m = _ProcessingTimePaneMachine(
+        DELAY, accumulating, EVICT_AFTER if evict else None
+    )
+    h = _PTHarness(m)
+    total_fed = 0
+    for kind, v in evs:
+        if kind == "data":
+            h.data(v)
+            total_fed += v
+        else:
+            h.advance(v)
+    h.advance(DELAY + EVICT_AFTER + 1)  # drain: flush any armed pane
+
+    # every pane fires EXACTLY delay after the element that armed it —
+    # pastFirstElementInPane, never a debounce (later elements collapse
+    # silently without extending the deadline)
+    assert len(h.emissions) == len(h.arm_times)
+    for (fired_at, *_), armed_at in zip(h.emissions, h.arm_times):
+        assert fired_at == armed_at + DELAY
+    # totals: conservation across the whole run — the last pane of the
+    # run carries everything fed since the last eviction, and each pane's
+    # bookkeeping matches its mode
+    gen_start_total = 0
+    prev_total = 0
+    for _, pane_index, pane_value, total in h.emissions:
+        if pane_index == 0:  # new generation (first pane or post-eviction)
+            gen_start_total, prev_total = 0, 0
+        if accumulating:
+            assert pane_value == total
+        else:
+            assert pane_value == total - prev_total
+        assert total >= prev_total
+        prev_total = total
+    if not evict:
+        # no eviction: totals accumulate forever and the final pane saw
+        # every element (the drain flushed the last armed pane)
+        if h.emissions:
+            assert h.emissions[-1][3] == total_fed
+        else:
+            assert total_fed == 0
+        assert h.evictions == 0
+    else:
+        # with eviction, an idle key's state is dropped after the window;
+        # the drain guarantees the final state is evicted or never existed
+        assert h.state is None
