@@ -2130,7 +2130,7 @@ def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cadence via processing-time state timeouts, delivered in DATA-LESS
     micro-batches; previously the documented §4.4.1 residual. Scripted for
     determinism: ONE staged micro-batch (a 2% customer slice keyed by
-    mktsegment, integer nationkey values), pane delay 1.5 s — every key
+    mktsegment, integer nationkey values), pane delay 1 s — every key
     fires exactly its pane 0 with the full per-key sum, in a batch that
     carries no data (the stream is drained well before the deadline). Any
     per-micro-batch firing, double firing, or missed data-less-batch
@@ -2208,7 +2208,7 @@ def q_watermark_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-hour lateness); an hour-3 batch advances the on-time watermark past
     hour-0's end — each even-stratum type's ON_TIME pane then fires with
     no new data; the odd-id hour-0 rows replay late-but-admissible
-    (delayed watermark ≈ 21:59 prior day) and their LATE panes fire 1.5 s
+    (delayed watermark ≈ 21:59 prior day) and their LATE panes fire 1 s
     later with the ACCUMULATED total. Types seen only in the odd stratum
     first fire after the crossing, so their first pane is the (late-
     armed) ON_TIME value — the oracle derives both pane sets exactly from
@@ -5984,7 +5984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_table": q_compact_table,
         "quality_funnel": q_quality_funnel,
         "pack_greedy": q_pack_greedy,
-        # (d) 25 of the 42 r5-stale queries (quantiles/quantiles_by_key/
+        # (d) 23 of the 42 r5-stale queries (quantiles/quantiles_by_key/
         #     sorted_groups first: their implementations changed most)
         "quantiles": q_quantiles,
         "quantiles_by_key": q_quantiles_by_key,
@@ -6009,10 +6009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_calendar": q_window_calendar,
         "stratified_sample": q_stratified_sample,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r5-stale remainder — r9 window candidates (pii_scrub/text_chunks
+        # were displaced past the cutoff by the two new trigger queries)
         "pii_scrub": q_pii_scrub,
         "text_chunks": q_text_chunks,
-        # ---- end of the 50-row driver window ------------------------------
-        # r5-stale remainder — r9 window candidates (stable IO roundtrips)
         "csv_roundtrip": q_csv_roundtrip,
         "union_agg": q_union_distinct_by,
         "text_features": q_text_features,

@@ -59,8 +59,12 @@ def accumulating_totals(spark):
 def full_trigger(spark):
     fx = StreamFixture(spark, "team string, event_time timestamp, score int")
     fx.add_batch([("red", t(1), 5), ("blue", t(4), 3)])
+    # lateness must be wide enough that the 12:06 replay stays admissible
+    # AFTER the 12:35 row advances the watermark: with 2 h the delayed
+    # watermark is 10:35 < window end, so state survives and LATE fires
+    # (20 min would evict the window and drop the replay)
     panes = watermark_panes(
-        fx.stream(), "event_time", "10 minutes", "20 minutes", ["team"],
+        fx.stream(), "event_time", "10 minutes", "2 hours", ["team"],
         "score", late_delay_ms=1000, early_delay_ms=1000,
     )
     rows = []

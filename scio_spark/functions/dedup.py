@@ -406,7 +406,10 @@ def simhash_dedup(
     see inline A/B note). Cached blocks outlive the returned DataFrame, so
     CALLERS OWN THE CLEANUP: after the consuming action, call
     ``release_cached(result)`` (or ``result._scio_cached.unpersist()``) to
-    drop the #docs×4-row cache from the session."""
+    drop the #docs×4-row cache from the session. The handle is a Python
+    attribute on THIS DataFrame object — any further transformation
+    (filter/select/join) returns a new DataFrame WITHOUT it, so keep a
+    reference to the operator's direct result for the cleanup call."""
     band_width = bits // 4
     sh = simhash(df, id_col, text_col, bits)
     nibbles = F.array(

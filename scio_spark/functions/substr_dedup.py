@@ -73,21 +73,26 @@ def _positional_ngrams(
     toks = toks.filter(F.size("_t") >= n)
     # runtime enforcement of the documented encoding bound (pos < 2^24,
     # one comparison per DOC, not per gram): an overlong doc would
-    # otherwise silently corrupt first-occurrence selection
-    toks = toks.withColumn(
-        "_bound_ok",
-        F.assert_true(
-            F.size("_t") < _ENC_BASE,
-            F.concat(
-                F.lit("substr_dedup: document exceeds the 2^24-token "
-                      "positional-encoding bound (doc "),
-                F.col("_id").cast("string"),
-                F.lit(", "),
-                F.size("_t").cast("string"),
-                F.lit(" tokens); split oversized documents upstream"),
-            ),
-        ),
-    ).drop("_bound_ok")
+    # otherwise silently corrupt first-occurrence selection. The check is
+    # folded INTO the consumed _id column — an assert_true staged via
+    # withColumn(...).drop() is pruned by Catalyst and never executes
+    toks = toks.select(
+        F.when(F.size("_t") < _ENC_BASE, F.col("_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("substr_dedup: document exceeds the 2^24-token "
+                          "positional-encoding bound (doc "),
+                    F.col("_id").cast("string"),
+                    F.lit(", "),
+                    F.size("_t").cast("string"),
+                    F.lit(" tokens); split oversized documents upstream"),
+                )
+            ).cast("bigint")
+        )
+        .alias("_id"),
+        "_t",
+    )
     gram = F.transform(
         F.sequence(F.lit(0), F.size("_t") - n),
         lambda i: F.concat_ws("\x1f", F.slice("_t", i + 1, n)),

@@ -135,12 +135,20 @@ def _searchsorted(k: Column, bounds: list[float]) -> Column:
         base.append(acc)
         acc += len(sublists[c])
 
-    cell = F.least(
-        F.lit(n_cells - 1),
-        F.greatest(
-            F.lit(0), F.floor((k - F.lit(lo)) / F.lit(step)).cast("int")
-        ),
-    )
+    # clamp the RATIO in double space BEFORE floor/cast: boundaries are
+    # sampled quantiles, so an outlier key can sit arbitrarily far outside
+    # [lo, hi] and floor((k-lo)/step) would overflow the int cast (ANSI:
+    # CAST_OVERFLOW crash; non-ANSI: wrapped bits → non-monotone bucket).
+    # Clamped-then-floored equals floored-then-clamped for every in-range
+    # boundary, so driver cell_of and executor cells still agree; NaN keys
+    # clamp to the last cell (Spark orders NaN greatest — consistent with
+    # `k > b` counting every boundary below a NaN).
+    cell = F.floor(
+        F.least(
+            F.lit(float(n_cells - 1)),
+            F.greatest(F.lit(0.0), (k - F.lit(lo)) / F.lit(step)),
+        )
+    ).cast("int")
     prefix = F.element_at(
         F.lit(base).cast("array<int>"), cell + F.lit(1)
     )

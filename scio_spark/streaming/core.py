@@ -937,19 +937,28 @@ _INTERVAL_UNIT_MS = {
 def _interval_ms(interval: str) -> int:
     """Parse a Spark duration string ('30 minutes', '1 hour') to millis —
     the fixed-length units watermark delays are written in (calendar
-    units like month/year are not valid watermark delays)."""
+    units like month/year are not valid watermark delays).
+
+    FULL-match strict: a findall-style scan would silently skip what it
+    can't parse — '0.5 seconds' (which Spark's withWatermark reads as
+    500 ms) would come back as 5000 ms and desynchronize the operator's
+    lateness arithmetic from the watermark Spark actually applies.
+    Fractional values and unknown units therefore raise instead."""
     import re
 
-    total, matched = 0, False
-    for num, unit in re.findall(
-        r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?\b",
-        interval.strip().lower(),
-    ):
-        total += int(num) * _INTERVAL_UNIT_MS[unit]
-        matched = True
-    if not matched:
-        raise ValueError(f"unparseable interval: {interval!r}")
-    return total
+    part = r"(\d+)\s*(millisecond|second|minute|hour|day|week)s?"
+    m = re.fullmatch(
+        rf"\s*{part}(?:\s+{part})*\s*", interval.lower()
+    )
+    if not m:
+        raise ValueError(
+            f"unparseable interval: {interval!r} (expected integer "
+            "millisecond/second/minute/hour/day/week terms)"
+        )
+    return sum(
+        int(num) * _INTERVAL_UNIT_MS[unit]
+        for num, unit in re.findall(part, interval.lower())
+    )
 
 
 class _WatermarkPaneMachine:

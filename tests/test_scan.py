@@ -322,3 +322,31 @@ def test_searchsorted_single_boundary(spark):
         for r in df.withColumn("b", _searchsorted(F.col("k"), [5.0])).collect()
     ]
     assert got == [(4.0, 0), (5.0, 0), (6.0, 1)]
+
+
+def test_searchsorted_outlier_and_nan_keys_clamp_not_overflow(spark):
+    """Boundaries are sampled quantiles, so keys can sit arbitrarily far
+    outside their span. The cell expression must clamp in DOUBLE space
+    before the int cast — floor-then-cast overflowed BIGINT→INT for a
+    1e10 outlier (ANSI: CAST_OVERFLOW crash; non-ANSI: wrapped bits →
+    non-monotone buckets). NaN orders greatest in Spark, so it counts
+    every boundary."""
+    import bisect
+
+    from scio_spark.operators.scan import _searchsorted
+
+    bounds = [0.0, 0.5, 1.0, 1.5, 2.0]
+    df = spark.createDataFrame(
+        [(-1e10,), (-3.0,), (1.2,), (1e10,), (float("nan"),)], "k double"
+    )
+    got = {
+        r.k: r.b
+        for r in df.withColumn("b", _searchsorted(F.col("k"), bounds)).collect()
+    }
+    assert got[-1e10] == 0 and got[-3.0] == 0
+    assert got[1.2] == bisect.bisect_left(bounds, 1.2)
+    assert got[1e10] == len(bounds)
+    import math
+
+    nan_bucket = next(v for k, v in got.items() if isinstance(k, float) and math.isnan(k))
+    assert nan_bucket == len(bounds)

@@ -183,3 +183,23 @@ def test_rejects_non_integral_id(spark):
     )
     with pytest.raises(TypeError, match="integral.*doc_id"):
         mark_duplicate_spans(df, n=2).collect()
+
+
+def test_positional_encoding_bound_is_enforced_at_runtime(spark, monkeypatch):
+    """The 2^24-token bound must raise, not silently corrupt: the check is
+    folded into the consumed _id column because an assert_true staged via
+    withColumn(...).drop() is PRUNED by Catalyst and never runs (verified
+    failure mode of the previous spelling). Patch the base small so a
+    9-token doc exceeds it."""
+    import pytest
+
+    import scio_spark.functions.substr_dedup as S
+
+    monkeypatch.setattr(S, "_ENC_BASE", 8)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i")], "doc_id int, text string"
+    )
+    grams = S._positional_ngrams(df, "doc_id", "text", 2, False)
+    with pytest.raises(Exception) as ei:
+        grams.collect()
+    assert "positional-encoding bound" in str(ei.value)

@@ -65,6 +65,15 @@ def test_interval_ms_grammar():
     assert _interval_ms("500 milliseconds") == 500
     with pytest.raises(ValueError):
         _interval_ms("2 fortnights")
+    # FULL-match strictness: a findall scan would read '0.5 seconds' as
+    # 5 s while Spark's withWatermark applies 500 ms — a silent 10x
+    # lateness disagreement; reject anything not integer-termed
+    with pytest.raises(ValueError):
+        _interval_ms("0.5 seconds")
+    with pytest.raises(ValueError):
+        _interval_ms("1 hour 3 blorps")
+    with pytest.raises(ValueError):
+        _interval_ms("")
 
 
 def test_on_time_pane_fires_data_less_then_late_pane_accumulates(spark):
