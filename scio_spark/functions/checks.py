@@ -42,15 +42,11 @@ def run_checks(
     if not row_rules and not unique_keys:
         raise ValueError("run_checks: no checks given")
     # names become both string literals and __v_<name> column references
-    # inside a generated stack() selectExpr — restrict to identifier
-    # characters so they can neither break nor inject into the SQL
-    import re
+    # inside a generated stack() selectExpr
+    from scio_spark.functions._ident import validate_sql_identifier
 
     for name in row_rules:
-        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
-            raise ValueError(
-                f"run_checks: check name {name!r} must match [A-Za-z0-9_]+"
-            )
+        validate_sql_identifier(name, "run_checks: check")
     spark = df.sparkSession
     reports = []
 

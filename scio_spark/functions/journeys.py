@@ -47,13 +47,11 @@ def funnel_steps(
     if len(set(names)) != len(names):
         raise ValueError(f"funnel_steps: duplicate step names in {names}")
     # names become ts_<name> columns and, in funnel_counts, literals and
-    # column refs inside a generated stack() selectExpr — identifier
-    # characters only, so they can neither break nor inject into the SQL
-    import re
+    # column refs inside a generated stack() selectExpr
+    from scio_spark.functions._ident import validate_sql_identifier
 
     for n in names:
-        if not re.fullmatch(r"[A-Za-z0-9_]+", n):
-            raise ValueError(f"funnel_steps: step name {n!r} must match [A-Za-z0-9_]+")
+        validate_sql_identifier(n, "funnel_steps: step")
     name0, pred0 = steps[0]
     out = (
         df.filter(pred0)

@@ -125,7 +125,13 @@ def write_training_shards(
     (
         df.withColumn("shard", shard.cast("int"))
         .repartition(n_shards, "shard")
-        .sortWithinPartitions(h2, *order)
+        # lead with 'shard': partitionBy requires the writer's rows
+        # clustered by the partition column, and a sort NOT led by it
+        # makes Spark insert its OWN sort on top — whose equal-key merge
+        # order under spills is not guaranteed stable, silently breaking
+        # the promised deterministic within-shard order (and paying a
+        # redundant second sort)
+        .sortWithinPartitions("shard", h2, *order)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -157,8 +163,13 @@ def pack_sequences(
 
     from scio_spark.functions.text import token_count
 
-    src = df.select(id_col, text_col).withColumn(
-        "__tok", token_count(text_col).cast("long")
+    # NULL texts are skipped up front: size(split(NULL)) is -1 under the
+    # legacy conf (silently shrinking the pack budget) or NULL under ANSI
+    # (int(NaN) crash), and ''.join over a None raises in the executor
+    src = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .withColumn("__tok", token_count(text_col).cast("long"))
     )
     # doc_ids element type follows the id column (string ids pack as
     # array<string>, etc.) instead of a hardcoded array<long>

@@ -51,12 +51,38 @@ def _escape_part_value(v) -> str:
     writes under ``partitionBy`` — so cleanup paths derived from VALUES
     line up with directories derived from WRITES (NULL would map to
     __HIVE_DEFAULT_PARTITION__, but NULL partition values are rejected
-    up front by merge_into/delete_where)."""
+    up front by merge_into/delete_where).
+
+    Renderings where Python's str() and Spark's directory form DIVERGE
+    are handled explicitly: booleans (Spark writes 'true'/'false') are
+    converted; floats and sub-second timestamps (Java's scientific
+    notation / trailing-zero trimming differ from Python's) are rejected
+    with an actionable error rather than silently producing a name that
+    never matches — a mismatch here would leave a fully-deleted
+    partition's directory in place and resurface its rows."""
+    import datetime as _dt
+
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    elif isinstance(v, float):
+        raise ValueError(
+            "float partition values are not supported by the pruned "
+            "merge/delete path (Java and Python render them differently, "
+            "e.g. 1.0E-7 vs 1e-07); partition on a string/int form instead"
+        )
+    elif isinstance(v, _dt.datetime) and v.microsecond:
+        raise ValueError(
+            "sub-second timestamp partition values are not supported by "
+            "the pruned merge/delete path (trailing-zero rendering "
+            "differs between engines); truncate to whole seconds"
+        )
+    else:
+        s = str(v)
     return "".join(
         "%{:02X}".format(ord(ch)) if ch in _ESCAPE_CHARS or ord(ch) < 32 else ch
-        for ch in str(v)
+        for ch in s
     )
 
 
@@ -77,18 +103,26 @@ def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
     return affected
 
 
+# Aside-copy suffix for the swap protocol. Contains a raw '%': Spark
+# escapes '%' in partition-directory VALUES (as %25), so no partitionBy-
+# written directory can ever literally end with this suffix — a real
+# partition value like 'a__old' therefore can't be mistaken for a crashed
+# swap's aside copy (which a bare '__old' suffix would be).
+_OLD_SUFFIX = "__old%scio"
+
+
 def _recover_swap(spark: SparkSession, target_path: str) -> None:
     """Crash-retry guard for _swap_table/_swap_partitions: a crash between
     the rename-aside and the rename-into-place leaves the target (table or
-    one partition directory) absent with its ``__old`` aside copy intact;
-    a naive retry would then read a table missing history and silently
-    drop it. Called on entry by every operation that reads the target —
-    restores aside copies before anything looks at the path. An ``__old``
-    WITH a live sibling is the opposite (post-replace, pre-cleanup) crash:
-    the live data is newer, so the aside is deleted."""
+    one partition directory) absent with its aside copy intact; a naive
+    retry would then read a table missing history and silently drop it.
+    Called on entry by every operation that reads the target — restores
+    aside copies before anything looks at the path. An aside copy WITH a
+    live sibling is the opposite (post-replace, pre-cleanup) crash: the
+    live data is newer, so the aside is deleted."""
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
-    old = HPath(target_path.rstrip("/") + "__old")
+    old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
     if not fs.exists(tgt_path) and fs.exists(old):
         fs.rename(old, tgt_path)
         return
@@ -100,9 +134,9 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
         fs.delete(old, True)
     for st in fs.listStatus(tgt_path):
         name = st.getPath().getName()
-        if not name.endswith("__old"):
+        if not name.endswith(_OLD_SUFFIX):
             continue
-        live = HPath(tgt_path, name[: -len("__old")])
+        live = HPath(tgt_path, name[: -len(_OLD_SUFFIX)])
         if fs.exists(live):
             fs.delete(st.getPath(), True)
         else:
@@ -111,14 +145,14 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
 
 def _swap_table(spark: SparkSession, tmp: str, target_path: str) -> None:
     """Whole-table swap that never leaves the target path empty-and-gone:
-    rename the old table aside (target -> target__old), rename tmp into
-    place, then delete target__old. A crash between any two steps leaves
-    either the old table live or both tmp and target__old on disk —
+    rename the old table aside (target -> target+_OLD_SUFFIX), rename tmp
+    into place, then delete the aside. A crash between any two steps
+    leaves either the old table live or both tmp and the aside on disk —
     always recoverable (the former delete-then-rename left a window with
     NO live table)."""
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
-    old = HPath(target_path.rstrip("/") + "__old")
+    old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
     if fs.exists(old):
         fs.delete(old, True)
     had = fs.exists(tgt_path)
@@ -146,7 +180,7 @@ def _swap_partitions(spark: SparkSession, tmp: str, target: str, part_col: str):
         # on NEITHER path, and a retried merge would rebuild from a target
         # missing that partition's history
         dest = HPath(tgt, name)
-        old = HPath(tgt, name + "__old")
+        old = HPath(tgt, name + _OLD_SUFFIX)
         if fs.exists(old):
             fs.delete(old, True)
         had = fs.exists(dest)
@@ -241,7 +275,11 @@ def delete_where(
     HPath = jvm.org.apache.hadoop.fs.Path
     target = spark.read.parquet(target_path)
     if partition_col is None:
-        remaining = target.filter(f"NOT ({predicate})")
+        # IS NOT TRUE, not NOT(...): SQL DELETE removes only rows where
+        # the predicate is TRUE — NOT(NULL) is NULL and a plain filter
+        # would silently delete NULL-predicate rows (and disagree with
+        # the pruned path below, which selects partitions via TRUE only)
+        remaining = target.filter(f"({predicate}) IS NOT TRUE")
         tmp = target_path.rstrip("/") + "__delete_tmp"
         remaining.write.mode("overwrite").parquet(tmp)
         _swap_table(spark, tmp, target_path)
@@ -260,7 +298,7 @@ def delete_where(
     if not affected:
         return
     remaining = target.filter(F.col(partition_col).isin(affected)).filter(
-        f"NOT ({predicate})"
+        f"({predicate}) IS NOT TRUE"
     )
     tmp = target_path.rstrip("/") + "__delete_tmp"
     tmp_hp = HPath(tmp)
@@ -380,14 +418,38 @@ def compact_parquet(
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, -(-int(total_bytes) // int(target_file_bytes)))
     df = spark.read.parquet(path)
-    if sort_by:
-        out = df.repartition(n_files).sortWithinPartitions(*sort_by)
+    # PRESERVE a hive-partitioned layout: a flat rewrite of a col=X table
+    # would destroy the directory structure merge_into/delete_where prune
+    # on (their partition glob then finds nothing and the next pruned
+    # merge corrupts the table). Partition columns are recovered from the
+    # first level of col=value directory names.
+    part_cols = sorted(
+        {
+            st.getPath().getName().split("=", 1)[0]
+            for st in fs.listStatus(hpath)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        }
+    )
+    if part_cols:
+        # cluster by partition value so each directory gets few files (a
+        # value-blind repartition sprays every partition across all
+        # tasks: tasks × partitions small files — the problem compaction
+        # exists to fix), and lead any sort with the partition columns so
+        # partitionBy doesn't insert its own (stability-unspecified) sort
+        out = df.repartition(n_files, *part_cols)
+        if sort_by:
+            out = out.sortWithinPartitions(*part_cols, *sort_by)
     else:
         out = df.repartition(n_files)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
     tmp = path.rstrip("/") + "__compact"
     tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
     if fs.exists(tmp_path):
         fs.delete(tmp_path, True)
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     _swap_table(spark, tmp, path)
     return n_files

@@ -47,7 +47,11 @@ _LOCAL = "__scan_local"
 _OFF = "__scan_off"
 _TOT = "__scan_tot"
 
-_ADD = lambda local, off: local + F.coalesce(off, F.lit(0))  # noqa: E731
+def _ADD(local, off):
+    # local is NULL when a bucket's whole prefix is NULL-valued: SQL's
+    # running SUM there is the carried offset (NULL + anything would
+    # poison it); a NULL offset is the first bucket — degrade to local
+    return F.when(local.isNull(), off).otherwise(local + F.coalesce(off, F.lit(0)))
 
 #: agg name -> (aggregate fn, merge fn over partition totals,
 #:              combine(local, offset) -> Column). count's totals merge with

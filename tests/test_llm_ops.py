@@ -846,3 +846,17 @@ def test_autocomplete_topk(spark):
     assert got[("ca", 1)] == ("cat", 3)
     assert got[("cat", 1)] == ("cat", 3)
     assert ("cat", 2) not in got  # only one term has prefix 'cat'
+
+
+def test_pack_sequences_skips_null_text(spark):
+    """A NULL text row must be skipped, not crash the pack job (''.join
+    over None raises in the executor) or shrink the budget (legacy
+    size(split(NULL)) is -1)."""
+    from scio_spark.functions.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id int, text string"
+    )
+    packs = pack_sequences(docs, token_budget=5).collect()
+    assert sorted(i for p in packs for i in p.doc_ids) == [1, 3]
+    assert sum(p.total_tokens for p in packs) == 5

@@ -5,6 +5,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from scio_spark.operators.merge import _OLD_SUFFIX as OLD
 from scio_spark.operators.merge import delete_where, merge_into
 
 
@@ -143,19 +144,19 @@ def test_delete_removes_emptied_partition_with_escaped_value(spark, tmp_path):
 def test_unpartitioned_swap_never_leaves_target_missing(spark, tmp_path):
     """ADVICE r5: the whole-table swap renames the old table aside before
     renaming tmp into place — after a successful merge neither tmp nor the
-    __old copy remain, and the target is live."""
+    aside copy remain, and the target is live."""
     t = str(tmp_path / "t")
     base_df(spark).write.parquet(t)
     src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
     merge_into(t, src, keys=["id"])
     assert (0, 0, "v1") in rows(spark, t)
     assert not os.path.exists(t + "__merge_tmp")
-    assert not os.path.exists(t + "__old")
+    assert not os.path.exists(t + OLD)
 
 
 def test_merge_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
     """ADVICE r6: a crash between _swap_table's rename-aside and
-    rename-into-place leaves the target absent with target__old intact.
+    rename-into-place leaves the target absent with the aside copy intact.
     A retried merge_into must restore the aside copy first — NOT treat
     the table as new and write source-only rows."""
     import shutil
@@ -163,7 +164,7 @@ def test_merge_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
     t = str(tmp_path / "t")
     base_df(spark).write.parquet(t)
     # simulate the crash window: target renamed aside, tmp never landed
-    shutil.move(t, t + "__old")
+    shutil.move(t, t + OLD)
     assert not os.path.exists(t)
     src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
     merge_into(t, src, keys=["id"])
@@ -171,7 +172,7 @@ def test_merge_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
     assert (0, 0, "v1") in got
     assert (99, 3, "v0") in got  # history survived the retry
     assert len(got) == 100
-    assert not os.path.exists(t + "__old")
+    assert not os.path.exists(t + OLD)
 
 
 def test_delete_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
@@ -179,7 +180,7 @@ def test_delete_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
 
     t = str(tmp_path / "t")
     base_df(spark).write.parquet(t)
-    shutil.move(t, t + "__old")
+    shutil.move(t, t + OLD)
     delete_where(spark, t, "id < 10")
     got = rows(spark, t)
     assert len(got) == 90 and (50, 2, "v0") in got
@@ -187,35 +188,35 @@ def test_delete_retry_after_mid_swap_crash_restores_history(spark, tmp_path):
 
 def test_partitioned_merge_retry_after_mid_swap_crash(spark, tmp_path):
     """Partition-level crash window: rename-aside left bucket=0 absent with
-    bucket=0__old intact. A retried partitioned merge must restore it
+    bucket=0's aside copy intact. A retried partitioned merge must restore it
     before reading, not rebuild the partition from source alone."""
     import shutil
 
     t = str(tmp_path / "t")
     base_df(spark).write.partitionBy("bucket").parquet(t)
-    shutil.move(f"{t}/bucket=0", f"{t}/bucket=0__old")
+    shutil.move(f"{t}/bucket=0", f"{t}/bucket=0{OLD}")
     src = spark.createDataFrame([(0, 0, "v1")], "id long, bucket long, val string")
     merge_into(t, src, keys=["id"], partition_col="bucket")
     got = rows(spark, t)
     assert (0, 0, "v1") in got and (4, 0, "v0") in got  # history back
     assert len(got) == 100
-    assert not os.path.isdir(f"{t}/bucket=0__old")
+    assert not os.path.isdir(f"{t}/bucket=0{OLD}")
 
 
 def test_partitioned_merge_cleans_stale_aside_with_live_sibling(spark, tmp_path):
-    """The post-replace pre-cleanup crash: bucket=1__old beside a live
+    """The post-replace pre-cleanup crash: a bucket=1 aside copy beside a live
     bucket=1 — the live data is newer; the aside must be dropped, not
     restored over it."""
     import shutil
 
     t = str(tmp_path / "t")
     base_df(spark).write.partitionBy("bucket").parquet(t)
-    shutil.copytree(f"{t}/bucket=1", f"{t}/bucket=1__old")
+    shutil.copytree(f"{t}/bucket=1", f"{t}/bucket=1{OLD}")
     src = spark.createDataFrame([(1, 1, "v1")], "id long, bucket long, val string")
     merge_into(t, src, keys=["id"], partition_col="bucket")
     got = rows(spark, t)
     assert (1, 1, "v1") in got and len(got) == 100
-    assert not os.path.isdir(f"{t}/bucket=1__old")
+    assert not os.path.isdir(f"{t}/bucket=1{OLD}")
 
 
 def test_snapshot_diff_statuses(spark):
@@ -277,7 +278,7 @@ def test_compact_parquet_shrinks_files_preserves_content(spark, tmp_path):
     # no leftover staging dirs
     import os
     assert not os.path.exists(p + "__compact")
-    assert not os.path.exists(p + "__old")
+    assert not os.path.exists(p + OLD)
 
 
 def test_compact_parquet_sorted_layout(spark, tmp_path):
@@ -321,8 +322,8 @@ def test_snapshot_diff_empty_vs_null_distinguished(spark):
 
 def test_compact_parquet_self_heals_crashed_swap(spark, tmp_path):
     """A crash between rename-aside and rename-into-place leaves the
-    target ABSENT with target__old intact; the next compaction must
-    recover it instead of failing on the missing path. A leftover __old
+    target ABSENT with the aside copy intact; the next compaction must
+    recover it instead of failing on the missing path. A leftover aside
     WITH a live target (post-replace crash) is dropped."""
     from scio_spark.operators.merge import compact_parquet
 
@@ -330,13 +331,96 @@ def test_compact_parquet_self_heals_crashed_swap(spark, tmp_path):
     base_df(spark).repartition(8).write.parquet(t)
     want = rows(spark, t)
     # simulate the mid-swap crash: target renamed aside, never replaced
-    os.rename(t, t + "__old")
+    os.rename(t, t + OLD)
     n = compact_parquet(spark, t, target_file_bytes=1 << 30)
     assert n == 1
     assert rows(spark, t) == want
-    assert not os.path.exists(t + "__old")
+    assert not os.path.exists(t + OLD)
     # post-replace crash leftover: live target + stale aside -> aside dies
-    os.makedirs(t + "__old")
+    os.makedirs(t + OLD)
     compact_parquet(spark, t, target_file_bytes=1 << 30)
     assert rows(spark, t) == want
-    assert not os.path.exists(t + "__old")
+    assert not os.path.exists(t + OLD)
+
+
+def test_delete_where_keeps_null_predicate_rows_both_paths(spark, tmp_path):
+    """SQL DELETE removes only rows where the predicate is TRUE; a row
+    where it evaluates to NULL must SURVIVE — in both the whole-table and
+    the partition-pruned paths (a NOT(pred) filter would silently delete
+    it, and only in some partitions)."""
+    for part_col in (None, "bucket"):
+        t = str(tmp_path / f"nullpred_{part_col}")
+        df = spark.createDataFrame(
+            [(1, 5, 0), (2, None, 0), (3, 50, 1), (4, None, 1)],
+            "id int, score int, bucket int",
+        )
+        df.write.partitionBy("bucket").parquet(t)
+        delete_where(spark, t, "score < 10", partition_col=part_col)
+        kept = sorted(r.id for r in spark.read.parquet(t).collect())
+        assert kept == [2, 3, 4], f"partition_col={part_col}: kept {kept}"
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the col=value
+    directory structure (a flat rewrite breaks the pruned merge/delete
+    paths that glob on it) — and a pruned delete must still work after."""
+    import os
+
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "partcompact")
+    spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(300)], "id int, bucket int, v int"
+    ).repartition(10).write.partitionBy("bucket").parquet(t)
+    compact_parquet(spark, t, target_file_bytes=1 << 30)
+    dirs = {d for d in os.listdir(t) if d.startswith("bucket=")}
+    assert dirs == {"bucket=0", "bucket=1", "bucket=2"}
+    assert spark.read.parquet(t).count() == 300
+    delete_where(spark, t, "bucket = 1", partition_col="bucket")
+    assert sorted(
+        r.bucket for r in spark.read.parquet(t).select("bucket").distinct().collect()
+    ) == [0, 2]
+
+
+def test_boolean_partition_full_delete_removes_directory(spark, tmp_path):
+    """Spark writes boolean partition dirs as 'flag=true'; the cleanup of
+    a fully-deleted partition must derive the SAME name (Python str()
+    would produce 'flag=True' and leave the dead directory to resurface
+    its rows)."""
+    import os
+
+    t = str(tmp_path / "boolpart")
+    spark.createDataFrame(
+        [(1, True), (2, True), (3, False)], "id int, flag boolean"
+    ).write.partitionBy("flag").parquet(t)
+    delete_where(spark, t, "flag = true", partition_col="flag")
+    assert not os.path.isdir(f"{t}/flag=true")
+    assert sorted(r.id for r in spark.read.parquet(t).collect()) == [3]
+
+
+def test_float_partition_values_rejected_actionably(spark, tmp_path):
+    import pytest
+
+    from scio_spark.operators.merge import _escape_part_value
+
+    with pytest.raises(ValueError, match="float partition"):
+        _escape_part_value(1e-7)
+
+
+def test_recover_swap_ignores_partition_value_ending_in_old(spark, tmp_path):
+    """A REAL partition whose value literally ends in '__old' must not be
+    mistaken for a crashed swap's aside copy and deleted — the aside
+    suffix contains a raw '%', which Spark always escapes in partition
+    values, so no collision is possible."""
+    import os
+
+    from scio_spark.operators.merge import _recover_swap
+
+    t = str(tmp_path / "oldval")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a__old")], "id int, v string"
+    ).write.partitionBy("v").parquet(t)
+    assert os.path.isdir(f"{t}/v=a__old")
+    _recover_swap(spark, t)
+    assert os.path.isdir(f"{t}/v=a__old"), "real partition destroyed"
+    assert sorted(r.id for r in spark.read.parquet(t).collect()) == [1, 2]

@@ -350,3 +350,23 @@ def test_searchsorted_outlier_and_nan_keys_clamp_not_overflow(spark):
 
     nan_bucket = next(v for k, v in got.items() if isinstance(k, float) and math.isnan(k))
     assert nan_bucket == len(bounds)
+
+
+def test_running_sum_with_null_values_matches_sql_window(spark):
+    """A bucket whose whole prefix is NULL-valued must carry the offset
+    from prior buckets, not poison the running sum to NULL (SQL's SUM
+    skips NULLs; NULL + offset would not). Also pins the leading-NULLs
+    case where SQL genuinely returns NULL."""
+    rows = [(i, None if i % 3 == 0 else i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v int").repartition(16, "v")
+    got = {
+        r.k: r.run
+        for r in running_agg(
+            df, "k", "v", agg="sum", out_col="run", num_partitions=8
+        ).collect()
+    }
+    acc = None
+    for k, v in sorted(rows):
+        if v is not None:
+            acc = v if acc is None else acc + v
+        assert got[k] == acc, f"k={k}: got {got[k]}, want {acc}"
