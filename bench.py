@@ -72,6 +72,7 @@ def main():
         from scio_spark.functions.dedup import release_cached
 
         t0 = time.perf_counter()
+        df = None
         try:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -83,6 +84,15 @@ def main():
             release_cached(df)
             return elapsed, False
         except Exception:
+            # release the FIRST attempt's caches too: a cache materialized
+            # before the noop write failed would otherwise leak into the
+            # session and contaminate subsequent warm timings — the same
+            # measurement bug release_cached exists to prevent
+            if df is not None:
+                try:
+                    release_cached(df)
+                except Exception:
+                    pass
             try:
                 df = fn(spark, sf_dir)
                 df.count()

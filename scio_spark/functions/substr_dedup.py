@@ -39,8 +39,9 @@ from .text import tokens
 # (doc_id, pos) pairs are compared/aggregated as ONE encoded BIGINT
 # id * 2^24 + pos: numeric MIN is hash-aggregable (min(struct) falls back
 # to SortAggregate) and the anti-first filter is a single comparison.
-# Contract bounds: pos < 2^24 tokens per doc, ids < 2^39.
+# Contract bounds: pos < 2^24 tokens per doc, |id| < 2^39.
 _ENC_BASE = 1 << 24
+_ID_BOUND = 1 << 39
 
 
 def _positional_ngrams(
@@ -60,9 +61,11 @@ def _positional_ngrams(
         raise TypeError(
             f"substr_dedup requires an integral {id_col!r} (got "
             f"{id_type.simpleString()}): the (doc_id, pos) first-occurrence "
-            "encoding is exact only for BIGINT ids < 2^39. Map string ids "
-            "to a surrogate first, e.g. "
-            "df.withColumn('doc_no', xxhash64(id_col)) or zipWithIndex."
+            "encoding is exact only for BIGINT ids with |id| < 2^39. Map "
+            "string ids to a BOUNDED surrogate first, e.g. "
+            "df.withColumn('doc_no', pmod(xxhash64(id_col), lit(2**39))) "
+            "or a row_number()/zipWithIndex assignment — NOT raw xxhash64, "
+            "whose full-range signed output violates the bound."
         )
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("bigint").alias("_id"),
@@ -71,14 +74,15 @@ def _positional_ngrams(
     # the length guard is over a computed array — inherently not pushable;
     # the isNotNull above gives the scan its pushed predicate
     toks = toks.filter(F.size("_t") >= n)
-    # runtime enforcement of the documented encoding bound (pos < 2^24,
-    # one comparison per DOC, not per gram): an overlong doc would
-    # otherwise silently corrupt first-occurrence selection. The check is
+    # runtime enforcement of the documented encoding bounds (pos < 2^24
+    # AND |id| < 2^39, one comparison each per DOC, not per gram): an
+    # overlong doc or an out-of-range id would otherwise silently corrupt
+    # first-occurrence selection (id*2^24 overflows BIGINT). The checks are
     # folded INTO the consumed _id column — an assert_true staged via
     # withColumn(...).drop() is pruned by Catalyst and never executes
     toks = toks.select(
-        F.when(F.size("_t") < _ENC_BASE, F.col("_id"))
-        .otherwise(
+        F.when(
+            F.size("_t") >= _ENC_BASE,
             F.raise_error(
                 F.concat(
                     F.lit("substr_dedup: document exceeds the 2^24-token "
@@ -88,8 +92,21 @@ def _positional_ngrams(
                     F.size("_t").cast("string"),
                     F.lit(" tokens); split oversized documents upstream"),
                 )
-            ).cast("bigint")
+            ).cast("bigint"),
         )
+        .when(
+            F.abs("_id") >= F.lit(_ID_BOUND),
+            F.raise_error(
+                F.concat(
+                    F.lit("substr_dedup: doc id "),
+                    F.col("_id").cast("string"),
+                    F.lit(" exceeds the |id| < 2^39 encoding bound; remap "
+                          "ids to a bounded surrogate, e.g. "
+                          "pmod(xxhash64(id), 2^39) or row_number()"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("_id"))
         .alias("_id"),
         "_t",
     )

@@ -86,6 +86,57 @@ def _escape_part_value(v) -> str:
     )
 
 
+def _unescape_part_dirname(s: str) -> str | None:
+    """Inverse of Spark's partition-directory escaping (%XX sequences →
+    chars): recovers the STRING form of a partition value from its
+    directory name, for joining against ``col.cast('string')``. The
+    null-partition marker maps to None (NULL), matched via eqNullSafe."""
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out, i = [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# Above this many affected partition values, prune with a broadcast
+# semi-join instead of a literal IN list: an isin over tens of thousands
+# of literals bloats the plan (analysis/codegen cost grows with the
+# list), while the semi-join keeps the plan constant-size and still
+# prunes directories at runtime via dynamic partition pruning. Below it,
+# the literal list wins: static PartitionFilters prune at planning time
+# with no join in the plan at all.
+_ISIN_PRUNE_MAX = 1000
+
+
+def _prune_to_partitions(
+    df: DataFrame, partition_col: str, affected: list
+) -> DataFrame:
+    """``df`` restricted to rows whose ``partition_col`` is in ``affected``
+    (all values non-NULL — callers reject NULLs first), with a plan whose
+    size does NOT grow linearly in ``len(affected)`` past _ISIN_PRUNE_MAX.
+    Same constant-plan-size rationale as scan._searchsorted's bucket grid."""
+    if len(affected) <= _ISIN_PRUNE_MAX:
+        return df.filter(F.col(partition_col).isin(affected))
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(partition_col, df.schema[partition_col].dataType)]
+    )
+    vals = spark.createDataFrame([(v,) for v in affected], schema)
+    return df.join(F.broadcast(vals), partition_col, "left_semi")
+
+
 def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
     """Pruned-merge contract guard: a NULL partition value cannot be
     pruned with ``isin`` (NULL never matches) and would silently drop the
@@ -110,6 +161,16 @@ def _reject_null_partitions(affected, partition_col: str, op: str) -> list:
 # swap's aside copy (which a bare '__old' suffix would be).
 _OLD_SUFFIX = "__old%scio"
 
+# Pre-upgrade aside suffix (releases that swapped with a bare '__old').
+# _recover_swap still RESTORES a TABLE-level legacy aside — a crash under
+# the old suffix followed by a retry under the new one must not treat the
+# table as new and drop history — but only in the restore direction
+# (target missing): deleting '<target>__old' while the target lives could
+# destroy an unrelated real directory. PARTITION-level legacy asides are
+# never touched (col=abc__old is ambiguous with a real value; see the
+# note in _recover_swap) — migrate those with a one-time manual rename.
+_LEGACY_OLD_SUFFIX = "__old"
+
 
 def _recover_swap(spark: SparkSession, target_path: str) -> None:
     """Crash-retry guard for _swap_table/_swap_partitions: a crash between
@@ -122,19 +183,30 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
     live data is newer, so the aside is deleted."""
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
-    old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
-    if not fs.exists(tgt_path) and fs.exists(old):
-        fs.rename(old, tgt_path)
-        return
     if not fs.exists(tgt_path):
+        for suffix in (_OLD_SUFFIX, _LEGACY_OLD_SUFFIX):
+            old = HPath(target_path.rstrip("/") + suffix)
+            if fs.exists(old):
+                fs.rename(old, tgt_path)
+                return
         return
+    old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
     if fs.exists(old):
         # post-replace, pre-cleanup crash at TABLE level: live target is
-        # the newer data, the aside copy is the leftover — drop it
+        # the newer data, the aside copy is the leftover — drop it.
+        # (Legacy-suffixed siblings are NOT deleted here: with the live
+        # target present, '<target>__old' could be an unrelated real
+        # directory — restore-only migration, see _LEGACY_OLD_SUFFIX.)
         fs.delete(old, True)
     for st in fs.listStatus(tgt_path):
         name = st.getPath().getName()
         if not name.endswith(_OLD_SUFFIX):
+            # Legacy '__old' partition asides are NOT auto-recovered: at
+            # directory level the name is genuinely ambiguous with a real
+            # partition value ending in '__old' (col=abc__old), and
+            # renaming a healthy one would corrupt it deterministically.
+            # Migration from a pre-'%scio' crash is a one-time manual
+            # rename (col=X__old -> col=X where col=X is absent).
             continue
         live = HPath(tgt_path, name[: -len(_OLD_SUFFIX)])
         if fs.exists(live):
@@ -243,8 +315,8 @@ def merge_into(
     table_exists = bool(fs.globStatus(HPath(target_path, partition_col + "=*")))
     merged = source
     if table_exists:
-        existing = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(affected)
+        existing = _prune_to_partitions(
+            spark.read.parquet(target_path), partition_col, affected
         )
         keep = existing.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = source.unionByName(keep.select(*source.columns))
@@ -297,7 +369,7 @@ def delete_where(
     )
     if not affected:
         return
-    remaining = target.filter(F.col(partition_col).isin(affected)).filter(
+    remaining = _prune_to_partitions(target, partition_col, affected).filter(
         f"({predicate}) IS NOT TRUE"
     )
     tmp = target_path.rstrip("/") + "__delete_tmp"
@@ -401,6 +473,12 @@ def compact_parquet(
 
     - file count is computed from the REAL on-disk byte size (Hadoop
       ``getContentSummary``), not row counts — compaction is a layout op;
+    - a single-level hive-partitioned (``col=value``) layout is preserved,
+      with each partition's file count sized from that partition's own
+      bytes via a deterministic per-row salt — a huge partition splits
+      toward ``target_file_bytes`` instead of collapsing to one oversized
+      file (nested multi-level layouts raise: compact each level-1
+      directory separately);
     - ``sort_by`` optionally re-sorts within output files (repartition +
       sortWithinPartitions), restoring min/max row-group pruning that
       interleaved ingests destroy;
@@ -408,7 +486,8 @@ def compact_parquet(
       (rename-aside; crash-recoverable by ``_recover_swap``), so readers
       never observe a partial table.
 
-    Returns the number of output files requested. Content-preserving by
+    Returns the number of output files requested (for partitioned layouts:
+    the sum of per-partition split counts). Content-preserving by
     construction (one repartition, no filters)."""
     # self-heal a crashed prior swap (target renamed aside, not yet
     # replaced) BEFORE sizing/reading the path — otherwise the next
@@ -423,22 +502,81 @@ def compact_parquet(
     # on (their partition glob then finds nothing and the next pruned
     # merge corrupts the table). Partition columns are recovered from the
     # first level of col=value directory names.
-    part_cols = sorted(
-        {
-            st.getPath().getName().split("=", 1)[0]
-            for st in fs.listStatus(hpath)
-            if st.isDirectory() and "=" in st.getPath().getName()
-        }
-    )
+    part_dirs = [
+        st.getPath()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    part_cols = sorted({p.getName().split("=", 1)[0] for p in part_dirs})
+    if part_cols and any(
+        st.isDirectory() and "=" in st.getPath().getName()
+        for p in part_dirs
+        for st in fs.listStatus(p)
+    ):
+        # only single-level hive layouts are supported: a flat
+        # repartition over level-1 values would silently collapse the
+        # level-2 directories merge_into/delete_where prune on
+        raise ValueError(
+            "compact_parquet supports single-level col=value partition "
+            f"layouts; {path} is nested (multiple partition levels). "
+            "Compact each level-1 partition directory separately."
+        )
     if part_cols:
-        # cluster by partition value so each directory gets few files (a
+        # Cluster by partition value so each directory gets FEW files (a
         # value-blind repartition sprays every partition across all
         # tasks: tasks × partitions small files — the problem compaction
-        # exists to fix), and lead any sort with the partition columns so
-        # partitionBy doesn't insert its own (stability-unspecified) sort
-        out = df.repartition(n_files, *part_cols)
+        # exists to fix) — but not ONE file regardless of size: a salt
+        # column, sized per partition from its real on-disk bytes via a
+        # broadcast-joined (value, n_splits) map, splits large partitions
+        # toward target_file_bytes. The salt is a deterministic row hash
+        # (rand() in a repartition key can lose/duplicate rows on task
+        # retry), so re-runs produce the same layout.
+        sizes = []
+        for p in part_dirs:
+            b = fs.getContentSummary(p).getLength()
+            sizes.append(
+                (
+                    _unescape_part_dirname(p.getName().split("=", 1)[1]),
+                    max(1, -(-int(b) // int(target_file_bytes))),
+                )
+            )
+        n_files = sum(s for _, s in sizes)
+        from pyspark.sql import types as T
+
+        splits = spark.createDataFrame(
+            sizes,
+            T.StructType(
+                [
+                    T.StructField("__part_str", T.StringType()),
+                    T.StructField("__n_splits", T.IntegerType()),
+                ]
+            ),
+        )
+        part_col = part_cols[0]
+        data_cols = [c for c in df.columns if c != part_col]
+        salt = (
+            F.pmod(
+                F.xxhash64(*data_cols),
+                F.coalesce("__n_splits", F.lit(1)).cast("bigint"),
+            )
+            if data_cols
+            else F.lit(0)
+        )
+        out = (
+            df.join(
+                F.broadcast(splits),
+                F.col(part_col).cast("string").eqNullSafe(F.col("__part_str")),
+                "left",
+            )
+            .withColumn("__salt", salt)
+            .drop("__part_str", "__n_splits")
+            .repartition(n_files, part_col, "__salt")
+            .drop("__salt")
+        )
         if sort_by:
-            out = out.sortWithinPartitions(*part_cols, *sort_by)
+            # lead any sort with the partition column so partitionBy
+            # doesn't insert its own (stability-unspecified) sort
+            out = out.sortWithinPartitions(part_col, *sort_by)
     else:
         out = df.repartition(n_files)
         if sort_by:

@@ -1203,9 +1203,6 @@ class StreamFixture:
 
     def stream(self) -> DataFrame:
         """One micro-batch per staged batch-dir (ordered by path)."""
-        paths = [
-            os.path.join(self.dir, d) for d in sorted(os.listdir(self.dir))
-        ]
         return (
             self.spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", 1)

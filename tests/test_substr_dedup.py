@@ -203,3 +203,30 @@ def test_positional_encoding_bound_is_enforced_at_runtime(spark, monkeypatch):
     with pytest.raises(Exception) as ei:
         grams.collect()
     assert "positional-encoding bound" in str(ei.value)
+
+
+def test_id_magnitude_bound_is_enforced_at_runtime(spark):
+    """|id| >= 2^39 would overflow id*2^24 past BIGINT and silently corrupt
+    first-occurrence selection (non-ANSI wraparound breaks encoding
+    monotonicity), so it must raise actionably — the exact failure a user
+    hits after remapping string ids with RAW xxhash64 (full-range signed
+    64-bit), which is why the type-guard message recommends a bounded
+    surrogate instead."""
+    import pytest
+
+    import scio_spark.functions.substr_dedup as S
+
+    bad = spark.createDataFrame(
+        [(1 << 40, "a b c d"), (-(1 << 40) - 7, "a b c d")],
+        "doc_id long, text string",
+    )
+    grams = S._positional_ngrams(bad, "doc_id", "text", 2, False)
+    with pytest.raises(Exception) as ei:
+        grams.collect()
+    assert "2^39 encoding bound" in str(ei.value)
+
+    ok = spark.createDataFrame(
+        [((1 << 39) - 1, "a b c d"), (-(1 << 39) + 1, "a b c d")],
+        "doc_id long, text string",
+    )
+    assert S._positional_ngrams(ok, "doc_id", "text", 2, False).count() == 6
