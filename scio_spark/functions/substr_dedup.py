@@ -95,7 +95,11 @@ def _positional_ngrams(
             ).cast("bigint"),
         )
         .when(
-            F.abs("_id") >= F.lit(_ID_BOUND),
+            # two-sided, not abs(): under non-ANSI semantics
+            # abs(LONG_MIN) wraps to LONG_MIN (negative) and would slip
+            # past a single-sided abs >= bound check
+            (F.col("_id") >= F.lit(_ID_BOUND))
+            | (F.col("_id") <= F.lit(-_ID_BOUND)),
             F.raise_error(
                 F.concat(
                     F.lit("substr_dedup: doc id "),

@@ -40,6 +40,21 @@ def _fs(spark: SparkSession, path: str):
     return jvm, hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
+def _xxhashable(dt) -> bool:
+    """Whether ``xxhash64`` accepts a column of this type: Spark rejects
+    MapType at any nesting depth (HashExpression checks recursively), so
+    the compaction salt must skip such columns."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
 # Characters Spark/Hive escape in partition directory names
 # (ExternalCatalogUtils.escapePathName / Hive FileUtils): this set plus
 # all control chars; escaped as %XX (uppercase hex).
@@ -165,11 +180,23 @@ _OLD_SUFFIX = "__old%scio"
 # _recover_swap still RESTORES a TABLE-level legacy aside — a crash under
 # the old suffix followed by a retry under the new one must not treat the
 # table as new and drop history — but only in the restore direction
-# (target missing): deleting '<target>__old' while the target lives could
-# destroy an unrelated real directory. PARTITION-level legacy asides are
-# never touched (col=abc__old is ambiguous with a real value; see the
-# note in _recover_swap) — migrate those with a one-time manual rename.
+# (target missing) AND only with corroborating evidence of a crashed swap
+# (a '<target>__merge_tmp'/'__delete_tmp'/'__compact' sibling on disk):
+# a bare '<target>__old' next to a not-yet-created target is otherwise
+# indistinguishable from an unrelated user directory or manual backup,
+# and claiming it as the table would silently merge into someone's data.
+# Deleting '<target>__old' while the target lives is never done for the
+# same reason. PARTITION-level legacy asides are never touched
+# (col=abc__old is ambiguous with a real value; see the note in
+# _recover_swap) — migrate those with a one-time manual rename.
 _LEGACY_OLD_SUFFIX = "__old"
+
+# Every tmp-directory suffix the swap protocol writes before renaming
+# into place. A crash in the swap window (target renamed aside, tmp not
+# yet renamed in) always leaves one of these on disk alongside the aside
+# — their presence is the evidence _recover_swap requires before a
+# legacy-suffix restore.
+_TMP_SUFFIXES = ("__merge_tmp", "__delete_tmp", "__compact")
 
 
 def _recover_swap(spark: SparkSession, target_path: str) -> None:
@@ -184,11 +211,20 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
     jvm, tgt_path, fs = _fs(spark, target_path)
     HPath = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(tgt_path):
-        for suffix in (_OLD_SUFFIX, _LEGACY_OLD_SUFFIX):
-            old = HPath(target_path.rstrip("/") + suffix)
-            if fs.exists(old):
-                fs.rename(old, tgt_path)
-                return
+        old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
+        if fs.exists(old):
+            fs.rename(old, tgt_path)
+            return
+        # Legacy bare-'__old' restore only with evidence it IS a crashed
+        # swap: the swap window (aside renamed, tmp not yet renamed in)
+        # always leaves a tmp sibling on disk. Without one, a bare
+        # '<target>__old' next to an absent target is more plausibly an
+        # unrelated directory or manual backup — leave it alone.
+        legacy = HPath(target_path.rstrip("/") + _LEGACY_OLD_SUFFIX)
+        if fs.exists(legacy) and any(
+            fs.exists(HPath(target_path.rstrip("/") + s)) for s in _TMP_SUFFIXES
+        ):
+            fs.rename(legacy, tgt_path)
         return
     old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
     if fs.exists(old):
@@ -554,22 +590,46 @@ def compact_parquet(
         )
         part_col = part_cols[0]
         data_cols = [c for c in df.columns if c != part_col]
-        salt = (
-            F.pmod(
-                F.xxhash64(*data_cols),
-                F.coalesce("__n_splits", F.lit(1)).cast("bigint"),
-            )
-            if data_cols
-            else F.lit(0)
+        # Salt only over xxhash64-able columns: Spark rejects hashing
+        # MapType (at any nesting depth) with an AnalysisException, and a
+        # map column must not break compaction of a table that was
+        # compactable before salting existed.
+        hashable = [c for c in data_cols if _xxhashable(df.schema[c].dataType)]
+        n_splits_col = F.coalesce("__n_splits", F.lit(1)).cast("bigint")
+        if hashable:
+            salt = F.pmod(F.xxhash64(*hashable), n_splits_col)
+        else:
+            # Degenerate case (no hashable non-partition columns, e.g.
+            # map-only data columns): fall back to the HASHED input split
+            # id. Deterministic for a fixed on-disk layout (Spark assigns
+            # file splits to partitions deterministically), so retries of
+            # the same compaction still produce the same layout, and a
+            # huge partition — which spans many input splits at the sizes
+            # where splitting matters — still splits toward
+            # target_file_bytes instead of collapsing to one oversized
+            # file. Hashed because raw split ids stride regularly (one
+            # data-bearing split per file boundary), which pmod would
+            # alias onto few salt values; granularity is per input split,
+            # so a partition read as a single split stays one file.
+            salt = F.pmod(F.xxhash64(F.spark_partition_id()), n_splits_col)
+        # Join the per-partition split map on the TYPED partition value:
+        # Spark's partition-type inference normalizes directory values
+        # (dir 'col=01' reads back as int 1, which casts to string '1',
+        # never '01'), so a string==string join can miss and silently
+        # collapse that partition to one file. Casting the directory
+        # string to the inferred type matches the same normalization.
+        part_type = df.schema[part_col].dataType
+        splits = splits.withColumn(
+            "__part_val", F.col("__part_str").cast(part_type)
         )
         out = (
             df.join(
                 F.broadcast(splits),
-                F.col(part_col).cast("string").eqNullSafe(F.col("__part_str")),
+                F.col(part_col).eqNullSafe(F.col("__part_val")),
                 "left",
             )
             .withColumn("__salt", salt)
-            .drop("__part_str", "__n_splits")
+            .drop("__part_str", "__part_val", "__n_splits")
             .repartition(n_files, part_col, "__salt")
             .drop("__salt")
         )

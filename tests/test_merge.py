@@ -424,3 +424,210 @@ def test_recover_swap_ignores_partition_value_ending_in_old(spark, tmp_path):
     _recover_swap(spark, t)
     assert os.path.isdir(f"{t}/v=a__old"), "real partition destroyed"
     assert sorted(r.id for r in spark.read.parquet(t).collect()) == [1, 2]
+
+
+def test_semi_join_prune_above_isin_max(spark, tmp_path, monkeypatch):
+    """Above _ISIN_PRUNE_MAX affected partitions the prune switches from a
+    literal isin to a broadcast left-semi join (constant plan size); the
+    two branches must be result-identical AND both must leave untouched
+    partitions' files byte-identical."""
+    import scio_spark.operators.merge as M
+
+    monkeypatch.setattr(M, "_ISIN_PRUNE_MAX", 2)
+    t = str(tmp_path / "semiprune")
+    base_df(spark).write.partitionBy("bucket").parquet(t)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{t}/bucket=3/*.parquet")
+    }
+    # 3 affected partitions > patched max of 2 -> semi-join branch
+    src = spark.createDataFrame(
+        [(0, 0, "v1"), (1, 1, "v1"), (2, 2, "v1"), (300, 0, "new")],
+        "id long, bucket long, val string",
+    )
+    merge_into(t, src, keys=["id"], partition_col="bucket")
+    got = rows(spark, t)
+    assert (0, 0, "v1") in got and (1, 1, "v1") in got and (2, 2, "v1") in got
+    assert (300, 0, "new") in got and (0, 0, "v0") not in got
+    assert (3, 3, "v0") in got and len(got) == 101
+    after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{t}/bucket=3/*.parquet")
+    }
+    assert before == after, "untouched partition rewritten by semi-join branch"
+    # delete_where takes the same branch
+    delete_where(spark, t, "id < 2", partition_col="bucket")
+    got = rows(spark, t)
+    assert (0, 0, "v1") not in got and (1, 1, "v1") not in got
+    assert (2, 2, "v1") in got and len(got) == 99
+
+
+def test_compact_splits_large_partition_to_multiple_files(spark, tmp_path):
+    """A partition whose bytes exceed target_file_bytes must come out of
+    compact_parquet as >1 file (the per-partition salt), not one oversized
+    file; small partitions still collapse to one file each."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "saltsplit")
+    spark.createDataFrame(
+        [(i, 0 if i < 5000 else 1, "x" * 100) for i in range(5100)],
+        "id long, bucket int, pad string",
+    ).repartition(8).write.partitionBy("bucket").parquet(t)
+    big = sum(
+        os.path.getsize(f) for f in glob.glob(f"{t}/bucket=0/*.parquet")
+    )
+    small = sum(
+        os.path.getsize(f) for f in glob.glob(f"{t}/bucket=1/*.parquet")
+    )
+    target = big // 3  # bucket=0 wants >=3 splits
+    n = compact_parquet(spark, t, target_file_bytes=target)
+    files0 = glob.glob(f"{t}/bucket=0/*.parquet")
+    files1 = glob.glob(f"{t}/bucket=1/*.parquet")
+    assert len(files0) > 1, "large partition collapsed to one file"
+    # small partition gets at most its own byte-derived split count (hash
+    # collisions may merge salt groups, never split them)
+    assert len(files1) <= max(1, -(-small // target))
+    assert n >= 4
+    df = spark.read.parquet(t)
+    assert df.count() == 5100
+    assert df.filter("bucket = 0").count() == 5000
+
+
+def test_compact_rejects_nested_partition_layout(spark, tmp_path):
+    import pytest
+
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 1), (3, 1, 0)], "id int, a int, b int"
+    ).write.partitionBy("a", "b").parquet(t)
+    with pytest.raises(ValueError, match="single-level"):
+        compact_parquet(spark, t, target_file_bytes=1 << 30)
+
+
+def test_legacy_old_restore_requires_crash_evidence(spark, tmp_path):
+    """A bare '<target>__old' sibling is restored ONLY alongside a tmp dir
+    proving a crashed swap; without one it could be an unrelated user
+    directory and must be left untouched."""
+    import shutil
+
+    t = str(tmp_path / "legacy")
+    base_df(spark).write.parquet(t)
+    # unrelated sibling, no tmp evidence -> NOT claimed as the table
+    os.rename(t, t + "__old")
+    src = spark.createDataFrame([(7, 0, "a")], "id long, bucket long, val string")
+    merge_into(t, src, keys=["id"])
+    assert rows(spark, t) == {(7, 0, "a")}, "unrelated __old dir was claimed"
+    assert os.path.isdir(t + "__old"), "unrelated __old dir was consumed"
+    shutil.rmtree(t)
+    shutil.rmtree(t + "__old")
+    # crashed pre-upgrade swap: __old aside AND a __merge_tmp sibling
+    base_df(spark).write.parquet(t)
+    os.rename(t, t + "__old")
+    spark.createDataFrame(
+        [(999, 0, "tmp")], "id long, bucket long, val string"
+    ).write.parquet(t + "__merge_tmp")
+    merge_into(t, src, keys=["id"])
+    got = rows(spark, t)
+    assert (7, 0, "a") in got and (1, 1, "v0") in got, "history dropped"
+    assert (7, 3, "v0") not in got  # key 7 upserted, not duplicated
+    assert len(got) == 100
+    assert not os.path.isdir(t + "__old")
+
+
+def test_unescape_part_dirname_roundtrips_escape():
+    """_unescape_part_dirname must invert _escape_part_value for every
+    directory-renderable value (property: unescape(escape(s)) == s)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scio_spark.operators.merge import (
+        _escape_part_value,
+        _unescape_part_dirname,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def prop(s):
+        assert _unescape_part_dirname(_escape_part_value(s)) == s
+
+    prop()
+    assert _unescape_part_dirname(_escape_part_value(None)) is None
+    for v in ("a=b", "x/y", "100%", "a__old", "", "%", "%2", "%ZZ", "café"):
+        assert _unescape_part_dirname(_escape_part_value(v)) == v
+
+
+def test_compact_matches_type_normalized_partition_dirs(spark, tmp_path):
+    """Partition dirs written from string '01' are read back as int 1 by
+    Spark's partition-type inference; the split-map join must match on the
+    TYPED value (cast dir-string to the inferred type), else the partition
+    silently collapses to one file regardless of size."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "typednorm")
+    spark.createDataFrame(
+        [(i, "01" if i < 4000 else "02", "y" * 120) for i in range(4100)],
+        "id long, part string, pad string",
+    ).repartition(8).write.partitionBy("part").parquet(t)
+    # inference reads the dirs back as int
+    assert dict(spark.read.parquet(t).dtypes)["part"] in ("int", "bigint")
+    bigdir = [d for d in os.listdir(t) if d.startswith("part=")]
+    big = sum(
+        os.path.getsize(f)
+        for d in bigdir
+        for f in glob.glob(f"{t}/{d}/*.parquet")
+        if "=1" in d or "=01" in d
+    )
+    n = compact_parquet(spark, t, target_file_bytes=max(1, big // 3))
+    bigfiles = glob.glob(f"{t}/part=1/*.parquet") + glob.glob(
+        f"{t}/part=01/*.parquet"
+    )
+    assert len(bigfiles) > 1, "type-normalized partition missed the split map"
+    assert spark.read.parquet(t).count() == 4100
+
+
+def test_compact_tolerates_map_columns(spark, tmp_path):
+    """xxhash64 rejects MapType; the compaction salt must skip such
+    columns instead of failing analysis on a previously-compactable
+    table."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "mapcol")
+    spark.createDataFrame(
+        [(i, i % 2, {"k": str(i)}) for i in range(50)],
+        "id long, bucket int, attrs map<string,string>",
+    ).write.partitionBy("bucket").parquet(t)
+    compact_parquet(spark, t, target_file_bytes=1 << 30)
+    df = spark.read.parquet(t)
+    assert df.count() == 50
+    assert df.filter("attrs['k'] = '7'").count() == 1
+
+
+def test_compact_partition_column_only_table_still_splits(spark, tmp_path):
+    """Degenerate salt case: a table with no HASHABLE non-partition
+    columns (Spark forbids partitioning on every column, so map-only data
+    columns are the realizable case) falls back to an input-split-derived
+    salt, so a huge partition read as several splits still produces >1
+    file instead of silently collapsing."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "partonly")
+    spark.range(20000).select(
+        (F.col("id") % 2).alias("bucket"),
+        F.create_map(F.lit("v"), F.col("id").cast("string")).alias("attrs"),
+    ).repartition(16).write.partitionBy("bucket").parquet(t)
+    big = sum(os.path.getsize(f) for f in glob.glob(f"{t}/bucket=0/*.parquet"))
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force one read split per input file so the fallback salt varies
+        conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        compact_parquet(spark, t, target_file_bytes=max(1, big // 4))
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert len(glob.glob(f"{t}/bucket=0/*.parquet")) > 1
+    df = spark.read.parquet(t)
+    assert df.count() == 20000
+    assert df.filter("bucket = 0").count() == 10000

@@ -230,3 +230,20 @@ def test_id_magnitude_bound_is_enforced_at_runtime(spark):
         "doc_id long, text string",
     )
     assert S._positional_ngrams(ok, "doc_id", "text", 2, False).count() == 6
+
+
+def test_id_bound_rejects_long_min(spark):
+    """doc_id = LONG_MIN is the abs() landmine: under non-ANSI semantics
+    abs(-2^63) wraps to -2^63 (negative), which a single-sided
+    abs >= bound check waves through — the guard must be two-sided."""
+    import pytest
+
+    import scio_spark.functions.substr_dedup as S
+
+    bad = spark.createDataFrame(
+        [(-(1 << 63), "a b c d")], "doc_id long, text string"
+    )
+    grams = S._positional_ngrams(bad, "doc_id", "text", 2, False)
+    with pytest.raises(Exception) as ei:
+        grams.collect()
+    assert "2^39 encoding bound" in str(ei.value)
