@@ -5592,6 +5592,113 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_traffic_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrafficMaxLaneFlow parity (scio-examples/src/main/scala/com/spotify/
+    scio/examples/complete/TrafficMaxLaneFlow.scala: sliding windows over
+    sensor readings, then per (window, station) keep the single reading
+    with the maximum lane flow). Analog over events: 1h/30m sliding
+    windows x station (event_type); argmax by (value DESC, event_id DESC)
+    via a struct max — a partial-aggregable single-shuffle plan (explode
+    x2 -> map-side max/count -> one exchange), no ROW_NUMBER sort."""
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df.filter(F.col("value").isNotNull())
+    slid = W.with_sliding_windows(ev, "ts", "1 hour", "30 minutes")
+    return (
+        slid.groupBy("window_start", F.col("event_type").alias("station"))
+        .agg(
+            F.max(F.struct(F.col("value"), F.col("event_id"))).alias("__b"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            "window_start",
+            "station",
+            F.col("__b.value").alias("max_flow"),
+            F.col("__b.event_id").alias("event_id"),
+            "n_readings",
+        )
+    )
+
+
+ORACLE_TRAFFIC_MAX_LANE_FLOW = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+         event_type AS station, event_id, value
+  FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, event_id, value
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT window_start, station, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY window_start, station
+                            ORDER BY value DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY window_start, station) AS n_readings
+  FROM assigned)
+SELECT window_start, station, CAST(value AS DOUBLE) AS max_flow, event_id,
+       CAST(n_readings AS BIGINT) AS n_readings
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_traffic_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrafficRoutes parity (scio-examples/src/main/scala/com/spotify/scio/
+    examples/complete/TrafficRoutes.scala: per (sliding window, route)
+    average speed plus a slowdown flag — true when some station in the
+    route has consecutive readings with decreasing speed). Analog over
+    events: route = event_type, station = user_id; the consecutive-pair
+    LAG runs per (window, route, station) — the same grouping Beam's
+    GroupByKey induces, one exchange — then one partial-aggregable
+    group. avg_speed = decimal-staged sum cast double / count (both
+    engines do the identical IEEE double division)."""
+    from pyspark.sql import Window
+
+    from scio_spark.operators import windows as W
+
+    sc = _ctx(spark)
+    ev = _t(sc, sf_dir, "events").df
+    slid = W.with_sliding_windows(ev, "ts", "1 hour", "30 minutes")
+    pair = Window.partitionBy("window_start", "event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    slid = slid.withColumn("__slow", F.col("value") < F.lag("value").over(pair))
+    return (
+        slid.groupBy("window_start", F.col("event_type").alias("route"))
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_speed"),
+            F.coalesce(F.bool_or("__slow"), F.lit(False)).alias("slowdown"),
+        )
+    )
+
+
+ORACLE_TRAFFIC_ROUTES = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+         event_type, user_id, ts, event_id, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, user_id, ts, event_id, value
+  FROM events),
+lagged AS (
+  SELECT window_start, event_type AS route, value,
+         value < LAG(value) OVER (PARTITION BY window_start, event_type,
+                                  user_id ORDER BY ts, event_id) AS slow
+  FROM assigned)
+SELECT window_start, route,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_speed,
+       COALESCE(BOOL_OR(slow), FALSE) AS slowdown
+FROM lagged GROUP BY 1, 2
+"""
+
+
 def q_spam_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GameStats spam-detection parity (scio-examples/.../complete/game/
     GameStats.scala CalculateSpammyUsers): users whose total score exceeds
@@ -5923,95 +6030,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-8 window, in order:
+    Round-10 window, in order:
 
-    1. hash_filter — r7's one red row: the answer was value-exact but the
-       gate's type-tagged hash distinguishes Spark Decimal from DuckDB
-       float64; the final projection is now cast to double in both
-       engines (as are running_total/spam_users/compact_table below,
-       which carried the same latent bug into this window);
-    2. refreshing_side_input — NEW: per-micro-batch side-table refresh
-       semantics (scio RefreshingSideInputExample), previously
-       pytest-only;
-    3. processing_time_panes — NEW: the repeated AfterProcessingTime
-       trigger at wall-clock cadence;
-    3b. watermark_panes — NEW: the full AfterWatermark composite with
-       wall-clock EARLY/LATE firings and data-less ON_TIME delivery,
-       closing §4.4.1 outright (no trigger residual remains);
-    4. the 23 queries that had never been driver-checked (all strict
-       local-oracle PASS since r7);
-    5. 23 of the 42 r5-stale queries — quantiles, quantiles_by_key and
-       sorted_groups first (their implementations changed most since
-       their last driver row).
+    1. traffic_max_lane_flow / traffic_routes — NEW: the last two
+       scio-examples without a named analog (TrafficMaxLaneFlow.scala,
+       TrafficRoutes.scala), composed from existing operators
+       (with_sliding_windows + struct-argmax / LAG + bool_or);
+    2. the 19 queries whose latest driver row is r5 (IO roundtrips,
+       pii_scrub, text features — surfaces unchanged since r5, strict
+       local-oracle PASS every round since);
+    3. compact_table, substring_dedup, merge_upsert — their
+       implementations changed this round (typed split-map join +
+       hashable-only salt; gated legacy __old restore; two-sided id
+       bound), so their driver evidence must be refreshed even though
+       compact_table has an r9 row;
+    4. 26 more of the r6-latest cohort, in their standing order.
 
-    The 19 remaining r5-stale queries (IO roundtrips and other surfaces
-    unchanged since r5) head the post-window section as the r9 rotation.
-    Everything past the window is green in CORRECTNESS_r05/r06/r07 and
-    unchanged this round. tools/check_oracle.py still value-checks ALL
-    queries every round."""
+    The 21 remaining r6-latest queries head the post-window section as
+    the r11 rotation, followed by the 49 r7-latest and the 49 remaining
+    r9-latest. After this round no query's latest driver row predates
+    r6. tools/check_oracle.py still value-checks ALL queries every
+    round."""
     return {
-        # -- r8 driver window (first 50) -----------------------------------
-        # (a) r7's one red row: value-exact, but the raw decimal(28,2)
-        #     output defeated the driver's type-tagged hash; now double
-        "hash_filter": q_hash_filter,
-        # (b) NEW in round 8 — the last pytest-only streaming surfaces:
-        #     per-batch side refresh + wall-clock processing-time panes
-        "refreshing_side_input": q_refreshing_side_input,
-        "processing_time_panes": q_processing_time_panes,
-        "watermark_panes": q_watermark_panes,
-        # (c) the 23 queries that have never had a driver row (all strict-
-        #     local PASS; the 4 decimal outputs among them now cast double)
-        "side_outputs": q_side_outputs,
-        "map_file": q_map_file,
-        "allowed_lateness": q_allowed_lateness,
-        "vector_sum_by_key": q_vector_sum_by_key,
-        "running_total": q_running_total,
-        "pack_chunks": q_pack_chunks,
-        "shuffle_positions": q_shuffle_positions,
-        "length_buckets": q_length_buckets,
-        "shard_layout": q_shard_layout,
-        "source_cap": q_source_cap,
-        "token_quota": q_token_quota,
-        "snapshot_diff": q_snapshot_diff,
-        "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "autocomplete": q_autocomplete,
-        "top_sessions": q_top_sessions,
-        "spam_users": q_spam_users,
-        "data_checks": q_data_checks,
-        "incremental_dedup": q_incremental_dedup,
-        "metrics": q_metrics,
-        "compact_table": q_compact_table,
-        "quality_funnel": q_quality_funnel,
-        "pack_greedy": q_pack_greedy,
-        # (d) 23 of the 42 r5-stale queries (quantiles/quantiles_by_key/
-        #     sorted_groups first: their implementations changed most)
-        "quantiles": q_quantiles,
-        "quantiles_by_key": q_quantiles_by_key,
-        "sorted_groups": q_sorted_groups,
-        "streaming_window": q_streaming_window,
-        "streaming_session": q_streaming_session,
-        "streaming_join": q_streaming_join,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
-        "kv_store_join": q_kv_store_join,
-        "smb_transform": q_smb_transform,
-        "lm_score": q_lm_score,
-        "tfidf_keywords": q_tfidf_keywords,
-        "source_overlap": q_source_overlap,
-        "cube": q_cube,
-        "grouping_sets": q_grouping_sets,
-        "top_orders": q_top_orders,
-        "intersect_by_key": q_intersect_by_key,
-        "approx_distinct": q_approx_distinct,
-        "latest_by_key": q_latest_by_key,
-        "local_supplier_volume": q_local_supplier_volume,
-        "window_sliding": q_window_sliding,
-        "window_calendar": q_window_calendar,
-        "stratified_sample": q_stratified_sample,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r5-stale remainder — r9 window candidates (pii_scrub/text_chunks
-        # were displaced past the cutoff by the two new trigger queries)
+        # -- r10 driver window (first 50) ----------------------------------
+        # (a) NEW — final scio-examples parity pair (sliding-window argmax
+        #     and per-route slowdown detection over sensor readings)
+        "traffic_max_lane_flow": q_traffic_max_lane_flow,
+        "traffic_routes": q_traffic_routes,
+        # (b) the 19 r5-latest queries — stalest external evidence
         "pii_scrub": q_pii_scrub,
         "text_chunks": q_text_chunks,
         "csv_roundtrip": q_csv_roundtrip,
@@ -6031,14 +6077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "protobuf_roundtrip": q_protobuf_roundtrip,
-        # green r6 rows, unchanged
+        # (c) implementations changed this round (merge.py/substr_dedup.py
+        #     hardening) — refresh their driver rows with the new code
+        "compact_table": q_compact_table,
+        "substring_dedup": q_substring_dedup,
+        "merge_upsert": q_merge_upsert,
+        # (d) 26 of the 49 r6-latest queries, standing order
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "bpe_segment": q_bpe_segment,
-        "substring_dedup": q_substring_dedup,
         "zorder_layout": q_zorder_layout,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
-        "merge_upsert": q_merge_upsert,
         "bigram_lm": q_bigram_lm,
         "interval_join": q_interval_join,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -6060,6 +6109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct": q_distinct,
         "sum_by_key": q_sum_by_key,
         "histogram": q_histogram,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r6-latest remainder — r11 window candidates
         "flat_map": q_flat_map_tokens,
         "cross": q_cross,
         "subtract_by_key": q_subtract_by_key,
@@ -6131,6 +6182,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "aggregate_by_key": q_aggregate_by_key,
         "aggregate_global": q_aggregate_global,
+        # green r9 rows (the r8/r9 window), freshest evidence — last
+        # (compact_table moved up into the r10 window: impl changed)
+        "hash_filter": q_hash_filter,
+        "refreshing_side_input": q_refreshing_side_input,
+        "processing_time_panes": q_processing_time_panes,
+        "watermark_panes": q_watermark_panes,
+        "side_outputs": q_side_outputs,
+        "map_file": q_map_file,
+        "allowed_lateness": q_allowed_lateness,
+        "vector_sum_by_key": q_vector_sum_by_key,
+        "running_total": q_running_total,
+        "pack_chunks": q_pack_chunks,
+        "shuffle_positions": q_shuffle_positions,
+        "length_buckets": q_length_buckets,
+        "shard_layout": q_shard_layout,
+        "source_cap": q_source_cap,
+        "token_quota": q_token_quota,
+        "snapshot_diff": q_snapshot_diff,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "autocomplete": q_autocomplete,
+        "top_sessions": q_top_sessions,
+        "spam_users": q_spam_users,
+        "data_checks": q_data_checks,
+        "incremental_dedup": q_incremental_dedup,
+        "metrics": q_metrics,
+        "quality_funnel": q_quality_funnel,
+        "pack_greedy": q_pack_greedy,
+        "quantiles": q_quantiles,
+        "quantiles_by_key": q_quantiles_by_key,
+        "sorted_groups": q_sorted_groups,
+        "streaming_window": q_streaming_window,
+        "streaming_session": q_streaming_session,
+        "streaming_join": q_streaming_join,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
+        "kv_store_join": q_kv_store_join,
+        "smb_transform": q_smb_transform,
+        "lm_score": q_lm_score,
+        "tfidf_keywords": q_tfidf_keywords,
+        "source_overlap": q_source_overlap,
+        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "top_orders": q_top_orders,
+        "intersect_by_key": q_intersect_by_key,
+        "approx_distinct": q_approx_distinct,
+        "latest_by_key": q_latest_by_key,
+        "local_supplier_volume": q_local_supplier_volume,
+        "window_sliding": q_window_sliding,
+        "window_calendar": q_window_calendar,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -6169,6 +6271,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": ORACLE_CORPUS_STATS,
         "data_mixture": ORACLE_DATA_MIXTURE,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "traffic_max_lane_flow": ORACLE_TRAFFIC_MAX_LANE_FLOW,
+        "traffic_routes": ORACLE_TRAFFIC_ROUTES,
         "window_fixed": ORACLE_WINDOW_FIXED,
         "window_sliding": ORACLE_WINDOW_SLIDING,
         "window_session": ORACLE_WINDOW_SESSION,
