@@ -122,9 +122,14 @@ def _verify_exact_jaccard(
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
     cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
+    # NO broadcast hint on the count tables: they are CORPUS-sized (one
+    # row per doc — ~10^11 rows at 100 TB, never driver-collectable). AQE
+    # still picks a broadcast join at small scale from the observed size;
+    # at corpus scale this degrades gracefully to a shuffle join keyed on
+    # the candidate ids (plan-asserted in test_query_plans.py).
     return (
-        inter.join(F.broadcast(ca), "id_1")
-        .join(F.broadcast(cb), "id_2")
+        inter.join(ca, "id_1")
+        .join(cb, "id_2")
         .withColumn(
             "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
         )
@@ -139,8 +144,11 @@ def jaccard_pairs(
     """Exact Jaccard for every co-shingled doc pair via inverted-index
     self-join: (id_1, id_2, jaccard), id_1 < id_2.
 
-    One shuffle on shingle for the pair counts + one broadcast of per-doc
-    shingle counts (small: one row per doc)."""
+    One shuffle on shingle for the pair counts + per-doc shingle-count
+    joins keyed on the pair ids. The count tables carry one row PER DOC
+    (corpus-sized at 100 TB), so they get no broadcast hint — AQE
+    broadcasts them at small scale from the observed size and falls back
+    to a shuffle join at corpus scale."""
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed(id_col, "id_1")
     b = sh.withColumnRenamed(id_col, "id_2")
@@ -153,8 +161,8 @@ def jaccard_pairs(
     ca = counts.withColumnRenamed(id_col, "id_1").withColumnRenamed("n", "n1")
     cb = counts.withColumnRenamed(id_col, "id_2").withColumnRenamed("n", "n2")
     j = (
-        inter.join(F.broadcast(ca), "id_1")
-        .join(F.broadcast(cb), "id_2")
+        inter.join(ca, "id_1")
+        .join(cb, "id_2")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),

@@ -616,6 +616,11 @@ def autocomplete_topk(
         df.select(F.explode(tokens(text_col)).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
+        # terms shorter than min_prefix have no valid prefix and must emit
+        # NOTHING — unguarded, sequence(min_prefix, length) DESCENDS when
+        # length < min_prefix (Spark's sequence auto-steps -1) and would
+        # fabricate bogus prefixes for the short term
+        .filter(F.length("term") >= min_prefix)
     )
     pref = terms.select(
         "term",

@@ -848,6 +848,23 @@ def test_autocomplete_topk(spark):
     assert ("cat", 2) not in got  # only one term has prefix 'cat'
 
 
+def test_autocomplete_min_prefix_skips_short_terms(spark):
+    """A term SHORTER than min_prefix must emit nothing: unguarded,
+    sequence(min_prefix, length) DESCENDS when length < min_prefix (the
+    Spark sequence gotcha) and fabricates bogus prefixes for the term."""
+    from scio_spark.functions.text import autocomplete_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a of off cat cat")], "doc_id int, text string"
+    )
+    out = autocomplete_topk(docs, k=3, min_prefix=3, max_prefix=4).collect()
+    got = {(r.prefix, r.term) for r in out}
+    # 'a' (len 1) and 'of' (len 2) are shorter than min_prefix=3 -> no rows
+    assert got == {("off", "off"), ("cat", "cat")}
+    for r in out:
+        assert len(r.prefix) >= 3
+
+
 def test_pack_sequences_skips_null_text(spark):
     """A NULL text row must be skipped, not crash the pack job (''.join
     over None raises in the executor) or shrink the budget (legacy

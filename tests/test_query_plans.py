@@ -98,6 +98,30 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     assert lint.has_broadcast_join(df)
 
 
+def test_jaccard_verify_no_forced_corpus_broadcast(spark):
+    """The per-doc shingle-count table joined into the jaccard verify is
+    CORPUS-sized (one row per document) — a static broadcast hint on it
+    would OOM the driver at 100 TB. The logical plan must carry no
+    broadcast strategy hint; at small scale AQE still picks a broadcast
+    join at runtime from the observed size, so nothing is lost locally."""
+    from scio_spark.functions import dedup as D
+    from scio_spark.plans.lint import optimized_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(6)] + [(9, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    for out in (
+        D.minhash_lsh_dedup(docs, min_jaccard=0.5),
+        D.ngram_jaccard_dedup(docs, min_jaccard=0.5),
+        D.ngram_jaccard_dedup(docs, min_jaccard=0.5, max_doc_freq=100),
+    ):
+        assert "strategy=broadcast" not in optimized_plan(out)
+    # values unchanged: every doc pair in the first clique is identical
+    got = {(r.id_1, r.id_2) for r in D.ngram_jaccard_dedup(docs, min_jaccard=0.99).collect()}
+    assert got == {(i, j) for i in range(6) for j in range(i + 1, 6)}
+
+
 def test_data_mixture_pushes_source_filters(spark):
     """Per-source doc_id filters reach the parquet scans."""
     df = ent.q_data_mixture(spark, SF)
