@@ -755,12 +755,16 @@ def dedup_lines(
 
     Returns (id_col, text_clean, n_kept, n_removed).
 
-    100 TB shape: the boilerplate line set is tiny by construction (only
-    lines repeated across >max_doc_freq docs), so it is computed with one
-    partial-aggregated shuffle on md5(line) and then applied as a BROADCAST
-    anti-join against the exploded (doc, pos, line) table — the big side
-    never shuffles on line content. Reassembly is a single groupBy(id)
-    with an order-restoring sort_array, the one unavoidable shuffle."""
+    100 TB shape: the boilerplate line set (distinct lines repeated across
+    >max_doc_freq docs) is computed with one partial-aggregated shuffle on
+    md5(line), then applied as an anti-join against the exploded
+    (doc, pos, line) table. The boiler side is usually small relative to
+    the corpus but is NOT bounded by construction (a 10^11-doc crawl can
+    hold 10^8+ distinct boilerplate lines), so it carries no broadcast
+    hint — AQE broadcasts it when the measured size allows (every local
+    scale) and falls back to a shuffle anti-join on the hash when it
+    doesn't. Reassembly is a single groupBy(id) with an order-restoring
+    sort_array, the one unavoidable shuffle."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_regex)).alias("pos", "line"),
@@ -772,7 +776,7 @@ def dedup_lines(
         .select("line_hash")
     )
     kept = lines.join(
-        F.broadcast(boiler),
+        boiler,
         F.md5(F.col("line")) == F.col("line_hash"),
         "left_anti",
     )
