@@ -308,3 +308,60 @@ def test_multi_unit_calendar_windows(spark):
     # window starts 2024-01-08: 19728 days after 1970-01-05 floors to
     # 19726 = 1409 × 14 (hand-checked epoch-day arithmetic)
     assert str(w.window_start) == "2024-01-08 00:00:00"
+
+
+# ------------------------------------------- traffic examples parity
+
+
+@pytest.fixture()
+def traffic_dir(spark, tmp_path):
+    """Tiny events table with known argmax ties and one decreasing
+    station-pair, all inside the 00:00-00:30 slide bucket (every row in
+    exactly the 2024-01-01 00:00 and 2023-12-31 23:30 sliding windows)."""
+    import datetime as dt
+
+    rows_ = [
+        (1, dt.datetime(2024, 1, 1, 0, 10), 1, "A", 5.0),
+        (2, dt.datetime(2024, 1, 1, 0, 12), 1, "A", 4.0),  # user 1 slows
+        (3, dt.datetime(2024, 1, 1, 0, 15), 2, "A", 7.5),
+        (4, dt.datetime(2024, 1, 1, 0, 16), 2, "A", 7.5),  # max tie
+        (5, dt.datetime(2024, 1, 1, 0, 10), 3, "B", 3.0),
+        (6, dt.datetime(2024, 1, 1, 0, 20), 3, "B", 3.5),  # increasing
+    ]
+    spark.createDataFrame(
+        rows_,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_traffic_max_lane_flow_argmax_and_tiebreak(spark, traffic_dir):
+    import __spark_entry__ as ent
+
+    out = ent.q_traffic_max_lane_flow(spark, traffic_dir).collect()
+    got = {
+        (str(r.window_start), r.station): (r.max_flow, r.event_id, r.n_readings)
+        for r in out
+    }
+    # every event lands in exactly 2 sliding windows -> 4 (window, station) rows
+    assert len(got) == 4
+    w0 = "2024-01-01 00:00:00"
+    # tie on value 7.5 -> higher event_id wins (struct max == value DESC, id DESC)
+    assert got[(w0, "A")] == (7.5, 4, 4)
+    assert got[(w0, "B")] == (3.5, 6, 2)
+
+
+def test_traffic_routes_slowdown_and_avg(spark, traffic_dir):
+    import __spark_entry__ as ent
+
+    out = ent.q_traffic_routes(spark, traffic_dir).collect()
+    got = {
+        (str(r.window_start), r.route): (r.n_readings, r.avg_speed, r.slowdown)
+        for r in out
+    }
+    assert len(got) == 4
+    w0 = "2024-01-01 00:00:00"
+    # route A: user 1 went 5.0 -> 4.0 (consecutive decrease) => slowdown
+    assert got[(w0, "A")] == (4, (5.0 + 4.0 + 7.5 + 7.5) / 4, True)
+    # route B only increases; single-user pairs never decrease => False
+    assert got[(w0, "B")] == (2, (3.0 + 3.5) / 2, False)
