@@ -120,9 +120,13 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01,
     Scio builds per-partition Guava BloomFilters sized by rhsNumKeys
     (:394-437). Two regimes here, picked by ``rhs_num_keys``:
 
-    - keyset broadcast-sized (≤ SPARSE_JOIN_EXACT_KEYSET_MAX, or unstated):
-      broadcast the *distinct RHS keyset* and semi-join — exact, strictly
-      better than a BF at the same cost;
+    - keyset STATED broadcast-sized (rhs_num_keys ≤
+      SPARSE_JOIN_EXACT_KEYSET_MAX): broadcast the *distinct RHS keyset*
+      and semi-join — exact, strictly better than a BF at the same cost.
+      With ``rhs_num_keys`` UNSTATED the semi-join carries no broadcast
+      hint — the keyset size is unknown, and scio makes rhsNumKeys a
+      required parameter for exactly this reason; AQE still broadcasts
+      at runtime when the measured keyset is small;
     - keyset too big to ship exactly (> the threshold): build a
       functions/bloom.py BloomFilter over the RHS keys in ONE scan (no
       distinct shuffle — duplicate keys set the same bits; composite keys
@@ -158,7 +162,12 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01,
         def _miss():  # definite non-members — no false negatives
             return filter_with_bloom(lhs, "__sj_h", bf, negate=True).drop("__sj_h")
     else:
-        rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+        rhs_keys = right.df.select(*keys).distinct()
+        # hint only when the caller BOUNDED the keyset (≤ the exact-keyset
+        # max); an unstated keyset could be corpus-sized — leave the
+        # strategy to AQE's measured size
+        if rhs_num_keys is not None:
+            rhs_keys = F.broadcast(rhs_keys)
 
         def _hit():
             return left.df.join(rhs_keys, keys, "left_semi")
@@ -203,11 +212,15 @@ def sparse_join(left, right, how: str = "inner", fpp: float = 0.01,
 
 
 def sparse_intersect_by_key(left, right):
-    """PairSCollectionFunctions.scala:919 — broadcast RHS keyset, left_semi."""
+    """PairSCollectionFunctions.scala:919 — RHS keyset left_semi. No
+    broadcast hint: scio's sparseIntersectByKey exists for keysets too big
+    to ship as a side input (it Bloom-filters them), so forcing broadcast
+    here would invert the operator's point at scale; AQE broadcasts the
+    distinct keyset at runtime whenever it measures small."""
     from scio_spark.pair import PairSCollection
 
     keys = left.key_cols
-    rhs_keys = F.broadcast(right.df.select(*keys).distinct())
+    rhs_keys = right.df.select(*keys).distinct()
     return PairSCollection(left.df.join(rhs_keys, keys, "left_semi"), keys, left.context)
 
 
