@@ -28,32 +28,54 @@ from pyspark.sql import functions as F
 # ------------------------------------------------------------- side inputs
 
 
+#: side inputs are DRIVER-SIZED BY CONTRACT (Beam materializes them per
+#: worker; scio's asMapSideInput has the same ceiling). The guard makes an
+#: oversized build fail actionably instead of OOMing the driver — the same
+#: require_side_input_sized pattern the ANN corpus/query collects use.
+SIDE_INPUT_MAX_ROWS = 4_000_000
+
+
+def _guard_side_input(df: DataFrame, what: str, max_rows: int) -> None:
+    from scio_spark.functions.similarity import require_side_input_sized
+
+    require_side_input_sized(df, max_rows, what, "max_rows")
+
+
 def side_input_singleton(df: DataFrame):
     """asSingletonSideInput (SideInput.scala:100): exactly-one-row DataFrame
     → broadcast python value."""
-    rows = df.collect()
+    rows = df.limit(2).collect()  # bounded: never collects a huge input
     if len(rows) != 1:
-        raise ValueError(f"singleton side input has {len(rows)} rows")
+        raise ValueError(
+            "singleton side input has "
+            + ("no rows" if not rows else ">1 rows")
+        )
     val = rows[0][0] if len(rows[0]) == 1 else rows[0].asDict()
     return df.sparkSession.sparkContext.broadcast(val)
 
 
-def side_input_list(df: DataFrame):
+def side_input_list(df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS):
     """asListSideInput (:105)."""
+    _guard_side_input(df, "side_input_list", max_rows)
     rows = [r[0] if len(r) == 1 else tuple(r) for r in df.collect()]
     return df.sparkSession.sparkContext.broadcast(rows)
 
 
-def side_input_set(df: DataFrame):
+def side_input_set(df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS):
     """asSetSingletonSideInput (SideInput.scala:110): the collection as ONE
     broadcast python set — the membership-test side input (hashFilter's
     substrate when the predicate runs inside a pandas fn)."""
+    _guard_side_input(df, "side_input_set", max_rows)
     rows = {r[0] if len(r) == 1 else tuple(r) for r in df.collect()}
     return df.sparkSession.sparkContext.broadcast(rows)
 
 
-def side_input_map(df: DataFrame, key_col: str, value_col: str):
+def side_input_map(
+    df: DataFrame, key_col: str, value_col: str,
+    max_rows: int = SIDE_INPUT_MAX_ROWS,
+):
     """asMapSideInput (:117) — unique keys."""
+    _guard_side_input(df, "side_input_map", max_rows)
     m = {}
     for r in df.select(key_col, value_col).collect():
         if r[0] in m:
@@ -62,9 +84,13 @@ def side_input_map(df: DataFrame, key_col: str, value_col: str):
     return df.sparkSession.sparkContext.broadcast(m)
 
 
-def side_input_multimap(df: DataFrame, key_col: str, value_col: str):
+def side_input_multimap(
+    df: DataFrame, key_col: str, value_col: str,
+    max_rows: int = SIDE_INPUT_MAX_ROWS,
+):
     """asMultiMapSideInput (:123) — the hashJoin substrate
     (PairHashSCollectionFunctions.scala:62-73)."""
+    _guard_side_input(df, "side_input_multimap", max_rows)
     m: dict[Any, list] = {}
     for r in df.select(key_col, value_col).collect():
         m.setdefault(r[0], []).append(r[1])

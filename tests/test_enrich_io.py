@@ -19,6 +19,22 @@ def test_side_input_singleton_and_map(spark):
     assert E.side_input_multimap(dup, "k", "v").value == {"a": [1, 2]}
 
 
+def test_side_input_builders_guard_oversized_inputs(spark):
+    """Side inputs are driver-sized by contract; an oversized build must
+    raise actionably (require_side_input_sized) instead of collecting."""
+    big = spark.range(50).selectExpr("id AS k", "id AS v")
+    for build in (
+        lambda: E.side_input_list(big, max_rows=10),
+        lambda: E.side_input_set(big.select("k"), max_rows=10),
+        lambda: E.side_input_map(big, "k", "v", max_rows=10),
+        lambda: E.side_input_multimap(big, "k", "v", max_rows=10),
+    ):
+        with pytest.raises(ValueError, match="side input"):
+            build()
+    # under the cap everything still builds
+    assert len(E.side_input_list(big, max_rows=50).value) == 50
+
+
 def test_with_side_input(spark):
     df = spark.createDataFrame([(1,), (2,)], ["x"])
     bc = spark.sparkContext.broadcast(10)
