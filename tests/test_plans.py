@@ -105,8 +105,14 @@ def test_smb_divisible_bucket_counts_join_shuffle_free(spark, no_broadcast):
 
 
 def test_sparse_join_reduces_before_shuffle(spark):
-    """sparse_join must semi-join-reduce the big side with a broadcast before
-    the shuffle join (the whole point of the operator)."""
+    """sparse_join must semi-join-reduce the big side before the shuffle
+    join (the whole point of the operator). With rhs_num_keys UNSTATED the
+    keyset size is unknown, so the broadcast is AQE's runtime decision,
+    not a static hint (r10 broadcast policy — an unstated keyset could be
+    corpus-sized): the semi-join is structural in the initial plan, and
+    the executed adaptive plan must show AQE picked a broadcast for this
+    small keyset. With rhs_num_keys STATED ≤ the exact-keyset max, the
+    broadcast is static."""
     from scio_spark import ScioContext
 
     sc = ScioContext(spark)
@@ -116,9 +122,25 @@ def test_sparse_join_reduces_before_shuffle(spark):
         .filter("p_size = 1")
         .key_by(partkey="p_partkey")
     )
-    out = li.sparse_join(rare, how="inner")
-    plan = lint.executed_plan(out.df)
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # this test exercises AQE's runtime broadcast pick — pin the confs the
+    # module-scoped no_broadcast fixture may have toggled for SMB tests
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        out = li.sparse_join(rare, how="inner")
+        assert "LeftSemi" in lint.executed_plan(out.df)
+        assert out.df.count() > 0  # materialize → AQE finalizes the plan
+        final = lint.executed_plan(out.df)
+        assert "BroadcastHashJoin" in final and "LeftSemi" in final
+        # stated bounded keyset → static broadcast, no execution needed
+        stated = li.sparse_join(rare, how="inner", rhs_num_keys=100)
+        plan = lint.executed_plan(stated.df)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def test_batch_is_shuffle_free(spark):
