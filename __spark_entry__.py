@@ -437,6 +437,44 @@ GROUP BY l_partkey
 """
 
 
+def q_sparse_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparseJoin, BLOOM regime (PairSCollectionFunctions.scala:394-437 —
+    per-partition Bloom filters sized by rhsNumKeys): rhs_num_keys above
+    the exact-keyset threshold forces the functions/bloom.py build+probe
+    path (JVM-hashed positions, broadcast bitmap, Arrow probe). The left
+    flavor exercises BOTH halves — the Bloom hit-side prefilter (false
+    positives surface as null-RHS rows through the left join) and the
+    definite-non-member miss passthrough — and the result is exactly a
+    plain left join, so the oracle needs no Bloom at all."""
+    sc = _ctx(spark)
+    li = _t(sc, sf_dir, "lineitem").key_by(partkey="l_partkey")
+    rare_parts = (
+        _t(sc, sf_dir, "part")
+        .filter("p_size = 1")
+        .key_by(partkey="p_partkey")
+    )
+    out = li.sparse_join(rare_parts, how="left", rhs_num_keys=5_000_000)
+    return (
+        out.df.groupBy(F.col("p_partkey").isNotNull().alias("matched"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("qty"),
+        )
+    )
+
+
+ORACLE_SPARSE_JOIN_BLOOM = """
+SELECT p.p_partkey IS NOT NULL AS matched, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+LEFT JOIN (SELECT p_partkey FROM part WHERE p_size = 1) p
+  ON l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiJoin 3-way (util/MultiJoin.scala:538): revenue per nation."""
     sc = _ctx(spark)
@@ -6043,14 +6081,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        implementations changed this round (typed split-map join +
        hashable-only salt; gated legacy __old restore; two-sided id
        bound), so their driver evidence must be refreshed even though
-       compact_table has an r9 row;
-    4. 26 more of the r6-latest cohort, in their standing order.
+       compact_table has an r9 row — plus sparse_join_bloom, NEW: the
+       forced-Bloom regime of sparseJoin (functions/bloom.py build+probe
+       was driver-unchecked; the exact-keyset regime is sparse_join);
+    4. 25 more of the r6-latest cohort, in their standing order.
 
-    The 21 remaining r6-latest queries head the post-window section as
-    the r11 rotation, followed by the 49 r7-latest and the 49 remaining
-    r9-latest. After this round no query's latest driver row predates
-    r6. tools/check_oracle.py still value-checks ALL queries every
-    round."""
+    The 22 remaining r6-latest queries (histogram first — displaced by
+    sparse_join_bloom) head the post-window section as the r11 rotation,
+    followed by the 49 r7-latest and the 49 remaining r9-latest. After
+    this round no query's latest driver row predates r6.
+    tools/check_oracle.py still value-checks ALL queries every round."""
     return {
         # -- r10 driver window (first 50) ----------------------------------
         # (a) NEW — final scio-examples parity pair (sliding-window argmax
@@ -6082,6 +6122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_table": q_compact_table,
         "substring_dedup": q_substring_dedup,
         "merge_upsert": q_merge_upsert,
+        # NEW — forces functions/bloom.py's build+probe regime (previously
+        # pytest-only at the driver; the exact-keyset regime is sparse_join)
+        "sparse_join_bloom": q_sparse_join_bloom,
         # (d) 26 of the 49 r6-latest queries, standing order
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "bpe_segment": q_bpe_segment,
@@ -6108,9 +6151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_value": q_count_by_value,
         "distinct": q_distinct,
         "sum_by_key": q_sum_by_key,
-        "histogram": q_histogram,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r6-latest remainder — r11 window candidates
+        # r6-latest remainder — r11 window candidates (histogram displaced
+        # from the r10 window by sparse_join_bloom)
+        "histogram": q_histogram,
         "flat_map": q_flat_map_tokens,
         "cross": q_cross,
         "subtract_by_key": q_subtract_by_key,
@@ -6253,6 +6297,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_by_key": ORACLE_LATEST_BY_KEY,
         "cogroup": ORACLE_COGROUP,
         "sparse_join": ORACLE_SPARSE_JOIN,
+        "sparse_join_bloom": ORACLE_SPARSE_JOIN_BLOOM,
         "multi_join": ORACLE_MULTI_JOIN,
         "union_agg": ORACLE_UNION,
         "histogram": ORACLE_HISTOGRAM,
