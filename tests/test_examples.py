@@ -15,6 +15,7 @@ EXAMPLES = [
     ("leaderboard_streaming.py", []),
     ("target_domain_selection.py", ["/root/testdata/sf0.001", "/tmp/_ex_select"]),
     ("mixture_layout.py", ["/root/testdata/sf0.001", "/tmp/_ex_layout"]),
+    ("traffic_monitor.py", ["/root/testdata/sf0.001", "/tmp/_ex_traffic"]),
 ]
 
 
