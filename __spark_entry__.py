@@ -3532,7 +3532,12 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a networked warehouse URL (same code path; a cluster deployment
     swaps the URL and raises num_partitions for parallel reads with
     partitionColumn bounds)."""
-    path = _rt_path(sf_dir, "derby")
+    import os
+
+    # per-process DB directory: embedded Derby takes an exclusive JVM boot
+    # lock on the directory, so two concurrent sessions (e.g. the oracle
+    # gate and a plan audit) sharing one path would fail spuriously
+    path = _rt_path(sf_dir, f"derby_{os.getpid()}")
     url = f"jdbc:derby:{path};create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     sc = _ctx(spark)
