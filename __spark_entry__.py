@@ -6073,92 +6073,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-10 window, in order:
+    Round-11 window, in order:
 
-    1. traffic_max_lane_flow / traffic_routes — NEW: the last two
-       scio-examples without a named analog (TrafficMaxLaneFlow.scala,
-       TrafficRoutes.scala), composed from existing operators
-       (with_sliding_windows + struct-argmax / LAG + bool_or);
-    2. the 19 queries whose latest driver row is r5 (IO roundtrips,
-       pii_scrub, text features — surfaces unchanged since r5, strict
-       local-oracle PASS every round since);
-    3. compact_table, substring_dedup, merge_upsert — their
-       implementations changed this round (typed split-map join +
-       hashable-only salt; gated legacy __old restore; two-sided id
-       bound), so their driver evidence must be refreshed even though
-       compact_table has an r9 row — plus sparse_join_bloom, NEW: the
-       forced-Bloom regime of sparseJoin (functions/bloom.py build+probe
-       was driver-unchecked; the exact-keyset regime is sparse_join);
-    4. 25 more of the r6-latest cohort, in their standing order.
+    1. the 22 queries whose latest driver row is r6 (histogram …
+       ann_lsh) — the stalest external evidence after the r10 rotation;
+    2. the 28 stalest r7-latest queries in their standing order
+       (group_by_key … large_orders).
 
-    The 22 remaining r6-latest queries (histogram first — displaced by
-    sparse_join_bloom) head the post-window section as the r11 rotation,
-    followed by the 49 r7-latest and the 49 remaining r9-latest. After
-    this round no query's latest driver row predates r6.
+    The 21 remaining r7-latest queries head the post-window section as
+    the r12 rotation candidates, followed by the 49 r9-latest and the
+    50 r10-window queries (freshest evidence, last). After this round
+    no query's latest driver row predates r7.
     tools/check_oracle.py still value-checks ALL queries every round."""
     return {
-        # -- r10 driver window (first 50) ----------------------------------
-        # (a) NEW — final scio-examples parity pair (sliding-window argmax
-        #     and per-route slowdown detection over sensor readings)
-        "traffic_max_lane_flow": q_traffic_max_lane_flow,
-        "traffic_routes": q_traffic_routes,
-        # (b) the 19 r5-latest queries — stalest external evidence
-        "pii_scrub": q_pii_scrub,
-        "text_chunks": q_text_chunks,
-        "csv_roundtrip": q_csv_roundtrip,
-        "union_agg": q_union_distinct_by,
-        "text_features": q_text_features,
-        "text_quality": q_text_quality,
-        "sparse_lookup": q_sparse_lookup,
-        "custom_window": q_custom_window,
-        "multimodal_features": q_multimodal_features,
-        "window_weekly": q_window_weekly,
-        "json_roundtrip": q_json_roundtrip,
-        "text_roundtrip": q_text_roundtrip,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "binary_roundtrip": q_binary_roundtrip,
-        "object_roundtrip": q_object_roundtrip,
-        "dynamic_destinations": q_dynamic_destinations,
-        "jdbc_roundtrip": q_jdbc_roundtrip,
-        "xml_roundtrip": q_xml_roundtrip,
-        "protobuf_roundtrip": q_protobuf_roundtrip,
-        # (c) implementations changed this round (merge.py/substr_dedup.py
-        #     hardening) — refresh their driver rows with the new code
-        "compact_table": q_compact_table,
-        "substring_dedup": q_substring_dedup,
-        "merge_upsert": q_merge_upsert,
-        # NEW — forces functions/bloom.py's build+probe regime (previously
-        # pytest-only at the driver; the exact-keyset regime is sparse_join)
-        "sparse_join_bloom": q_sparse_join_bloom,
-        # (d) 26 of the 49 r6-latest queries, standing order
-        "webdataset_roundtrip": q_webdataset_roundtrip,
-        "bpe_segment": q_bpe_segment,
-        "zorder_layout": q_zorder_layout,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        "bigram_lm": q_bigram_lm,
-        "interval_join": q_interval_join,
-        "arrow_roundtrip": q_arrow_roundtrip,
-        "fuzzy_join": q_fuzzy_join,
-        "k_anonymity": q_k_anonymity,
-        "capped_sessions": q_capped_sessions,
-        "dedup_lines": q_dedup_lines,
-        "files_with_path": q_files_with_path,
-        "curation_e2e": q_curation_e2e,
-        "continuous_rollup": q_continuous_rollup,
-        "hash_intersect": q_hash_intersect,
-        "hash_subtract": q_hash_subtract,
-        "combine_pandas": q_combine_pandas,
-        "pane_info": q_pane_info,
-        "keyed_variants": q_keyed_variants,
-        "map_with_resource": q_map_with_resource,
-        "count_by_key": q_count_by_key,
-        "count_by_value": q_count_by_value,
-        "distinct": q_distinct,
-        "sum_by_key": q_sum_by_key,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r6-latest remainder — r11 window candidates (histogram displaced
-        # from the r10 window by sparse_join_bloom)
+        # -- r11 driver window (first 50) ----------------------------------
+        # (a) the 22 r6-latest remainder — stalest external evidence
         "histogram": q_histogram,
         "flat_map": q_flat_map_tokens,
         "cross": q_cross,
@@ -6181,7 +6110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
-        # green r7 rows, unchanged
+        # (b) the 28 stalest r7-latest queries, standing order
         "group_by_key": q_group_by_key,
         "map_with_parallelism": q_map_with_parallelism,
         "side_input_multimap": q_side_input_multimap,
@@ -6210,6 +6139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersection": q_intersection,
         "json_extract": q_json_extract,
         "large_orders": q_large_orders,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r7-latest remainder — r12 window candidates, standing order
         "mean_by_key": q_mean_by_key,
         "multi_join": q_multi_join,
         "partition_counts": q_partition_counts,
@@ -6231,8 +6162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "aggregate_by_key": q_aggregate_by_key,
         "aggregate_global": q_aggregate_global,
-        # green r9 rows (the r8/r9 window), freshest evidence — last
-        # (compact_table moved up into the r10 window: impl changed)
+        # green r9 rows (the r8/r9 window), unchanged
         "hash_filter": q_hash_filter,
         "refreshing_side_input": q_refreshing_side_input,
         "processing_time_panes": q_processing_time_panes,
@@ -6282,6 +6212,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_calendar": q_window_calendar,
         "stratified_sample": q_stratified_sample,
+        # the 50 r10-window queries — freshest driver evidence, last
+        # (a) NEW — final scio-examples parity pair (sliding-window argmax
+        #     and per-route slowdown detection over sensor readings)
+        "traffic_max_lane_flow": q_traffic_max_lane_flow,
+        "traffic_routes": q_traffic_routes,
+        # (b) the 19 r5-latest queries — stalest external evidence
+        "pii_scrub": q_pii_scrub,
+        "text_chunks": q_text_chunks,
+        "csv_roundtrip": q_csv_roundtrip,
+        "union_agg": q_union_distinct_by,
+        "text_features": q_text_features,
+        "text_quality": q_text_quality,
+        "sparse_lookup": q_sparse_lookup,
+        "custom_window": q_custom_window,
+        "multimodal_features": q_multimodal_features,
+        "window_weekly": q_window_weekly,
+        "json_roundtrip": q_json_roundtrip,
+        "text_roundtrip": q_text_roundtrip,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "binary_roundtrip": q_binary_roundtrip,
+        "object_roundtrip": q_object_roundtrip,
+        "dynamic_destinations": q_dynamic_destinations,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
+        "protobuf_roundtrip": q_protobuf_roundtrip,
+        # (c) implementations changed this round (merge.py/substr_dedup.py
+        #     hardening) — refresh their driver rows with the new code
+        "compact_table": q_compact_table,
+        "substring_dedup": q_substring_dedup,
+        "merge_upsert": q_merge_upsert,
+        # NEW — forces functions/bloom.py's build+probe regime (previously
+        # pytest-only at the driver; the exact-keyset regime is sparse_join)
+        "sparse_join_bloom": q_sparse_join_bloom,
+        # (d) 25 of the 49 r6-latest queries, standing order
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "bpe_segment": q_bpe_segment,
+        "zorder_layout": q_zorder_layout,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "bigram_lm": q_bigram_lm,
+        "interval_join": q_interval_join,
+        "arrow_roundtrip": q_arrow_roundtrip,
+        "fuzzy_join": q_fuzzy_join,
+        "k_anonymity": q_k_anonymity,
+        "capped_sessions": q_capped_sessions,
+        "dedup_lines": q_dedup_lines,
+        "files_with_path": q_files_with_path,
+        "curation_e2e": q_curation_e2e,
+        "continuous_rollup": q_continuous_rollup,
+        "hash_intersect": q_hash_intersect,
+        "hash_subtract": q_hash_subtract,
+        "combine_pandas": q_combine_pandas,
+        "pane_info": q_pane_info,
+        "keyed_variants": q_keyed_variants,
+        "map_with_resource": q_map_with_resource,
+        "count_by_key": q_count_by_key,
+        "count_by_value": q_count_by_value,
+        "distinct": q_distinct,
+        "sum_by_key": q_sum_by_key,
     }
 
 
