@@ -195,7 +195,10 @@ _LEGACY_OLD_SUFFIX = "__old"
 # into place. A crash in the swap window (target renamed aside, tmp not
 # yet renamed in) always leaves one of these on disk alongside the aside
 # — their presence is the evidence _recover_swap requires before a
-# legacy-suffix restore.
+# legacy-suffix restore. Verified against every bare-'__old'-era release
+# in git history (merge/delete from the start, compaction from the commit
+# that added it): no pre-'%scio' protocol ever wrote a different tmp
+# suffix, so this list is complete for legacy crash evidence.
 _TMP_SUFFIXES = ("__merge_tmp", "__delete_tmp", "__compact")
 
 
@@ -221,10 +224,27 @@ def _recover_swap(spark: SparkSession, target_path: str) -> None:
         # '<target>__old' next to an absent target is more plausibly an
         # unrelated directory or manual backup — leave it alone.
         legacy = HPath(target_path.rstrip("/") + _LEGACY_OLD_SUFFIX)
-        if fs.exists(legacy) and any(
-            fs.exists(HPath(target_path.rstrip("/") + s)) for s in _TMP_SUFFIXES
-        ):
-            fs.rename(legacy, tgt_path)
+        if fs.exists(legacy):
+            if any(
+                fs.exists(HPath(target_path.rstrip("/") + s))
+                for s in _TMP_SUFFIXES
+            ):
+                fs.rename(legacy, tgt_path)
+            else:
+                # Not silently proceeding: the operator may be looking at
+                # a crashed legacy swap whose tmp dir was cleaned by hand
+                # — surface it so they can restore manually if so.
+                import warnings
+
+                warnings.warn(
+                    f"_recover_swap: found {target_path}{_LEGACY_OLD_SUFFIX}"
+                    f" next to an absent target but no"
+                    f" {'/'.join(_TMP_SUFFIXES)} crash evidence — NOT"
+                    f" restoring it (it may be an unrelated directory)."
+                    f" If it is a crashed legacy swap whose tmp dir was"
+                    f" removed, rename it to {target_path} manually.",
+                    stacklevel=2,
+                )
         return
     old = HPath(target_path.rstrip("/") + _OLD_SUFFIX)
     if fs.exists(old):
@@ -619,8 +639,15 @@ def compact_parquet(
         # collapse that partition to one file. Casting the directory
         # string to the inferred type matches the same normalization.
         part_type = df.schema[part_col].dataType
-        splits = splits.withColumn(
-            "__part_val", F.col("__part_str").cast(part_type)
+        # Two directory names can normalize to the SAME typed value (e.g.
+        # part=01 and part=1 both infer as int 1 under mixed writers) —
+        # aggregate to one row per typed value, summing the split counts
+        # (both directories' bytes belong to that logical partition), or
+        # the left join below would duplicate every row of the partition.
+        splits = (
+            splits.withColumn("__part_val", F.col("__part_str").cast(part_type))
+            .groupBy("__part_val")
+            .agg(F.sum("__n_splits").cast("int").alias("__n_splits"))
         )
         out = (
             df.join(

@@ -585,6 +585,28 @@ def test_compact_matches_type_normalized_partition_dirs(spark, tmp_path):
     assert spark.read.parquet(t).count() == 4100
 
 
+def test_compact_dedups_colliding_typed_partition_dirs(spark, tmp_path):
+    """Mixed-writer layouts can hold BOTH part=01 and part=1 on disk; type
+    inference reads both as int 1, so the split map must aggregate by the
+    TYPED value before the left join — two rows with the same __part_val
+    would duplicate every row of that partition in the rewrite."""
+    from scio_spark.operators.merge import compact_parquet
+
+    t = str(tmp_path / "collide")
+    spark.createDataFrame(
+        [(i, "01" if i % 2 == 0 else "1") for i in range(100)]
+        + [(i, "2") for i in range(100, 120)],
+        "id long, part string",
+    ).write.partitionBy("part").parquet(t)
+    assert os.path.isdir(f"{t}/part=01") and os.path.isdir(f"{t}/part=1")
+    assert dict(spark.read.parquet(t).dtypes)["part"] in ("int", "bigint")
+    compact_parquet(spark, t, target_file_bytes=1 << 30)
+    df = spark.read.parquet(t)
+    assert df.count() == 120, "colliding dirs duplicated partition rows"
+    assert df.filter("part = 1").count() == 100
+    assert df.filter("part = 2").count() == 20
+
+
 def test_compact_tolerates_map_columns(spark, tmp_path):
     """xxhash64 rejects MapType; the compaction salt must skip such
     columns instead of failing analysis on a previously-compactable
