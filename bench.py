@@ -118,6 +118,20 @@ def main():
             warm[name] = warm_s
 
     total = round(sum(timings.values()), 3)
+    # Wall-clock streaming queries: their cost is trigger-sleep cadence
+    # (scripted watermarks / processing-time firings), not compute, and
+    # host drift on sleeps dominates round-over-round totals (the r9
+    # false alarm, r10's 2.3x allowed_lateness blip). Report a compute
+    # total that excludes them so real regressions stay visible; their
+    # per-query timings remain in the maps.
+    WALL_CLOCK = {
+        "allowed_lateness",
+        "watermark_panes",
+        "processing_time_panes",
+        "discarding_panes",
+        "refreshing_side_input",
+        "element_count_panes",
+    }
     full = {
         "metric": "scio_spark_query_suite",
         "value": total,
@@ -125,6 +139,13 @@ def main():
         "queries": timings,
         "queries_warm": warm,
         "total_warm": round(sum(warm.values()), 3),
+        "total_compute": round(
+            sum(v for k, v in timings.items() if k not in WALL_CLOCK), 3
+        ),
+        "total_warm_compute": round(
+            sum(v for k, v in warm.items() if k not in WALL_CLOCK), 3
+        ),
+        "wall_clock_queries": sorted(WALL_CLOCK),
         "fallback_path": fallback,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -148,6 +169,7 @@ def main():
     compact["queries_omitted"] = max(0, len(timings) - len(slowest))
     del compact["queries_warm"]
     del compact["fallback_path"]
+    del compact["wall_clock_queries"]
     compact["detail_file"] = "BENCH_RESULT.json"
     print(json.dumps(compact, separators=(",", ":")))
 
