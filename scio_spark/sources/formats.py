@@ -59,14 +59,19 @@ def read_object_file(
 
 def object_file_df(df: DataFrame, pickle_cols: list[str], path: str):
     """Mixed mode: keep scalar columns queryable, pickle the opaque ones.
-    The per-row python UDF is the sanctioned slow path here — pickling is
-    inherently per-object python work and this writer is, like
-    read_object_file, the declared escape hatch, not a hot-path format."""
+    Pickling is inherently per-object python work, but the transfer is
+    Arrow-batched (pandas_udf) so (de)serialization overhead amortizes per
+    batch instead of per row — same semantics as the former row-at-a-time
+    UDF, measurably cheaper on wide payloads."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pickle_batch(s):  # pd.Series -> pd.Series[bytes]
+        return s.map(pickle.dumps)
+
     out = df
     for c in pickle_cols:
-        out = out.withColumn(
-            c, F.udf(lambda v: pickle.dumps(v), "binary")(F.col(c))
-        )
+        out = out.withColumn(c, _pickle_batch(F.col(c)))
     out.write.mode("overwrite").parquet(path)
 
 

@@ -152,6 +152,24 @@ def test_object_file_roundtrip(spark, tmp_path):
         FM.read_object_file(spark, path, max_rows=2)
 
 
+def test_object_file_df_pickles_columns(spark, tmp_path):
+    """object_file_df (Arrow-batched pickle path) keeps scalar columns
+    queryable and round-trips the pickled ones byte-exactly."""
+    import pickle
+
+    from scio_spark.sources import formats as FM
+
+    path = str(tmp_path / "objdf")
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(100)], "id long, blob string"
+    )
+    FM.object_file_df(df, ["blob"], path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["blob"] == "binary"
+    rows = {r.id: pickle.loads(bytes(r.blob)) for r in back.collect()}
+    assert rows == {i: f"name-{i}" for i in range(100)}
+
+
 def test_tfrecord_codec_roundtrip():
     from scio_spark.sources import formats as FM
 
