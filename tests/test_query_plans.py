@@ -187,6 +187,20 @@ def test_funnel_joins_stay_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_traffic_max_lane_flow_single_exchange_struct_argmax(spark):
+    """TrafficMaxLaneFlow pins the partial-agg struct-argmax shape: the
+    per-(window, station) argmax must stay a max(struct(...)) aggregate —
+    map-side partial_max, then ONE hash exchange — never a ROW_NUMBER
+    window (whose per-partition sort of every reading is the expensive
+    spelling at 100 TB). The SortAggregate's grouping Sort is fine; a
+    Window operator is the regression."""
+    df = ent.q_traffic_max_lane_flow(spark, SF)
+    plan = lint.executed_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+    assert "partial_max(struct(" in plan  # map-side combine survives
+
+
 def test_data_checks_row_rules_single_scan(spark):
     """All four row rules share one aggregate; lineitem is scanned once
     for them (the uniqueness rule adds its own scan + partial agg)."""
