@@ -230,7 +230,7 @@ def image_features(
                             "decoder": kind,
                         }
                     )
-                except ValueError:
+                except (ValueError, struct.error):
                     rows.append(
                         {
                             id_col: aid, "width": None, "height": None,
@@ -271,7 +271,7 @@ def resize_images(
                         if kind == "bmp"
                         else None
                     )
-                except ValueError:
+                except (ValueError, struct.error):
                     arr = None
                 if arr is None:
                     rows.append({id_col: aid, content_col: b, "resized": False})
@@ -315,7 +315,7 @@ def audio_features(
                             "decoder": "wav",
                         }
                     )
-                except ValueError:
+                except (ValueError, struct.error):
                     rows.append(
                         {
                             id_col: aid, "sample_rate": None, "channels": None,
@@ -348,7 +348,7 @@ def segment_audio(
             for aid, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
                     sr, arr = decode_wav(bytes(blob))
-                except ValueError:
+                except (ValueError, struct.error):
                     continue
                 step = max(1, sr * window_ms // 1000)
                 for i, s in enumerate(range(0, arr.shape[0], step)):

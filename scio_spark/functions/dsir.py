@@ -68,6 +68,14 @@ def dsir_weights(
     Returns (id_col, n_tokens, log_w decimal(28,6)). A token in a bucket
     NEITHER corpus populated still scores (both sides smoothed), so any
     raw doc gets a weight."""
+    # The ratio table is collected to the driver and broadcast below, both
+    # bounded by `buckets` — keep that bound an actual bound (the paper's
+    # regime is 8-64k; 4M buckets ≈ 100 MB of rows is already generous).
+    if buckets > (1 << 22):
+        raise ValueError(
+            f"dsir: buckets={buckets} exceeds the driver/broadcast bound "
+            f"({1 << 22}); hashed DSIR models gain nothing past ~64k buckets"
+        )
     # models are <= buckets rows: cache them so the totals collect below
     # and the ratio join share ONE token-explode pass per corpus (uncached,
     # each model's full scan+explode would run twice)

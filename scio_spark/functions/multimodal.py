@@ -96,8 +96,7 @@ def decode_image_features(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                content = r[content_col]
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
                 if use_pil:  # pragma: no cover
                     import io
 
@@ -113,7 +112,7 @@ def decode_image_features(
                 else:
                     feats = _fake_image_features(content)
                     dec = "fake"
-                rows.append({id_col: r[id_col], **feats, "decoder": dec})
+                rows.append({id_col: aid, **feats, "decoder": dec})
             yield pd.DataFrame(rows)
 
     return df.select(id_col, content_col).mapInPandas(gen, schema)

@@ -39,7 +39,9 @@ def save_as_arrow_ipc(
     from pyspark.sql.pandas.types import to_arrow_schema
 
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+    for old in glob.glob(os.path.join(path, f"*{suffix}")) + glob.glob(
+        os.path.join(path, f"*{suffix}.tmp.*")
+    ):
         os.remove(old)
     schema = to_arrow_schema(df.schema)
 
@@ -60,9 +62,19 @@ def save_as_arrow_ipc(
             return
         writer.close()
         blob = buf.getvalue()
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}{suffix}")
-        with open(fname, "wb") as f:
+        # Partition-id filename + atomic rename: a retried or speculative
+        # task replaces its own shard instead of adding a duplicate one
+        # (a uuid name would double the shard's rows on read after any
+        # task rerun). Same protocol as save_as_webdataset.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        tmp = f"{fname}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [fname], "n_records": [n], "n_bytes": [len(blob)]}
         )

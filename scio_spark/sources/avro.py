@@ -715,7 +715,9 @@ def save_as_avro(
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+    for old in glob.glob(os.path.join(path, f"*{suffix}")) + glob.glob(
+        os.path.join(path, f"*{suffix}.tmp.*")
+    ):
         os.remove(old)
     avsc = spark_to_avro_schema(df.schema)
 
@@ -755,9 +757,18 @@ def save_as_avro(
         if not rows:
             return
         blob = write_container(rows, avsc, codec=codec)
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}{suffix}")
-        with open(fname, "wb") as f:
+        # Partition-id filename + atomic rename: a retried or speculative
+        # task replaces its own container instead of adding a duplicate
+        # (same protocol as save_as_binary_file / save_as_webdataset).
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        tmp = f"{fname}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [fname], "n_records": [len(rows)], "n_bytes": [len(blob)]}
         )

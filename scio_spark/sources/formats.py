@@ -211,9 +211,9 @@ def save_as_binary_file(
     Paths here are local/NFS (the test env); an object-store deployment
     swaps the ``open`` for pyarrow.fs with the same framing.
 
-    Overwrite semantics: pre-existing ``*{suffix}`` files under ``path`` are
-    removed first (task files are uuid-named, so without this a re-run would
-    APPEND records instead of replacing them)."""
+    Overwrite semantics: pre-existing ``*{suffix}`` files under ``path``
+    are removed first (a prior export may have had more partitions than
+    this one, so stale shards must go)."""
     import glob
     import os
     import uuid
@@ -221,7 +221,9 @@ def save_as_binary_file(
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+    for old in glob.glob(os.path.join(path, f"*{suffix}")) + glob.glob(
+        os.path.join(path, f"*{suffix}.tmp.*")
+    ):
         os.remove(old)
 
     def gen(batches: Iterator[pd.DataFrame]):
@@ -230,10 +232,19 @@ def save_as_binary_file(
             recs.extend(bytes(x) for x in pdf[payload_col])
         if not recs:
             return
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}{suffix}")
+        # Partition-id filename + atomic rename: a retried or speculative
+        # task replaces its own file instead of adding a duplicate (uuid
+        # names would double this partition's records on any task rerun).
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
         blob = frame_encode(recs, header, footer)
-        with open(fname, "wb") as f:
+        tmp = f"{fname}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [fname], "n_records": [len(recs)], "n_bytes": [len(blob)]}
         )

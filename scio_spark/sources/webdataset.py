@@ -54,7 +54,9 @@ def save_as_webdataset(
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, f"*{suffix}")):
+    for old in glob.glob(os.path.join(path, f"*{suffix}")) + glob.glob(
+        os.path.join(path, f"*{suffix}.tmp.*")
+    ):
         os.remove(old)
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     for c in ext_cols:
@@ -96,9 +98,21 @@ def save_as_webdataset(
                     wrote = True
                 n += 1 if wrote else 0
         blob = buf.getvalue()
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}{suffix}")
-        with open(fname, "wb") as f:
+        # Shard name derives from the PARTITION id, not a uuid: a retried
+        # or speculative task must re-produce the SAME file (the shard
+        # bytes are deterministic — sorted keys, mtime=0), or the rerun
+        # would add a duplicate shard and every sample in it would read
+        # back twice. Write via an attempt-unique tmp + atomic rename so
+        # two concurrent attempts can't interleave within one file.
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        tmp = f"{fname}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, fname)
         yield pd.DataFrame(
             {"file": [fname], "n_samples": [n], "n_bytes": [len(blob)]}
         )
@@ -132,9 +146,11 @@ def read_webdataset(
     schema = f"key string, {fields}"
 
     def gen(batches: Iterator[pd.DataFrame]):
+        # one yield per SHARD (not per Arrow batch): peak memory is one
+        # decoded shard, regardless of how many shard blobs a batch holds
         for pdf in batches:
-            rows: dict[str, dict] = {}
             for blob in pdf["content"]:
+                rows: dict[str, dict] = {}
                 with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
                     for m in tar.getmembers():
                         if not m.isfile():
@@ -147,14 +163,14 @@ def read_webdataset(
                         rows.setdefault(base, {})[col] = (
                             data.decode("utf-8") if col in text_cols else data
                         )
-            if rows:
-                recs = [
-                    {"key": k, **{c: v.get(c) for c in ext_cols}}
-                    for k, v in rows.items()
-                ]
-                yield pd.DataFrame.from_records(
-                    recs, columns=["key", *ext_cols]
-                )
+                if rows:
+                    recs = [
+                        {"key": k, **{c: v.get(c) for c in ext_cols}}
+                        for k, v in rows.items()
+                    ]
+                    yield pd.DataFrame.from_records(
+                        recs, columns=["key", *ext_cols]
+                    )
 
     src = (
         spark.read.format("binaryFile")

@@ -69,3 +69,21 @@ def test_overwrite_replaces(spark, tmp_path):
 def test_missing_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_arrow_ipc(spark, str(tmp_path / "nope"))
+
+
+def test_shard_names_deterministic_for_retries(spark, tmp_path):
+    """Filenames derive from the partition id so a retried/speculative
+    task replaces its shard instead of duplicating it (same protocol as
+    save_as_webdataset)."""
+    import os
+
+    df = sample(spark, 300).repartition(3)
+    d = str(tmp_path / "ipc_retry")
+    save_as_arrow_ipc(df, d, compression=None)
+    first = sorted(os.path.basename(p) for p in glob.glob(f"{d}/*.arrow"))
+    assert first == [f"part-{i:05d}.arrow" for i in range(3)]
+    save_as_arrow_ipc(df, d, compression=None)  # the "retry"
+    second = sorted(os.path.basename(p) for p in glob.glob(f"{d}/*.arrow"))
+    assert first == second
+    assert read_arrow_ipc(spark, d).count() == 300
+    assert not glob.glob(f"{d}/*.tmp.*")

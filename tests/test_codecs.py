@@ -137,3 +137,29 @@ def test_audio_features_and_segmentation(spark):
         for s in sorted(segs, key=lambda s: s.window_idx)
     ]
     assert np.array_equal(np.concatenate(parts), tone)
+
+
+def test_truncated_payloads_yield_unknown_not_task_failure(spark):
+    """A corrupt asset whose magic bytes pass sniff must yield a
+    decoder='unknown' row, not kill the job: struct.unpack_from raises
+    struct.error (NOT a ValueError subclass) on truncated BMP/WAV headers,
+    which the feature extractors must also catch — at fleet scale one bad
+    payload per 100 TB is a certainty."""
+    import struct
+
+    bad_bmp = b"BM\x10\x00"  # passes sniff, dies in unpack_from(.., 10)
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"  # truncated body
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_bmp)), (2, bytearray(bad_wav))],
+        "asset_id long, content binary",
+    )
+    img = {r.asset_id: r.decoder for r in image_features(df).collect()}
+    assert img == {1: "unknown", 2: "unknown"}
+    aud = {r.asset_id: r.decoder for r in audio_features(df).collect()}
+    assert aud == {1: "unknown", 2: "unknown"}
+    rez = {r.asset_id: r.resized for r in resize_images(df, 2, 2).collect()}
+    assert rez == {1: False, 2: False}
+    assert segment_audio(df, window_ms=100).count() == 0

@@ -128,3 +128,29 @@ def test_missing_column_raises(spark, tmp_path):
         save_as_webdataset(
             sample_df(spark, 5), str(tmp_path / "x"), "key", {"nope": "bin"}
         )
+
+
+def test_shard_names_deterministic_for_retries(spark, tmp_path):
+    """Shard filenames derive from the partition id, and shard bytes are
+    deterministic — so a retried/speculative task reproduces the SAME file
+    instead of adding a duplicate shard (uuid names would double every
+    sample in the rerun shard on read)."""
+    import glob
+    import os
+
+    df = sample_df(spark, 60).repartition(3)
+    d = str(tmp_path / "wds_retry")
+    save_as_webdataset(df, d, "key", EXTS)
+    first = {
+        os.path.basename(p): open(p, "rb").read()
+        for p in glob.glob(f"{d}/*.tar")
+    }
+    assert set(first) == {f"part-{i:05d}.tar" for i in range(3)}
+    save_as_webdataset(df, d, "key", EXTS)  # the "retry"
+    second = {
+        os.path.basename(p): open(p, "rb").read()
+        for p in glob.glob(f"{d}/*.tar")
+    }
+    assert first == second  # same names, byte-identical shards
+    assert read_webdataset(spark, d, EXTS).count() == 60
+    assert not glob.glob(f"{d}/*.tmp.*")  # atomic-rename leftovers
