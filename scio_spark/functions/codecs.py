@@ -9,7 +9,13 @@ formats are pure arithmetic and get real, tested implementations here:
 - BMP: 24-bit uncompressed BI_RGB (bottom-up rows, 4-byte row padding),
 - WAV: PCM RIFF audio. The decoder parses RIFF chunks by hand; tests
   round-trip it against the stdlib ``wave`` writer, so the two sides are
-  independent implementations.
+  independent implementations,
+- PNG (8-bit gray/RGB/RGBA/gray+alpha/palette): the one COMPRESSED
+  format whose compression is stdlib ``zlib`` — chunk framing, CRC-32,
+  and all five scanline filters (None/Sub/Up/Average/Paeth, W3C PNG
+  spec) implemented here; tests decode independently hand-assembled
+  chunks so the filter math isn't checked against itself. JPEG/MP3/
+  video stay behind multimodal.py's import gate.
 
 On top of the byte codecs: Spark-side feature extraction (dimensions,
 per-channel mean/std, RMS/peak audio energy), nearest-neighbor image
@@ -167,6 +173,177 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, arr
 
 
+# --------------------------------------------------------------- image: PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    arr: np.ndarray, filter_cycle: tuple[int, ...] = (0,)
+) -> bytes:
+    """uint8 (h,w) gray / (h,w,3) RGB / (h,w,4) RGBA → PNG bytes (W3C PNG
+    spec — the compression is stdlib zlib, so no media library is needed).
+    ``filter_cycle`` picks the scanline filter per row, cycling (all five
+    W3C filters supported; encoding is vectorized — unlike decode, the
+    filter transform reads only RAW neighbor values, so there is no
+    sequential dependency). Fixed filters + fixed zlib level keep the
+    bytes deterministic for retried tasks."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color, ch = {3: 2, 4: 6}[arr.shape[2]], arr.shape[2]
+    else:
+        raise ValueError(
+            f"encode_png: need (h,w), (h,w,3) or (h,w,4), got {arr.shape}"
+        )
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = arr.reshape(h, w * ch).astype(np.int16)  # wide for the deltas
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    scan = bytearray()
+    for y in range(h):
+        f = filter_cycle[y % len(filter_cycle)]
+        r, a, b, c = raw[y], left[y], up[y], upleft[y]
+        if f == 0:
+            filt = r
+        elif f == 1:  # Sub
+            filt = r - a
+        elif f == 2:  # Up
+            filt = r - b
+        elif f == 3:  # Average
+            filt = r - ((a + b) >> 1)
+        elif f == 4:  # Paeth — vectorized predictor selection
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            filt = r - pred
+        else:
+            raise ValueError(f"encode_png: unknown filter {f}")
+        scan.append(f)
+        scan += (filt & 0xFF).astype(np.uint8).tobytes()
+    idat = zlib.compress(bytes(scan), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 (h,w) / (h,w,2) / (h,w,3) / (h,w,4). Supports 8-bit
+    depth, color types 0/2/3/4/6 (palette resolves through PLTE),
+    non-interlaced, all five scanline filters. Chunk CRCs are verified.
+    16-bit depth and Adam7 interlacing raise (rare in training corpora;
+    route those to the gated PIL path)."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, end = 8, len(blob)
+    ihdr, plte, idat = None, None, bytearray()
+    while pos + 8 <= end:
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > end:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, fmethod, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or fmethod != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = ch
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
 # ------------------------------------------------------------------ routing
 
 
@@ -177,6 +354,8 @@ def sniff(blob: bytes) -> str | None:
         return "ppm"
     if blob[:2] == b"BM":
         return "bmp"
+    if blob[:8] == _PNG_SIG:
+        return "png"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     return None
@@ -218,6 +397,8 @@ def image_features(
                         arr = decode_ppm(b)
                     elif kind == "bmp":
                         arr = decode_bmp(b)
+                    elif kind == "png":
+                        arr = decode_png(b)
                     else:
                         raise ValueError("unknown")
                     h, w = arr.shape[:2]
@@ -269,6 +450,8 @@ def resize_images(
                         if kind == "ppm"
                         else decode_bmp(b)
                         if kind == "bmp"
+                        else decode_png(b)
+                        if kind == "png"
                         else None
                     )
                 except (ValueError, struct.error):
@@ -277,8 +460,11 @@ def resize_images(
                     rows.append({id_col: aid, content_col: b, "resized": False})
                 else:
                     out = resize_nearest(arr, out_h, out_w)
+                    # PNG re-encodes as PNG (PPM can't carry an alpha
+                    # channel); netpbm/BMP re-encode as PPM/PGM
+                    enc = encode_png if kind == "png" else encode_ppm
                     rows.append(
-                        {id_col: aid, content_col: encode_ppm(out), "resized": True}
+                        {id_col: aid, content_col: enc(out), "resized": True}
                     )
             yield pd.DataFrame(rows)
 

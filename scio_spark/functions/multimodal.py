@@ -13,10 +13,14 @@ Codec policy, two tiers:
   ``functions/codecs.py`` — pure numpy/stdlib, golden-byte tested, and
   value-checked end-to-end by the image_decode/audio_decode contract
   queries.
-- COMPRESSED formats (PNG/JPEG/MP3/video) are image/audio-library work
-  this container doesn't ship, so those decoders are import-gated: with
-  the libs absent they run a deterministic fake (tested) or raise
-  NotImplementedError (strict mode).
+- PNG also has a REAL decoder/encoder in ``functions/codecs.py`` — its
+  compression is stdlib zlib, so no media library is needed (chunk
+  framing, CRCs, and all five scanline filters implemented and tested
+  against independently hand-assembled bytes).
+- The remaining COMPRESSED formats (JPEG/MP3/video) are image/audio-
+  library work this container doesn't ship, so those decoders are
+  import-gated: with the libs absent they run a deterministic fake
+  (tested) or raise NotImplementedError (strict mode).
 
 Scale notes: binary payloads dominate row size — the helpers repartition by
 byte budget, not row count (maxPartitionBytes analog for in-flight data), and

@@ -154,3 +154,27 @@ def test_tf_example_roundtrip_random(row):
     assert len(back["emb"]) == len(expect["emb"])
     for a, b in zip(back["emb"], expect["emb"]):
         assert a == b or (math.isnan(a) and math.isnan(b))
+
+
+# ------------------------------------------------------------------- PNG
+
+import numpy as np  # noqa: E402
+
+from scio_spark.functions.codecs import decode_png, encode_png  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([None, 3, 4]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+)
+def test_png_roundtrip_property(h, w, ch, seed, cycle):
+    shape = (h, w) if ch is None else (h, w, ch)
+    arr = np.random.RandomState(seed % (2**31)).randint(
+        0, 256, size=shape, dtype=np.uint8
+    )
+    blob = encode_png(arr, filter_cycle=tuple(cycle))
+    assert np.array_equal(decode_png(blob), arr)
