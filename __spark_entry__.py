@@ -4156,6 +4156,77 @@ FROM range(0, 64) t(i)
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, value-checked (functions/codecs.py — the one
+    COMPRESSED image format whose compression is stdlib zlib, so it gets
+    a real codec instead of an import gate): deterministic GRADIENT
+    assets (pixel v(y,x,c) = (y*31+x*7+c*85+id) % 256) are encoded
+    executor-side with the full scanline-filter cycle (None/Sub/Up/
+    Average/Paeth — every decode filter path runs per asset), zlib-
+    compressed, decoded back, and reduced to integer stats including a
+    POSITION-WEIGHTED digest — unlike a mean, any stride/transpose/
+    channel-order defect permutes pixel positions and breaks the digest.
+    DuckDB replays the same pixel arithmetic over a bounded range cross
+    product; all sums are exact integer math in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import decode_png, encode_png
+
+    base = spark.range(48).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                h = 5 + i % 4 * 3
+                w = 7 + i % 5 * 2
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                img = ((y * 31 + x * 7 + c * 85 + i) % 256).astype(np.uint8)
+                arr = decode_png(encode_png(img, filter_cycle=(0, 1, 2, 3, 4)))
+                hh, ww, cc = arr.shape
+                v = arr.astype(np.int64)
+                wgt = (
+                    np.arange(hh)[:, None, None] * ww * 3
+                    + np.arange(ww)[None, :, None] * 3
+                    + np.arange(cc)[None, None, :]
+                    + 1
+                )
+                rows.append(
+                    {
+                        "asset_id": i, "width": ww, "height": hh,
+                        "channels": cc, "pix_sum": int(v.sum()),
+                        "pos_digest": int((v * wgt).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, channels int, "
+        "pix_sum long, pos_digest long",
+    )
+
+
+ORACLE_PNG_DECODE = """
+WITH a AS (SELECT i AS asset_id, 5 + (i % 4) * 3 AS h, 7 + (i % 5) * 2 AS w
+           FROM range(0, 48) t(i)),
+px AS (
+  SELECT a.asset_id, a.h, a.w, ry.y, rx.x, rc.c,
+         (ry.y*31 + rx.x*7 + rc.c*85 + a.asset_id) % 256 AS v
+  FROM a, range(0, 17) ry(y), range(0, 15) rx(x), range(0, 3) rc(c)
+  WHERE ry.y < a.h AND rx.x < a.w)
+SELECT asset_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * (y*w*3 + x*3 + c + 1)) AS BIGINT) AS pos_digest
+FROM px GROUP BY asset_id
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, value-checked (functions/codecs.py): square-wave
     WAV-PCM assets generated from asset_id arithmetic (amplitude A,
@@ -6099,10 +6170,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. the 22 queries whose latest driver row is r6 (histogram …
        ann_lsh) — the stalest external evidence after the r10 rotation;
-    2. the 28 stalest r7-latest queries in their standing order
-       (group_by_key … large_orders).
+    2. png_decode — NEW: the real PNG codec (stdlib-zlib compression,
+       full scanline-filter cycle) under driver evidence;
+    3. the 27 stalest r7-latest queries in their standing order
+       (group_by_key … json_extract; large_orders displaced).
 
-    The 21 remaining r7-latest queries head the post-window section as
+    The 22 remaining r7-latest queries head the post-window section as
     the r12 rotation candidates, followed by the 49 r9-latest and the
     50 r10-window queries (freshest evidence, last). After this round
     no query's latest driver row predates r7.
@@ -6132,7 +6205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
-        # (b) the 28 stalest r7-latest queries, standing order
+        # (b) NEW this round — real PNG codec under driver evidence (the
+        #     full scanline-filter cycle + position-weighted digest)
+        "png_decode": q_png_decode,
+        # (c) the 27 stalest r7-latest queries, standing order
+        #     (large_orders displaced to the post-window section by
+        #     png_decode)
         "group_by_key": q_group_by_key,
         "map_with_parallelism": q_map_with_parallelism,
         "side_input_multimap": q_side_input_multimap,
@@ -6160,9 +6238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge": q_hll_merge,
         "intersection": q_intersection,
         "json_extract": q_json_extract,
-        "large_orders": q_large_orders,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r7-latest remainder — r12 window candidates, standing order
+        "large_orders": q_large_orders,
         "mean_by_key": q_mean_by_key,
         "multi_join": q_multi_join,
         "partition_counts": q_partition_counts,
@@ -6453,6 +6531,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_incremental": ORACLE_SEMANTIC_DEDUP_INCREMENTAL,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "image_decode": ORACLE_IMAGE_DECODE,
+        "png_decode": ORACLE_PNG_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,
