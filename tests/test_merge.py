@@ -510,12 +510,16 @@ def test_legacy_old_restore_requires_crash_evidence(spark, tmp_path):
     directory and must be left untouched."""
     import shutil
 
+    import pytest as _pytest
+
     t = str(tmp_path / "legacy")
     base_df(spark).write.parquet(t)
-    # unrelated sibling, no tmp evidence -> NOT claimed as the table
+    # unrelated sibling, no tmp evidence -> NOT claimed as the table,
+    # but the operator is warned (it might be a hand-cleaned crash)
     os.rename(t, t + "__old")
     src = spark.createDataFrame([(7, 0, "a")], "id long, bucket long, val string")
-    merge_into(t, src, keys=["id"])
+    with _pytest.warns(UserWarning, match="NOT restoring"):
+        merge_into(t, src, keys=["id"])
     assert rows(spark, t) == {(7, 0, "a")}, "unrelated __old dir was claimed"
     assert os.path.isdir(t + "__old"), "unrelated __old dir was consumed"
     shutil.rmtree(t)
