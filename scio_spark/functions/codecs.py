@@ -260,60 +260,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """PNG → uint8 (h,w) / (h,w,2) / (h,w,3) / (h,w,4). Supports 8-bit
-    depth, color types 0/2/3/4/6 (palette resolves through PLTE),
-    non-interlaced, all five scanline filters. Chunk CRCs are verified.
-    16-bit depth and Adam7 interlacing raise (rare in training corpora;
-    route those to the gated PIL path). Throughput: None/Up/Sub rows
-    decode vectorized (~100-350 MB/s/core); Average/Paeth rows carry a
-    true sequential left-dependency (~4-7 MB/s/core in pure Python) —
-    across a 32-core executor the mapInPandas surfaces still decode
-    >100 MB/s worst-case, and most real encoders emit mixed rows."""
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if blob[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, end = 8, len(blob)
-    ihdr, plte, idat = None, None, bytearray()
-    while pos + 8 <= end:
-        (clen,) = struct.unpack_from(">I", blob, pos)
-        ctype = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + clen]
-        if len(data) != clen or pos + 12 + clen > end:
-            raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + clen
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, comp, fmethod, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    if depth != 8 or comp != 0 or fmethod != 0:
-        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
-    ch = _PNG_CHANNELS.get(color)
-    if ch is None:
-        raise ValueError(f"unsupported PNG color type {color}")
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``w*ch`` bytes from filtered data
+    (one leading filter byte per line) → uint8 (h, w*ch)."""
+    stride, bpp = w * ch, ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    bpp = ch
     for y in range(h):
         f = int(rows[y, 0])
         cur = rows[y, 1:].copy()
@@ -353,6 +315,77 @@ def decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = cur
         prev = cur
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG → uint8 (h,w) / (h,w,2) / (h,w,3) / (h,w,4). Supports 8-bit
+    depth, color types 0/2/3/4/6 (palette resolves through PLTE),
+    sequential AND Adam7-interlaced layouts, all five scanline filters.
+    Chunk CRCs are verified. 16-bit depth raises (rare in training
+    corpora; route those to the gated PIL path). Throughput: None/Up/Sub rows
+    decode vectorized (~100-350 MB/s/core); Average/Paeth rows carry a
+    true sequential left-dependency (~4-7 MB/s/core in pure Python) —
+    across a 32-core executor the mapInPandas surfaces still decode
+    >100 MB/s worst-case, and most real encoders emit mixed rows."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, end = 8, len(blob)
+    ihdr, plte, idat = None, None, bytearray()
+    while pos + 8 <= end:
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) != clen or pos + 12 + clen > end:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({ctype!r})")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, fmethod, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or fmethod != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        stride = w * ch
+        if len(raw) != h * (1 + stride):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _png_unfilter(raw, h, w, ch)
+    else:  # Adam7: 7 sub-images concatenated in one zlib stream, each
+        # filtered independently, scattered onto the (y0::dy, x0::dx) grid
+        out = np.zeros((h, w * ch), np.uint8)
+        img = out.reshape(h, w, ch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            size = ph * (1 + pw * ch)
+            sub = _png_unfilter(raw[off : off + size], ph, pw, ch)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += size
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if color == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")

@@ -253,18 +253,18 @@ def test_png_rejects_corruption():
         decode_png(bytes(bad_crc))
     with pytest.raises(ValueError):
         decode_png(good[:30])  # truncated chunk
-    # interlaced flag raises actionably
+    # 16-bit depth raises actionably (the one remaining PNG gap)
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
     blob = (
         b"\x89PNG\r\n\x1a\n"
         + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    idat = _z.compress(b"\x00\x00\x00\x00\x00\x00")
-    with pytest.raises(ValueError, match="nterlaced"):
+    idat = _z.compress(b"\x00" * 10)
+    with pytest.raises(ValueError, match="unsupported PNG"):
         decode_png(
             blob
             + _s.pack(">I", len(idat)) + b"IDAT" + idat
@@ -291,3 +291,50 @@ def test_png_through_spark_features_and_resize(spark):
     back = decode_png(bytes(out[2].content))
     assert back.shape == (3, 3, 4)
     assert (back[:, :, 3] == 128).all()  # alpha survives the resize
+
+
+def test_png_adam7_interlaced_decode():
+    """Decode Adam7 PNGs assembled BY THE TEST: passes extracted with
+    independent numpy slicing over the spec's pass grid, each pass
+    serialized with filter-0 scanlines, one zlib stream. Covers RGB,
+    gray, RGBA and sizes small enough to leave some passes empty."""
+    import struct
+    import zlib
+
+    grid = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def make_interlaced(arr):
+        h, w = arr.shape[:2]
+        ch = 1 if arr.ndim == 2 else arr.shape[2]
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        a3 = arr.reshape(h, w, ch)
+        scan = bytearray()
+        for x0, y0, dx, dy in grid:
+            sub = a3[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # spec: empty passes are entirely absent
+            for row in sub:
+                scan.append(0)
+                scan += row.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(23)
+    for shape in [(16, 16, 3), (11, 13), (7, 3, 4), (1, 1), (2, 9, 3), (5, 1)]:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(make_interlaced(arr))
+        assert np.array_equal(got, arr), shape
