@@ -202,7 +202,12 @@ def encode_png(
     bytes deterministic for retried tasks."""
     import zlib
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        depth, bps = 16, 2
+    else:
+        arr = arr.astype(np.uint8)
+        depth, bps = 8, 1
     if arr.ndim == 2:
         color, ch = 0, 1
     elif arr.ndim == 3 and arr.shape[2] in (3, 4):
@@ -212,14 +217,22 @@ def encode_png(
             f"encode_png: need (h,w), (h,w,3) or (h,w,4), got {arr.shape}"
         )
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = arr.reshape(h, w * ch).astype(np.int16)  # wide for the deltas
+    bpp = ch * bps  # filters operate on BYTES per the spec
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    raw = (
+        np.frombuffer(
+            arr.astype(">u2").tobytes() if bps == 2 else arr.tobytes(),
+            np.uint8,
+        )
+        .reshape(h, w * bpp)
+        .astype(np.int16)  # wide for the deltas
+    )
     left = np.zeros_like(raw)
-    left[:, ch:] = raw[:, :-ch]
+    left[:, bpp:] = raw[:, :-bpp]
     up = np.zeros_like(raw)
     up[1:] = raw[:-1]
     upleft = np.zeros_like(raw)
-    upleft[1:, ch:] = raw[:-1, :-ch]
+    upleft[1:, bpp:] = raw[:-1, :-bpp]
     scan = bytearray()
     for y in range(h):
         f = filter_cycle[y % len(filter_cycle)]
@@ -267,10 +280,11 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
-    """Reconstruct ``h`` scanlines of ``w*ch`` bytes from filtered data
-    (one leading filter byte per line) → uint8 (h, w*ch)."""
-    stride, bpp = w * ch, ch
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``h`` scanlines of ``w*bpp`` bytes from filtered data
+    (one leading filter byte per line; ``bpp`` = BYTES per pixel — PNG
+    filters operate bytewise at every depth) → uint8 (h, w*bpp)."""
+    stride = w * bpp
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
@@ -357,32 +371,33 @@ def decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, color, comp, fmethod, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or comp != 0 or fmethod != 0:
+    if depth not in (8, 16) or comp != 0 or fmethod != 0:
         raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and depth != 8:
+        raise ValueError("16-bit palette PNG is not valid")
+    bps = depth // 8
+    bpp = ch * bps
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        stride = w * ch
-        if len(raw) != h * (1 + stride):
-            raise ValueError("PNG pixel data length mismatch")
-        out = _png_unfilter(raw, h, w, ch)
+        out = _png_unfilter(raw, h, w, bpp)
     else:  # Adam7: 7 sub-images concatenated in one zlib stream, each
         # filtered independently, scattered onto the (y0::dy, x0::dx) grid
-        out = np.zeros((h, w * ch), np.uint8)
-        img = out.reshape(h, w, ch)
+        out = np.zeros((h, w * bpp), np.uint8)
+        img = out.reshape(h, w, bpp)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            size = ph * (1 + pw * ch)
-            sub = _png_unfilter(raw[off : off + size], ph, pw, ch)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            size = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[off : off + size], ph, pw, bpp)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
             off += size
         if off != len(raw):
             raise ValueError("PNG pixel data length mismatch")
@@ -394,6 +409,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("PNG palette index out of range")
         return pal[idx]
+    if bps == 2:  # big-endian sample pairs → uint16
+        out = (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 

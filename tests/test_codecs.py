@@ -253,11 +253,11 @@ def test_png_rejects_corruption():
         decode_png(bytes(bad_crc))
     with pytest.raises(ValueError):
         decode_png(good[:30])  # truncated chunk
-    # 16-bit depth raises actionably (the one remaining PNG gap)
+    # sub-byte depths raise actionably (the one remaining PNG gap)
     import struct as _s
     import zlib as _z
 
-    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     blob = (
         b"\x89PNG\r\n\x1a\n"
         + _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -338,3 +338,18 @@ def test_png_adam7_interlaced_decode():
         arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
         got = decode_png(make_interlaced(arr))
         assert np.array_equal(got, arr), shape
+
+
+def test_png_16bit_roundtrip_and_features(spark):
+    """16-bit samples round-trip as uint16 (big-endian pairs, bytewise
+    filters per spec) and flow through the Spark feature surface."""
+    rng = np.random.RandomState(31)
+    a16 = rng.randint(0, 65536, size=(6, 9, 3)).astype(np.uint16)
+    got = decode_png(encode_png(a16, filter_cycle=(0, 1, 2, 3, 4)))
+    assert got.dtype == np.uint16 and np.array_equal(got, a16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(a16)))], "asset_id long, content binary"
+    )
+    f = image_features(df).head()
+    assert f.decoder == "png" and (f.width, f.height, f.channels) == (9, 6, 3)
+    assert f.mean_intensity == pytest.approx(float(a16.mean()))
