@@ -76,6 +76,14 @@ def dsir_weights(
             f"dsir: buckets={buckets} exceeds the driver/broadcast bound "
             f"({1 << 22}); hashed DSIR models gain nothing past ~64k buckets"
         )
+    # Deliberately TWO tokenize passes over raw (model, then scoring):
+    # the alternative — stage a persisted (doc, bucket, cnt) table that
+    # feeds both — was A/B'd at sf0.1 and lost 38% (3.16 s vs 2.29 s
+    # median, identical results): the extra (doc,bucket) exchange plus
+    # persist materialization costs more than re-running the pipelined
+    # scan+hash, and at corpus scale the per-doc bucket table is itself
+    # near-token-scale (long docs cap at `buckets` rows, short docs
+    # don't), so spilling it approaches the cost of the second scan.
     # models are <= buckets rows: cache them so the totals collect below
     # and the ratio join share ONE token-explode pass per corpus (uncached,
     # each model's full scan+explode would run twice)
