@@ -201,6 +201,19 @@ def test_traffic_max_lane_flow_single_exchange_struct_argmax(spark):
     assert "partial_max(struct(" in plan  # map-side combine survives
 
 
+def test_traffic_routes_one_lag_window_two_exchanges(spark):
+    """TrafficRoutes pins its shape: ONE Window (the per-station
+    consecutive-pair LAG — the semantics require it) feeding a
+    partial-aggregable group, two hash exchanges total, no global sort
+    (the LAG's ordering is within hash partitions, never a
+    rangepartitioning)."""
+    df = ent.q_traffic_routes(spark, SF)
+    plan = lint.executed_plan(df)
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Window") == 1
+    assert "rangepartitioning" not in plan
+
+
 def test_data_checks_row_rules_single_scan(spark):
     """All four row rules share one aggregate; lineitem is scanned once
     for them (the uniqueness rule adds its own scan + partial agg)."""
