@@ -210,11 +210,13 @@ def encode_png(
         depth, bps = 8, 1
     if arr.ndim == 2:
         color, ch = 0, 1
-    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
-        color, ch = {3: 2, 4: 6}[arr.shape[2]], arr.shape[2]
+    elif arr.ndim == 3 and arr.shape[2] in (2, 3, 4):
+        # 2 = gray+alpha (color type 4) — decode_png emits it, so the
+        # encoder must round-trip it
+        color, ch = {2: 4, 3: 2, 4: 6}[arr.shape[2]], arr.shape[2]
     else:
         raise ValueError(
-            f"encode_png: need (h,w), (h,w,3) or (h,w,4), got {arr.shape}"
+            f"encode_png: need (h,w) or (h,w,{{2,3,4}}), got {arr.shape}"
         )
     h, w = arr.shape[:2]
     bpp = ch * bps  # filters operate on BYTES per the spec
@@ -426,6 +428,8 @@ def sniff(blob: bytes) -> str | None:
         return "bmp"
     if blob[:8] == _PNG_SIG:
         return "png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     return None
@@ -469,6 +473,10 @@ def image_features(
                         arr = decode_bmp(b)
                     elif kind == "png":
                         arr = decode_png(b)
+                    elif kind == "jpeg":
+                        from scio_spark.functions.jpeg import decode_jpeg
+
+                        arr = decode_jpeg(b)
                     else:
                         raise ValueError("unknown")
                     h, w = arr.shape[:2]
@@ -515,26 +523,39 @@ def resize_images(
                 b = bytes(blob)
                 kind = sniff(b)
                 try:
-                    arr = (
-                        decode_ppm(b)
-                        if kind == "ppm"
-                        else decode_bmp(b)
-                        if kind == "bmp"
-                        else decode_png(b)
-                        if kind == "png"
-                        else None
-                    )
+                    if kind == "jpeg":
+                        from scio_spark.functions.jpeg import decode_jpeg
+
+                        arr = decode_jpeg(b)
+                    else:
+                        arr = (
+                            decode_ppm(b)
+                            if kind == "ppm"
+                            else decode_bmp(b)
+                            if kind == "bmp"
+                            else decode_png(b)
+                            if kind == "png"
+                            else None
+                        )
                 except (ValueError, struct.error):
                     arr = None
                 if arr is None:
                     rows.append({id_col: aid, content_col: b, "resized": False})
                 else:
                     out = resize_nearest(arr, out_h, out_w)
-                    # PNG re-encodes as PNG (PPM can't carry an alpha
-                    # channel); netpbm/BMP re-encode as PPM/PGM
-                    enc = encode_png if kind == "png" else encode_ppm
+                    # stay in the source family: PNG re-encodes as PNG
+                    # (PPM can't carry alpha), JPEG as JPEG (the training-
+                    # pipeline norm), netpbm/BMP as PPM/PGM
+                    if kind == "png":
+                        payload = encode_png(out)
+                    elif kind == "jpeg":
+                        from scio_spark.functions.jpeg import encode_jpeg
+
+                        payload = encode_jpeg(out, 85)
+                    else:
+                        payload = encode_ppm(out)
                     rows.append(
-                        {id_col: aid, content_col: enc(out), "resized": True}
+                        {id_col: aid, content_col: payload, "resized": True}
                     )
             yield pd.DataFrame(rows)
 

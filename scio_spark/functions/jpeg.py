@@ -1,0 +1,596 @@
+"""Baseline JPEG codec — pure Python/numpy, no media libraries.
+
+Implements the baseline sequential DCT process of the public JPEG
+standard (ITU-T T.81): 8-bit samples, Huffman entropy coding, grayscale
+and YCbCr color. The encoder emits 4:4:4 (no chroma subsampling) with
+the Annex K quantization/Huffman tables scaled by the libjpeg quality
+formula; the decoder additionally handles subsampled streams (4:2:0,
+4:2:2 — any h/v factors up to 2) and restart markers. Progressive,
+arithmetic-coded, 12-bit, and hierarchical modes raise actionably —
+route those to the gated PIL path in multimodal.py.
+
+Everything block-parallel is vectorized (DCT/IDCT via one einsum over
+all blocks, quantization, level shift); only the Huffman bit stream is
+sequential Python, which is the honest floor for entropy coding without
+a native library. JPEG is lossy: tests pin exact hand-assembled streams
+(DC-only blocks decode to analytically-known flat values) plus
+round-trip PSNR bounds, and the DCT pair is verified as an exact
+inverse in float.
+
+Reference for parity, not implementation: the scio reference has no
+image codecs at all (binaryFile is its floor — scio-core io/BinaryIO);
+this module exists for the multimodal training-data tier of the brief.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------ constants
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K quantization tables (luminance, chrominance), natural order
+_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K "typical" Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix: dct = A @ block @ A.T
+_A = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def dct2(blocks: np.ndarray) -> np.ndarray:
+    """2-D DCT-II over (..., 8, 8) blocks, JPEG normalization."""
+    return np.einsum("ux,...xy,vy->...uv", _A, blocks, _A)
+
+
+def idct2(coefs: np.ndarray) -> np.ndarray:
+    """Exact inverse of :func:`dct2` (A^T C A for orthonormal A)."""
+    return np.einsum("ux,...uv,vy->...xy", _A, coefs, _A)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the (public) libjpeg quality formula."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+# ----------------------------------------------------- Huffman machinery
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), per T.81 Annex C code assignment."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol — the decoder-side view."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, huffval).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: 0xFF00 unstuffed; an RSTn or any
+    other marker ends the current run (the caller handles restarts)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        """Buffer more entropy bytes; STOPS (without consuming) at any
+        marker — the already-buffered bits may legitimately complete the
+        current MCU (the encoder 1-pads the final byte before a marker),
+        so only actual bit starvation in bits() is an error."""
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    return  # RSTn/EOI/other marker: leave pos on the 0xFF
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:
+                raise ValueError("JPEG entropy data truncated")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip pad bits already dropped with acc; find the marker
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("JPEG restart marker missing")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t low bits to the signed coefficient."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value → (size t, t-bit code) — inverse of _extend."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+# --------------------------------------------------------------- encoder
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (h, w) to multiples of 8 by edge replication and return
+    (n_blocks_y*n_blocks_x, 8, 8) float blocks, level-shifted."""
+    h, w = plane.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    blocks = (
+        padded.reshape(H // 8, 8, W // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    return blocks, H // 8, W // 8
+
+
+def _encode_plane(
+    writer: _BitWriter,
+    qcoefs: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    """Entropy-encode quantized coefficient blocks (n, 64 zigzag order);
+    returns the updated DC predictor."""
+    for blk in qcoefs:
+        dc = int(blk[0])
+        diff = dc - pred
+        pred = dc
+        if diff == 0:
+            c, ln = dc_codes[0]
+            writer.write(c, ln)
+        else:
+            t, bitsv = _magnitude(diff)
+            c, ln = dc_codes[t]
+            writer.write(c, ln)
+            writer.write(bitsv, t)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                writer.write(c, ln)
+                run -= 16
+            t, bitsv = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | t]
+            writer.write(c, ln)
+            writer.write(bitsv, t)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            writer.write(c, ln)
+    return pred
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def _dqt_payload(tid: int, table: np.ndarray) -> bytes:
+    return bytes([tid]) + bytes(int(table[z]) for z in ZIGZAG)
+
+
+def _dht_payload(cls: int, tid: int, bits: list[int], huffval: list[int]) -> bytes:
+    return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(huffval)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG bytes
+    (4:4:4, Annex K Huffman tables, quality-scaled Annex K quant
+    tables). Deterministic bytes for a given (array, quality)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(f"encode_jpeg: need (h,w) or (h,w,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg: empty image")
+    ql, qc = quality_tables(quality)
+    qtabs = [ql] + ([qc] if len(planes) == 3 else [])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _marker(0xDB, _dqt_payload(0, ql))
+    if len(planes) == 3:
+        out += _marker(0xDB, _dqt_payload(1, qc))
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += _marker(0xC0, sof)
+    # DHT
+    out += _marker(0xC4, _dht_payload(0, 0, *_DC_L))
+    out += _marker(0xC4, _dht_payload(1, 0, *_AC_L))
+    if ncomp == 3:
+        out += _marker(0xC4, _dht_payload(0, 1, *_DC_C))
+        out += _marker(0xC4, _dht_payload(1, 1, *_AC_C))
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+
+    dc_tabs = [_canonical_codes(*_DC_L)] + (
+        [_canonical_codes(*_DC_C)] * 2 if ncomp == 3 else []
+    )
+    ac_tabs = [_canonical_codes(*_AC_L)] + (
+        [_canonical_codes(*_AC_C)] * 2 if ncomp == 3 else []
+    )
+    # quantize every plane up front (vectorized), zigzag-order
+    qplanes = []
+    for ci, plane in enumerate(planes):
+        blocks, _, _ = _to_blocks(plane)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8).astype(np.float64)
+        coefs = np.round(dct2(blocks) / q).astype(np.int64)
+        qplanes.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+    # 4:4:4 MCU = one block per component, interleaved in block-raster order
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    nblocks = qplanes[0].shape[0]
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            preds[ci] = _encode_plane(
+                writer, qplanes[ci][bi : bi + 1], dc_tabs[ci], ac_tabs[ci],
+                preds[ci],
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB. Handles
+    arbitrary sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), multiple
+    DQT/DHT segments, and DRI restart intervals. Progressive (SOF2),
+    arithmetic, and 12-bit streams raise ValueError."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    h = w = 0
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        tag = blob[pos + 1]
+        if tag == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4 : pos + 2 + seglen]
+        if tag == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, np.int64)
+                tab[ZIGZAG] = np.frombuffer(
+                    body[bpos + 1 : bpos + 65], np.uint8
+                ).astype(np.int64)
+                qt[tq] = tab
+                bpos += 65
+        elif tag == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                cls, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                huffval = list(body[bpos + 17 : bpos + 17 + n])
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_table(
+                    bits, huffval
+                )
+                bpos += 17 + n
+        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (both baseline-decodable)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                     0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG is supported (progressive/"
+                "arithmetic/hierarchical stream)"
+            )
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif tag == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tabs = body[1 + si * 2], body[2 + si * 2]
+                scan.append((cs, tabs >> 4, tabs & 0x0F))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan is None or not comps or h == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) != len(comps):
+        raise ValueError("multi-scan JPEG unsupported (progressive?)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component collected quantized blocks (in MCU order)
+    comp_blocks: list[list[np.ndarray]] = [[] for _ in comps]
+    comp_by_id = {c[0]: i for i, c in enumerate(comps)}
+    order = []  # (comp_idx, dc_table, ac_table) per block within an MCU
+    for cs, td, ta in scan:
+        ci = comp_by_id.get(cs)
+        if ci is None:
+            raise ValueError("SOS references unknown component")
+        _, ch, cv, _ = comps[ci]
+        order.extend([(ci, td, ta)] * (ch * cv))
+
+    reader = _BitReader(blob, pos)
+    preds = [0] * len(comps)
+    mcu_done = 0
+    total_mcus = mcux * mcuy
+    while mcu_done < total_mcus:
+        for ci, td, ta in order:
+            blk = np.zeros(64, np.int64)
+            t = reader.huffman(dc_tabs[td])
+            diff = _extend(reader.bits(t), t) if t else 0
+            preds[ci] += diff
+            blk[0] = preds[ci]
+            k = 1
+            while k <= 63:
+                rs = reader.huffman(ac_tabs[ta])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run overflows block")
+                blk[k] = _extend(reader.bits(s), s)
+                k += 1
+            comp_blocks[ci].append(blk)
+        mcu_done += 1
+        if (
+            restart_interval
+            and mcu_done % restart_interval == 0
+            and mcu_done < total_mcus
+        ):
+            reader.sync_restart()
+            preds = [0] * len(comps)
+
+    # dequantize + IDCT per component (vectorized over all blocks)
+    planes = []
+    for i, (cid, chs, cvs, tq) in enumerate(comps):
+        q = qt[tq]
+        zz = np.stack(comp_blocks[i])  # (n, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        coefs = (nat * q).reshape(-1, 8, 8).astype(np.float64)
+        pix = idct2(coefs) + 128.0
+        # reassemble MCU-ordered blocks into the component plane
+        bw = mcux * chs  # blocks per row in this component
+        bh = mcuy * cvs
+        plane = np.zeros((bh * 8, bw * 8))
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        y0 = (my * cvs + by) * 8
+                        x0 = (mx * chs + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = pix[n]
+                        n += 1
+        # upsample to full resolution if subsampled, then crop
+        if chs < hmax or cvs < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cvs, axis=0), hmax // chs, axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)

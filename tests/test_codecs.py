@@ -171,7 +171,7 @@ from scio_spark.functions.codecs import decode_png, encode_png  # noqa: E402
 
 
 def test_png_roundtrip_gray_rgb_rgba():
-    for shape in [(5, 7), (5, 7, 3), (5, 7, 4)]:
+    for shape in [(5, 7), (5, 7, 2), (5, 7, 3), (5, 7, 4)]:
         arr = np.random.RandomState(11).randint(0, 256, size=shape, dtype=np.uint8)
         assert np.array_equal(decode_png(encode_png(arr)), arr)
     assert sniff(encode_png(rgb(2, 2))) == "png"

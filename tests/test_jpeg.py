@@ -1,0 +1,281 @@
+"""Baseline JPEG codec tests (functions/jpeg.py).
+
+JPEG is lossy, so the verification strategy is layered: the DCT pair is
+pinned as an exact float inverse; DECODE is checked against hand-
+assembled streams whose pixels are analytically known (DC-only blocks
+decode to flat values computable from the quant table by hand) —
+independent of encode_jpeg; encode→decode round-trips are bounded by
+error profiles that only hold when both directions are right (a flat
+image must survive EXACTLY; smooth gradients within ±1 at q95)."""
+
+import struct
+import zlib  # noqa: F401  (parallel with the PNG tests' toolkit)
+
+import numpy as np
+import pytest
+
+from scio_spark.functions.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    dct2,
+    encode_jpeg,
+    idct2,
+    quality_tables,
+)
+
+
+def test_dct_idct_exact_inverse():
+    rng = np.random.RandomState(3)
+    blocks = rng.rand(20, 8, 8) * 255.0 - 128.0
+    assert np.allclose(idct2(dct2(blocks)), blocks, atol=1e-9)
+    # Parseval: orthonormal transform preserves energy
+    assert np.allclose(
+        (dct2(blocks) ** 2).sum(), (blocks**2).sum(), rtol=1e-12
+    )
+
+
+def test_flat_image_roundtrips_exactly():
+    for v in (0, 63, 128, 130, 255):
+        flat = np.full((16, 24), v, np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, 90))
+        assert out.shape == (16, 24)
+        assert int(np.abs(out.astype(int) - v).max()) == 0, v
+
+
+def test_smooth_roundtrip_error_profile():
+    y, x = np.mgrid[0:40, 0:56]
+    sm = (128 + 60 * np.sin(x / 9) + 50 * np.cos(y / 7)).clip(0, 255)
+    sm = sm.astype(np.uint8)
+    prev = None
+    for q in (50, 75, 95):
+        d = decode_jpeg(encode_jpeg(sm, q))
+        err = float(np.abs(d.astype(int) - sm.astype(int)).mean())
+        assert err < 2.0, (q, err)
+        if prev is not None:
+            assert err <= prev + 0.05  # quality ladder monotone-ish
+        prev = err
+    rgb = np.dstack([sm, sm[::-1], sm[:, ::-1]])
+    d = decode_jpeg(encode_jpeg(rgb, 95))
+    assert d.shape == rgb.shape
+    assert float(np.abs(d.astype(int) - rgb.astype(int)).mean()) < 2.0
+
+
+def test_shapes_preserved_including_padding():
+    rng = np.random.RandomState(2)
+    for shape in [(1, 1), (7, 5), (9, 17, 3), (8, 8, 3), (23, 3)]:
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(a, 90)).shape == a.shape
+
+
+# ------------------------------------------------- hand-assembled streams
+
+
+def _canonical(bits, huffval):
+    """Test-local canonical code builder (T.81 Annex C, re-derived here so
+    golden streams don't depend on the module under test)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _W:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, code, ln):
+        self.bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+
+    def bytes(self):
+        bs = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bs), 8):
+            b = int("".join(map(str, bs[i : i + 8])), 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+# only EOB (0x00) is needed for DC-only blocks; full table for validity
+from scio_spark.functions.jpeg import _AC_L  # noqa: E402
+
+AC_VALS = _AC_L[1]
+
+
+def _seg(tag, payload):
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def _gray_dc_only_stream(dc_diffs, w, h, q00=16, dri=0, rst_between=False):
+    """Assemble a baseline gray JPEG whose blocks are DC-only with the
+    given per-block DC DIFF values; quant table is all q00."""
+    qtab = bytes([0]) + bytes([q00] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dc = _canonical(DC_BITS, DC_VALS)
+    ac = _canonical(AC_BITS, AC_VALS)
+    chunks = []
+    wtr = _W()
+    for i, diff in enumerate(dc_diffs):
+        if rst_between and i > 0:
+            chunks.append(wtr.bytes())
+            chunks.append(bytes([0xFF, 0xD0 + (i - 1) % 8]))
+            wtr = _W()
+        if diff == 0:
+            c, ln = dc[0]
+            wtr.put(c, ln)
+        else:
+            t = abs(diff).bit_length()
+            code = diff if diff >= 0 else diff + (1 << t) - 1
+            c, ln = dc[t]
+            wtr.put(c, ln)
+            wtr.put(code, t)
+        c, ln = ac[0x00]  # EOB
+        wtr.put(c, ln)
+    chunks.append(wtr.bytes())
+    body = b"".join(chunks)
+    out = b"\xff\xd8" + _seg(0xDB, qtab) + _seg(0xC0, sof)
+    out += _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    out += _seg(0xDA, sos) + body + b"\xff\xd9"
+    return out
+
+
+def test_decode_hand_assembled_dc_only():
+    """Two 8x8 blocks side by side: DC diffs (2, 3) → absolute DC (2, 5)
+    → dequantized (32, 80) → IDCT of a DC-only block is coef/8 flat →
+    pixels 128+4=132 and 128+10=138. Analytic, independent of
+    encode_jpeg."""
+    blob = _gray_dc_only_stream([2, 3], w=16, h=8, q00=16)
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 16)
+    assert (out[:, :8] == 132).all()
+    assert (out[:, 8:] == 138).all()
+
+
+def test_decode_restart_markers_reset_dc_prediction():
+    """DRI=1 with an RST0 between the two MCUs: the second block's 'diff'
+    is absolute (predictor reset to 0), so diffs (2, 2) decode to DC
+    (2, 2) — NOT (2, 4)."""
+    blob = _gray_dc_only_stream(
+        [2, 2], w=16, h=8, q00=16, dri=1, rst_between=True
+    )
+    out = decode_jpeg(blob)
+    assert (out[:, :8] == 132).all()
+    assert (out[:, 8:] == 132).all()  # would be 136 without the reset
+
+
+def test_decode_420_subsampled_flat_color():
+    """Hand-assembled 4:2:0 stream: one MCU = 4 Y blocks + 1 Cb + 1 Cr,
+    all DC-only, flat (Y, Cb, Cr) = (90+128, 148, 108) after level shift
+    — the RGB output is the analytic YCbCr inverse of those constants."""
+    q00 = 8
+    qtab = bytes([0]) + bytes([q00] * 64)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    dc = _canonical(DC_BITS, DC_VALS)
+    ac = _canonical(AC_BITS, AC_VALS)
+    wtr = _W()
+
+    def put_dc(diff):
+        if diff == 0:
+            c, ln = dc[0]
+            wtr.put(c, ln)
+        else:
+            t = abs(diff).bit_length()
+            code = diff if diff >= 0 else diff + (1 << t) - 1
+            c, ln = dc[t]
+            wtr.put(c, ln)
+            wtr.put(code, t)
+        c, ln = ac[0x00]
+        wtr.put(c, ln)
+
+    # Y blocks: first diff 90*8/q00... DC coef = level-shifted value * 8
+    # / q00: value 90 → coef 90*8/8 = 90. diffs: 90, 0, 0, 0
+    put_dc(90)
+    put_dc(0)
+    put_dc(0)
+    put_dc(0)
+    put_dc(20)  # Cb: (148-128)*8/8 = 20
+    put_dc(-20)  # Cr: (108-128)*8/8 = -20
+    blob = (
+        b"\xff\xd8" + _seg(0xDB, qtab) + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos) + wtr.bytes() + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == (16, 16, 3)
+    y, cb, cr = 218.0, 148.0, 108.0
+    exp = [
+        round(y + 1.402 * (cr - 128)),
+        round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        round(y + 1.772 * (cb - 128)),
+    ]
+    assert out[0, 0].tolist() == exp
+    assert (out == np.array(exp, np.uint8)).all()
+
+
+def test_encoder_respects_quality_tables():
+    ql50, qc50 = quality_tables(50)
+    assert ql50[0] == 16 and qc50[0] == 17  # scale 100 = identity
+    ql100, _ = quality_tables(100)
+    assert (ql100 == 1).all()
+    with pytest.raises(ValueError):
+        quality_tables(0)
+
+
+def test_rejects_unsupported_streams():
+    # progressive SOF2
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = b"\xff\xd8" + _seg(0xC2, sof2) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(blob)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # truncated entropy data
+    good = encode_jpeg(np.full((8, 8), 80, np.uint8), 90)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-6])
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # spec spot values
+    assert ZIGZAG[1] == 1 and ZIGZAG[2] == 8 and ZIGZAG[63] == 63
+
+
+def test_jpeg_through_spark_surfaces(spark):
+    from scio_spark.functions.codecs import image_features, resize_images, sniff
+
+    img = np.dstack(
+        [np.full((16, 16), v, np.uint8) for v in (200, 40, 90)]
+    )
+    blob = encode_jpeg(img, 90)
+    assert sniff(blob) == "jpeg"
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "asset_id long, content binary"
+    )
+    f = image_features(df).head()
+    assert f.decoder == "jpeg" and (f.width, f.height, f.channels) == (16, 16, 3)
+    assert abs(f.mean_intensity - float(img.mean())) < 3.0
+    r = resize_images(df, 8, 8).head()
+    assert r.resized
+    back = decode_jpeg(bytes(r.content))  # stays a JPEG
+    assert back.shape == (8, 8, 3)
+    assert int(np.abs(back.astype(int) - img[::2, ::2].astype(int)).max()) < 6
