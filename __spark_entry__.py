@@ -4227,6 +4227,63 @@ FROM px GROUP BY asset_id
 """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, value-checked (functions/jpeg.py —
+    pure-Python T.81 Huffman+DCT codec): flat-fill RGB assets from
+    asset_id arithmetic are JPEG-encoded at q90 executor-side and decoded
+    back. A flat block is DC-only, and at q90 the quantization error is
+    ≤ Q00/16 = 3/16 < 0.5, so the lossy roundtrip lands EXACTLY on the
+    input fills (empirically verified for all 48 fills; worst rounding
+    margin 0.10 — 14 orders above float error). The oracle just replays
+    the fill arithmetic: any defect in marker framing, Huffman tables,
+    DC prediction, dequantization, IDCT, or the YCbCr inverse shifts a
+    value and breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    base = spark.range(48).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                r, g, b = (i * 37) % 256, (i * 59 + 11) % 256, (i * 83 + 29) % 256
+                img = np.dstack(
+                    [np.full((16, 16), v, np.uint8) for v in (r, g, b)]
+                )
+                out = decode_jpeg(encode_jpeg(img, 90))
+                hh, ww, cc = out.shape
+                rows.append(
+                    {
+                        "asset_id": i, "width": ww, "height": hh,
+                        "channels": cc,
+                        "uniform": bool((out == out[0, 0]).all()),
+                        "r": int(out[0, 0, 0]), "g": int(out[0, 0, 1]),
+                        "b": int(out[0, 0, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, channels int, "
+        "uniform boolean, r int, g int, b int",
+    )
+
+
+ORACLE_JPEG_DECODE = """
+SELECT i AS asset_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(3 AS INT) AS channels, TRUE AS uniform,
+       CAST((i * 37) % 256 AS INT) AS r,
+       CAST((i * 59 + 11) % 256 AS INT) AS g,
+       CAST((i * 83 + 29) % 256 AS INT) AS b
+FROM range(0, 48) t(i)
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, value-checked (functions/codecs.py): square-wave
     WAV-PCM assets generated from asset_id arithmetic (amplitude A,
@@ -6170,12 +6227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. the 22 queries whose latest driver row is r6 (histogram …
        ann_lsh) — the stalest external evidence after the r10 rotation;
-    2. png_decode — NEW: the real PNG codec (stdlib-zlib compression,
-       full scanline-filter cycle) under driver evidence;
-    3. the 27 stalest r7-latest queries in their standing order
-       (group_by_key … json_extract; large_orders displaced).
+    2. png_decode / jpeg_decode — NEW: the real PNG codec (stdlib-zlib
+       compression, full scanline-filter cycle) and the pure-Python
+       baseline JPEG codec (exact flat-fill lossy roundtrip) under
+       driver evidence;
+    3. the 26 stalest r7-latest queries in their standing order
+       (group_by_key … intersection; json_extract and large_orders
+       displaced).
 
-    The 22 remaining r7-latest queries head the post-window section as
+    The 23 remaining r7-latest queries head the post-window section as
     the r12 rotation candidates, followed by the 49 r9-latest and the
     50 r10-window queries (freshest evidence, last). After this round
     no query's latest driver row predates r7.
@@ -6205,12 +6265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "streaming_dedup": q_streaming_dedup,
         "ann_lsh": q_ann_lsh,
-        # (b) NEW this round — real PNG codec under driver evidence (the
-        #     full scanline-filter cycle + position-weighted digest)
+        # (b) NEW this round — real PNG and baseline-JPEG codecs under
+        #     driver evidence (full scanline-filter cycle + position-
+        #     weighted digest; exact flat-fill lossy roundtrip)
         "png_decode": q_png_decode,
-        # (c) the 27 stalest r7-latest queries, standing order
-        #     (large_orders displaced to the post-window section by
-        #     png_decode)
+        "jpeg_decode": q_jpeg_decode,
+        # (c) the 26 stalest r7-latest queries, standing order
+        #     (large_orders and json_extract displaced to the post-window
+        #     section by the codec queries)
         "group_by_key": q_group_by_key,
         "map_with_parallelism": q_map_with_parallelism,
         "side_input_multimap": q_side_input_multimap,
@@ -6237,9 +6299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
         "intersection": q_intersection,
-        "json_extract": q_json_extract,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r7-latest remainder — r12 window candidates, standing order
+        "json_extract": q_json_extract,
         "large_orders": q_large_orders,
         "mean_by_key": q_mean_by_key,
         "multi_join": q_multi_join,
@@ -6532,6 +6594,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "image_decode": ORACLE_IMAGE_DECODE,
         "png_decode": ORACLE_PNG_DECODE,
+        "jpeg_decode": ORACLE_JPEG_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,
