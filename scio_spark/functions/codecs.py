@@ -384,7 +384,10 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("16-bit palette PNG is not valid")
     bps = depth // 8
     bpp = ch * bps
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream must raise ValueError
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     if interlace == 0:
         out = _png_unfilter(raw, h, w, bpp)
     else:  # Adam7: 7 sub-images concatenated in one zlib stream, each

@@ -434,7 +434,16 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB. Handles
     arbitrary sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), multiple
     DQT/DHT segments, and DRI restart intervals. Progressive (SOF2),
-    arithmetic, and 12-bit streams raise ValueError."""
+    arithmetic, 12-bit, and CORRUPT streams all raise ValueError — a
+    truncated segment must never escape as IndexError/KeyError/
+    struct.error, or one bad asset fails the whole task at fleet scale."""
+    try:
+        return _decode_jpeg(blob)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2

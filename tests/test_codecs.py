@@ -353,3 +353,21 @@ def test_png_16bit_roundtrip_and_features(spark):
     f = image_features(df).head()
     assert f.decoder == "png" and (f.width, f.height, f.channels) == (9, 6, 3)
     assert f.mean_intensity == pytest.approx(float(a16.mean()))
+
+
+def test_corrupt_png_idat_raises_valueerror():
+    """A corrupt deflate stream raises zlib.error internally — decode_png
+    must surface it as ValueError so one bad asset can't fail a task."""
+    good = bytearray(encode_png(rgb(6, 6)))
+    # flip bytes inside the IDAT payload, then refresh the chunk CRC so
+    # corruption reaches the decompressor instead of the CRC check
+    import struct as _s
+    import zlib as _z
+
+    idx = bytes(good).index(b"IDAT")
+    (clen,) = _s.unpack_from(">I", bytes(good), idx - 4)
+    good[idx + 10] ^= 0xFF
+    body = bytes(good[idx : idx + 4 + clen])
+    _s.pack_into(">I", good, idx + 4 + clen, _z.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))

@@ -279,3 +279,24 @@ def test_jpeg_through_spark_surfaces(spark):
     back = decode_jpeg(bytes(r.content))  # stays a JPEG
     assert back.shape == (8, 8, 3)
     assert int(np.abs(back.astype(int) - img[::2, ::2].astype(int)).max()) < 6
+
+
+def test_corrupt_jpeg_raises_valueerror_and_degrades_in_spark(spark):
+    """Truncated JPEG segments must raise ValueError (not IndexError /
+    KeyError / struct.error), so the Spark feature surface degrades them
+    to decoder='unknown' rows instead of failing the task."""
+    from scio_spark.functions.codecs import image_features
+
+    good = encode_jpeg(np.full((16, 16, 3), 77, np.uint8), 85)
+    cut_points = [4, 20, len(good) // 3, len(good) - 3]
+    for cut in cut_points:
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    df = spark.createDataFrame(
+        [(i, bytearray(good[:c])) for i, c in enumerate(cut_points)]
+        + [(99, bytearray(good))],
+        "asset_id long, content binary",
+    )
+    got = {r.asset_id: r.decoder for r in image_features(df).collect()}
+    assert got[99] == "jpeg"
+    assert all(got[i] == "unknown" for i in range(len(cut_points)))
