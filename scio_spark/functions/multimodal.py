@@ -88,36 +88,71 @@ def decode_image_features(
     strict: bool = False,
 ) -> DataFrame:
     """Image decode → features over mapInPandas (Arrow-batched, one Python
-    crossing). With PIL absent: strict → NotImplementedError; else the
-    deterministic fake decoder (marked in the ``decoder`` column)."""
-    if strict and not HAS_PIL:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow (not in this container); "
-            "use strict=False for the deterministic fake decoder"
-        )
+    crossing). Formats this repo decodes for real (PPM/PGM/BMP/PNG/
+    baseline JPEG — functions/codecs.py + functions/jpeg.py) go through
+    the real decoders; only payloads those can't identify fall to PIL
+    (if present), then to the deterministic fake decoder — strict mode
+    raises instead of faking. The ``decoder`` column says which tier
+    handled each row."""
     schema = f"{id_col} long, width int, height int, mean_luma double, decoder string"
     use_pil = HAS_PIL
 
     def gen(batches: Iterator):
+        import struct as _struct
+
         import pandas as pd
+
+        from scio_spark.functions import codecs as _C
 
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf[id_col], pdf[content_col]):
-                if use_pil:  # pragma: no cover
+                b = bytes(content) if content is not None else b""
+                kind = _C.sniff(b)
+                arr = None
+                if kind in ("ppm", "bmp", "png", "jpeg"):
+                    try:
+                        if kind == "ppm":
+                            arr = _C.decode_ppm(b)
+                        elif kind == "bmp":
+                            arr = _C.decode_bmp(b)
+                        elif kind == "png":
+                            arr = _C.decode_png(b)
+                        else:
+                            from scio_spark.functions.jpeg import decode_jpeg
+
+                            arr = decode_jpeg(b)
+                    except (ValueError, _struct.error):
+                        arr = None
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                    feats = {
+                        "width": w,
+                        "height": h,
+                        "mean_luma": float(arr.mean()) / 255.0,
+                    }
+                    dec = kind
+                elif use_pil:  # pragma: no cover — PIL not in this image
                     import io
 
                     from PIL import Image as _I
 
-                    img = _I.open(io.BytesIO(content))
+                    img = _I.open(io.BytesIO(b))
                     feats = {
                         "width": img.width,
                         "height": img.height,
                         "mean_luma": 0.0,
                     }
                     dec = "pil"
+                elif strict:
+                    raise NotImplementedError(
+                        "image format not decodable by the built-in "
+                        "PPM/BMP/PNG/JPEG codecs and PIL/pillow is not in "
+                        "this container; use strict=False for the "
+                        "deterministic fake decoder"
+                    )
                 else:
-                    feats = _fake_image_features(content)
+                    feats = _fake_image_features(b)
                     dec = "fake"
                 rows.append({id_col: aid, **feats, "decoder": dec})
             yield pd.DataFrame(rows)

@@ -236,19 +236,33 @@ def test_multimodal_schema_and_stats(spark):
 
 
 def test_multimodal_decode_stub_and_strict(spark):
+    import numpy as np
+
     from scio_spark.functions import multimodal as M
+    from scio_spark.functions.codecs import encode_png
 
     assets = M.synthetic_assets(spark, n=8)
     feats = M.decode_image_features(assets.filter("modality = 'image'"))
     got = feats.collect()
+    # synthetic payloads are opaque ASCII bytes → the fake tier
     assert all(r["decoder"] == "fake" and r["width"] >= 64 for r in got)
     # deterministic across runs
     again = {r["asset_id"]: r["width"] for r in M.decode_image_features(
         assets.filter("modality = 'image'")).collect()}
     assert again == {r["asset_id"]: r["width"] for r in got}
+    # payloads the repo's REAL codecs identify route to them, not the fake
+    png = encode_png(np.full((4, 6, 3), 100, np.uint8))
+    real = spark.createDataFrame(
+        [(1, bytearray(png))], "asset_id long, content binary"
+    )
+    r = M.decode_image_features(real).head()
+    assert r["decoder"] == "png" and (r["width"], r["height"]) == (6, 4)
+    assert abs(r["mean_luma"] - 100 / 255) < 1e-9
     if not M.HAS_PIL:
-        with pytest.raises(NotImplementedError):
-            M.decode_image_features(assets, strict=True)
+        # strict = never fake: undecodable rows raise at execution
+        with pytest.raises(Exception, match="not decodable"):
+            M.decode_image_features(assets, strict=True).collect()
+        M.decode_image_features(real, strict=True).collect()  # fine
 
 
 def test_frame_sample_plan(spark):
