@@ -457,6 +457,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1  # spec allows 0xFF fill bytes before a marker
         tag = blob[pos + 1]
         if tag == 0xD9:  # EOI
             break
