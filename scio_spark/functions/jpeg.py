@@ -377,6 +377,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     qtabs = [ql] + ([qc] if len(planes) == 3 else [])
 
     out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (version 1.1, no density/thumbnail) — not required by
+    # T.81 but expected by most readers as the first marker
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _marker(0xDB, _dqt_payload(0, ql))
     if len(planes) == 3:
         out += _marker(0xDB, _dqt_payload(1, qc))
