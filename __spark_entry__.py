@@ -4284,6 +4284,92 @@ FROM range(0, 48) t(i)
 """
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, value-checked (functions/
+    codecs.py encode_avi/decode_avi/sample_video_frames — uncompressed
+    RIFF-AVI with DIB frames, the video member of the uncompressed-
+    workhorse tier beside PPM/WAV): per asset, flat frames whose fill is
+    a pure function of (asset_id, frame_idx) are packed into an AVI at
+    an id-derived fps, sampled every 500 ms with the REAL decoder, and
+    each sampled frame's PPM payload is decoded back to its fill. The
+    oracle replays the sampling arithmetic (step = fps div 2) and fill
+    formula over a range cross product — frame misalignment, fps
+    parsing, row order, or BGR/RGB swaps all shift values."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import (
+        decode_ppm,
+        encode_avi,
+        sample_video_frames,
+    )
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                fps = 5 + i % 3
+                nf = 8 + (i % 5) * 2
+                h = 8 + (i % 2) * 4
+                frames = np.stack(
+                    [
+                        np.full((h, 12, 3), (i * 31 + f * 7) % 256, np.uint8)
+                        for f in range(nf)
+                    ]
+                )
+                rows.append(
+                    {"asset_id": i, "content": encode_avi(frames, fps=fps)}
+                )
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+    sampled = sample_video_frames(assets, every_ms=500)
+
+    def feat(batches):
+        for pdf in batches:
+            rows = []
+            for aid, fi, ts, blob in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["ts_ms"], pdf["content"]
+            ):
+                arr = decode_ppm(bytes(blob))
+                rows.append(
+                    {
+                        "asset_id": int(aid), "frame_idx": int(fi),
+                        "ts_ms": int(ts), "height": arr.shape[0],
+                        "width": arr.shape[1], "fill": int(arr[0, 0, 0]),
+                        "uniform": bool((arr == arr[0, 0, 0]).all()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return sampled.mapInPandas(
+        feat,
+        "asset_id long, frame_idx int, ts_ms long, height int, width int, "
+        "fill int, uniform boolean",
+    )
+
+
+ORACLE_VIDEO_DECODE = """
+WITH a AS (
+  SELECT i AS asset_id, 5 + i % 3 AS fps, 8 + (i % 5) * 2 AS nf,
+         8 + (i % 2) * 4 AS h
+  FROM range(0, 40) t(i)),
+fr AS (
+  SELECT a.asset_id, a.fps, a.h, f.f
+  FROM a, range(0, 16) f(f)
+  WHERE f.f < a.nf AND f.f % GREATEST(1, a.fps // 2) = 0)
+SELECT asset_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 // fps AS BIGINT) AS ts_ms,
+       CAST(h AS INT) AS height, CAST(12 AS INT) AS width,
+       CAST((asset_id * 31 + f * 7) % 256 AS INT) AS fill,
+       TRUE AS uniform
+FROM fr
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, value-checked (functions/codecs.py): square-wave
     WAV-PCM assets generated from asset_id arithmetic (amplitude A,
@@ -6227,15 +6313,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. the 22 queries whose latest driver row is r6 (histogram …
        ann_lsh) — the stalest external evidence after the r10 rotation;
-    2. png_decode / jpeg_decode — NEW: the real PNG codec (stdlib-zlib
-       compression, full scanline-filter cycle) and the pure-Python
-       baseline JPEG codec (exact flat-fill lossy roundtrip) under
+    2. png_decode / jpeg_decode / video_decode — NEW: the real PNG codec
+       (stdlib-zlib compression, full scanline-filter cycle), the
+       pure-Python baseline JPEG codec (exact flat-fill lossy
+       roundtrip), and uncompressed-AVI frame sampling, all under
        driver evidence;
-    3. the 26 stalest r7-latest queries in their standing order
-       (group_by_key … intersection; json_extract and large_orders
-       displaced).
+    3. the 25 stalest r7-latest queries in their standing order
+       (group_by_key … hll_merge; intersection, json_extract and
+       large_orders displaced).
 
-    The 23 remaining r7-latest queries head the post-window section as
+    The 24 remaining r7-latest queries head the post-window section as
     the r12 rotation candidates, followed by the 49 r9-latest and the
     50 r10-window queries (freshest evidence, last). After this round
     no query's latest driver row predates r7.
@@ -6270,9 +6357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     weighted digest; exact flat-fill lossy roundtrip)
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
-        # (c) the 26 stalest r7-latest queries, standing order
-        #     (large_orders and json_extract displaced to the post-window
-        #     section by the codec queries)
+        "video_decode": q_video_decode,
+        # (c) the 25 stalest r7-latest queries, standing order
+        #     (intersection, json_extract and large_orders displaced to
+        #     the post-window section by the codec queries)
         "group_by_key": q_group_by_key,
         "map_with_parallelism": q_map_with_parallelism,
         "side_input_multimap": q_side_input_multimap,
@@ -6298,9 +6386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_lookup": q_hash_lookup,
         "heavy_hitters": q_heavy_hitters,
         "hll_merge": q_hll_merge,
-        "intersection": q_intersection,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r7-latest remainder — r12 window candidates, standing order
+        "intersection": q_intersection,
         "json_extract": q_json_extract,
         "large_orders": q_large_orders,
         "mean_by_key": q_mean_by_key,
@@ -6595,6 +6683,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": ORACLE_IMAGE_DECODE,
         "png_decode": ORACLE_PNG_DECODE,
         "jpeg_decode": ORACLE_JPEG_DECODE,
+        "video_decode": ORACLE_VIDEO_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,

@@ -419,6 +419,161 @@ def decode_png(blob: bytes) -> np.ndarray:
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
+# --------------------------------------------------------- video: AVI (DIB)
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames → uncompressed AVI (RIFF 'AVI ',
+    one 'vids'/DIB stream, 24-bit bottom-up BGR frames — the same raw
+    pixel layout as BMP). The uncompressed-workhorse video format, per
+    the public AVI RIFF spec; compressed codecs stay behind
+    multimodal.py's import gate."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"encode_avi: need (n,h,w,3), got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    frame_bytes = (row + pad) * h
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + tag + body
+
+    def chk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER: fccType fccHandler flags prio lang init scale rate
+    # start length bufsize quality samplesize rcFrame
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0
+        )
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    for f in frames:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            body += f[y, :, ::-1].tobytes()  # bottom-up BGR, like BMP
+            body += b"\x00" * pad
+        movi_body += chk(b"00db", bytes(body))
+    riff_body = b"AVI " + hdrl + b"LIST" + struct.pack(
+        "<I", len(movi_body)
+    ) + bytes(movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
+    """Uncompressed AVI → (fps, uint8 (n, h, w, 3) RGB frames). Walks the
+    RIFF chunk tree by hand (hdrl for dimensions/rate, movi for '00db'/
+    '00dc' DIB frames); compressed fourccs raise ValueError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    fps = 25
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            tag = blob[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", blob, pos + 4)
+            body = pos + 8
+            if body + clen > len(blob):
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body + 4, body + clen)
+            elif tag == b"avih":
+                vals = struct.unpack_from("<14I", blob, body)
+                w = w or vals[8]
+                h = h or vals[9]
+            elif tag == b"strh":
+                if blob[body : body + 4] == b"vids":
+                    fourcc = blob[body + 4 : body + 8]
+                    if fourcc not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        raise ValueError(
+                            f"compressed AVI codec {fourcc!r} unsupported"
+                        )
+                    scale, rate = struct.unpack_from("<II", blob, body + 20)
+                    if scale and rate:
+                        fps = max(1, rate // scale)
+            elif tag in (b"00db", b"00dc"):
+                if w is None or h is None:
+                    raise ValueError("AVI frame before header")
+                row = w * 3
+                stride = (row + 3) // 4 * 4
+                if clen < stride * h:
+                    raise ValueError("AVI frame data length mismatch")
+                out = np.empty((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    line = np.frombuffer(
+                        blob, np.uint8, count=row, offset=body + y * stride
+                    )
+                    out[h - 1 - y] = line.reshape(w, 3)[:, ::-1]
+                frames.append(out)
+            pos = body + clen + (clen & 1)
+
+    walk(12, len(blob))
+    if w is None or not frames:
+        raise ValueError("AVI missing header/frames")
+    return fps, np.stack(frames)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL video frame sampling for uncompressed AVI payloads: one row
+    per sampled frame with its timestamp and the frame re-encoded as PPM
+    (the uncompressed interchange format) — the decode-included analog of
+    multimodal.frame_sample_plan (which plans timestamps and leaves the
+    cut to a gated codec). Undecodable payloads are skipped, not fatal."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, frame_idx int, ts_ms long, {content_col} binary"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    fps, frames = decode_avi(bytes(blob))
+                except (ValueError, struct.error):
+                    continue
+                step = max(1, fps * every_ms // 1000)
+                for i in range(0, frames.shape[0], step):
+                    rows.append(
+                        {
+                            id_col: aid, "frame_idx": i,
+                            "ts_ms": i * 1000 // fps,
+                            content_col: encode_ppm(frames[i]),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
 # ------------------------------------------------------------------ routing
 
 
@@ -435,6 +590,8 @@ def sniff(blob: bytes) -> str | None:
         return "jpeg"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return "avi"
     return None
 
 

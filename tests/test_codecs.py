@@ -371,3 +371,78 @@ def test_corrupt_png_idat_raises_valueerror():
     _s.pack_into(">I", good, idx + 4 + clen, _z.crc32(body) & 0xFFFFFFFF)
     with pytest.raises(ValueError):
         decode_png(bytes(good))
+
+
+# ------------------------------------------------------------------- AVI
+
+from scio_spark.functions.codecs import (  # noqa: E402
+    decode_avi,
+    encode_avi,
+    sample_video_frames,
+)
+
+
+def test_avi_roundtrip_and_golden_structure():
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(6, 9, 13, 3), dtype=np.uint8)
+    blob = encode_avi(frames, fps=10)
+    # golden RIFF structure facts, independent of decode_avi
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    assert blob.count(b"00db") == 6
+    assert b"vids" in blob and b"DIB " in blob
+    fps, back = decode_avi(blob)
+    assert fps == 10 and np.array_equal(back, frames)
+    assert sniff(blob) == "avi"
+
+
+def test_avi_frame_pixel_layout_matches_bmp():
+    """AVI DIB frames use the BMP raw layout (bottom-up BGR, 4-byte row
+    padding) — a single-frame AVI's movi payload must equal the BMP
+    encoder's pixel body for the same image."""
+    img = rgb(3, 5, seed=9)
+    blob = encode_avi(img[None, ...], fps=1)
+    bmp = encode_bmp(img)
+    i = blob.index(b"00db") + 8
+    (flen,) = np.frombuffer(blob[i - 4 : i], np.uint32)
+    assert blob[i : i + flen] == bmp[54:]  # BMP body after 54-byte header
+
+
+def test_avi_rejects_compressed_and_corrupt():
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    blob = bytearray(encode_avi(frames, fps=5))
+    i = bytes(blob).index(b"DIB ")
+    blob[i : i + 4] = b"MJPG"  # pretend it's motion-JPEG
+    with pytest.raises(ValueError, match="compressed AVI codec"):
+        decode_avi(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        decode_avi(b"not an avi")
+
+
+def test_sample_video_frames_distributed(spark):
+    """Frame sampling with REAL decode: 10 fps x 2 s clip sampled every
+    500 ms -> 4 frames at 0/500/1000/1500 ms, each re-encoded PPM equal
+    to the source frame; undecodable payloads are skipped."""
+    ts = np.arange(20, dtype=np.uint8)
+    frames = np.stack(
+        [np.full((4, 6, 3), v * 10, np.uint8) for v in ts]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi(frames, fps=10))),
+            (2, bytearray(b"not a video")),
+        ],
+        "asset_id long, content binary",
+    )
+    got = sorted(
+        sample_video_frames(df, every_ms=500).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.asset_id for r in got] == [1, 1, 1, 1]
+    assert [r.frame_idx for r in got] == [0, 5, 10, 15]
+    assert [r.ts_ms for r in got] == [0, 500, 1000, 1500]
+    assert np.array_equal(
+        decode_ppm(bytes(got[1].content)), frames[5]
+    )
