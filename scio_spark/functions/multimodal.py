@@ -8,10 +8,11 @@ Design (BASELINE.json north star; no direct scio analog — scio stops at
                  sample_rate: int, duration_ms: long>
 
 Codec policy, two tiers:
-- UNCOMPRESSED formats (PPM/PGM, 24-bit BMP, WAV-PCM) have REAL decoders,
-  feature extraction, resize, and audio segmentation in
+- UNCOMPRESSED formats (PPM/PGM, 24-bit BMP, WAV-PCM, RIFF-AVI video
+  with DIB frames) have REAL decoders, feature extraction, resize,
+  audio segmentation, and video frame sampling in
   ``functions/codecs.py`` — pure numpy/stdlib, golden-byte tested, and
-  value-checked end-to-end by the image_decode/audio_decode contract
+  value-checked end-to-end by the image/audio/video_decode contract
   queries.
 - PNG also has a REAL decoder/encoder in ``functions/codecs.py`` — its
   compression is stdlib zlib, so no media library is needed (chunk
@@ -19,9 +20,9 @@ Codec policy, two tiers:
   against independently hand-assembled bytes).
 - Baseline JPEG has a REAL pure-Python codec too (``functions/
   jpeg.py`` — ITU T.81 Huffman+DCT, no library needed).
-- The remaining COMPRESSED formats (MP3/video, progressive/12-bit
-  JPEG) are media-library work this container doesn't ship, so those
-  decoders are import-gated: with the libs absent they run a
+- The remaining COMPRESSED formats (MP3, compressed video codecs,
+  progressive/12-bit JPEG) are media-library work this container
+  doesn't ship, so those decoders are import-gated: with the libs absent they run a
   deterministic fake (tested) or raise NotImplementedError (strict
   mode).
 
