@@ -300,3 +300,19 @@ def test_corrupt_jpeg_raises_valueerror_and_degrades_in_spark(spark):
     got = {r.asset_id: r.decoder for r in image_features(df).collect()}
     assert got[99] == "jpeg"
     assert all(got[i] == "unknown" for i in range(len(cut_points)))
+
+
+def test_adversarial_high_frequency_at_q100():
+    """Max-amplitude checkerboards at quality 100 (quant table all 1s)
+    maximize coefficient magnitudes: AC stays within Huffman size 10 and
+    DC diff within size 11 (|F| <= sqrt(64)*128 < 1024 for orthonormal
+    DCT), so the Annex K tables always have a code — and the roundtrip
+    is near-exact."""
+    y, x = np.mgrid[0:32, 0:32]
+    for pat in [255 * ((x + y) % 2), 255 * (x % 2), 255 * (y % 2)]:
+        img = pat.astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 100))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+    rgbchk = np.dstack([255 * ((x + y) % 2)] * 3).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgbchk, 100))
+    assert int(np.abs(out.astype(int) - rgbchk.astype(int)).max()) == 0
