@@ -10,12 +10,19 @@ formats are pure arithmetic and get real, tested implementations here:
 - WAV: PCM RIFF audio. The decoder parses RIFF chunks by hand; tests
   round-trip it against the stdlib ``wave`` writer, so the two sides are
   independent implementations,
-- PNG (8-bit gray/RGB/RGBA/gray+alpha/palette): the one COMPRESSED
-  format whose compression is stdlib ``zlib`` — chunk framing, CRC-32,
-  and all five scanline filters (None/Sub/Up/Average/Paeth, W3C PNG
-  spec) implemented here; tests decode independently hand-assembled
-  chunks so the filter math isn't checked against itself. JPEG/MP3/
-  video stay behind multimodal.py's import gate.
+- PNG (8/16-bit gray/RGB/RGBA/gray+alpha/palette, sequential + Adam7):
+  the compression is stdlib ``zlib`` — chunk framing, CRC-32, and all
+  five scanline filters (W3C spec) implemented here; tests decode
+  independently hand-assembled chunks so the filter math isn't checked
+  against itself,
+- GIF (87a/89a): pure-Python LZW (variable-width LSB-first codes),
+  global/local palettes, interlacing, multi-frame — plus an LZW
+  encoder, palette-derived, for images with <= 256 distinct colors,
+- AVI (uncompressed 'DIB ' video): RIFF chunk walk, BMP-layout frames,
+  real frame sampling (sample_video_frames),
+- baseline JPEG lives in ``functions/jpeg.py`` (T.81 Huffman + DCT).
+  Only MP3/compressed-video/progressive-JPEG stay behind multimodal.py's
+  import gate.
 
 On top of the byte codecs: Spark-side feature extraction (dimensions,
 per-channel mean/std, RMS/peak audio energy), nearest-neighbor image
@@ -419,6 +426,227 @@ def decode_png(blob: bytes) -> np.ndarray:
     return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
 
 
+# --------------------------------------------------------------- image: GIF
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF LZW (LSB-first variable-width codes) → index bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = nbits = pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW data truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Index bytes → GIF LZW stream (dict-based, clears on table full)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """GIF87a/89a → uint8 (h, w, 3) RGB of the FIRST frame (the feature-
+    extraction contract; animations' later frames are raw, un-composited
+    sub-rectangles — use :func:`decode_gif_frames` for all of them).
+    Handles global/local color tables, interlacing, and LZW per the
+    public GIF spec; extension blocks are skipped."""
+    frames = decode_gif_frames(blob, max_frames=1)
+    return frames[0]
+
+
+def decode_gif_frames(blob: bytes, max_frames: int = 0) -> list[np.ndarray]:
+    """All image blocks of a GIF as full-canvas RGB arrays (each frame's
+    sub-rectangle placed at its offset on a copy of the previous canvas —
+    the common disposal-0/1 rendering; transparency is not applied)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _gif_frames(blob, max_frames)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {e!r}") from e
+
+
+def _gif_frames(blob: bytes, max_frames: int) -> list[np.ndarray]:
+    W, H, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob, np.uint8, count=n * 3, offset=pos).reshape(
+            -1, 3
+        )
+        pos += n * 3
+    canvas = np.zeros((H, W, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", blob, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(
+                    blob, np.uint8, count=n * 3, offset=pos
+                ).reshape(-1, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), mcs, w * h), np.uint8
+            )
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF index out of palette range")
+            rect = ct[idx].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: reorder rows per the 4 passes
+                ordered = np.empty_like(rect)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, h, step)
+                    ordered[list(rows)] = rect[src : src + len(rows)]
+                    src += len(rows)
+                rect = ordered
+            canvas = canvas.copy()
+            canvas[y0 : y0 + h, x0 : x0 + w] = rect
+            frames.append(canvas)
+            if max_frames and len(frames) >= max_frames:
+                return frames
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → single-frame GIF89a. The palette is built
+    from the image's distinct colors (> 256 distinct raises — quantize
+    first; thumbnails and charts fit naturally). Real LZW compression."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_gif: need (h,w,3), got {arr.shape}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif: {len(colors)} distinct colors > 256 — quantize "
+            "first (GIF is palette-indexed)"
+        )
+    depth = max(1, (len(colors) - 1).bit_length())
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, depth)  # spec: min code size >= 2
+    lzw = _gif_lzw_encode(inverse.astype(np.uint8).tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # terminator + trailer
+    return bytes(out)
+
+
 # --------------------------------------------------------- video: AVI (DIB)
 
 
@@ -588,6 +816,8 @@ def sniff(blob: bytes) -> str | None:
         return "png"
     if blob[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
@@ -633,6 +863,8 @@ def image_features(
                         arr = decode_bmp(b)
                     elif kind == "png":
                         arr = decode_png(b)
+                    elif kind == "gif":
+                        arr = decode_gif(b)
                     elif kind == "jpeg":
                         from scio_spark.functions.jpeg import decode_jpeg
 
@@ -695,6 +927,8 @@ def resize_images(
                             if kind == "bmp"
                             else decode_png(b)
                             if kind == "png"
+                            else decode_gif(b)
+                            if kind == "gif"
                             else None
                         )
                 except (ValueError, struct.error):
@@ -708,6 +942,10 @@ def resize_images(
                     # pipeline norm), netpbm/BMP as PPM/PGM
                     if kind == "png":
                         payload = encode_png(out)
+                    elif kind == "gif":
+                        # nearest-resize samples existing pixels, so the
+                        # palette can only shrink — still GIF-encodable
+                        payload = encode_gif(out)
                     elif kind == "jpeg":
                         from scio_spark.functions.jpeg import encode_jpeg
 
