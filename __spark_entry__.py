@@ -4284,6 +4284,93 @@ FROM range(0, 48) t(i)
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, value-checked (functions/codecs.py — pure-Python
+    LZW with variable-width codes): per asset, a small id-derived palette
+    and an index pattern idx(y,x) = (y*w + x + id) % k are GIF-encoded
+    (real LZW, table clears included) and decoded back; the output is
+    the same integer pix_sum + position-weighted digest pair as
+    png_decode, so palette mapping, LZW width bumps, and row order are
+    all value-hash-checked. DuckDB replays the palette and index
+    arithmetic over a bounded range cross product."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import decode_gif, encode_gif
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                k = 4 + i % 5
+                h = 6 + (i % 3) * 2
+                w = 9
+                pal = np.stack(
+                    [
+                        np.array(
+                            [
+                                (i * 13 + j * 29) % 256,
+                                (i * 7 + j * 41) % 256,
+                                (i * 3 + j * 53) % 256,
+                            ],
+                            np.uint8,
+                        )
+                        for j in range(k)
+                    ]
+                )
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                idx = (y * w + x + i) % k
+                arr = decode_gif(encode_gif(pal[idx]))
+                hh, ww, cc = arr.shape
+                v = arr.astype(np.int64)
+                wgt = (
+                    np.arange(hh)[:, None, None] * ww * 3
+                    + np.arange(ww)[None, :, None] * 3
+                    + np.arange(cc)[None, None, :]
+                    + 1
+                )
+                rows.append(
+                    {
+                        "asset_id": i, "width": ww, "height": hh,
+                        "pix_sum": int(v.sum()),
+                        "pos_digest": int((v * wgt).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, pix_sum long, pos_digest long",
+    )
+
+
+ORACLE_GIF_DECODE = """
+WITH a AS (SELECT i AS asset_id, 4 + i % 5 AS k, 6 + (i % 3) * 2 AS h
+           FROM range(0, 40) t(i)),
+px AS (
+  SELECT a.asset_id, a.h, ry.y, rx.x, rc.c,
+         (ry.y * 9 + rx.x + a.asset_id) % a.k AS j
+  FROM a, range(0, 10) ry(y), range(0, 9) rx(x), range(0, 3) rc(c)
+  WHERE ry.y < a.h),
+pv AS (
+  SELECT asset_id, h, y, x, c,
+         CASE c
+           WHEN 0 THEN (asset_id * 13 + j * 29) % 256
+           WHEN 1 THEN (asset_id * 7 + j * 41) % 256
+           ELSE (asset_id * 3 + j * 53) % 256
+         END AS v
+  FROM px)
+SELECT asset_id, CAST(9 AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * (y*9*3 + x*3 + c + 1)) AS BIGINT) AS pos_digest
+FROM pv GROUP BY asset_id
+"""
+
+
 def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode + frame sampling, value-checked (functions/
     codecs.py encode_avi/decode_avi/sample_video_frames — uncompressed
@@ -6313,16 +6400,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. the 22 queries whose latest driver row is r6 (histogram …
        ann_lsh) — the stalest external evidence after the r10 rotation;
-    2. png_decode / jpeg_decode / video_decode — NEW: the real PNG codec
-       (stdlib-zlib compression, full scanline-filter cycle), the
-       pure-Python baseline JPEG codec (exact flat-fill lossy
-       roundtrip), and uncompressed-AVI frame sampling, all under
-       driver evidence;
-    3. the 25 stalest r7-latest queries in their standing order
-       (group_by_key … hll_merge; intersection, json_extract and
-       large_orders displaced).
+    2. png/jpeg/gif/video_decode — NEW: the real PNG codec (stdlib-zlib
+       compression, full scanline-filter cycle), the pure-Python
+       baseline JPEG codec (exact flat-fill lossy roundtrip), the LZW
+       GIF codec, and uncompressed-AVI frame sampling, all under driver
+       evidence;
+    3. the 24 stalest r7-latest queries in their standing order
+       (group_by_key … heavy_hitters; hll_merge, intersection,
+       json_extract and large_orders displaced).
 
-    The 24 remaining r7-latest queries head the post-window section as
+    The 25 remaining r7-latest queries head the post-window section as
     the r12 rotation candidates, followed by the 49 r9-latest and the
     50 r10-window queries (freshest evidence, last). After this round
     no query's latest driver row predates r7.
@@ -6357,10 +6444,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     weighted digest; exact flat-fill lossy roundtrip)
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
+        "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
-        # (c) the 25 stalest r7-latest queries, standing order
-        #     (intersection, json_extract and large_orders displaced to
-        #     the post-window section by the codec queries)
+        # (c) the 24 stalest r7-latest queries, standing order
+        #     (hll_merge, intersection, json_extract and large_orders
+        #     displaced to the post-window section by the codec queries)
         "group_by_key": q_group_by_key,
         "map_with_parallelism": q_map_with_parallelism,
         "side_input_multimap": q_side_input_multimap,
@@ -6385,9 +6473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_join": q_hash_join,
         "hash_lookup": q_hash_lookup,
         "heavy_hitters": q_heavy_hitters,
-        "hll_merge": q_hll_merge,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r7-latest remainder — r12 window candidates, standing order
+        "hll_merge": q_hll_merge,
         "intersection": q_intersection,
         "json_extract": q_json_extract,
         "large_orders": q_large_orders,
@@ -6683,6 +6771,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": ORACLE_IMAGE_DECODE,
         "png_decode": ORACLE_PNG_DECODE,
         "jpeg_decode": ORACLE_JPEG_DECODE,
+        "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
