@@ -6396,85 +6396,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-11 window, in order:
+    Round-12 window, in order:
 
-    1. the 22 queries whose latest driver row is r6 (histogram …
-       ann_lsh) — the stalest external evidence after the r10 rotation;
-    2. png/jpeg/gif/video_decode — NEW: the real PNG codec (stdlib-zlib
-       compression, full scanline-filter cycle), the pure-Python
-       baseline JPEG codec (exact flat-fill lossy roundtrip), the LZW
-       GIF codec, and uncompressed-AVI frame sampling, all under driver
-       evidence;
-    3. the 24 stalest r7-latest queries in their standing order
-       (group_by_key … heavy_hitters; hll_merge, intersection,
-       json_extract and large_orders displaced).
+    1. the 25 queries whose latest driver row is r7 (hll_merge …
+       aggregate_global) — the stalest external evidence after the r11
+       rotation, in their standing order;
+    2. the 25 stalest r9-latest queries in their standing order
+       (hash_filter … quality_funnel).
 
-    The 25 remaining r7-latest queries head the post-window section as
-    the r12 rotation candidates, followed by the 49 r9-latest and the
-    50 r10-window queries (freshest evidence, last). After this round
-    no query's latest driver row predates r7.
+    The 24 remaining r9-latest queries head the post-window section as
+    the r13 rotation candidates, followed by the 50 r10-window and the
+    50 r11-window queries (freshest evidence, last). After this round
+    no query's latest driver row predates r9.
     tools/check_oracle.py still value-checks ALL queries every round."""
     return {
-        # -- r11 driver window (first 50) ----------------------------------
-        # (a) the 22 r6-latest remainder — stalest external evidence
-        "histogram": q_histogram,
-        "flat_map": q_flat_map_tokens,
-        "cross": q_cross,
-        "subtract_by_key": q_subtract_by_key,
-        "tfexample_roundtrip": q_tfexample_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "quantiles_tdigest": q_quantiles_tdigest,
-        "element_count_panes": q_element_count_panes,
-        "semantic_dedup": q_semantic_dedup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "dsir_select": q_dsir_select,
-        "orc_roundtrip": q_orc_roundtrip,
-        "discarding_panes": q_discarding_panes,
-        "contamination_report": q_contamination_report,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "weighted_sample": q_weighted_sample,
-        "stateful_stream": q_stateful_stream,
-        "dedup_simhash": q_dedup_simhash,
-        "data_mixture": q_data_mixture,
-        "pricing_summary": q_pricing_summary,
-        "streaming_dedup": q_streaming_dedup,
-        "ann_lsh": q_ann_lsh,
-        # (b) NEW this round — real PNG and baseline-JPEG codecs under
-        #     driver evidence (full scanline-filter cycle + position-
-        #     weighted digest; exact flat-fill lossy roundtrip)
-        "png_decode": q_png_decode,
-        "jpeg_decode": q_jpeg_decode,
-        "gif_decode": q_gif_decode,
-        "video_decode": q_video_decode,
-        # (c) the 24 stalest r7-latest queries, standing order
-        #     (hll_merge, intersection, json_extract and large_orders
-        #     displaced to the post-window section by the codec queries)
-        "group_by_key": q_group_by_key,
-        "map_with_parallelism": q_map_with_parallelism,
-        "side_input_multimap": q_side_input_multimap,
-        "dist_cache": q_dist_cache,
-        "asof_join": q_asof_join,
-        "async_lookup": q_async_lookup,
-        "batch_by_key_sizes": q_batch_by_key_sizes,
-        "cogroup": q_cogroup,
-        "cogroup_3way": q_cogroup_3way,
-        "corpus_stats": q_corpus_stats,
-        "decontaminate": q_decontaminate,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "distinct_by_key": q_distinct_by_key,
-        "embedding_topk": q_embedding_topk,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "fold_global": q_fold_global,
-        "global_top": q_global_top,
-        "group_map_reduce": q_group_map_reduce,
-        "hash_join": q_hash_join,
-        "hash_lookup": q_hash_lookup,
-        "heavy_hitters": q_heavy_hitters,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r7-latest remainder — r12 window candidates, standing order
+        # -- r12 driver window (first 50) ----------------------------------
+        # (a) the 25 r7-latest remainder — stalest external evidence
         "hll_merge": q_hll_merge,
         "intersection": q_intersection,
         "json_extract": q_json_extract,
@@ -6500,7 +6437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "aggregate_by_key": q_aggregate_by_key,
         "aggregate_global": q_aggregate_global,
-        # green r9 rows (the r8/r9 window), unchanged
+        # (b) the 25 stalest r9-latest queries, standing order
         "hash_filter": q_hash_filter,
         "refreshing_side_input": q_refreshing_side_input,
         "processing_time_panes": q_processing_time_panes,
@@ -6526,6 +6463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "metrics": q_metrics,
         "quality_funnel": q_quality_funnel,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r9-latest remainder — r13 window candidates, standing order
         "pack_greedy": q_pack_greedy,
         "quantiles": q_quantiles,
         "quantiles_by_key": q_quantiles_by_key,
@@ -6550,12 +6489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_calendar": q_window_calendar,
         "stratified_sample": q_stratified_sample,
-        # the 50 r10-window queries — freshest driver evidence, last
-        # (a) NEW — final scio-examples parity pair (sliding-window argmax
-        #     and per-route slowdown detection over sensor readings)
+        # the 50 r10-window queries, standing order
         "traffic_max_lane_flow": q_traffic_max_lane_flow,
         "traffic_routes": q_traffic_routes,
-        # (b) the 19 r5-latest queries — stalest external evidence
         "pii_scrub": q_pii_scrub,
         "text_chunks": q_text_chunks,
         "csv_roundtrip": q_csv_roundtrip,
@@ -6575,15 +6511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip": q_jdbc_roundtrip,
         "xml_roundtrip": q_xml_roundtrip,
         "protobuf_roundtrip": q_protobuf_roundtrip,
-        # (c) implementations changed this round (merge.py/substr_dedup.py
-        #     hardening) — refresh their driver rows with the new code
         "compact_table": q_compact_table,
         "substring_dedup": q_substring_dedup,
         "merge_upsert": q_merge_upsert,
-        # NEW — forces functions/bloom.py's build+probe regime (previously
-        # pytest-only at the driver; the exact-keyset regime is sparse_join)
         "sparse_join_bloom": q_sparse_join_bloom,
-        # (d) 25 of the 49 r6-latest queries, standing order
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "bpe_segment": q_bpe_segment,
         "zorder_layout": q_zorder_layout,
@@ -6609,6 +6540,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_value": q_count_by_value,
         "distinct": q_distinct,
         "sum_by_key": q_sum_by_key,
+        # the 50 r11-window queries — freshest driver evidence, last
+        "histogram": q_histogram,
+        "flat_map": q_flat_map_tokens,
+        "cross": q_cross,
+        "subtract_by_key": q_subtract_by_key,
+        "tfexample_roundtrip": q_tfexample_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "quantiles_tdigest": q_quantiles_tdigest,
+        "element_count_panes": q_element_count_panes,
+        "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "dsir_select": q_dsir_select,
+        "orc_roundtrip": q_orc_roundtrip,
+        "discarding_panes": q_discarding_panes,
+        "contamination_report": q_contamination_report,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "weighted_sample": q_weighted_sample,
+        "stateful_stream": q_stateful_stream,
+        "dedup_simhash": q_dedup_simhash,
+        "data_mixture": q_data_mixture,
+        "pricing_summary": q_pricing_summary,
+        "streaming_dedup": q_streaming_dedup,
+        "ann_lsh": q_ann_lsh,
+        "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
+        "gif_decode": q_gif_decode,
+        "video_decode": q_video_decode,
+        "group_by_key": q_group_by_key,
+        "map_with_parallelism": q_map_with_parallelism,
+        "side_input_multimap": q_side_input_multimap,
+        "dist_cache": q_dist_cache,
+        "asof_join": q_asof_join,
+        "async_lookup": q_async_lookup,
+        "batch_by_key_sizes": q_batch_by_key_sizes,
+        "cogroup": q_cogroup,
+        "cogroup_3way": q_cogroup_3way,
+        "corpus_stats": q_corpus_stats,
+        "decontaminate": q_decontaminate,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "distinct_by_key": q_distinct_by_key,
+        "embedding_topk": q_embedding_topk,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "fold_global": q_fold_global,
+        "global_top": q_global_top,
+        "group_map_reduce": q_group_map_reduce,
+        "hash_join": q_hash_join,
+        "hash_lookup": q_hash_lookup,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
