@@ -342,11 +342,11 @@ def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """PNG → uint8 (h,w) / (h,w,2) / (h,w,3) / (h,w,4). Supports 8-bit
-    depth, color types 0/2/3/4/6 (palette resolves through PLTE),
-    sequential AND Adam7-interlaced layouts, all five scanline filters.
-    Chunk CRCs are verified. 16-bit depth raises (rare in training
-    corpora; route those to the gated PIL path). Throughput: None/Up/Sub rows
+    """PNG → (h,w) / (h,w,2) / (h,w,3) / (h,w,4), dtype uint8 for 8-bit
+    depth and uint16 for 16-bit depth. Supports color types 0/2/3/4/6
+    (palette resolves through PLTE), sequential AND Adam7-interlaced
+    layouts, all five scanline filters. Chunk CRCs are verified.
+    Sub-8-bit depths (1/2/4) raise. Throughput: None/Up/Sub rows
     decode vectorized (~100-350 MB/s/core); Average/Paeth rows carry a
     true sequential left-dependency (~4-7 MB/s/core in pure Python) —
     across a 32-core executor the mapInPandas surfaces still decode
@@ -716,8 +716,10 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
     fps = 25
     frames: list[np.ndarray] = []
 
+    in_vids = False
+
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, in_vids
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -731,7 +733,8 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
                 w = w or vals[8]
                 h = h or vals[9]
             elif tag == b"strh":
-                if blob[body : body + 4] == b"vids":
+                in_vids = blob[body : body + 4] == b"vids"
+                if in_vids:
                     fourcc = blob[body + 4 : body + 8]
                     if fourcc not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
                         raise ValueError(
@@ -740,6 +743,21 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
                     scale, rate = struct.unpack_from("<II", blob, body + 20)
                     if scale and rate:
                         fps = max(1, rate // scale)
+            elif tag == b"strf" and in_vids:
+                # BITMAPINFOHEADER of the video stream: a 32-bpp or
+                # top-down (biHeight<0) DIB passes the per-frame length
+                # check (its frames are LARGER) and would silently decode
+                # garbage — validate the declared layout up front.
+                if clen >= 16:
+                    bi_h, _planes, bitcount = struct.unpack_from(
+                        "<iHH", blob, body + 8
+                    )
+                    if bitcount != 24 or bi_h <= 0:
+                        raise ValueError(
+                            "unsupported uncompressed AVI DIB layout "
+                            f"(biBitCount={bitcount}, biHeight={bi_h}); "
+                            "only bottom-up 24-bpp frames are supported"
+                        )
             elif tag in (b"00db", b"00dc"):
                 if w is None or h is None:
                     raise ValueError("AVI frame before header")

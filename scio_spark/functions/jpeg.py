@@ -556,6 +556,14 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
     if len(scan) != len(comps):
         raise ValueError("multi-scan JPEG unsupported (progressive?)")
+    if len(scan) == 1:
+        # T.81 A.2: a one-component scan is NON-interleaved — the MCU is a
+        # single 8x8 data unit and the raster is the component's own block
+        # grid, regardless of declared sampling factors (a grayscale
+        # stream may legally declare Hi=Vi=2; those factors only shape
+        # multi-component interleave).
+        cid0, _, _, tq0 = comps[0]
+        comps[0] = (cid0, 1, 1, tq0)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:

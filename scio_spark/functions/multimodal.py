@@ -89,7 +89,7 @@ def decode_image_features(
     strict: bool = False,
 ) -> DataFrame:
     """Image decode → features over mapInPandas (Arrow-batched, one Python
-    crossing). Formats this repo decodes for real (PPM/PGM/BMP/PNG/
+    crossing). Formats this repo decodes for real (PPM/PGM/BMP/PNG/GIF/
     baseline JPEG — functions/codecs.py + functions/jpeg.py) go through
     the real decoders; only payloads those can't identify fall to PIL
     (if present), then to the deterministic fake decoder — strict mode
@@ -111,7 +111,7 @@ def decode_image_features(
                 b = bytes(content) if content is not None else b""
                 kind = _C.sniff(b)
                 arr = None
-                if kind in ("ppm", "bmp", "png", "jpeg"):
+                if kind in ("ppm", "bmp", "png", "gif", "jpeg"):
                     try:
                         if kind == "ppm":
                             arr = _C.decode_ppm(b)
@@ -119,6 +119,8 @@ def decode_image_features(
                             arr = _C.decode_bmp(b)
                         elif kind == "png":
                             arr = _C.decode_png(b)
+                        elif kind == "gif":
+                            arr = _C.decode_gif(b)
                         else:
                             from scio_spark.functions.jpeg import decode_jpeg
 
@@ -148,7 +150,7 @@ def decode_image_features(
                 elif strict:
                     raise NotImplementedError(
                         "image format not decodable by the built-in "
-                        "PPM/BMP/PNG/JPEG codecs and PIL/pillow is not in "
+                        "PPM/BMP/PNG/GIF/JPEG codecs and PIL/pillow is not in "
                         "this container; use strict=False for the "
                         "deterministic fake decoder"
                     )

@@ -61,13 +61,39 @@ def object_file_df(df: DataFrame, pickle_cols: list[str], path: str):
     """Mixed mode: keep scalar columns queryable, pickle the opaque ones.
     Pickling is inherently per-object python work, but the transfer is
     Arrow-batched (pandas_udf) so (de)serialization overhead amortizes per
-    batch instead of per row — same semantics as the former row-at-a-time
-    UDF, measurably cheaper on wide payloads."""
+    batch instead of per row. Values are normalized to plain Python before
+    pickling (Arrow hands ArrayType as numpy arrays, StructType as dicts,
+    numerics as numpy scalars), so `pickle.loads` round-trips engine-
+    independent types: lists for arrays, dicts for structs, int/float/str
+    scalars — never numpy objects."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    def _norm(v):
+        if v is None:
+            return None
+        if isinstance(v, np.ndarray):
+            return [_norm(x) for x in v.tolist()]
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, dict):
+            return {k: _norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_norm(x) for x in v]
+        return v
+
     @pandas_udf("binary")
-    def _pickle_batch(s):  # pd.Series -> pd.Series[bytes]
-        return s.map(pickle.dumps)
+    def _pickle_batch(s):  # pd.Series (or pd.DataFrame for structs) -> bytes
+        import pandas as pd
+
+        if isinstance(s, pd.DataFrame):
+            # Arrow hands StructType to a scalar pandas_udf as a DataFrame
+            # (one column per field) — pickle each row as a plain dict.
+            return pd.Series(
+                [pickle.dumps(_norm(v)) for v in s.to_dict("records")],
+                index=s.index,
+            )
+        return s.map(lambda v: pickle.dumps(_norm(v)))
 
     out = df
     for c in pickle_cols:

@@ -559,3 +559,23 @@ def test_gif_through_spark_surfaces(spark):
     back = decode_gif(bytes(r.content))  # stays a GIF
     # center-aligned nearest grid: rows/cols (2i+1) for a 2x downscale
     assert np.array_equal(back, img[1::2, 1::2])
+
+
+def test_avi_rejects_unsupported_dib_layouts():
+    """A 32-bpp or top-down (negative biHeight) DIB AVI has frames at
+    least as large as the 24-bpp bottom-up check expects, so without
+    strf validation it would silently decode garbage — it must raise."""
+    import struct
+
+    frames = rgb(4, 4)[None, ...]
+    blob = encode_avi(frames, fps=2)
+    i = blob.index(b"strf") + 8  # BITMAPINFOHEADER starts here
+    bpp32 = bytearray(blob)
+    bpp32[i + 14 : i + 16] = struct.pack("<H", 32)
+    with pytest.raises(ValueError, match="biBitCount=32"):
+        decode_avi(bytes(bpp32))
+    topdown = bytearray(blob)
+    (h,) = struct.unpack_from("<i", blob, i + 8)
+    struct.pack_into("<i", topdown, i + 8, -h)
+    with pytest.raises(ValueError, match="biHeight=-"):
+        decode_avi(bytes(topdown))

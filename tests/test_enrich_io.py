@@ -317,3 +317,46 @@ def test_map_file_downloads_and_maps(spark, tmp_path):
     out = E.map_file(df, "uri", measure, "uri string, n_chars long")
     got = {r["uri"].split("/")[-1]: r["n_chars"] for r in out.collect()}
     assert got == {"x.txt": 14, "y.txt": 3}
+
+
+def test_object_file_df_normalizes_nonscalar_types(spark, tmp_path):
+    """Arrow hands ArrayType columns to the pandas_udf as numpy arrays and
+    StructType as dicts (with numpy scalars inside) — object_file_df must
+    normalize before pickling so pickle.loads round-trips plain Python
+    types, never numpy objects."""
+    import pickle
+
+    from scio_spark.sources import formats as FM
+
+    path = str(tmp_path / "objdf_nested")
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], (7, "x")), (2, [4], (8, "y"))],
+        "id long, arr array<int>, st struct<a:int,b:string>",
+    )
+    FM.object_file_df(df, ["arr", "st"], path)
+    back = {r.id: r for r in spark.read.parquet(path).collect()}
+    arr = pickle.loads(bytes(back[1].arr))
+    assert arr == [1, 2, 3]
+    assert type(arr) is list and all(type(x) is int for x in arr)
+    st = pickle.loads(bytes(back[1].st))
+    assert st == {"a": 7, "b": "x"}
+    assert type(st) is dict and type(st["a"]) is int
+    assert pickle.loads(bytes(back[2].arr)) == [4]
+
+
+def test_decode_image_features_routes_gif(spark):
+    """GIF is sniffable and decodable for real (codecs.decode_gif) — it
+    must route to the real tier, and strict=True must not raise on it."""
+    import numpy as np
+
+    from scio_spark.functions import multimodal as M
+    from scio_spark.functions.codecs import encode_gif
+
+    gif = encode_gif(np.full((4, 6, 3), 100, np.uint8))
+    real = spark.createDataFrame(
+        [(1, bytearray(gif))], "asset_id long, content binary"
+    )
+    r = M.decode_image_features(real).head()
+    assert r["decoder"] == "gif" and (r["width"], r["height"]) == (6, 4)
+    assert abs(r["mean_luma"] - 100 / 255) < 1e-9
+    M.decode_image_features(real, strict=True).collect()  # must not raise

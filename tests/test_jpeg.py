@@ -316,3 +316,22 @@ def test_adversarial_high_frequency_at_q100():
     rgbchk = np.dstack([255 * ((x + y) % 2)] * 3).astype(np.uint8)
     out = decode_jpeg(encode_jpeg(rgbchk, 100))
     assert int(np.abs(out.astype(int) - rgbchk.astype(int)).max()) == 0
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2: a one-component scan is non-interleaved — MCU = one 8x8
+    data unit. A grayscale stream may legally declare Hi=Vi=2 in SOF0;
+    those factors must not change the block raster (a 2x2-interleaved
+    read misparses the entropy stream — usually 'entropy data
+    truncated')."""
+    img = (np.arange(24 * 24, dtype=np.uint8) % 251).reshape(24, 24)
+    blob = encode_jpeg(img, quality=90)
+    baseline = decode_jpeg(blob)
+    # patch the single component's sampling byte in SOF0: 0x11 -> 0x22
+    i = blob.index(b"\xff\xc0")
+    assert blob[i + 9] == 1  # one component (grayscale)
+    assert blob[i + 11] == 0x11
+    patched = bytearray(blob)
+    patched[i + 11] = 0x22
+    got = decode_jpeg(bytes(patched))
+    assert np.array_equal(got, baseline)
