@@ -4457,6 +4457,107 @@ FROM fr
 """
 
 
+def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode, value-checked: Motion-JPEG AVI
+    (functions/codecs.py encode_avi(codec='MJPG') — per-frame baseline
+    JPEGs in '00dc' chunks — composed with the functions/jpeg.py T.81
+    codec). Per asset, 16x16 flat RGB frames whose fills reuse
+    jpeg_decode's 48 margin-verified q90 triples (j = (id*31 + f*7) % 48
+    → the (j*37, j*59+11, j*83+29) % 256 channels; flat blocks are
+    DC-only so quantization error ≤ 3/16 < 0.5 and the lossy roundtrip
+    is EXACT) are MJPG-packed at an id-derived fps and sampled every
+    500 ms by the STREAMING chunk walk (only sampled frames decode).
+    The oracle replays the sampling grid and fill arithmetic — container
+    framing, per-frame JPEG decode, fps parsing, and the sampling step
+    are all value-hash-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import (
+        decode_ppm,
+        encode_avi,
+        sample_video_frames,
+    )
+
+    base = spark.range(36).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                fps = 4 + i % 3
+                nf = 6 + (i % 4) * 2
+                frames = []
+                for f in range(nf):
+                    j = (i * 31 + f * 7) % 48
+                    r, g, b = (
+                        (j * 37) % 256, (j * 59 + 11) % 256, (j * 83 + 29) % 256,
+                    )
+                    frames.append(
+                        np.dstack(
+                            [np.full((16, 16), v, np.uint8) for v in (r, g, b)]
+                        )
+                    )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "content": encode_avi(
+                            np.stack(frames), fps=fps, codec="MJPG", quality=90
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+    sampled = sample_video_frames(assets, every_ms=500)
+
+    def feat(batches):
+        for pdf in batches:
+            rows = []
+            for aid, fi, ts, blob in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["ts_ms"], pdf["content"]
+            ):
+                arr = decode_ppm(bytes(blob))
+                rows.append(
+                    {
+                        "asset_id": int(aid), "frame_idx": int(fi),
+                        "ts_ms": int(ts), "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "uniform": bool((arr == arr[0, 0]).all()),
+                        "r": int(arr[0, 0, 0]), "g": int(arr[0, 0, 1]),
+                        "b": int(arr[0, 0, 2]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return sampled.mapInPandas(
+        feat,
+        "asset_id long, frame_idx int, ts_ms long, width int, height int, "
+        "uniform boolean, r int, g int, b int",
+    )
+
+
+ORACLE_VIDEO_MJPEG = """
+WITH a AS (
+  SELECT i AS asset_id, 4 + i % 3 AS fps, 6 + (i % 4) * 2 AS nf
+  FROM range(0, 36) t(i)),
+fr AS (
+  SELECT a.asset_id, a.fps, f.f,
+         (a.asset_id * 31 + f.f * 7) % 48 AS j
+  FROM a, range(0, 12) f(f)
+  WHERE f.f < a.nf AND f.f % GREATEST(1, a.fps * 500 // 1000) = 0)
+SELECT asset_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 // fps AS BIGINT) AS ts_ms,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       TRUE AS uniform,
+       CAST((j * 37) % 256 AS INT) AS r,
+       CAST((j * 59 + 11) % 256 AS INT) AS g,
+       CAST((j * 83 + 29) % 256 AS INT) AS b
+FROM fr
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, value-checked (functions/codecs.py): square-wave
     WAV-PCM assets generated from asset_id arithmetic (amplitude A,
@@ -6401,10 +6502,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. the 25 queries whose latest driver row is r7 (hll_merge …
        aggregate_global) — the stalest external evidence after the r11
        rotation, in their standing order;
-    2. the 25 stalest r9-latest queries in their standing order
-       (hash_filter … quality_funnel).
+    2. the 24 stalest r9-latest queries in their standing order
+       (hash_filter … metrics; quality_funnel displaced by the new
+       codec query);
+    3. video_mjpeg — NEW: Motion-JPEG AVI (per-frame T.81 baseline
+       JPEGs in '00dc' chunks) sampled by the streaming chunk walk,
+       under driver evidence.
 
-    The 24 remaining r9-latest queries head the post-window section as
+    The 25 remaining r9-latest queries head the post-window section as
     the r13 rotation candidates, followed by the 50 r10-window and the
     50 r11-window queries (freshest evidence, last). After this round
     no query's latest driver row predates r9.
@@ -6462,9 +6567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_checks": q_data_checks,
         "incremental_dedup": q_incremental_dedup,
         "metrics": q_metrics,
-        "quality_funnel": q_quality_funnel,
+        # (b) NEW this round — compressed video: Motion-JPEG in AVI,
+        #     sampled via the streaming chunk walk (memory ∝ one frame)
+        "video_mjpeg": q_video_mjpeg,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r9-latest remainder — r13 window candidates, standing order
+        "quality_funnel": q_quality_funnel,
         "pack_greedy": q_pack_greedy,
         "quantiles": q_quantiles,
         "quantiles_by_key": q_quantiles_by_key,
@@ -6755,6 +6863,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_decode": ORACLE_JPEG_DECODE,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
+        "video_mjpeg": ORACLE_VIDEO_MJPEG,
         "audio_decode": ORACLE_AUDIO_DECODE,
         "merge_upsert": ORACLE_MERGE_UPSERT,
         "bigram_lm": ORACLE_BIGRAM_LM,

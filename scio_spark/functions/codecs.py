@@ -35,7 +35,7 @@ through to the gated path in multimodal.py.
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterable, Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -650,19 +650,27 @@ def encode_gif(arr: np.ndarray) -> bytes:
 # --------------------------------------------------------- video: AVI (DIB)
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """uint8 (n, h, w, 3) RGB frames → uncompressed AVI (RIFF 'AVI ',
-    one 'vids'/DIB stream, 24-bit bottom-up BGR frames — the same raw
-    pixel layout as BMP). The uncompressed-workhorse video format, per
-    the public AVI RIFF spec; compressed codecs stay behind
-    multimodal.py's import gate."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 25, codec: str = "DIB", quality: int = 90
+) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames → AVI bytes (RIFF 'AVI ', one 'vids'
+    stream), per the public AVI RIFF spec. ``codec='DIB'`` writes
+    uncompressed 24-bit bottom-up BGR frames ('00db' chunks — the BMP raw
+    pixel layout); ``codec='MJPG'`` writes Motion-JPEG: one baseline JPEG
+    per frame (functions/jpeg.py at ``quality``) in '00dc' chunks — the
+    simplest compressed video tier, every frame independently decodable.
+    Parity note: the reference has no media codecs at all (binaryFile is
+    its multimodal floor)."""
     frames = np.asarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[3] != 3:
         raise ValueError(f"encode_avi: need (n,h,w,3), got {frames.shape}")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(
+            f"encode_avi: unsupported codec {codec!r} (DIB or MJPG)"
+        )
     n, h, w = frames.shape[:3]
     row = w * 3
     pad = (4 - row % 4) % 4
-    frame_bytes = (row + pad) * h
 
     def lst(tag: bytes, body: bytes) -> bytes:
         return b"LIST" + struct.pack("<I", len(body) + 4) + tag + body
@@ -672,54 +680,76 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
             b"\x00" if len(body) & 1 else b""
         )
 
+    if codec == "MJPG":
+        from scio_spark.functions.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        fourcc, frame_tag = b"MJPG", b"00dc"
+        (compression,) = struct.unpack("<I", b"MJPG")
+        buf_bytes = max((len(p) for p in payloads), default=0)
+    else:
+        payloads = None
+        fourcc, frame_tag = b"DIB ", b"00db"
+        compression = 0  # BI_RGB
+        buf_bytes = (row + pad) * h
+
     usec = 1_000_000 // fps
     avih = struct.pack(
-        "<14I", usec, frame_bytes * fps, 0, 0x10, n, 0, 1, frame_bytes,
+        "<14I", usec, buf_bytes * fps, 0, 0x10, n, 0, 1, buf_bytes,
         w, h, 0, 0, 0, 0,
     )
     # AVISTREAMHEADER: fccType fccHandler flags prio lang init scale rate
     # start length bufsize quality samplesize rcFrame
     strh = (
-        b"vids" + b"DIB "
+        b"vids" + fourcc
         + struct.pack(
-            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, 0
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, buf_bytes, 0, 0
         )
         + struct.pack("<4H", 0, 0, w, h)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, buf_bytes, 0, 0, 0, 0
     )
     hdrl = lst(
         b"hdrl",
         chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)),
     )
     movi_body = bytearray(b"movi")
-    for f in frames:
-        body = bytearray()
-        for y in range(h - 1, -1, -1):
-            body += f[y, :, ::-1].tobytes()  # bottom-up BGR, like BMP
-            body += b"\x00" * pad
-        movi_body += chk(b"00db", bytes(body))
+    if codec == "MJPG":
+        for p in payloads:
+            movi_body += chk(frame_tag, p)
+    else:
+        for f in frames:
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                body += f[y, :, ::-1].tobytes()  # bottom-up BGR, like BMP
+                body += b"\x00" * pad
+            movi_body += chk(frame_tag, bytes(body))
     riff_body = b"AVI " + hdrl + b"LIST" + struct.pack(
         "<I", len(movi_body)
     ) + bytes(movi_body)
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
-    """Uncompressed AVI → (fps, uint8 (n, h, w, 3) RGB frames). Walks the
-    RIFF chunk tree by hand (hdrl for dimensions/rate, movi for '00db'/
-    '00dc' DIB frames); compressed fourccs raise ValueError."""
+def _parse_avi(blob: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
+    """AVI header/chunk walk WITHOUT pixel decode: returns (w, h, fps,
+    codec, frame spans) where each span is the (offset, length) of one
+    video frame chunk body ('00db'/'00dc'). This is the streaming entry
+    point — the walk touches only chunk headers (O(frames) byte-range
+    reads), so callers can decode just the frames they need
+    (iter_avi_frames / sample_video_frames) and peak memory scales with
+    ONE frame, not clip length. codec is 'DIB' or 'MJPG'; other fourccs
+    raise ValueError."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     w = h = None
     fps = 25
-    frames: list[np.ndarray] = []
-
+    codec = None
+    spans: list[tuple[int, int]] = []
     in_vids = False
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps, in_vids
+        nonlocal w, h, fps, codec, in_vids
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -736,19 +766,25 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
                 in_vids = blob[body : body + 4] == b"vids"
                 if in_vids:
                     fourcc = blob[body + 4 : body + 8]
-                    if fourcc not in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                    if fourcc in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+                        codec = "DIB"
+                    elif fourcc == b"MJPG":
+                        codec = "MJPG"
+                    else:
                         raise ValueError(
-                            f"compressed AVI codec {fourcc!r} unsupported"
+                            f"compressed AVI codec {fourcc!r} unsupported "
+                            "(DIB and MJPG are built in)"
                         )
                     scale, rate = struct.unpack_from("<II", blob, body + 20)
                     if scale and rate:
                         fps = max(1, rate // scale)
             elif tag == b"strf" and in_vids:
-                # BITMAPINFOHEADER of the video stream: a 32-bpp or
-                # top-down (biHeight<0) DIB passes the per-frame length
-                # check (its frames are LARGER) and would silently decode
-                # garbage — validate the declared layout up front.
-                if clen >= 16:
+                # BITMAPINFOHEADER of the video stream. For DIB, a 32-bpp
+                # or top-down (biHeight<0) layout passes the per-frame
+                # length check (those frames are LARGER) and would
+                # silently decode garbage — validate up front. For MJPG
+                # the pixel geometry lives in each frame's own JPEG.
+                if clen >= 16 and codec == "DIB":
                     bi_h, _planes, bitcount = struct.unpack_from(
                         "<iHH", blob, body + 8
                     )
@@ -761,22 +797,70 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
             elif tag in (b"00db", b"00dc"):
                 if w is None or h is None:
                     raise ValueError("AVI frame before header")
-                row = w * 3
-                stride = (row + 3) // 4 * 4
-                if clen < stride * h:
-                    raise ValueError("AVI frame data length mismatch")
-                out = np.empty((h, w, 3), dtype=np.uint8)
-                for y in range(h):
-                    line = np.frombuffer(
-                        blob, np.uint8, count=row, offset=body + y * stride
-                    )
-                    out[h - 1 - y] = line.reshape(w, 3)[:, ::-1]
-                frames.append(out)
+                spans.append((body, clen))
             pos = body + clen + (clen & 1)
 
     walk(12, len(blob))
-    if w is None or not frames:
+    if w is None or h is None or codec is None or not spans:
         raise ValueError("AVI missing header/frames")
+    return int(w), int(h), fps, codec, spans
+
+
+def _decode_avi_frame(
+    blob: bytes, off: int, clen: int, w: int, h: int, codec: str
+) -> np.ndarray:
+    """Decode ONE frame chunk body → uint8 (h, w, 3) RGB."""
+    if codec == "MJPG":
+        from scio_spark.functions.jpeg import decode_jpeg
+
+        arr = decode_jpeg(blob[off : off + clen])
+        if arr.ndim == 2:  # grayscale MJPEG frame
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        if arr.shape[0] != h or arr.shape[1] != w:
+            raise ValueError(
+                f"MJPG frame is {arr.shape[1]}x{arr.shape[0]}, "
+                f"header says {w}x{h}"
+            )
+        return arr
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    if clen < stride * h:
+        raise ValueError("AVI frame data length mismatch")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(blob, np.uint8, count=row, offset=off + y * stride)
+        out[h - 1 - y] = line.reshape(w, 3)[:, ::-1]
+    return out
+
+
+def iter_avi_frames(
+    blob: bytes, indices: Iterable[int] | None = None
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Generator of (frame_idx, uint8 (h, w, 3) RGB) that decodes ONLY
+    the requested frames. The chunk walk indexes every frame's byte span
+    up front (headers only — no pixels), then pixel decode runs lazily
+    per yielded frame, so peak memory is one frame plus the blob, not the
+    whole clip. ``indices=None`` yields every frame in order;
+    out-of-range indices are skipped."""
+    w, h, _fps, codec, spans = _parse_avi(blob)
+    sel = range(len(spans)) if indices is None else [
+        i for i in indices if 0 <= i < len(spans)
+    ]
+    for i in sel:
+        off, clen = spans[i]
+        yield i, _decode_avi_frame(blob, off, clen, w, h, codec)
+
+
+def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
+    """AVI → (fps, uint8 (n, h, w, 3) RGB frames), DIB or MJPG streams.
+    Materializes the WHOLE clip — for sampling long clips use
+    iter_avi_frames / sample_video_frames, which decode only the frames
+    they return."""
+    w, h, fps, codec, spans = _parse_avi(blob)
+    frames = [
+        _decode_avi_frame(blob, off, clen, w, h, codec)
+        for off, clen in spans
+    ]
     return fps, np.stack(frames)
 
 
@@ -786,11 +870,14 @@ def sample_video_frames(
     content_col: str = "content",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """REAL video frame sampling for uncompressed AVI payloads: one row
-    per sampled frame with its timestamp and the frame re-encoded as PPM
-    (the uncompressed interchange format) — the decode-included analog of
-    multimodal.frame_sample_plan (which plans timestamps and leaves the
-    cut to a gated codec). Undecodable payloads are skipped, not fatal."""
+    """REAL video frame sampling for AVI payloads (uncompressed DIB or
+    Motion-JPEG): one row per sampled frame with its timestamp and the
+    frame re-encoded as PPM (the uncompressed interchange format) — the
+    decode-included analog of multimodal.frame_sample_plan. STREAMING:
+    the chunk walk indexes frame spans without touching pixels, and only
+    every step-th frame is decoded, so executor memory scales with the
+    sampled frames, not clip length. Undecodable payloads (and corrupt
+    individual frames) are skipped, not fatal."""
     import pandas as pd
 
     schema = (
@@ -801,17 +888,23 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
                 try:
-                    fps, frames = decode_avi(bytes(blob))
+                    w, h, fps, codec, spans = _parse_avi(b)
                 except (ValueError, struct.error):
                     continue
                 step = max(1, fps * every_ms // 1000)
-                for i in range(0, frames.shape[0], step):
+                for i in range(0, len(spans), step):
+                    off, clen = spans[i]
+                    try:
+                        frame = _decode_avi_frame(b, off, clen, w, h, codec)
+                    except (ValueError, struct.error):
+                        continue
                     rows.append(
                         {
                             id_col: aid, "frame_idx": i,
                             "ts_ms": i * 1000 // fps,
-                            content_col: encode_ppm(frames[i]),
+                            content_col: encode_ppm(frame),
                         }
                     )
             if rows:

@@ -412,8 +412,13 @@ def test_avi_rejects_compressed_and_corrupt():
     frames = rng.randint(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
     blob = bytearray(encode_avi(frames, fps=5))
     i = bytes(blob).index(b"DIB ")
-    blob[i : i + 4] = b"MJPG"  # pretend it's motion-JPEG
+    blob[i : i + 4] = b"H264"  # a codec the repo does not implement
     with pytest.raises(ValueError, match="compressed AVI codec"):
+        decode_avi(bytes(blob))
+    # MJPG is now a SUPPORTED fourcc — but these frames are raw DIB
+    # bytes, so the per-frame JPEG decode must still raise cleanly
+    blob[i : i + 4] = b"MJPG"
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_avi(bytes(blob))
     with pytest.raises(ValueError):
         decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
@@ -579,3 +584,140 @@ def test_avi_rejects_unsupported_dib_layouts():
     struct.pack_into("<i", topdown, i + 8, -h)
     with pytest.raises(ValueError, match="biHeight=-"):
         decode_avi(bytes(topdown))
+
+
+def test_mjpeg_avi_roundtrip_flat_exact():
+    """MJPG frames are baseline JPEGs; flat fills survive q90 EXACTLY
+    (quant error 3/16 < 0.5 — the jpeg_decode margin argument), so the
+    full container+codec roundtrip is value-exact, not just bounded."""
+    flat = np.stack(
+        [np.full((16, 24, 3), 40 + i * 10, np.uint8) for i in range(4)]
+    )
+    blob = encode_avi(flat, fps=8, codec="MJPG", quality=90)
+    fps, back = decode_avi(blob)
+    assert fps == 8 and np.array_equal(back, flat)
+    # every frame chunk is a standalone JPEG in a 00dc chunk
+    assert blob.count(b"00dc") == 4 and b"00db" not in blob
+    assert b"MJPG" in blob
+
+
+def test_mjpeg_avi_roundtrip_bounded_error():
+    img = rgb(16, 16, seed=7)
+    # smooth gradient content: q95 error stays small but nonzero-lossy
+    grad = np.arange(16, dtype=np.uint8)[None, :, None].repeat(16, 0).repeat(3, 2) * 8
+    frames = np.stack([img, grad])
+    _, back = decode_avi(encode_avi(frames, fps=5, codec="MJPG", quality=95))
+    err = np.abs(back.astype(int) - frames.astype(int)).max()
+    assert err <= 40  # lossy but sane; layout bugs produce ~255
+
+
+def test_mjpeg_avi_hand_assembled_container():
+    """Container grammar pinned independent of encode_avi: a RIFF built
+    byte-by-byte here (avih/strh MJPG/strf, two 00dc JPEG payloads) must
+    decode to the analytically-known flat fills."""
+    import struct as S
+
+    from scio_spark.functions.jpeg import encode_jpeg
+
+    w, h, fps = 24, 16, 3
+    jp0 = encode_jpeg(np.full((h, w, 3), 50, np.uint8), quality=90)
+    jp1 = encode_jpeg(np.full((h, w, 3), 120, np.uint8), quality=90)
+
+    def chk(tag, body):
+        return tag + S.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(tag, body):
+        return b"LIST" + S.pack("<I", len(body) + 4) + tag + body
+
+    avih = S.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, 2, 0, 1, 0, w, h,
+                  0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + S.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, 2, 0, 0, 0)
+            + S.pack("<4H", 0, 0, w, h))
+    strf = S.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                  S.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chk(b"avih", avih)
+               + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)))
+    movi = b"movi" + chk(b"00dc", jp0) + chk(b"00dc", jp1)
+    body = b"AVI " + hdrl + b"LIST" + S.pack("<I", len(movi)) + movi
+    blob = b"RIFF" + S.pack("<I", len(body)) + body
+
+    fps_got, frames = decode_avi(blob)
+    assert fps_got == fps and frames.shape == (2, h, w, 3)
+    assert (frames[0] == 50).all() and (frames[1] == 120).all()
+
+
+def test_iter_avi_frames_decodes_only_requested(monkeypatch):
+    """The streaming walk must decode ONLY the selected frames — peak
+    memory ∝ one frame, not clip length. Counted via a decode_jpeg hook
+    on an MJPG clip."""
+    from scio_spark.functions import codecs as C
+    from scio_spark.functions import jpeg as J
+
+    flat = np.stack(
+        [np.full((8, 8, 3), 20 + i * 5, np.uint8) for i in range(10)]
+    )
+    blob = encode_avi(flat, fps=4, codec="MJPG", quality=90)
+    calls = []
+    real = J.decode_jpeg
+    monkeypatch.setattr(J, "decode_jpeg", lambda b: calls.append(1) or real(b))
+    got = list(C.iter_avi_frames(blob, indices=range(0, 10, 3)))
+    assert [i for i, _ in got] == [0, 3, 6, 9]
+    assert len(calls) == 4  # exactly the sampled frames, not all 10
+    assert all(np.array_equal(f, flat[i]) for i, f in got)
+    # out-of-range indices are skipped, not fatal
+    assert [i for i, _ in C.iter_avi_frames(blob, indices=[2, 99])] == [2]
+
+
+def test_mjpeg_grayscale_frames_upcast_to_rgb():
+    """A grayscale MJPEG frame (1-component JPEG in the 00dc chunk)
+    decodes to (h,w) — the frame decoder must upcast to (h,w,3)."""
+    import struct as S
+
+    from scio_spark.functions.jpeg import encode_jpeg
+
+    gray_jpeg = encode_jpeg(np.full((8, 8), 77, np.uint8), quality=90)
+
+    def chk(tag, body):
+        return tag + S.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(tag, body):
+        return b"LIST" + S.pack("<I", len(body) + 4) + tag + body
+
+    avih = S.pack("<14I", 200_000, 0, 0, 0x10, 1, 0, 1, 0, 8, 8, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG"
+            + S.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 5, 0, 1, 0, 0, 0)
+            + S.pack("<4H", 0, 0, 8, 8))
+    strf = S.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24,
+                  S.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chk(b"avih", avih)
+               + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)))
+    movi = b"movi" + chk(b"00dc", gray_jpeg)
+    body = b"AVI " + hdrl + b"LIST" + S.pack("<I", len(movi)) + movi
+    fps, frames = decode_avi(b"RIFF" + S.pack("<I", len(body)) + body)
+    assert frames.shape == (1, 8, 8, 3) and (frames == 77).all()
+
+
+def test_sample_video_frames_mjpeg_spark(spark):
+    """MJPG clips run through the Spark sampling surface end-to-end."""
+    from scio_spark.functions.codecs import decode_ppm, sample_video_frames
+
+    flat = np.stack(
+        [np.full((8, 12, 3), 30 + i * 7, np.uint8) for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(flat, fps=4, codec="MJPG", quality=90))),
+         (2, bytearray(b"junk not an avi"))],
+        "asset_id long, content binary",
+    )
+    rows = sample_video_frames(df, every_ms=500).collect()
+    # fps 4 → step 2 → frames 0, 2, 4; asset 2 skipped
+    assert sorted((r.asset_id, r.frame_idx) for r in rows) == \
+        [(1, 0), (1, 2), (1, 4)]
+    for r in rows:
+        arr = decode_ppm(bytes(r.content))
+        assert (arr == 30 + r.frame_idx * 7).all()
