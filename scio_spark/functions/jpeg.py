@@ -467,6 +467,204 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → progressive JPEG bytes
+    (SOF2, 4:4:4). The scan script exercises both progressive dimensions
+    the way real encoders do: spectral selection (DC, then AC 1-5, then
+    AC 6-63 per component) and successive approximation (first scans at
+    Al=1, then one refinement pass each at Al=0) — so the refined
+    coefficients land EXACTLY on the baseline-quantized values and
+    decode_jpeg(progressive) == decode_jpeg(baseline) pixel-for-pixel.
+    Uses the Annex K Huffman tables, which define no EOBn (n>0) symbols,
+    so end-of-band runs are flushed per block (EOB0 only) — valid but
+    slightly less compact than a libjpeg optimized-table stream."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(
+            f"encode_jpeg_progressive: need (h,w) or (h,w,3), got {arr.shape}"
+        )
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg_progressive: empty image")
+    ncomp = len(planes)
+    ql, qc = quality_tables(quality)
+    qtabs = [ql] + ([qc] if ncomp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _marker(0xDB, _dqt_payload(0, ql))
+    if ncomp == 3:
+        out += _marker(0xDB, _dqt_payload(1, qc))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _marker(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    out += _marker(0xC4, _dht_payload(0, 0, *_DC_L))
+    out += _marker(0xC4, _dht_payload(1, 0, *_AC_L))
+    if ncomp == 3:
+        out += _marker(0xC4, _dht_payload(0, 1, *_DC_C))
+        out += _marker(0xC4, _dht_payload(1, 1, *_AC_C))
+
+    dc_codes = [_canonical_codes(*_DC_L)] + (
+        [_canonical_codes(*_DC_C)] * 2 if ncomp == 3 else []
+    )
+    ac_codes = [_canonical_codes(*_AC_L)] + (
+        [_canonical_codes(*_AC_C)] * 2 if ncomp == 3 else []
+    )
+    qplanes = []
+    for ci, plane in enumerate(planes):
+        blocks, _, _ = _to_blocks(plane)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8).astype(np.float64)
+        coefs = np.round(dct2(blocks) / q).astype(np.int64)
+        qplanes.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+
+    def sos_header(comps_sel, ss, se, ah, al):
+        body = bytes([len(comps_sel)])
+        for ci in comps_sel:
+            td = min(ci, 1) if ss == 0 else 0
+            ta = min(ci, 1) if ss > 0 else 0
+            body += bytes([ci + 1, (td << 4) | ta])
+        return _marker(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def entropy(fn):
+        wr = _BitWriter()
+        fn(wr)
+        return wr.flush()
+
+    all_c = list(range(ncomp))
+    bands = [(1, 5), (6, 63)] if True else []
+    # scan script: DC first (Al=1) → AC first per comp/band (Al=1) →
+    # DC refine → AC refine per comp/band (same bands, Al 1→0)
+    out += sos_header(all_c, 0, 0, 0, 1)
+    out += entropy(lambda wr: _enc_dc_first(wr, qplanes, dc_codes, 1))
+    for ci in all_c:
+        cbands = bands if ci == 0 else [(1, 63)]
+        for ss, se in cbands:
+            out += sos_header([ci], ss, se, 0, 1)
+            out += entropy(
+                lambda wr, ci=ci, ss=ss, se=se: _enc_ac_first(
+                    wr, qplanes[ci], ss, se, 1, ac_codes[ci]
+                )
+            )
+    out += sos_header(all_c, 0, 0, 1, 0)
+    out += entropy(lambda wr: _enc_dc_refine(wr, qplanes, 0))
+    for ci in all_c:
+        cbands = bands if ci == 0 else [(1, 63)]
+        for ss, se in cbands:
+            out += sos_header([ci], ss, se, 1, 0)
+            out += entropy(
+                lambda wr, ci=ci, ss=ss, se=se: _enc_ac_refine(
+                    wr, qplanes[ci], ss, se, 0, ac_codes[ci]
+                )
+            )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc_first(wr: _BitWriter, qplanes: list, dc_codes: list, al: int):
+    """First DC scan (interleaved 4:4:4): diffs of the Al-shifted DC."""
+    preds = [0] * len(qplanes)
+    for bi in range(qplanes[0].shape[0]):
+        for ci, qp in enumerate(qplanes):
+            v = int(qp[bi][0]) >> al  # arithmetic shift, negatives too
+            diff = v - preds[ci]
+            preds[ci] = v
+            t, bitsv = _magnitude(diff) if diff else (0, 0)
+            c, ln = dc_codes[ci][t]
+            wr.write(c, ln)
+            if t:
+                wr.write(bitsv, t)
+
+
+def _enc_dc_refine(wr: _BitWriter, qplanes: list, al: int):
+    """DC refinement: one raw bit (bit Al) per block, interleaved."""
+    for bi in range(qplanes[0].shape[0]):
+        for qp in qplanes:
+            wr.write((int(qp[bi][0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(
+    wr: _BitWriter, qp: np.ndarray, ss: int, se: int, al: int, codes: dict
+):
+    """First AC scan of a band: run/size over Al-shifted magnitudes.
+    Annex K tables have no EOBn>0 symbols, so trailing zeros flush as
+    EOB0 per block."""
+    for blk in qp:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = (v if v >= 0 else -v) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = codes[0xF0]
+                wr.write(c, ln)
+                r -= 16
+            s = t.bit_length()
+            c, ln = codes[(r << 4) | s]
+            wr.write(c, ln)
+            wr.write(t if v >= 0 else (~t) & ((1 << s) - 1), s)
+            r = 0
+        if r > 0:
+            c, ln = codes[0x00]  # EOB0
+            wr.write(c, ln)
+
+
+def _enc_ac_refine(
+    wr: _BitWriter, qp: np.ndarray, ss: int, se: int, al: int, codes: dict
+):
+    """AC refinement scan (T.81 G.1.2.3 / the public libjpeg shape):
+    newly-significant coefficients emit (run|1)+sign; already-significant
+    ones buffer correction bits that ride after the next emitted symbol;
+    ZRLs fold into the block-end EOB when past the last newly-significant
+    position."""
+    for blk in qp:
+        absv = [(abs(int(blk[k])) >> al) for k in range(ss, se + 1)]
+        eobpos = -1
+        for j, a in enumerate(absv):
+            if a == 1:
+                eobpos = j
+        r = 0
+        br: list[int] = []
+        for j, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eobpos:
+                c, ln = codes[0xF0]
+                wr.write(c, ln)
+                r -= 16
+                for bbit in br:
+                    wr.write(bbit, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            c, ln = codes[(r << 4) | 1]
+            wr.write(c, ln)
+            wr.write(1 if int(blk[ss + j]) > 0 else 0, 1)
+            for bbit in br:
+                wr.write(bbit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            c, ln = codes[0x00]  # EOB0, then this block's buffered bits
+            wr.write(c, ln)
+            for bbit in br:
+                wr.write(bbit, 1)
+
+
 # --------------------------------------------------------------- decoder
 
 
@@ -494,6 +692,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     scan = None
+    band = (0, 63, 0, 0)
+    progressive = False
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -535,11 +735,20 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif tag == 0xC2:  # SOF2 — progressive DCT, Huffman
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            progressive = True
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                      0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG is supported (progressive/"
-                "arithmetic/hierarchical stream)"
+                "only baseline sequential and progressive-Huffman JPEG "
+                "are supported (arithmetic/hierarchical/lossless stream)"
             )
         elif tag == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -549,11 +758,19 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tabs = body[1 + si * 2], body[2 + si * 2]
                 scan.append((cs, tabs >> 4, tabs & 0x0F))
+            ss_, se_ = body[1 + ns * 2], body[2 + ns * 2]
+            ahal = body[3 + ns * 2]
+            band = (ss_, se_, ahal >> 4, ahal & 0x0F)
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
     if scan is None or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _decode_progressive(
+            blob, pos, h, w, comps, qt, dc_tabs, ac_tabs,
+            restart_interval, (scan, band),
+        )
     if len(scan) != len(comps):
         raise ValueError("multi-scan JPEG unsupported (progressive?)")
     if len(scan) == 1:
@@ -644,6 +861,12 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 np.repeat(plane, vmax // cvs, axis=0), hmax // chs, axis=1
             )
         planes.append(plane[:h, :w])
+    return _planes_to_image(planes)
+
+
+def _planes_to_image(planes: list[np.ndarray]) -> np.ndarray:
+    """Final stage shared by the baseline and progressive paths: clamp a
+    single luma plane, or invert YCbCr (BT.601) for three."""
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if len(planes) != 3:
@@ -653,3 +876,329 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(
+    blob: bytes,
+    pos: int,
+    h: int,
+    w: int,
+    comps: list[tuple[int, int, int, int]],
+    qt: dict[int, np.ndarray],
+    dc_tabs: dict[int, list],
+    ac_tabs: dict[int, list],
+    restart_interval: int,
+    first_scan: tuple,
+) -> np.ndarray:
+    """Progressive-Huffman JPEG (T.81 SOF2): coefficients accumulate
+    across scans — spectral selection (each AC scan covers one band of
+    one component) and successive approximation (first scans deliver
+    magnitudes down to bit Al, refinement scans one bit at a time).
+    Implements all four scan kinds per T.81 G.2 (DC first/refine,
+    AC first/refine with EOBRUN and correction bits), DHT/DQT/DRI
+    updates between scans, and restart markers; after the last scan the
+    full coefficient planes dequantize/IDCT exactly like baseline."""
+    if len(comps) == 1:
+        # one-component frames never interleave (T.81 A.2) — geometry
+        # ignores declared sampling factors, same rule as baseline
+        cid0, _, _, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 unsupported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_by_id = {c[0]: i for i, c in enumerate(comps)}
+    bw = [mcux * c[1] for c in comps]  # padded (MCU-aligned) block grid
+    bh = [mcuy * c[2] for c in comps]
+    # non-interleaved raster: the component's OWN block grid (T.81 A.2.2)
+    nbw = [-(-(-(-w * c[1] // hmax)) // 8) for c in comps]
+    nbh = [-(-(-(-h * c[2] // vmax)) // 8) for c in comps]
+    coef = [np.zeros((bh[i] * bw[i], 64), np.int64) for i in range(len(comps))]
+
+    scan, band = first_scan
+    while True:
+        pos = _decode_prog_scan(
+            blob, pos, scan, band, comps, comp_by_id, coef,
+            bw, nbw, nbh, mcux, mcuy, dc_tabs, ac_tabs, restart_interval,
+        )
+        # re-enter the marker stream for DHT/DQT/DRI/next SOS/EOI
+        scan = None
+        while pos + 1 < len(blob):
+            if blob[pos] != 0xFF:
+                pos += 1  # residual entropy pad
+                continue
+            while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+                pos += 1
+            tag = blob[pos + 1]
+            if 0xD0 <= tag <= 0xD7:  # stray RSTn between scans
+                pos += 2
+                continue
+            if tag == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+            body = blob[pos + 4 : pos + 2 + seglen]
+            if tag == 0xC4:  # DHT
+                bpos = 0
+                while bpos < len(body):
+                    cls, tid = body[bpos] >> 4, body[bpos] & 0x0F
+                    bits = list(body[bpos + 1 : bpos + 17])
+                    n = sum(bits)
+                    huffval = list(body[bpos + 17 : bpos + 17 + n])
+                    (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_table(
+                        bits, huffval
+                    )
+                    bpos += 17 + n
+            elif tag == 0xDB:  # DQT
+                bpos = 0
+                while bpos < len(body):
+                    pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                    if pq != 0:
+                        raise ValueError("16-bit quant tables unsupported")
+                    tab = np.zeros(64, np.int64)
+                    tab[ZIGZAG] = np.frombuffer(
+                        body[bpos + 1 : bpos + 65], np.uint8
+                    ).astype(np.int64)
+                    qt[tq] = tab
+                    bpos += 65
+            elif tag == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", body, 0)
+            elif tag == 0xDA:  # next SOS
+                ns = body[0]
+                scan = []
+                for si in range(ns):
+                    cs, tabs = body[1 + si * 2], body[2 + si * 2]
+                    scan.append((cs, tabs >> 4, tabs & 0x0F))
+                ss_, se_ = body[1 + ns * 2], body[2 + ns * 2]
+                ahal = body[3 + ns * 2]
+                band = (ss_, se_, ahal >> 4, ahal & 0x0F)
+                pos = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if scan is None:
+            break
+
+    planes = []
+    for i, (cid, chs, cvs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError(f"JPEG quant table {tq} missing")
+        nat = np.zeros_like(coef[i])
+        nat[:, ZIGZAG] = coef[i]
+        coefs = (nat * qt[tq]).reshape(-1, 8, 8).astype(np.float64)
+        pix = idct2(coefs) + 128.0
+        plane = (
+            pix.reshape(bh[i], bw[i], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh[i] * 8, bw[i] * 8)
+        )
+        if chs < hmax or cvs < vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cvs, axis=0), hmax // chs, axis=1
+            )
+        planes.append(plane[:h, :w])
+    return _planes_to_image(planes)
+
+
+def _decode_prog_scan(
+    blob: bytes,
+    pos: int,
+    scan: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    comps: list,
+    comp_by_id: dict,
+    coef: list[np.ndarray],
+    bw: list[int],
+    nbw: list[int],
+    nbh: list[int],
+    mcux: int,
+    mcuy: int,
+    dc_tabs: dict,
+    ac_tabs: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    arrays (T.81 G.2). Returns the byte offset where the scan's entropy
+    data ended."""
+    ss, se, ah, al = band
+    reader = _BitReader(blob, pos)
+    eobrun = 0
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for cs, _, _ in scan:
+            if comp_by_id.get(cs) is None:
+                raise ValueError("SOS references unknown component")
+        preds = [0] * len(comps)
+        if len(scan) > 1:
+            # interleaved DC scan: MCU raster, sub-blocks per component
+            order = []
+            for cs, td, _ in scan:
+                ci = comp_by_id[cs]
+                _, ch, cv, _ = comps[ci]
+                order.extend(
+                    (ci, td, by, bx) for by in range(cv) for bx in range(ch)
+                )
+            done = 0
+            total = mcux * mcuy
+            while done < total:
+                my, mx = divmod(done, mcux)
+                for ci, td, by, bx in order:
+                    _, ch, cv, _ = comps[ci]
+                    idx = (my * cv + by) * bw[ci] + mx * ch + bx
+                    row = coef[ci][idx]
+                    if ah == 0:
+                        t = reader.huffman(dc_tabs[td])
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        row[0] = preds[ci] << al
+                    else:
+                        if reader.bits(1):
+                            row[0] |= 1 << al
+                done += 1
+                if (
+                    restart_interval
+                    and done % restart_interval == 0
+                    and done < total
+                ):
+                    reader.sync_restart()
+                    preds = [0] * len(comps)
+        else:
+            cs, td, _ = scan[0]
+            ci = comp_by_id[cs]
+            total = nbw[ci] * nbh[ci]
+            for n in range(total):
+                by, bx = divmod(n, nbw[ci])
+                row = coef[ci][by * bw[ci] + bx]
+                if ah == 0:
+                    t = reader.huffman(dc_tabs[td])
+                    diff = _extend(reader.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    row[0] = preds[ci] << al
+                else:
+                    if reader.bits(1):
+                        row[0] |= 1 << al
+                if (
+                    restart_interval
+                    and (n + 1) % restart_interval == 0
+                    and n + 1 < total
+                ):
+                    reader.sync_restart()
+                    preds = [0] * len(comps)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("invalid progressive spectral band")
+        cs, _, ta = scan[0]
+        ci = comp_by_id.get(cs)
+        if ci is None:
+            raise ValueError("SOS references unknown component")
+        lut = ac_tabs[ta]
+        total = nbw[ci] * nbh[ci]
+        for n in range(total):
+            by, bx = divmod(n, nbw[ci])
+            row = coef[ci][by * bw[ci] + bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, lut, row, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, lut, row, ss, se, al, eobrun)
+            if (
+                restart_interval
+                and (n + 1) % restart_interval == 0
+                and n + 1 < total
+            ):
+                reader.sync_restart()
+                eobrun = 0
+    return reader.pos
+
+
+def _ac_first_block(
+    reader: _BitReader, lut: list, row: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """T.81 G.2.2: first AC scan of a band — run/size coding with EOBn
+    end-of-band runs spanning blocks. Returns the remaining EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.huffman(lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun  # current block is the first of the EOB run
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflows band")
+        row[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(
+    reader: _BitReader, lut: list, row: np.ndarray,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """T.81 G.2.3 correction-bit procedure: newly-significant
+    coefficients arrive as ±2^Al; every already-nonzero coefficient
+    passed over (including through ZRLs and EOB runs) reads one
+    correction bit. Returns the remaining EOBRUN."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun > 0:
+        # this block is wholly inside an EOB run: every already-nonzero
+        # coefficient of the band reads one correction bit
+        _refine_tail(reader, row, ss, se, p1, m1)
+        return eobrun - 1
+    in_eob = False
+    while k <= se:
+        rs = reader.huffman(lut)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1  # ADDITIONAL blocks after this one
+                if r:
+                    eobrun += reader.bits(r)
+                in_eob = True
+                break
+            val = 0  # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("bad refinement magnitude size")
+            val = p1 if reader.bits(1) else m1
+        while k <= se:
+            c = int(row[k])
+            if c != 0:
+                if reader.bits(1) and (c & p1) == 0:
+                    row[k] = c + (p1 if c >= 0 else m1)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            row[k] = val
+        k += 1
+    if in_eob:
+        # remainder of the CURRENT block (even for EOB0, where eobrun
+        # stays 0): correction bits for its remaining nonzeros
+        _refine_tail(reader, row, k, se, p1, m1)
+    return eobrun
+
+
+def _refine_tail(
+    reader: _BitReader, row: np.ndarray, k: int, se: int, p1: int, m1: int
+) -> None:
+    """Correction bits for every nonzero coefficient in [k, se]."""
+    while k <= se:
+        c = int(row[k])
+        if c != 0 and reader.bits(1) and (c & p1) == 0:
+            row[k] = c + (p1 if c >= 0 else m1)
+        k += 1
