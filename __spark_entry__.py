@@ -4284,6 +4284,87 @@ FROM range(0, 48) t(i)
 """
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (SOF2; T.81 Annex G spectral
+    selection + successive approximation — functions/jpeg.py). Two
+    value-checked layers per asset: (a) a flat fill encoded with
+    encode_jpeg_progressive at q90 decodes EXACTLY back to the fill
+    (DC-only blocks; quantization error < 0.5, same argument as
+    jpeg_decode), so DC first/refine scans, band headers, and the
+    multi-scan coefficient accumulation are hash-pinned; (b) an
+    id-derived gradient must decode pixel-identically through the
+    progressive and baseline streams of the SAME image — any defect in
+    AC band scans, EOBRUN, or refinement correction bits flips
+    prog_eq_base. The oracle replays the fill arithmetic and expects
+    prog_eq_base = TRUE."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                r, g, b = (i * 41) % 256, (i * 67 + 13) % 256, (i * 89 + 31) % 256
+                img = np.dstack(
+                    [np.full((16, 16), v, np.uint8) for v in (r, g, b)]
+                )
+                out = decode_jpeg(encode_jpeg_progressive(img, 90))
+                y, x = np.mgrid[0:16, 0:24]
+                grad = np.dstack(
+                    [
+                        (y * (3 + i % 5) + x * (2 + i % 7) + i) % 256,
+                        (x * 5 + i * 3) % 256,
+                        (y * 7 + i * 11) % 256,
+                    ]
+                ).astype(np.uint8)
+                q = (50, 85, 95)[i % 3]
+                eq = bool(
+                    (
+                        decode_jpeg(encode_jpeg_progressive(grad, q))
+                        == decode_jpeg(encode_jpeg(grad, q))
+                    ).all()
+                )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "uniform": bool((out == out[0, 0]).all()),
+                        "r": int(out[0, 0, 0]),
+                        "g": int(out[0, 0, 1]),
+                        "b": int(out[0, 0, 2]),
+                        "prog_eq_base": eq,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, uniform boolean, "
+        "r int, g int, b int, prog_eq_base boolean",
+    )
+
+
+ORACLE_JPEG_PROGRESSIVE = """
+SELECT i AS asset_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       TRUE AS uniform,
+       CAST((i * 41) % 256 AS INT) AS r,
+       CAST((i * 67 + 13) % 256 AS INT) AS g,
+       CAST((i * 89 + 31) % 256 AS INT) AS b,
+       TRUE AS prog_eq_base
+FROM range(0, 40) t(i)
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode, value-checked (functions/codecs.py — pure-Python
     LZW with variable-width codes): per asset, a small id-derived palette
@@ -6673,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
+        "jpeg_progressive": q_jpeg_progressive,
         "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
         "group_by_key": q_group_by_key,
@@ -6861,6 +6943,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": ORACLE_IMAGE_DECODE,
         "png_decode": ORACLE_PNG_DECODE,
         "jpeg_decode": ORACLE_JPEG_DECODE,
+        "jpeg_progressive": ORACLE_JPEG_PROGRESSIVE,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,

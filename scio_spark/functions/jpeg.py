@@ -669,12 +669,15 @@ def _enc_ac_refine(
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JPEG → uint8 (h, w) gray or (h, w, 3) RGB. Handles
-    arbitrary sampling factors up to 2 (4:4:4 / 4:2:2 / 4:2:0), multiple
-    DQT/DHT segments, and DRI restart intervals. Progressive (SOF2),
-    arithmetic, 12-bit, and CORRUPT streams all raise ValueError — a
-    truncated segment must never escape as IndexError/KeyError/
-    struct.error, or one bad asset fails the whole task at fleet scale."""
+    """Baseline (SOF0/1) or progressive-Huffman (SOF2) JPEG → uint8
+    (h, w) gray or (h, w, 3) RGB. Handles arbitrary sampling factors up
+    to 2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT segments, DRI restart
+    intervals, and for progressive streams the full T.81 Annex G scan
+    algebra (spectral selection, successive approximation, EOBRUN,
+    refinement correction bits). Arithmetic-coded, hierarchical, 12-bit,
+    and CORRUPT streams all raise ValueError — a truncated segment must
+    never escape as IndexError/KeyError/struct.error, or one bad asset
+    fails the whole task at fleet scale."""
     try:
         return _decode_jpeg(blob)
     except (IndexError, KeyError, struct.error) as e:

@@ -18,13 +18,14 @@ Codec policy, two tiers:
   compression is stdlib zlib, so no media library is needed (chunk
   framing, CRCs, and all five scanline filters implemented and tested
   against independently hand-assembled bytes).
-- Baseline JPEG has a REAL pure-Python codec too (``functions/
-  jpeg.py`` — ITU T.81 Huffman+DCT, no library needed).
-- The remaining COMPRESSED formats (MP3, compressed video codecs,
-  progressive/12-bit JPEG) are media-library work this container
-  doesn't ship, so those decoders are import-gated: with the libs absent they run a
-  deterministic fake (tested) or raise NotImplementedError (strict
-  mode).
+- JPEG has a REAL pure-Python codec too (``functions/jpeg.py`` — ITU
+  T.81 Huffman+DCT, baseline AND progressive SOF2 decode, no library
+  needed).
+- The remaining COMPRESSED formats (MP3, compressed video codecs
+  beyond Motion-JPEG AVI, 12-bit/arithmetic JPEG) are media-library
+  work this container doesn't ship, so those decoders are
+  import-gated: with the libs absent they run a deterministic fake
+  (tested) or raise NotImplementedError (strict mode).
 
 Scale notes: binary payloads dominate row size — the helpers repartition by
 byte budget, not row count (maxPartitionBytes analog for in-flight data), and

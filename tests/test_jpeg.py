@@ -239,10 +239,15 @@ def test_encoder_respects_quality_tables():
 
 
 def test_rejects_unsupported_streams():
-    # progressive SOF2
+    # arithmetic-coded sequential (SOF9) stays unsupported
+    sof9 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = b"\xff\xd8" + _seg(0xC9, sof9) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(blob)
+    # progressive SOF2 with no SOS: a frame header alone is not a stream
     sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
     blob = b"\xff\xd8" + _seg(0xC2, sof2) + b"\xff\xd9"
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="SOF/SOS"):
         decode_jpeg(blob)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # no SOF/SOS
@@ -335,3 +340,256 @@ def test_single_component_scan_is_non_interleaved():
     patched[i + 11] = 0x22
     got = decode_jpeg(bytes(patched))
     assert np.array_equal(got, baseline)
+
+
+# --------------------------------------------- progressive (SOF2) decode
+#
+# Strategy mirrors the baseline tier: hand-assembled multi-scan streams
+# whose final coefficients are known by construction, pixels checked
+# against a test-local textbook IDCT (independent of the module's
+# einsum idct2); then encode_jpeg_progressive vs encode_jpeg exactness
+# (the two entropy paths share only quantization, so any defect in the
+# scan script, EOB runs, or correction bits breaks pixel equality).
+
+
+def _ref_idct_block(coef_natural):
+    """Textbook T.81 A.3.3 inverse DCT, O(64^2) loops — deliberately
+    naive and independent of jpeg.idct2."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef_natural[v, u]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def _prog_sos(scan, ss, se, ah, al):
+    """SOS segment for a progressive scan: scan = [(comp_id, td, ta)]."""
+    body = bytes([len(scan)])
+    for cs, td, ta in scan:
+        body += bytes([cs, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _gray_prog_headers(w, h, q00):
+    qtab = bytes([0]) + bytes([q00] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    return (
+        b"\xff\xd8" + _seg(0xDB, qtab) + _seg(0xC2, sof) + _seg(0xC4, dht_dc)
+    )
+
+
+def test_progressive_dc_successive_approximation():
+    """Two 8x8 blocks. Scan 1 (Ss=Se=0, Ah=0, Al=1) carries DC>>1 as
+    diffs: (2, diff 1) -> shifted DC (4, 6). Scan 2 (Ah=1, Al=0) refines
+    one raw bit per block: (1, 0) -> final DC (5, 6). q00=16: pixels
+    128 + dc*16/8 = (138, 140), flat — fully analytic."""
+    dc = _canonical(DC_BITS, DC_VALS)
+
+    def put_diff(wtr, diff):
+        if diff == 0:
+            c, ln = dc[0]
+            wtr.put(c, ln)
+            return
+        t = abs(diff).bit_length()
+        code = diff if diff >= 0 else diff + (1 << t) - 1
+        c, ln = dc[t]
+        wtr.put(c, ln)
+        wtr.put(code, t)
+
+    w1 = _W()
+    put_diff(w1, 2)  # block 0: DC>>1 = 2
+    put_diff(w1, 1)  # block 1: DC>>1 = 3
+    w2 = _W()
+    w2.put(1, 1)  # block 0 bit0 = 1 -> DC 5
+    w2.put(0, 1)  # block 1 bit0 = 0 -> DC 6
+    blob = (
+        _gray_prog_headers(16, 8, q00=16)
+        + _prog_sos([(1, 0, 0)], 0, 0, 0, 1) + w1.bytes()
+        + _prog_sos([(1, 0, 0)], 0, 0, 1, 0) + w2.bytes()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 16)
+    assert (out[:, :8] == 138).all()
+    assert (out[:, 8:] == 140).all()
+
+
+def test_progressive_ac_band_scan_and_eobrun():
+    """Three blocks, q00=8. DC scan (Al=0) delivers DC (4, 2, 1). An AC
+    scan over band 1..63 gives block 0 one coefficient (k=1, value +1)
+    then ends the band with EOB1 + extension bit 1 = an end-of-band run
+    covering blocks 1 and 2. Expected pixels come from a test-local
+    textbook IDCT of the known coefficient grids."""
+    dc = _canonical(DC_BITS, DC_VALS)
+    # tiny custom AC table: EOB0, (run0,size1), EOB1, ZRL
+    ac_bits = [0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x01, 0x10, 0xF0]
+    ac = _canonical(ac_bits, ac_vals)
+
+    def put_diff(wtr, diff):
+        if diff == 0:
+            c, ln = dc[0]
+            wtr.put(c, ln)
+            return
+        t = abs(diff).bit_length()
+        code = diff if diff >= 0 else diff + (1 << t) - 1
+        c, ln = dc[t]
+        wtr.put(c, ln)
+        wtr.put(code, t)
+
+    wdc = _W()
+    for d in (4, -2, -1):  # DC 4, 2, 1
+        put_diff(wdc, d)
+    wac = _W()
+    c, ln = ac[0x01]  # run 0, size 1
+    wac.put(c, ln)
+    wac.put(1, 1)  # +1 at k=1
+    c, ln = ac[0x10]  # EOB1: run of (1<<1) + ext bits
+    wac.put(c, ln)
+    wac.put(1, 1)  # extension bit -> covers this block + 2 more
+    blob = (
+        _gray_prog_headers(24, 8, q00=8)
+        + _prog_sos([(1, 0, 0)], 0, 0, 0, 0) + wdc.bytes()
+        + _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _prog_sos([(1, 0, 0)], 1, 63, 0, 0) + wac.bytes()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == (8, 24)
+    # expected: block 0 has DC=4*8=32, AC(0,1)=1*8=8; blocks 1-2 DC-only
+    exp = np.zeros((8, 24))
+    cf = np.zeros((8, 8))
+    cf[0, 0], cf[0, 1] = 32.0, 8.0  # zigzag k=1 is natural (v=0, u=1)
+    exp[:, :8] = _ref_idct_block(cf) + 128.0
+    for bi, dcv in ((1, 2), (2, 1)):
+        cf = np.zeros((8, 8))
+        cf[0, 0] = dcv * 8.0
+        exp[:, bi * 8 : bi * 8 + 8] = _ref_idct_block(cf) + 128.0
+    assert (out == np.clip(np.round(exp), 0, 255).astype(np.uint8)).all()
+
+
+def test_progressive_ac_refinement_correction_bits():
+    """Band 1..63 at Al=1 makes k=1 significant (coef 2 after shift);
+    the Ah=1->Al=0 refinement scan then (a) corrects k=1 by one bit
+    (2 -> 3) and (b) introduces a new +-1 at k=2 — exercising the
+    sign-bit + buffered-correction-bit path. Pixels via textbook IDCT."""
+    dc = _canonical(DC_BITS, DC_VALS)
+    ac_bits = [0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x01, 0x10, 0xF0]
+    ac = _canonical(ac_bits, ac_vals)
+
+    wdc = _W()
+    c, ln = dc[2]
+    wdc.put(c, ln)
+    wdc.put(2, 2)  # DC>>1 = 2
+    wdcr = _W()
+    wdcr.put(0, 1)  # DC bit0 = 0 -> DC 4
+    wac1 = _W()
+    c, ln = ac[0x01]
+    wac1.put(c, ln)
+    wac1.put(1, 1)  # k=1: +1 at Al=1 -> coef 2
+    c, ln = ac[0x00]  # EOB0
+    wac1.put(c, ln)
+    wacr = _W()
+    c, ln = ac[0x01]  # newly significant, zero-history run 0
+    wacr.put(c, ln)
+    wacr.put(1, 1)  # sign: positive -> k=2 becomes +1
+    wacr.put(1, 1)  # correction bit for k=1 (passed over): 2 -> 3
+    c, ln = ac[0x00]  # EOB0 for the rest of the band
+    wacr.put(c, ln)
+    blob = (
+        _gray_prog_headers(8, 8, q00=8)
+        + _prog_sos([(1, 0, 0)], 0, 0, 0, 1) + wdc.bytes()
+        + _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+        + _prog_sos([(1, 0, 0)], 1, 63, 0, 1) + wac1.bytes()
+        + _prog_sos([(1, 0, 0)], 0, 0, 1, 0) + wdcr.bytes()
+        + _prog_sos([(1, 0, 0)], 1, 63, 1, 0) + wacr.bytes()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    cf = np.zeros((8, 8))
+    cf[0, 0] = 4 * 8.0
+    cf[0, 1] = 3 * 8.0  # zigzag k=1
+    cf[1, 0] = 1 * 8.0  # zigzag k=2 is natural (v=1, u=0)
+    exp = np.clip(np.round(_ref_idct_block(cf) + 128.0), 0, 255)
+    assert (out == exp.astype(np.uint8)).all()
+
+
+def test_progressive_restart_resets_dc_prediction():
+    """DRI=1 with RST0 between the two blocks of a DC-first scan: the
+    second 'diff' is absolute. Same analytic shape as the baseline
+    restart test, but through the progressive scan machinery."""
+    dc = _canonical(DC_BITS, DC_VALS)
+    w1 = _W()
+    c, ln = dc[2]
+    w1.put(c, ln)
+    w1.put(2, 2)  # block 0: DC 2
+    w2 = _W()
+    c, ln = dc[2]
+    w2.put(c, ln)
+    w2.put(2, 2)  # block 1: diff 2 from a RESET predictor -> DC 2
+    blob = (
+        _gray_prog_headers(16, 8, q00=16)
+        + _seg(0xDD, struct.pack(">H", 1))
+        + _prog_sos([(1, 0, 0)], 0, 0, 0, 0)
+        + w1.bytes() + bytes([0xFF, 0xD0]) + w2.bytes()
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert (out[:, :8] == 132).all()
+    assert (out[:, 8:] == 132).all()  # 136 without the predictor reset
+
+
+def test_progressive_roundtrip_matches_baseline_exactly():
+    """decode(encode_jpeg_progressive(x, q)) == decode(encode_jpeg(x, q))
+    pixel-for-pixel: the progressive scan script (spectral selection +
+    successive approximation + refinement) must reconstruct the exact
+    quantized coefficients of the baseline stream."""
+    from scio_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.RandomState(11)
+    shapes = [(8, 8), (17, 23), (16, 16, 3), (9, 13, 3), (24, 40, 3)]
+    for shape in shapes:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            assert base.shape == prog.shape == img.shape
+            assert (base == prog).all(), (shape, q)
+    y, x = np.mgrid[0:32, 0:48]
+    grad = np.dstack([(y * 3 + x) % 256, (x * 5) % 256, (y * 7) % 256])
+    grad = grad.astype(np.uint8)
+    for q in (30, 75, 90):
+        assert (
+            decode_jpeg(encode_jpeg(grad, q))
+            == decode_jpeg(encode_jpeg_progressive(grad, q))
+        ).all()
+
+
+def test_progressive_corrupt_streams_raise_valueerror():
+    from scio_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg_progressive(img, 85)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-8])  # truncated final scan
+    # flip a byte inside the first entropy segment
+    sos0 = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos0 + 40] ^= 0x5A
+    try:
+        decode_jpeg(bytes(bad))  # may still decode (lossy) — must not
+    except ValueError:
+        pass  # ...escape as IndexError/KeyError/struct.error
