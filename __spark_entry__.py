@@ -4688,6 +4688,164 @@ FROM range(0, 48) t(i)
 """
 
 
+def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 companded audio (functions/audio.py — vectorized CCITT
+    μ-law/A-law, pinned bit-exact against CPython's audioop in tests),
+    value-checked end-to-end THROUGH the WAV container: per asset, 200
+    non-negative samples x_j = (i*31 + j*17) % 8000 are μ-law (even
+    assets) or A-law (odd) encoded into fmt-7/6 RIFF bytes executor-side
+    and decoded back by decode_wav_ex; output is the sum and a
+    position-weighted digest of the decoded int16 samples. The oracle
+    RE-DERIVES the companding curves in SQL (segment CASE + bit ops) —
+    an independent reimplementation of the spec, so any defect in the
+    segment search, mantissa math, bias, or the RIFF fmt-6/7 framing
+    breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.audio import encode_wav_g711
+    from scio_spark.functions.codecs import decode_wav_ex
+
+    base = spark.range(64).select(F.col("id").alias("asset_id"))
+    j = np.arange(200, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                x = ((i * 31 + j * 17) % 8000).astype(np.int16)
+                law = "ulaw" if i % 2 == 0 else "alaw"
+                sr, arr, codec = decode_wav_ex(encode_wav_g711(x, 8000, law))
+                s = arr[:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "asset_id": i, "codec": codec,
+                        "sample_rate": sr, "n_samples": int(s.size),
+                        "sample_sum": int(s.sum()),
+                        "digest": int((s * (j + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, codec string, sample_rate int, n_samples int, "
+        "sample_sum long, digest long",
+    )
+
+
+ORACLE_AUDIO_G711 = """
+WITH s AS (
+  SELECT i, j, (i * 31 + j * 17) % 8000 AS x
+  FROM range(0, 64) t(i) CROSS JOIN range(0, 200) u(j)
+),
+enc AS (
+  SELECT i, j,
+         CASE WHEN i % 2 = 0 THEN LEAST(x >> 2, 8159) + 33
+              ELSE x >> 3 END AS v
+  FROM s
+),
+seg AS (
+  SELECT i, j, v,
+         CASE WHEN i % 2 = 0 THEN
+           CASE WHEN v <= 63 THEN 0 WHEN v <= 127 THEN 1
+                WHEN v <= 255 THEN 2 WHEN v <= 511 THEN 3
+                WHEN v <= 1023 THEN 4 WHEN v <= 2047 THEN 5
+                WHEN v <= 4095 THEN 6 ELSE 7 END
+         ELSE
+           CASE WHEN v <= 31 THEN 0 WHEN v <= 63 THEN 1
+                WHEN v <= 127 THEN 2 WHEN v <= 255 THEN 3
+                WHEN v <= 511 THEN 4 WHEN v <= 1023 THEN 5
+                WHEN v <= 2047 THEN 6 ELSE 7 END
+         END AS e
+  FROM enc
+),
+val AS (
+  SELECT i, j,
+         CASE WHEN i % 2 = 0 THEN
+           (((((v >> (e + 1)) & 15) << 3) + 132) << e) - 132
+         ELSE
+           CASE WHEN e = 0
+                THEN (((v >> 1) & 15) << 4) + 8
+                ELSE ((((v >> e) & 15) << 4) + 264) << (e - 1) END
+         END AS d
+  FROM seg
+)
+SELECT i AS asset_id,
+       CASE WHEN i % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(200 AS INT) AS n_samples,
+       CAST(SUM(d) AS BIGINT) AS sample_sum,
+       CAST(SUM(d * (j + 1)) AS BIGINT) AS digest
+FROM val GROUP BY i
+"""
+
+
+def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM WAV (format tag 0x11; functions/audio.py — block
+    headers + 4-bit adaptive codes, nibble core pinned bit-exact vs
+    audioop in tests): per asset a smooth two-tone signal of EXACTLY
+    2/3/4 full 505-sample blocks is ADPCM-encoded into a fmt-0x11 RIFF
+    container and decoded back. ADPCM is an adaptive recurrence (not
+    SQL-expressible), so the oracle checks the deterministic frame
+    geometry exactly (block math: n_frames = 505 * n_blocks) plus a
+    reconstruction-error property bound (mean |err| < 120 for a smooth
+    signal — fails if the step adaptation, block framing, or stereo
+    interleave is wrong)."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.audio import encode_wav_adpcm
+    from scio_spark.functions.codecs import decode_wav_ex
+
+    base = spark.range(48).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                n = 505 * (2 + i % 3)
+                t = np.arange(n)
+                sig = (
+                    5000 * np.sin(t / (20.0 + i % 10))
+                    + 900 * np.sin(t / (5.0 + i % 4))
+                ).astype(np.int16)
+                stereo = i % 4 == 3
+                x = np.stack([sig, sig[::-1]], axis=1) if stereo else sig
+                sr, arr, codec = decode_wav_ex(encode_wav_adpcm(x, 8000))
+                ref = x if stereo else x[:, None]
+                err = np.abs(
+                    arr[:n].astype(np.int64) - ref.astype(np.int64)
+                ).mean()
+                rows.append(
+                    {
+                        "asset_id": i, "codec": codec, "sample_rate": sr,
+                        "channels": int(arr.shape[1]),
+                        "n_frames": int(arr.shape[0]),
+                        "within_tol": bool(err < 120.0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, codec string, sample_rate int, channels int, "
+        "n_frames long, within_tol boolean",
+    )
+
+
+ORACLE_AUDIO_ADPCM = """
+SELECT i AS asset_id, 'ima_adpcm' AS codec,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(CASE WHEN i % 4 = 3 THEN 2 ELSE 1 END AS INT) AS channels,
+       CAST(505 * (2 + i % 3) AS BIGINT) AS n_frames,
+       TRUE AS within_tol
+FROM range(0, 48) t(i)
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout clustering (beyond-reference scale operator;
     functions/layout.py): events clustered along the Morton curve of
@@ -6755,6 +6913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "jpeg_progressive": q_jpeg_progressive,
+        "audio_g711": q_audio_g711,
+        "audio_adpcm": q_audio_adpcm,
         "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
         "group_by_key": q_group_by_key,
@@ -6944,6 +7104,8 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": ORACLE_PNG_DECODE,
         "jpeg_decode": ORACLE_JPEG_DECODE,
         "jpeg_progressive": ORACLE_JPEG_PROGRESSIVE,
+        "audio_g711": ORACLE_AUDIO_G711,
+        "audio_adpcm": ORACLE_AUDIO_ADPCM,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,

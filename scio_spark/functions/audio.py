@@ -1,0 +1,336 @@
+"""Compressed-audio codecs — pure Python/numpy, no media libraries.
+
+The reference engine treats audio as opaque binary (its multimodal floor
+is ``binaryFileIO``; see SURVEY.md §2.7) — decode is where this repo goes
+beyond it for training-data curation. multimodal.py's import gate is only
+needed for formats that genuinely require a native library; the telephony
+and lossless tiers are pure arithmetic and get real implementations here:
+
+- **G.711 μ-law / A-law** (WAV format tags 7 / 6): the CCITT segmented
+  companding curves, implemented VECTORIZED (segment lookup via
+  searchsorted, no per-sample Python). Tests pin both directions against
+  CPython's ``audioop`` (an independent C implementation of the same
+  spec) over the full 16-bit input range and all 256 code points.
+- **IMA/DVI ADPCM** (WAV format tag 0x11): 4-bit adaptive delta PCM with
+  the standard 89-entry step table, including the WAV block layout
+  (per-channel block headers carrying predictor + step index, low-nibble
+  first, stereo interleaved in 4-byte groups). The nibble core is pinned
+  against ``audioop``'s Intel/DVI codec; the block framing is round-trip
+  and layout tested. Encode/decode is a per-sample recurrence (the
+  predictor feeds back), so it runs as a Python loop — it parallelizes
+  per asset across mapInPandas tasks like the JPEG entropy decoder.
+
+``decode_wav`` in functions/codecs.py routes format tags 1 (8/16/24/32-bit
+PCM), 3 (float32), 6, 7, and 0x11 here; everything decodes to int16.
+
+Scale: all entry points are plain bytes→ndarray functions so they drop
+into the existing mapInPandas feature extractors — no new shuffle, no
+driver involvement, corrupt payloads raise ValueError only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------- G.711 μ-law
+
+_BIAS = 0x84  # 132
+_ULAW_CLIP14 = 8159  # clip after the >>2 shift to 14-bit magnitude
+_SEG_U = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], np.int64
+)
+_SEG_A = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int64
+)
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → G.711 μ-law codes (uint8), vectorized CCITT algorithm:
+    shift to 14-bit, bias by 33, find the segment, take the 4-bit
+    mantissa, complement. Bit-exact vs audioop.lin2ulaw on all 65536
+    inputs (pinned in tests)."""
+    v = np.asarray(samples, np.int64) >> 2
+    mask = np.where(v < 0, 0x7F, 0xFF)
+    v = np.where(v < 0, -v, v)
+    v = np.minimum(v, _ULAW_CLIP14) + (_BIAS >> 2)
+    seg = np.searchsorted(_SEG_U, v, side="left")
+    uval = (seg << 4) | ((v >> (seg + 1)) & 0xF)
+    return (np.where(seg >= 8, 0x7F, uval) ^ mask).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 μ-law codes → int16, vectorized: magnitude is
+    ((mantissa<<3)+BIAS)<<segment minus BIAS. Bit-exact vs
+    audioop.ulaw2lin for all 256 codes."""
+    c = (~np.asarray(codes, np.int64)) & 0xFF
+    sign = c & 0x80
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    mag = (((m << 3) + _BIAS) << e) - _BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 → G.711 A-law codes (uint8): shift to 13-bit (ones'
+    complement for negatives), segment lookup, XOR 0x55 bit inversion.
+    Bit-exact vs audioop.lin2alaw on all 65536 inputs."""
+    v = np.asarray(samples, np.int64) >> 3
+    mask = np.where(v >= 0, 0xD5, 0x55)
+    v = np.where(v >= 0, v, -v - 1)
+    seg = np.searchsorted(_SEG_A, v, side="left")
+    segc = np.minimum(seg, 7)
+    aval = (segc << 4) | (np.where(segc < 2, v >> 1, v >> segc) & 0xF)
+    return (np.where(seg >= 8, 0x7F, aval) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law codes → int16. Bit-exact vs audioop.alaw2lin for all
+    256 codes."""
+    c = np.asarray(codes, np.int64) ^ 0x55
+    sign = c & 0x80
+    e = (c >> 4) & 7
+    m = c & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+# --------------------------------------------------------- IMA/DVI ADPCM
+
+_IMA_STEP = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    np.int64,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int64)
+
+
+def ima_nibbles_decode(
+    nibbles, pred: int, index: int
+) -> tuple[list[int], int, int]:
+    """Decode a sequence of 4-bit IMA ADPCM codes given the running
+    (predictor, step index) state; returns (samples, pred, index).
+    Matches audioop.adpcm2lin bit-for-bit (pinned in tests)."""
+    out = []
+    step_tab, idx_tab = _IMA_STEP, _IMA_INDEX
+    for nib in nibbles:
+        step = int(step_tab[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        index = max(0, min(88, index + int(idx_tab[nib & 7])))
+        out.append(pred)
+    return out, pred, index
+
+
+def ima_nibbles_encode(
+    samples, pred: int, index: int
+) -> tuple[list[int], int, int]:
+    """Encode int16 samples to 4-bit IMA ADPCM codes; the encoder tracks
+    the decoder's reconstruction so the state never drifts. Matches
+    audioop.lin2adpcm bit-for-bit."""
+    nibs = []
+    step_tab, idx_tab = _IMA_STEP, _IMA_INDEX
+    for s in samples:
+        step = int(step_tab[index])
+        diff = int(s) - pred
+        nib = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        if nib & 8:
+            d = -d
+        pred = max(-32768, min(32767, pred + d))
+        index = max(0, min(88, index + int(idx_tab[nib & 7])))
+        nibs.append(nib)
+    return nibs, pred, index
+
+
+def adpcm_wav_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """WAV format-0x11 'data' chunk bytes → int16 (frames, channels).
+    Each block starts with a 4-byte header per channel (int16 predictor
+    = the block's first output sample, uint8 step index, reserved);
+    payload nibbles are low-first, stereo interleaved in 4-byte groups
+    per channel."""
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM: unsupported channel count {channels}")
+    if block_align < 4 * channels:
+        raise ValueError("IMA ADPCM: block_align smaller than headers")
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    pos = 0
+    while pos + 4 * channels <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        preds, idxs = [], []
+        for ch in range(channels):
+            p, i, _ = struct.unpack_from("<hBB", block, ch * 4)
+            if i > 88:
+                raise ValueError(f"IMA ADPCM: step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+            chans[ch].append(p)  # header predictor IS the first sample
+        payload = block[4 * channels :]
+        if channels == 1:
+            nibs = []
+            for b in payload:
+                nibs.append(b & 0x0F)
+                nibs.append(b >> 4)
+            out, _, _ = ima_nibbles_decode(nibs, preds[0], idxs[0])
+            chans[0].extend(out)
+        else:
+            # stereo: alternating 4-byte (8-nibble) groups, L first
+            states = [(preds[0], idxs[0]), (preds[1], idxs[1])]
+            for g in range(0, len(payload) - 7, 8):
+                for ch in range(2):
+                    quad = payload[g + ch * 4 : g + ch * 4 + 4]
+                    nibs = []
+                    for b in quad:
+                        nibs.append(b & 0x0F)
+                        nibs.append(b >> 4)
+                    out, p, i = ima_nibbles_decode(nibs, *states[ch])
+                    states[ch] = (p, i)
+                    chans[ch].extend(out)
+    n = min(len(c) for c in chans)
+    return np.stack([np.array(c[:n], np.int16) for c in chans], axis=1)
+
+
+def adpcm_wav_encode(
+    samples: np.ndarray, samples_per_block: int = 505
+) -> tuple[bytes, int]:
+    """int16 (frames,) or (frames, channels) → WAV format-0x11 'data'
+    bytes. Returns (data, block_align). samples_per_block must be odd
+    for mono (the header carries sample 0; the rest pack two per byte)
+    and 1 mod 8 for stereo (4-byte channel groups); 505 satisfies both
+    and is the common choice for 2041/2048-byte mono/stereo blocks."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    if channels not in (1, 2):
+        raise ValueError(f"IMA ADPCM: unsupported channel count {channels}")
+    spb = samples_per_block
+    if channels == 1:
+        if (spb - 1) % 2:
+            raise ValueError("mono IMA ADPCM needs an odd samples_per_block")
+        block_align = 4 + (spb - 1) // 2
+    else:
+        if (spb - 1) % 8:
+            raise ValueError(
+                "stereo IMA ADPCM needs samples_per_block ≡ 1 (mod 8)"
+            )
+        block_align = 8 + (spb - 1)
+    out = bytearray()
+    idxs = [0] * channels
+    for start in range(0, arr.shape[0], spb):
+        blk = arr[start : start + spb]
+        if blk.shape[0] < spb:  # pad the tail block by repeating the last
+            pad = np.repeat(blk[-1:], spb - blk.shape[0], axis=0)
+            blk = np.concatenate([blk, pad], axis=0)
+        nibs_per_ch = []
+        for ch in range(channels):
+            pred = int(blk[0, ch])
+            out += struct.pack("<hBB", pred, idxs[ch], 0)
+            nibs, _, idxs[ch] = ima_nibbles_encode(
+                blk[1:, ch].tolist(), pred, idxs[ch]
+            )
+            nibs_per_ch.append(nibs)
+        if channels == 1:
+            nibs = nibs_per_ch[0]
+            for j in range(0, len(nibs), 2):
+                out.append((nibs[j] & 0x0F) | (nibs[j + 1] << 4))
+        else:
+            for g in range(0, len(nibs_per_ch[0]), 8):
+                for ch in range(2):
+                    nibs = nibs_per_ch[ch][g : g + 8]
+                    for j in range(0, 8, 2):
+                        out.append((nibs[j] & 0x0F) | (nibs[j + 1] << 4))
+    return bytes(out), block_align
+
+
+# --------------------------------------------------- WAV container glue
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int, law: str = "ulaw"
+) -> bytes:
+    """int16 (frames,) or (frames, channels) → G.711 WAV bytes
+    (format tag 7 for μ-law, 6 for A-law; 8 bits per sample)."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    enc = ulaw_encode if law == "ulaw" else alaw_encode
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    data = enc(arr.reshape(-1)).tobytes()
+    fmt_tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHHH", fmt_tag, channels, sample_rate,
+        sample_rate * channels, channels, 8, 0,
+    )
+    return _riff_wave(fmt, data)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """int16 samples → IMA ADPCM WAV bytes (format tag 0x11 with the
+    wSamplesPerBlock extension and a 'fact' chunk, per the RIFF spec)."""
+    arr = np.asarray(samples, np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    n_frames = arr.shape[0]
+    data, block_align = adpcm_wav_encode(arr, samples_per_block)
+    n_blocks = -(-n_frames // samples_per_block)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate, byte_rate,
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", n_blocks * samples_per_block)
+    return _riff_wave(fmt, data, fact=fact)
+
+
+def _riff_wave(fmt_body: bytes, data: bytes, fact: bytes | None = None) -> bytes:
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) % 2:
+        chunks += b"\x00"
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<I", len(fact)) + fact
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -7,9 +7,12 @@ formats are pure arithmetic and get real, tested implementations here:
 
 - PPM (P6) / PGM (P5): netpbm binary images — header + raw pixels,
 - BMP: 24-bit uncompressed BI_RGB (bottom-up rows, 4-byte row padding),
-- WAV: PCM RIFF audio. The decoder parses RIFF chunks by hand; tests
-  round-trip it against the stdlib ``wave`` writer, so the two sides are
-  independent implementations,
+- WAV: RIFF audio — integer PCM (8/16/24/32-bit), IEEE float32, G.711
+  μ-law/A-law, and IMA/DVI ADPCM (the compressed codecs live in
+  functions/audio.py, pinned bit-exact against CPython's audioop). The
+  decoder parses RIFF chunks by hand; tests round-trip the PCM path
+  against the stdlib ``wave`` writer, so the two sides are independent
+  implementations,
 - PNG (8/16-bit gray/RGB/RGBA/gray+alpha/palette, sequential + Adam7):
   the compression is stdlib ``zlib`` — chunk framing, CRC-32, and all
   five scanline filters (W3C spec) implemented here; tests decode
@@ -151,12 +154,31 @@ def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> byte
 
 
 def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
-    """WAV (PCM 16-bit) → (sample_rate, int16 array (frames, channels)).
-    Hand-parses the RIFF chunk list (fmt then data; other chunks skipped)."""
+    """WAV → (sample_rate, int16 array (frames, channels)). Backward-
+    compatible wrapper over :func:`decode_wav_ex`."""
+    sr, arr, _codec = decode_wav_ex(blob)
+    return sr, arr
+
+
+def decode_wav_ex(blob: bytes) -> tuple[int, np.ndarray, str]:
+    """WAV → (sample_rate, int16 (frames, channels), codec name).
+    Hand-parses the RIFF chunk list (fmt then data; other chunks
+    skipped). Format coverage:
+
+    - tag 1 (PCM): 8 (unsigned), 16, 24, 32-bit — all widened/narrowed
+      to int16,
+    - tag 3 (IEEE float32) → int16,
+    - tags 6/7 (G.711 A-law/μ-law) → vectorized expand (functions/
+      audio.py, pinned bit-exact against CPython's audioop),
+    - tag 0x11 (IMA/DVI ADPCM) → block-structured adaptive decode.
+
+    Anything else raises ValueError (never Index/struct errors — one
+    corrupt asset must not kill a fleet task)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, len(blob)
-    sample_rate = channels = bits = None
+    sample_rate = channels = bits = fmt = None
+    block_align = 0
     data = None
     while pos + 8 <= end:
         cid = blob[pos : pos + 4]
@@ -164,20 +186,55 @@ def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
         body = pos + 8
         if cid == b"fmt ":
             fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, body)
-            (bits,) = struct.unpack_from("<H", blob, body + 14)
-            if fmt != 1 or bits != 16:
-                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+            block_align, bits = struct.unpack_from("<HH", blob, body + 12)
         elif cid == b"data":
             data = blob[body : body + clen]
         pos = body + clen + (clen & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    arr = np.frombuffer(data, dtype="<i2")
+    if channels < 1:
+        raise ValueError("WAV declares zero channels")
+
+    from scio_spark.functions import audio as _audio
+
+    if fmt == 1:  # integer PCM
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:
+            arr = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8)
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) - len(data) % 3], np.uint8)
+            raw = raw.reshape(-1, 3).astype(np.int32)
+            full = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            full = np.where(full >= 1 << 23, full - (1 << 24), full)
+            arr = (full >> 8).astype(np.int16)
+        elif bits == 32:
+            arr = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
+        else:
+            raise ValueError(f"unsupported WAV PCM bit depth {bits}")
+        codec = f"pcm{bits}"
+    elif fmt == 3:  # IEEE float
+        if bits != 32:
+            raise ValueError(f"unsupported WAV float bit depth {bits}")
+        f = np.clip(np.frombuffer(data, dtype="<f4"), -1.0, 1.0)
+        arr = np.round(f * 32767.0).astype(np.int16)
+        codec = "float32"
+    elif fmt == 6:
+        arr = _audio.alaw_decode(np.frombuffer(data, np.uint8))
+        codec = "alaw"
+    elif fmt == 7:
+        arr = _audio.ulaw_decode(np.frombuffer(data, np.uint8))
+        codec = "ulaw"
+    elif fmt == 0x11:
+        out = _audio.adpcm_wav_decode(data, channels, block_align)
+        return sample_rate, out, "ima_adpcm"
+    else:
+        raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
     if channels > 1:
-        arr = arr.reshape(-1, channels)
+        arr = arr[: arr.size - arr.size % channels].reshape(-1, channels)
     else:
         arr = arr.reshape(-1, 1)
-    return sample_rate, arr
+    return sample_rate, arr, codec
 
 
 # --------------------------------------------------------------- image: PNG
@@ -1089,7 +1146,7 @@ def audio_features(
             for aid, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob)
                 try:
-                    sr, arr = decode_wav(b)
+                    sr, arr, codec = decode_wav_ex(b)
                     x = arr.astype(np.float64)
                     rows.append(
                         {
@@ -1098,7 +1155,7 @@ def audio_features(
                             "duration_ms": int(arr.shape[0] * 1000 / sr),
                             "rms": float(np.sqrt((x ** 2).mean())) if arr.size else 0.0,
                             "peak": int(np.abs(arr).max()) if arr.size else 0,
-                            "decoder": "wav",
+                            "decoder": f"wav-{codec}",
                         }
                     )
                 except (ValueError, struct.error):

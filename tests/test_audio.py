@@ -1,0 +1,182 @@
+"""Compressed-audio codec tests (functions/audio.py + decode_wav_ex).
+
+Verification strategy: G.711 and the IMA ADPCM nibble core are pinned
+BIT-EXACT against CPython's ``audioop`` — an independent C
+implementation of the same specs — over the full 16-bit input range /
+all 256 code points. The WAV block framing (which audioop doesn't do)
+is checked against hand-assembled blocks with analytically-known
+samples, plus multi-block/stereo round-trips with an ADPCM error bound.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from scio_spark.functions.audio import (
+    adpcm_wav_decode,
+    adpcm_wav_encode,
+    alaw_decode,
+    alaw_encode,
+    encode_wav_adpcm,
+    encode_wav_g711,
+    ima_nibbles_decode,
+    ima_nibbles_encode,
+    ulaw_decode,
+    ulaw_encode,
+)
+from scio_spark.functions.codecs import decode_wav, decode_wav_ex
+
+audioop = pytest.importorskip("audioop")  # stdlib in <=3.12
+
+
+ALL_I16 = np.arange(-32768, 32768, dtype=np.int16)
+ALL_CODES = np.arange(256, dtype=np.uint8)
+
+
+def test_ulaw_bit_exact_vs_audioop():
+    ref_enc = np.frombuffer(audioop.lin2ulaw(ALL_I16.tobytes(), 2), np.uint8)
+    assert (ulaw_encode(ALL_I16) == ref_enc).all()
+    ref_dec = np.frombuffer(audioop.ulaw2lin(ALL_CODES.tobytes(), 2), "<i2")
+    assert (ulaw_decode(ALL_CODES) == ref_dec).all()
+
+
+def test_alaw_bit_exact_vs_audioop():
+    ref_enc = np.frombuffer(audioop.lin2alaw(ALL_I16.tobytes(), 2), np.uint8)
+    assert (alaw_encode(ALL_I16) == ref_enc).all()
+    ref_dec = np.frombuffer(audioop.alaw2lin(ALL_CODES.tobytes(), 2), "<i2")
+    assert (alaw_decode(ALL_CODES) == ref_dec).all()
+
+
+def test_g711_spec_spot_values():
+    """Hand-computed from the G.711 curves, not from any implementation:
+    μ-law code 0xFF is digital zero (mantissa 0, segment 0 → magnitude
+    (0+132)·1−132 = 0); A-law code 0xD5 (= 0x80^0x55) is +8 (segment 0,
+    mantissa 0 → (0<<4)+8)."""
+    assert int(ulaw_decode(np.array([0xFF]))[0]) == 0
+    assert int(alaw_decode(np.array([0xD5]))[0]) == 8
+    # μ-law segment-0 step is 8: codes 0xFF,0xFE,0xFD... decode 0,8,16...
+    got = ulaw_decode(np.array([0xFF, 0xFE, 0xFD, 0xFC]))
+    assert got.tolist() == [0, 8, 16, 24]
+    # companding error bound: |decode(encode(x)) - x| <= segment width
+    x = ALL_I16.astype(np.int64)
+    err = np.abs(ulaw_decode(ulaw_encode(ALL_I16)).astype(np.int64) - x)
+    assert int(err[np.abs(x) < 8000].max()) <= 256
+    erra = np.abs(alaw_decode(alaw_encode(ALL_I16)).astype(np.int64) - x)
+    assert int(erra[np.abs(x) < 8000].max()) <= 256
+
+
+def test_ima_core_bit_exact_vs_audioop():
+    rng = np.random.RandomState(5)
+    x = np.cumsum(rng.randint(-900, 900, 4000)).clip(-32000, 32000)
+    x = x.astype(np.int16)
+    ref_enc, ref_state = audioop.lin2adpcm(x.tobytes(), 2, None)
+    nibs, pred, idx = ima_nibbles_encode(x.tolist(), 0, 0)
+    # audioop packs the first sample of each pair in the HIGH nibble
+    packed = bytearray()
+    for j in range(0, len(nibs), 2):
+        packed.append((nibs[j] << 4) | nibs[j + 1])
+    assert bytes(packed) == ref_enc
+    assert (pred, idx) == ref_state
+    ref_dec = np.frombuffer(audioop.adpcm2lin(ref_enc, 2, None)[0], "<i2")
+    out, _, _ = ima_nibbles_decode(nibs, 0, 0)
+    assert (np.array(out[: len(ref_dec)], np.int16) == ref_dec).all()
+
+
+def test_adpcm_wav_block_layout_hand_assembled():
+    """One mono block, block_align=8: header (predictor=100, index=0)
+    then 4 payload bytes = 8 nibbles. Nibble 0 with step 7 gives
+    diff = 7>>3 = 0 → sample stays 100 and index drops to 0 (clamped);
+    nibble 2 adds 7>>1 + 7>>3 = 3. Samples derived by hand from the
+    step table."""
+    hdr = struct.pack("<hBB", 100, 0, 0)
+    # nibbles: 0,0, 2,0, 0,0, 0,0  (low nibble first within each byte)
+    payload = bytes([0x00, 0x02 & 0x0F | (0x00 << 4), 0x00, 0x00])
+    payload = bytes([0x00, 0x02, 0x00, 0x00])  # (2,0) in byte 1
+    out = adpcm_wav_decode(hdr + payload, channels=1, block_align=8)
+    assert out.shape == (9, 1)
+    assert out[0, 0] == 100  # block header predictor IS sample 0
+    assert out[1, 0] == 100 and out[2, 0] == 100  # two zero nibbles
+    assert out[3, 0] == 103  # nibble 2: +(7>>1 + 7>>3) = +3
+    assert (out[4:, 0] == 103).all()  # zero nibbles keep the predictor
+
+
+def test_adpcm_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(11)
+    t = np.arange(3000)
+    mono = (6000 * np.sin(t / 40) + 800 * np.sin(t / 7)).astype(np.int16)
+    data, ba = adpcm_wav_encode(mono, samples_per_block=505)
+    back = adpcm_wav_decode(data, 1, ba)[: mono.shape[0], 0]
+    err = np.abs(back.astype(np.int64) - mono.astype(np.int64))
+    assert float(err.mean()) < 120.0  # adaptive step tracks a smooth signal
+    stereo = np.stack([mono, mono[::-1]], axis=1)
+    data, ba = adpcm_wav_encode(stereo, samples_per_block=505)
+    back = adpcm_wav_decode(data, 2, ba)[: stereo.shape[0]]
+    err = np.abs(back.astype(np.int64) - stereo.astype(np.int64))
+    assert float(err.mean()) < 120.0
+    with pytest.raises(ValueError, match="odd"):
+        adpcm_wav_encode(mono, samples_per_block=500)
+    with pytest.raises(ValueError, match="mod 8"):
+        adpcm_wav_encode(stereo, samples_per_block=503)
+
+
+def test_wav_container_g711_and_adpcm_route():
+    t = np.arange(2020)
+    sig = (5000 * np.sin(t / 25)).astype(np.int16)
+    for law, codec in (("ulaw", "ulaw"), ("alaw", "alaw")):
+        blob = encode_wav_g711(sig, 8000, law)
+        sr, arr, name = decode_wav_ex(blob)
+        assert (sr, name) == (8000, codec)
+        dec = (ulaw_decode if law == "ulaw" else alaw_decode)(
+            (ulaw_encode if law == "ulaw" else alaw_encode)(sig)
+        )
+        assert (arr[:, 0] == dec).all()
+    blob = encode_wav_adpcm(sig, 8000)
+    sr, arr, name = decode_wav_ex(blob)
+    assert (sr, name) == (8000, "ima_adpcm")
+    err = np.abs(arr[: sig.shape[0], 0].astype(np.int64) - sig)
+    assert float(err.mean()) < 120.0
+    # legacy 2-tuple API still works
+    sr2, arr2 = decode_wav(blob)
+    assert sr2 == 8000 and (arr2 == arr).all()
+
+
+def _pcm_wav(fmt, bits, data, channels=1, rate=8000):
+    body = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(body)) + body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_pcm_depths_and_float():
+    # 8-bit unsigned: 128 is digital zero, 129 -> +256
+    sr, arr, name = decode_wav_ex(_pcm_wav(1, 8, bytes([128, 129, 0, 255])))
+    assert name == "pcm8"
+    assert arr[:, 0].tolist() == [0, 256, -32768, 32512]
+    # 24-bit: top 16 bits kept — 0x010000 -> 256; 0xFFFFFF (-1) -> -1
+    d24 = b"\x00\x00\x01" + b"\xff\xff\xff"
+    sr, arr, name = decode_wav_ex(_pcm_wav(1, 24, d24))
+    assert name == "pcm24" and arr[:, 0].tolist() == [256, -1]
+    # 32-bit int: 1<<16 -> 1
+    d32 = struct.pack("<ii", 1 << 16, -(1 << 31))
+    sr, arr, name = decode_wav_ex(_pcm_wav(1, 32, d32))
+    assert name == "pcm32" and arr[:, 0].tolist() == [1, -32768]
+    # float32: ±1.0 saturate to ±32767
+    df = struct.pack("<ff", 1.0, -0.5)
+    sr, arr, name = decode_wav_ex(_pcm_wav(3, 32, df))
+    assert name == "float32" and arr[:, 0].tolist() == [32767, -16384]
+
+
+def test_wav_corrupt_paths_raise_valueerror_only():
+    with pytest.raises(ValueError):
+        decode_wav_ex(_pcm_wav(0x55, 16, b"\x00\x00"))  # unknown tag
+    with pytest.raises(ValueError):
+        decode_wav_ex(_pcm_wav(1, 12, b"\x00\x00"))  # odd depth
+    bad_idx = struct.pack("<hBB", 0, 200, 0) + bytes(4)  # index 200 > 88
+    with pytest.raises(ValueError):
+        adpcm_wav_decode(bad_idx, 1, 8)
+    with pytest.raises(ValueError):
+        adpcm_wav_decode(b"\x00" * 16, 3, 16)  # 3 channels
