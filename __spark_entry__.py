@@ -4846,6 +4846,68 @@ FROM range(0, 48) t(i)
 """
 
 
+def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC lossless audio (functions/flac.py — pure-Python frame
+    algebra: FIXED/CONSTANT/VERBATIM subframes, Rice residuals, CRC-8/16,
+    STREAMINFO MD5). FLAC is LOSSLESS, so the oracle is exact: per asset
+    the samples x_j = ((i*53 + j*j) % 4001) - 2000 (deliberately
+    nonlinear so FIXED predictors leave real residuals) are FLAC-encoded
+    executor-side, decoded back, and digested as sum + position-weighted
+    sum; compression must also beat raw PCM (compressed=TRUE) so the
+    encoder can't cheat with VERBATIM-only streams. The SQL replays the
+    sample arithmetic directly — any defect in Rice coding, predictor
+    integration, framing, or CRC handling breaks the hash. Multi-frame:
+    n=1500 at blocksize 512 → 3 frames per asset."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.flac import decode_flac, encode_flac
+
+    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    j = np.arange(1500, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                x = (((i * 53 + j * j) % 4001) - 2000).astype(np.int16)
+                blob = encode_flac(x, 16000, blocksize=512)
+                sr, back = decode_flac(blob)
+                s = back[:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "asset_id": i, "sample_rate": sr,
+                        "n_samples": int(s.size),
+                        "sample_sum": int(s.sum()),
+                        "digest": int((s * (j + 1)).sum()),
+                        "compressed": bool(len(blob) < x.size * 2),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, sample_rate int, n_samples int, sample_sum long, "
+        "digest long, compressed boolean",
+    )
+
+
+ORACLE_AUDIO_FLAC = """
+WITH s AS (
+  SELECT i, j, ((i * 53 + j * j) % 4001) - 2000 AS x
+  FROM range(0, 48) t(i) CROSS JOIN range(0, 1500) u(j)
+)
+SELECT i AS asset_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(1500 AS INT) AS n_samples,
+       CAST(SUM(x) AS BIGINT) AS sample_sum,
+       CAST(SUM(x * (j + 1)) AS BIGINT) AS digest,
+       TRUE AS compressed
+FROM s GROUP BY i
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout clustering (beyond-reference scale operator;
     functions/layout.py): events clustered along the Morton curve of
@@ -6915,6 +6977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive": q_jpeg_progressive,
         "audio_g711": q_audio_g711,
         "audio_adpcm": q_audio_adpcm,
+        "audio_flac": q_audio_flac,
         "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
         "group_by_key": q_group_by_key,
@@ -7106,6 +7169,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive": ORACLE_JPEG_PROGRESSIVE,
         "audio_g711": ORACLE_AUDIO_G711,
         "audio_adpcm": ORACLE_AUDIO_ADPCM,
+        "audio_flac": ORACLE_AUDIO_FLAC,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,

@@ -990,6 +990,8 @@ def sniff(blob: bytes) -> str | None:
         return "wav"
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
         return "avi"
+    if blob[:4] == b"fLaC":
+        return "flac"
     return None
 
 
@@ -1146,7 +1148,13 @@ def audio_features(
             for aid, blob in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(blob)
                 try:
-                    sr, arr, codec = decode_wav_ex(b)
+                    if b[:4] == b"fLaC":
+                        from scio_spark.functions.flac import decode_flac
+
+                        sr, arr = decode_flac(b)
+                        codec = "flac"
+                    else:
+                        sr, arr, codec = decode_wav_ex(b)
                     x = arr.astype(np.float64)
                     rows.append(
                         {
@@ -1155,7 +1163,7 @@ def audio_features(
                             "duration_ms": int(arr.shape[0] * 1000 / sr),
                             "rms": float(np.sqrt((x ** 2).mean())) if arr.size else 0.0,
                             "peak": int(np.abs(arr).max()) if arr.size else 0,
-                            "decoder": f"wav-{codec}",
+                            "decoder": codec if codec == "flac" else f"wav-{codec}",
                         }
                     )
                 except (ValueError, struct.error):

@@ -180,3 +180,23 @@ def test_wav_corrupt_paths_raise_valueerror_only():
         adpcm_wav_decode(bad_idx, 1, 8)
     with pytest.raises(ValueError):
         adpcm_wav_decode(b"\x00" * 16, 3, 16)  # 3 channels
+
+
+def test_audio_features_routes_flac_and_g711(spark):
+    from scio_spark.functions.codecs import audio_features
+    from scio_spark.functions.flac import encode_flac
+
+    x = (2000 * np.sin(np.arange(4000) / 15)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_flac(x, 16000))),
+            (2, bytearray(encode_wav_g711(x, 8000, "ulaw"))),
+            (3, bytearray(encode_wav_adpcm(x, 8000))),
+        ],
+        "asset_id long, content binary",
+    )
+    rows = {r.asset_id: r for r in audio_features(df).collect()}
+    assert rows[1].decoder == "flac"
+    assert rows[1].sample_rate == 16000 and rows[1].n_frames == 4000
+    assert rows[2].decoder == "wav-ulaw" and rows[2].sample_rate == 8000
+    assert rows[3].decoder == "wav-ima_adpcm"
