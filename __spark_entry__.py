@@ -4908,6 +4908,86 @@ FROM s GROUP BY i
 """
 
 
+def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata probe (functions/audio.py probe_mp3 — ISO 11172-3
+    frame-header walk; sample decode needs a polyphase filterbank and
+    stays import-gated): per asset a synthetic MPEG-1 Layer III
+    elementary stream with an id-derived (bitrate index, sample-rate
+    index, frame count) is assembled executor-side from the spec's
+    frame-length arithmetic and probed back. The oracle RE-DERIVES the
+    ISO bitrate/sample-rate tables and the samples-per-frame duration
+    math in SQL — a wrong table entry, a bad sync walk, or an
+    off-by-one in the ID3v2 skip (odd assets get a tag prefix) breaks
+    the value hash."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from scio_spark.functions.audio import probe_mp3
+
+    base = spark.range(60).select(F.col("id").alias("asset_id"))
+    kbps_tab = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    rate_tab = [44100, 48000, 32000]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                bridx = 1 + i % 14
+                sridx = i % 3
+                nf = 20 + i % 11
+                kbps, rate = kbps_tab[bridx], rate_tab[sridx]
+                h = (
+                    (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                    | (bridx << 12) | (sridx << 10) | (3 << 6)
+                )
+                flen = 144 * kbps * 1000 // rate
+                blob = (_struct.pack(">I", h) + bytes(flen - 4)) * nf
+                if i % 2:  # half the assets carry an ID3v2 tag to skip
+                    blob = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 11]) + bytes(11) + blob
+                p = probe_mp3(blob)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "sample_rate": p["sample_rate"],
+                        "bitrate_kbps": p["bitrate_kbps"],
+                        "n_frames": p["n_frames"],
+                        "duration_ms": p["duration_ms"],
+                        "channels": p["channels"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, sample_rate int, bitrate_kbps int, n_frames int, "
+        "duration_ms long, channels int",
+    )
+
+
+ORACLE_AUDIO_MP3_PROBE = """
+WITH p AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate,
+         CASE 1 + i % 14
+           WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+           WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+           WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+           WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+         20 + i % 11 AS nf
+  FROM range(0, 60) t(i)
+)
+SELECT i AS asset_id,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(kbps AS INT) AS bitrate_kbps,
+       CAST(nf AS INT) AS n_frames,
+       CAST((nf * 1152 * 1000) // rate AS BIGINT) AS duration_ms,
+       CAST(1 AS INT) AS channels
+FROM p
+"""
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout clustering (beyond-reference scale operator;
     functions/layout.py): events clustered along the Morton curve of
@@ -6978,6 +7058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_g711": q_audio_g711,
         "audio_adpcm": q_audio_adpcm,
         "audio_flac": q_audio_flac,
+        "audio_mp3_probe": q_audio_mp3_probe,
         "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
         "group_by_key": q_group_by_key,
@@ -7170,6 +7251,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_g711": ORACLE_AUDIO_G711,
         "audio_adpcm": ORACLE_AUDIO_ADPCM,
         "audio_flac": ORACLE_AUDIO_FLAC,
+        "audio_mp3_probe": ORACLE_AUDIO_MP3_PROBE,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,

@@ -20,8 +20,16 @@ and lossless tiers are pure arithmetic and get real implementations here:
   predictor feeds back), so it runs as a Python loop — it parallelizes
   per asset across mapInPandas tasks like the JPEG entropy decoder.
 
+- **MP3 frame probe** (``probe_mp3``): the curation-pipeline slice of
+  MPEG audio — ID3v2 skip, per-frame header walk (ISO 11172-3 frame
+  length arithmetic, all versions/layers), Xing/Info VBR frame counts —
+  yielding sample rate / bitrate / channels / duration without sample
+  decode (the polyphase filterbank needs a media library and stays
+  import-gated in multimodal.py).
+
 ``decode_wav`` in functions/codecs.py routes format tags 1 (8/16/24/32-bit
 PCM), 3 (float32), 6, 7, and 0x11 here; everything decodes to int16.
+FLAC (lossless, full decode) lives in functions/flac.py.
 
 Scale: all entry points are plain bytes→ndarray functions so they drop
 into the existing mapInPandas feature extractors — no new shuffle, no
@@ -334,3 +342,103 @@ def _riff_wave(fmt_body: bytes, data: bytes, fact: bytes | None = None) -> bytes
     if len(data) % 2:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ------------------------------------------------------- MP3 frame probe
+
+_MP3_BITRATE = {
+    # kbps tables from ISO/IEC 11172-3 / 13818-3, index 1..14
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATE = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000), 25: (11025, 12000, 8000)}
+
+
+def probe_mp3(blob: bytes) -> dict:
+    """MP3/MPEG-audio metadata probe — the curation-pipeline slice of
+    MP3 (sample decode needs the polyphase filterbank and stays
+    import-gated in multimodal.py). Walks the elementary stream frame
+    by frame using the ISO 11172-3 header arithmetic: skips an ID3v2
+    tag (syncsafe length), parses each 4-byte header (version, layer,
+    bitrate/sample-rate indices, padding, channel mode), advances by
+    the computed frame length, and reads a Xing/Info VBR header when
+    present. Returns dict(version, layer, sample_rate, channels,
+    bitrate_kbps [first frame], n_frames, duration_ms, vbr).
+    Raises ValueError on anything that is not a clean frame walk."""
+    pos = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        size = 0
+        for b in blob[6:10]:
+            if b & 0x80:
+                raise ValueError("MP3: invalid ID3v2 syncsafe size")
+            size = (size << 7) | b
+        pos = 10 + size
+    n_frames = 0
+    first = None
+    xing_frames = None
+    total_bits = 0
+    while pos + 4 <= len(blob):
+        h = struct.unpack_from(">I", blob, pos)[0]
+        if h >> 21 != 0x7FF:
+            if n_frames and len(blob) - pos < 4:
+                break
+            raise ValueError(f"MP3: lost sync at byte {pos}")
+        vbits = (h >> 19) & 3
+        version = {0: 25, 2: 2, 3: 1}.get(vbits)
+        layer = {1: 3, 2: 2, 3: 1}.get((h >> 17) & 3)
+        if version is None or layer is None:
+            raise ValueError("MP3: reserved version/layer bits")
+        bridx = (h >> 12) & 0xF
+        sridx = (h >> 10) & 3
+        if bridx in (0, 15) or sridx == 3:
+            raise ValueError("MP3: free-format/reserved bitrate or rate")
+        pad = (h >> 9) & 1
+        mode = (h >> 6) & 3
+        channels = 1 if mode == 3 else 2
+        rate = _MP3_RATE[version][sridx]
+        kbps = _MP3_BITRATE[(1 if version == 1 else 2, layer)][bridx]
+        if layer == 1:
+            flen = (12000 * kbps // rate + pad) * 4
+            spf = 384
+        else:
+            spf = 1152 if (layer == 2 or version == 1) else 576
+            flen = spf // 8 * 1000 * kbps // rate + pad
+        if flen <= 4:
+            raise ValueError("MP3: degenerate frame length")
+        if first is None:
+            first = (version, layer, rate, channels, kbps, spf)
+            # Xing/Info header: offset past the side-info block
+            if layer == 3:
+                off = pos + 4 + (
+                    (32 if channels == 2 else 17)
+                    if version == 1
+                    else (17 if channels == 2 else 9)
+                )
+                tag = blob[off : off + 4]
+                if tag in (b"Xing", b"Info"):
+                    flags = struct.unpack_from(">I", blob, off + 4)[0]
+                    if flags & 1:
+                        xing_frames = struct.unpack_from(">I", blob, off + 8)[0]
+        total_bits += kbps
+        n_frames += 1
+        pos += flen
+    if first is None:
+        raise ValueError("MP3: no frames found")
+    version, layer, rate, channels, kbps, spf = first
+    frames = xing_frames if xing_frames is not None else n_frames
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": channels,
+        "bitrate_kbps": kbps,
+        "n_frames": frames,
+        "duration_ms": frames * spf * 1000 // rate,
+        "vbr": xing_frames is not None,
+    }

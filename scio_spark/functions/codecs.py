@@ -992,6 +992,8 @@ def sniff(blob: bytes) -> str | None:
         return "avi"
     if blob[:4] == b"fLaC":
         return "flac"
+    if blob[:3] == b"ID3":
+        return "mp3"
     return None
 
 

@@ -200,3 +200,83 @@ def test_audio_features_routes_flac_and_g711(spark):
     assert rows[1].sample_rate == 16000 and rows[1].n_frames == 4000
     assert rows[2].decoder == "wav-ulaw" and rows[2].sample_rate == 8000
     assert rows[3].decoder == "wav-ima_adpcm"
+
+
+# ------------------------------------------------------------- MP3 probe
+
+
+def _mp3_header(version_bits, layer_bits, bridx, sridx, pad=0, mode=3):
+    h = (
+        (0x7FF << 21) | (version_bits << 19) | (layer_bits << 17)
+        | (1 << 16) | (bridx << 12) | (sridx << 10) | (pad << 9)
+        | (mode << 6)
+    )
+    return struct.pack(">I", h)
+
+
+def test_probe_mp3_cbr_layer3():
+    from scio_spark.functions.audio import probe_mp3
+
+    # MPEG1 (11) Layer III (01) 128kbps (idx 9) 44100 (idx 0) mono
+    flen = 144 * 128000 // 44100
+    blob = (_mp3_header(3, 1, 9, 0) + bytes(flen - 4)) * 10
+    got = probe_mp3(blob)
+    assert got == {
+        "version": 1, "layer": 3, "sample_rate": 44100, "channels": 1,
+        "bitrate_kbps": 128, "n_frames": 10,
+        "duration_ms": 10 * 1152 * 1000 // 44100, "vbr": False,
+    }
+
+
+def test_probe_mp3_padding_and_layer2_and_mpeg2():
+    from scio_spark.functions.audio import probe_mp3
+
+    # padding adds one byte per padded frame (Layer III)
+    flen = 144 * 128000 // 44100
+    blob = (_mp3_header(3, 1, 9, 0, pad=1) + bytes(flen - 3)) * 4
+    assert probe_mp3(blob)["n_frames"] == 4
+    # MPEG1 Layer II (10): idx 9 = 160 kbps, 48 kHz (idx 1), stereo
+    flen = 144 * 160000 // 48000
+    blob = (_mp3_header(3, 2, 9, 1, mode=0) + bytes(flen - 4)) * 6
+    got = probe_mp3(blob)
+    assert (got["layer"], got["bitrate_kbps"], got["channels"]) == (2, 160, 2)
+    assert got["duration_ms"] == 6 * 1152 * 1000 // 48000
+    # MPEG2 (10) Layer III: 576 samples/frame, idx 9 = 80 kbps, 22050
+    flen = 576 // 8 * 1000 * 80 // 22050
+    blob = (_mp3_header(2, 1, 9, 0) + bytes(flen - 4)) * 6
+    got = probe_mp3(blob)
+    assert (got["version"], got["sample_rate"]) == (2, 22050)
+    assert got["bitrate_kbps"] == 80
+    assert got["duration_ms"] == 6 * 576 * 1000 // 22050
+
+
+def test_probe_mp3_id3v2_skip_and_xing_vbr():
+    from scio_spark.functions.audio import probe_mp3
+
+    flen = 144 * 128000 // 44100
+    frame = bytearray(_mp3_header(3, 1, 9, 0) + bytes(flen - 4))
+    # MPEG1 mono side info = 17 bytes -> Xing at frame offset 4+17
+    frame[4 + 17 : 4 + 21] = b"Xing"
+    frame[4 + 21 : 4 + 25] = struct.pack(">I", 1)  # flags: frames present
+    frame[4 + 25 : 4 + 29] = struct.pack(">I", 42)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 7]) + bytes(7)
+    blob = id3 + bytes(frame) + (_mp3_header(3, 1, 9, 0) + bytes(flen - 4)) * 2
+    got = probe_mp3(blob)
+    assert got["vbr"] is True
+    assert got["n_frames"] == 42  # Xing count wins over the walk
+    assert got["duration_ms"] == 42 * 1152 * 1000 // 44100
+
+
+def test_probe_mp3_corrupt_raises_valueerror():
+    from scio_spark.functions.audio import probe_mp3
+
+    with pytest.raises(ValueError):
+        probe_mp3(b"\x00" * 100)  # no sync
+    with pytest.raises(ValueError):
+        probe_mp3(_mp3_header(3, 1, 0, 0) + bytes(100))  # free-format
+    with pytest.raises(ValueError):
+        probe_mp3(_mp3_header(3, 0, 9, 0) + bytes(100))  # reserved layer
+    flen = 144 * 128000 // 44100
+    good = _mp3_header(3, 1, 9, 0) + bytes(flen - 4)
+    with pytest.raises(ValueError, match="lost sync"):
+        probe_mp3(good + b"garbage-that-is-not-a-frame-header....")
