@@ -6883,17 +6883,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. the 25 queries whose latest driver row is r7 (hll_merge …
        aggregate_global) — the stalest external evidence after the r11
        rotation, in their standing order;
-    2. the 24 stalest r9-latest queries in their standing order
-       (hash_filter … metrics; quality_funnel displaced by the new
-       codec query);
-    3. video_mjpeg — NEW: Motion-JPEG AVI (per-frame T.81 baseline
-       JPEGs in '00dc' chunks) sampled by the streaming chunk walk,
-       under driver evidence.
+    2. the 19 stalest r9-latest queries in their standing order
+       (hash_filter … autocomplete);
+    3. the 6 NEW r12 codec queries, each needing its first driver row:
+       video_mjpeg (Motion-JPEG AVI via the streaming chunk walk),
+       jpeg_progressive (SOF2 spectral selection + successive
+       approximation), audio_g711 / audio_adpcm / audio_flac
+       (compressed + lossless audio), audio_mp3_probe (frame-walk
+       metadata).
 
-    The 25 remaining r9-latest queries head the post-window section as
-    the r13 rotation candidates, followed by the 50 r10-window and the
-    50 r11-window queries (freshest evidence, last). After this round
-    no query's latest driver row predates r9.
+    The remaining r9-latest queries (top_sessions … metrics first —
+    displaced by the new codec tier, they keep their r9 evidence) head
+    the post-window section as the r13 rotation candidates, followed by
+    the 50 r10-window and the 50 r11-window queries (freshest evidence,
+    last). After this round no query's latest driver row predates r9.
     tools/check_oracle.py still value-checks ALL queries every round."""
     return {
         # -- r12 driver window (first 50) ----------------------------------
@@ -6943,16 +6946,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "autocomplete": q_autocomplete,
+        # (b) NEW this round — the r12 codec tier, each needing its first
+        #     driver row: compressed video (Motion-JPEG in AVI, sampled
+        #     via the streaming chunk walk), progressive JPEG, G.711 /
+        #     IMA-ADPCM / FLAC audio, and the MP3 metadata probe. These
+        #     displace the 5 least-stale r9 rows (top_sessions …
+        #     metrics, moved just below — they keep their r9 evidence
+        #     and head the r13 rotation instead).
+        "video_mjpeg": q_video_mjpeg,
+        "jpeg_progressive": q_jpeg_progressive,
+        "audio_g711": q_audio_g711,
+        "audio_adpcm": q_audio_adpcm,
+        "audio_flac": q_audio_flac,
+        "audio_mp3_probe": q_audio_mp3_probe,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r9-latest remainder — r13 window candidates, standing order
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
         "data_checks": q_data_checks,
         "incremental_dedup": q_incremental_dedup,
         "metrics": q_metrics,
-        # (b) NEW this round — compressed video: Motion-JPEG in AVI,
-        #     sampled via the streaming chunk walk (memory ∝ one frame)
-        "video_mjpeg": q_video_mjpeg,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r9-latest remainder — r13 window candidates, standing order
         "quality_funnel": q_quality_funnel,
         "pack_greedy": q_pack_greedy,
         "quantiles": q_quantiles,
@@ -7054,11 +7067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
-        "jpeg_progressive": q_jpeg_progressive,
-        "audio_g711": q_audio_g711,
-        "audio_adpcm": q_audio_adpcm,
-        "audio_flac": q_audio_flac,
-        "audio_mp3_probe": q_audio_mp3_probe,
         "gif_decode": q_gif_decode,
         "video_decode": q_video_decode,
         "group_by_key": q_group_by_key,
