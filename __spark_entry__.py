@@ -4365,6 +4365,58 @@ FROM range(0, 40) t(i)
 """
 
 
+def q_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 12-bit extended-sequential JPEG (SOF1, Pq=1 16-bit DQT —
+    functions/jpeg.py encode_jpeg12/decode_jpeg): per asset a flat
+    12-bit gray fill v = (i * 997 + 13) % 4096 is encoded at q95
+    (unscaled Annex K tables keep the DC quantization error below the
+    rounding margin, so the lossy roundtrip lands EXACTLY on the fill)
+    and decoded back to uint16. The oracle replays the fill arithmetic;
+    any defect in the 16-bit DQT parse, the widened Huffman categories,
+    the 2048 level shift, or the uint16 clamp shifts a value and breaks
+    the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.jpeg import decode_jpeg, encode_jpeg12
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                v = (i * 997 + 13) % 4096
+                img = np.full((16, 16), v, np.uint16)
+                out = decode_jpeg(encode_jpeg12(img, 95))
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "is_uint16": out.dtype == np.uint16,
+                        "uniform": bool((out == out[0, 0]).all()),
+                        "value": int(out[0, 0]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, is_uint16 boolean, "
+        "uniform boolean, value int",
+    )
+
+
+ORACLE_JPEG12_DECODE = """
+SELECT i AS asset_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       TRUE AS is_uint16, TRUE AS uniform,
+       CAST((i * 997 + 13) % 4096 AS INT) AS value
+FROM range(0, 40) t(i)
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode, value-checked (functions/codecs.py — pure-Python
     LZW with variable-width codes): per asset, a small id-derived palette
@@ -6883,16 +6935,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. the 25 queries whose latest driver row is r7 (hll_merge …
        aggregate_global) — the stalest external evidence after the r11
        rotation, in their standing order;
-    2. the 19 stalest r9-latest queries in their standing order
-       (hash_filter … autocomplete);
-    3. the 6 NEW r12 codec queries, each needing its first driver row:
+    2. the 18 stalest r9-latest queries in their standing order
+       (hash_filter … cohort_retention);
+    3. the 7 NEW r12 codec queries, each needing its first driver row:
        video_mjpeg (Motion-JPEG AVI via the streaming chunk walk),
        jpeg_progressive (SOF2 spectral selection + successive
-       approximation), audio_g711 / audio_adpcm / audio_flac
-       (compressed + lossless audio), audio_mp3_probe (frame-walk
-       metadata).
+       approximation), jpeg12_decode (extended-sequential 12-bit),
+       audio_g711 / audio_adpcm / audio_flac (compressed + lossless
+       audio), audio_mp3_probe (frame-walk metadata).
 
-    The remaining r9-latest queries (top_sessions … metrics first —
+    The remaining r9-latest queries (autocomplete … metrics first —
     displaced by the new codec tier, they keep their r9 evidence) head
     the post-window section as the r13 rotation candidates, followed by
     the 50 r10-window and the 50 r11-window queries (freshest evidence,
@@ -6945,7 +6997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
-        "autocomplete": q_autocomplete,
         # (b) NEW this round — the r12 codec tier, each needing its first
         #     driver row: compressed video (Motion-JPEG in AVI, sampled
         #     via the streaming chunk walk), progressive JPEG, G.711 /
@@ -6955,12 +7006,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     and head the r13 rotation instead).
         "video_mjpeg": q_video_mjpeg,
         "jpeg_progressive": q_jpeg_progressive,
+        "jpeg12_decode": q_jpeg12_decode,
         "audio_g711": q_audio_g711,
         "audio_adpcm": q_audio_adpcm,
         "audio_flac": q_audio_flac,
         "audio_mp3_probe": q_audio_mp3_probe,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r9-latest remainder — r13 window candidates, standing order
+        "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
         "data_checks": q_data_checks,
@@ -7256,6 +7309,7 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": ORACLE_PNG_DECODE,
         "jpeg_decode": ORACLE_JPEG_DECODE,
         "jpeg_progressive": ORACLE_JPEG_PROGRESSIVE,
+        "jpeg12_decode": ORACLE_JPEG12_DECODE,
         "audio_g711": ORACLE_AUDIO_G711,
         "audio_adpcm": ORACLE_AUDIO_ADPCM,
         "audio_flac": ORACLE_AUDIO_FLAC,

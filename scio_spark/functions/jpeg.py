@@ -1,13 +1,18 @@
 """Baseline JPEG codec — pure Python/numpy, no media libraries.
 
-Implements the baseline sequential DCT process of the public JPEG
-standard (ITU-T T.81): 8-bit samples, Huffman entropy coding, grayscale
-and YCbCr color. The encoder emits 4:4:4 (no chroma subsampling) with
-the Annex K quantization/Huffman tables scaled by the libjpeg quality
-formula; the decoder additionally handles subsampled streams (4:2:0,
-4:2:2 — any h/v factors up to 2) and restart markers. Progressive,
-arithmetic-coded, 12-bit, and hierarchical modes raise actionably —
-route those to the gated PIL path in multimodal.py.
+Implements the Huffman DCT processes of the public JPEG standard
+(ITU-T T.81): baseline sequential (8-bit), extended sequential 12-bit
+(SOF1, 16-bit quant tables, widened Huffman categories), and
+progressive (SOF2 — spectral selection + successive approximation,
+decode and a spec-valid encoder). Grayscale and YCbCr color; the 8-bit
+encoder emits 4:4:4 with the Annex K quantization/Huffman tables scaled
+by the libjpeg quality formula; the decoder additionally handles
+subsampled streams (4:2:0, 4:2:2 — any h/v factors up to 2) and restart
+markers. Arithmetic-coded and hierarchical modes raise actionably —
+arithmetic decode cannot be verified here against any independent
+implementation (no media library in the container decodes it), and a
+subtly wrong QM-coder table would decode real streams to silently
+wrong pixels, so it stays gated rather than faked.
 
 Everything block-parallel is vectorized (DCT/IDCT via one einsum over
 all blocks, quantization, level shift); only the Huffman bit stream is
@@ -318,9 +323,12 @@ def _magnitude(v: int) -> tuple[int, int]:
 # --------------------------------------------------------------- encoder
 
 
-def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+def _to_blocks(
+    plane: np.ndarray, shift: float = 128.0
+) -> tuple[np.ndarray, int, int]:
     """Pad (h, w) to multiples of 8 by edge replication and return
-    (n_blocks_y*n_blocks_x, 8, 8) float blocks, level-shifted."""
+    (n_blocks_y*n_blocks_x, 8, 8) float blocks, level-shifted (128 for
+    8-bit precision, 2048 for 12-bit)."""
     h, w = plane.shape
     H, W = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
@@ -329,7 +337,7 @@ def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
         .astype(np.float64)
-        - 128.0
+        - shift
     )
     return blocks, H // 8, W // 8
 
@@ -684,6 +692,29 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG stream: {e!r}") from e
 
 
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    """DQT segment: Pq=0 → 8-bit entries (baseline); Pq=1 → 16-bit
+    big-endian entries (required by 12-bit extended-sequential)."""
+    bpos = 0
+    while bpos < len(body):
+        pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+        tab = np.zeros(64, np.int64)
+        if pq == 0:
+            tab[ZIGZAG] = np.frombuffer(
+                body[bpos + 1 : bpos + 65], np.uint8
+            ).astype(np.int64)
+            bpos += 65
+        elif pq == 1:
+            raw = body[bpos + 1 : bpos + 129]
+            if len(raw) < 128:
+                raise ValueError("JPEG: truncated 16-bit DQT")
+            tab[ZIGZAG] = np.frombuffer(raw, ">u2").astype(np.int64)
+            bpos += 129
+        else:
+            raise ValueError(f"JPEG: invalid DQT precision {pq}")
+        qt[tq] = tab
+
+
 def _decode_jpeg(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -693,6 +724,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     h = w = 0
+    prec = 8
     restart_interval = 0
     scan = None
     band = (0, 63, 0, 0)
@@ -708,17 +740,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", blob, pos + 2)
         body = blob[pos + 4 : pos + 2 + seglen]
         if tag == 0xDB:  # DQT
-            bpos = 0
-            while bpos < len(body):
-                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                tab = np.zeros(64, np.int64)
-                tab[ZIGZAG] = np.frombuffer(
-                    body[bpos + 1 : bpos + 65], np.uint8
-                ).astype(np.int64)
-                qt[tq] = tab
-                bpos += 65
+            _parse_dqt(body, qt)
         elif tag == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
@@ -730,9 +752,9 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                     bits, huffval
                 )
                 bpos += 17 + n
-        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (both baseline-decodable)
+        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (sequential Huffman)
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             comps = []
             for ci in range(nc):
@@ -740,7 +762,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif tag == 0xC2:  # SOF2 — progressive DCT, Huffman
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"unsupported JPEG precision {prec}")
             progressive = True
             comps = []
@@ -772,7 +794,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     if progressive:
         return _decode_progressive(
             blob, pos, h, w, comps, qt, dc_tabs, ac_tabs,
-            restart_interval, (scan, band),
+            restart_interval, (scan, band), prec,
         )
     if len(scan) != len(comps):
         raise ValueError("multi-scan JPEG unsupported (progressive?)")
@@ -844,7 +866,7 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         nat = np.zeros_like(zz)
         nat[:, ZIGZAG] = zz
         coefs = (nat * q).reshape(-1, 8, 8).astype(np.float64)
-        pix = idct2(coefs) + 128.0
+        pix = idct2(coefs) + float(1 << (prec - 1))
         # reassemble MCU-ordered blocks into the component plane
         bw = mcux * chs  # blocks per row in this component
         bh = mcuy * cvs
@@ -864,21 +886,26 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 np.repeat(plane, vmax // cvs, axis=0), hmax // chs, axis=1
             )
         planes.append(plane[:h, :w])
-    return _planes_to_image(planes)
+    return _planes_to_image(planes, prec)
 
 
-def _planes_to_image(planes: list[np.ndarray]) -> np.ndarray:
+def _planes_to_image(planes: list[np.ndarray], prec: int = 8) -> np.ndarray:
     """Final stage shared by the baseline and progressive paths: clamp a
-    single luma plane, or invert YCbCr (BT.601) for three."""
+    single luma plane, or invert YCbCr (BT.601) for three. 8-bit frames
+    yield uint8; 12-bit extended-sequential frames yield uint16 in
+    0..4095 with chroma centered at 2048."""
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, maxv).astype(dt)
     if len(planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(planes)}")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, maxv).astype(dt)
 
 
 def _decode_progressive(
@@ -892,6 +919,7 @@ def _decode_progressive(
     ac_tabs: dict[int, list],
     restart_interval: int,
     first_scan: tuple,
+    prec: int = 8,
 ) -> np.ndarray:
     """Progressive-Huffman JPEG (T.81 SOF2): coefficients accumulate
     across scans — spectral selection (each AC scan covers one band of
@@ -954,17 +982,7 @@ def _decode_progressive(
                     )
                     bpos += 17 + n
             elif tag == 0xDB:  # DQT
-                bpos = 0
-                while bpos < len(body):
-                    pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
-                    if pq != 0:
-                        raise ValueError("16-bit quant tables unsupported")
-                    tab = np.zeros(64, np.int64)
-                    tab[ZIGZAG] = np.frombuffer(
-                        body[bpos + 1 : bpos + 65], np.uint8
-                    ).astype(np.int64)
-                    qt[tq] = tab
-                    bpos += 65
+                _parse_dqt(body, qt)
             elif tag == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", body, 0)
             elif tag == 0xDA:  # next SOS
@@ -989,7 +1007,7 @@ def _decode_progressive(
         nat = np.zeros_like(coef[i])
         nat[:, ZIGZAG] = coef[i]
         coefs = (nat * qt[tq]).reshape(-1, 8, 8).astype(np.float64)
-        pix = idct2(coefs) + 128.0
+        pix = idct2(coefs) + float(1 << (prec - 1))
         plane = (
             pix.reshape(bh[i], bw[i], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1000,7 +1018,7 @@ def _decode_progressive(
                 np.repeat(plane, vmax // cvs, axis=0), hmax // chs, axis=1
             )
         planes.append(plane[:h, :w])
-    return _planes_to_image(planes)
+    return _planes_to_image(planes, prec)
 
 
 def _decode_prog_scan(
@@ -1205,3 +1223,93 @@ def _refine_tail(
         if c != 0 and reader.bits(1) and (c & p1) == 0:
             row[k] = c + (p1 if c >= 0 else m1)
         k += 1
+
+
+# ----------------------------------------------------- 12-bit (SOF1)
+
+# Widened Huffman tables for 12-bit precision: T.81 allows DC categories
+# 0..15 and AC sizes 1..14 in extended-sequential mode, which the Annex K
+# 8-bit tables don't cover. Flat canonical tables (16 DC symbols at
+# length 5; EOB+ZRL+all run/size pairs at length 8) are spec-valid and
+# simple — suboptimal compression, exact decode.
+_DC12 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_AC12_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
+_AC12 = ([0, 0, 0, 0, 0, 0, 0, len(_AC12_SYMS)] + [0] * 8, _AC12_SYMS)
+
+
+def encode_jpeg12(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint16 (h, w) gray or (h, w, 3) RGB with samples in 0..4095 →
+    extended-sequential 12-bit JPEG (SOF1, Pq=1 DQT). Quantization uses
+    the Annex K quality tables UNSCALED — 12-bit users (medical/HDR)
+    buy sample depth for fidelity, so the quantization step stays at
+    the 8-bit absolute size, i.e. 16x finer relative to the sample
+    range (libjpeg's x16-scaled alternative would quantize a flat fill
+    by up to +-2 codes; unscaled keeps flat fills EXACT at q>=90, same
+    property as the 8-bit encoder). Level shift 2048; decode_jpeg
+    returns uint16 in 0..4095 for these streams."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint16 or (arr.size and int(arr.max()) > 4095):
+        raise ValueError("encode_jpeg12: need uint16 samples in 0..4095")
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    else:
+        raise ValueError(
+            f"encode_jpeg12: need (h,w) or (h,w,3), got {arr.shape}"
+        )
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("encode_jpeg12: empty image")
+    ncomp = len(planes)
+    ql, qc = quality_tables(quality)
+    qtabs = [ql] + ([qc] if ncomp == 3 else [])
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qtabs):
+        payload = bytes([(1 << 4) | tid]) + b"".join(
+            struct.pack(">H", int(q[z])) for z in ZIGZAG
+        )
+        out += _marker(0xDB, payload)
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += _marker(0xC1, sof)  # SOF1: extended sequential
+    out += _marker(0xC4, _dht_payload(0, 0, *_DC12))
+    out += _marker(0xC4, _dht_payload(1, 0, *_AC12))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _marker(0xDA, sos)
+
+    dc_codes = _canonical_codes(*_DC12)
+    ac_codes = _canonical_codes(*_AC12)
+    qplanes = []
+    for ci, plane in enumerate(planes):
+        blocks, _, _ = _to_blocks(plane, shift=2048.0)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8).astype(np.float64)
+        coefs = np.round(dct2(blocks) / q).astype(np.int64)
+        # T.81 caps AC sizes at 14 bits for 12-bit data; with unscaled
+        # unit-entry tables a max-energy block can hit 15 bits — clamp
+        coefs[:, :, :] = np.clip(coefs, -16383, 16383)
+        qplanes.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for bi in range(qplanes[0].shape[0]):
+        for ci in range(ncomp):
+            preds[ci] = _encode_plane(
+                writer, qplanes[ci][bi : bi + 1], dc_codes, ac_codes,
+                preds[ci],
+            )
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -593,3 +593,80 @@ def test_progressive_corrupt_streams_raise_valueerror():
         decode_jpeg(bytes(bad))  # may still decode (lossy) — must not
     except ValueError:
         pass  # ...escape as IndexError/KeyError/struct.error
+
+
+# ------------------------------------------------- 12-bit (SOF1, Pq=1)
+
+
+def test_12bit_hand_assembled_dc_only_16bit_dqt():
+    """Extended-sequential 12-bit stream assembled by hand: Pq=1 DQT
+    with a 16-bit entry (300 — unrepresentable in a baseline 8-bit
+    table), one DC-only block. DC diff 2 → dequantized 600 → flat
+    600/8 = 75 above the 2048 level shift → every pixel 2123, uint16."""
+    q00 = 300
+    qtab = bytes([0x10]) + b"".join(
+        struct.pack(">H", q00) for _ in range(64)
+    )
+    sof = struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dc = _canonical(DC_BITS, DC_VALS)
+    ac = _canonical(AC_BITS, AC_VALS)
+    wtr = _W()
+    c, ln = dc[2]
+    wtr.put(c, ln)
+    wtr.put(2, 2)  # diff = +2
+    c, ln = ac[0x00]
+    wtr.put(c, ln)  # EOB
+    blob = (
+        b"\xff\xd8" + _seg(0xDB, qtab) + _seg(0xC1, sof)
+        + _seg(0xC4, dht_dc) + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos) + wtr.bytes() + b"\xff\xd9"
+    )
+    out = decode_jpeg(blob)
+    assert out.dtype == np.uint16
+    assert out.shape == (8, 8)
+    assert (out == 2123).all()
+
+
+def test_12bit_flat_roundtrips_exactly():
+    from scio_spark.functions.jpeg import encode_jpeg12
+
+    for v in (0, 1, 1000, 2048, 3000, 4095):
+        img = np.full((16, 24), v, np.uint16)
+        out = decode_jpeg(encode_jpeg12(img, 95))
+        assert out.dtype == np.uint16 and out.shape == (16, 24)
+        assert (out == v).all(), v
+
+
+def test_12bit_roundtrip_error_profile_and_color():
+    from scio_spark.functions.jpeg import encode_jpeg12
+
+    y, x = np.mgrid[0:32, 0:40]
+    sm = (2048 + 1500 * np.sin(x / 9) + 1200 * np.cos(y / 7)).clip(0, 4095)
+    sm = sm.astype(np.uint16)
+    prev = None
+    for q in (50, 75, 95):
+        d = decode_jpeg(encode_jpeg12(sm, q))
+        err = float(np.abs(d.astype(int) - sm.astype(int)).mean())
+        assert err < 32.0, (q, err)  # 12-bit scale: 32/4096 ≈ 2/256
+        if prev is not None:
+            assert err <= prev + 0.5
+        prev = err
+    rgb = np.dstack([sm, sm[::-1], sm[:, ::-1]])
+    d = decode_jpeg(encode_jpeg12(rgb, 95))
+    assert d.shape == rgb.shape and d.dtype == np.uint16
+    assert float(np.abs(d.astype(int) - rgb.astype(int)).mean()) < 32.0
+
+
+def test_12bit_encoder_input_validation():
+    from scio_spark.functions.jpeg import encode_jpeg12
+
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg12(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12(np.full((8, 8), 5000, np.uint16))
+    # 8-bit streams still come back uint8 (no dtype regression)
+    out = decode_jpeg(encode_jpeg(np.full((8, 8), 77, np.uint8), 90))
+    assert out.dtype == np.uint8
