@@ -16,6 +16,8 @@ EXAMPLES = [
     ("target_domain_selection.py", ["/root/testdata/sf0.001", "/tmp/_ex_select"]),
     ("mixture_layout.py", ["/root/testdata/sf0.001", "/tmp/_ex_layout"]),
     ("traffic_monitor.py", ["/root/testdata/sf0.001", "/tmp/_ex_traffic"]),
+    ("image_curation.py", ["/tmp/_ex_imgcur"]),
+    ("audio_curation.py", ["/tmp/_ex_audcur"]),
 ]
 
 
