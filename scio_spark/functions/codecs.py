@@ -187,6 +187,10 @@ def decode_wav_ex(blob: bytes) -> tuple[int, np.ndarray, str]:
         if cid == b"fmt ":
             fmt, channels, sample_rate = struct.unpack_from("<HHI", blob, body)
             block_align, bits = struct.unpack_from("<HH", blob, body + 12)
+            if fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the real format
+                if clen < 40:  # tag is the SubFormat GUID's first word
+                    raise ValueError("WAV: truncated EXTENSIBLE fmt chunk")
+                (fmt,) = struct.unpack_from("<H", blob, body + 24)
         elif cid == b"data":
             data = blob[body : body + clen]
         pos = body + clen + (clen & 1)  # chunks are word-aligned

@@ -280,3 +280,26 @@ def test_probe_mp3_corrupt_raises_valueerror():
     good = _mp3_header(3, 1, 9, 0) + bytes(flen - 4)
     with pytest.raises(ValueError, match="lost sync"):
         probe_mp3(good + b"garbage-that-is-not-a-frame-header....")
+
+
+def test_wav_format_extensible_routes_by_subformat_guid():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real codec is the first
+    word of the SubFormat GUID (1 = PCM here), the common container for
+    modern multichannel/24-bit captures."""
+    data = np.array([100, -200, 300, -400], np.int16).tobytes()
+    body = struct.pack(
+        "<HHIIHH", 0xFFFE, 2, 48000, 48000 * 4, 4, 16
+    ) + struct.pack("<HHI", 22, 16, 3) + struct.pack("<H", 1) + bytes(14)
+    chunks = b"fmt " + struct.pack("<I", len(body)) + body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    sr, arr, name = decode_wav_ex(blob)
+    assert (sr, name) == (48000, "pcm16")
+    assert arr.tolist() == [[100, -200], [300, -400]]
+    # truncated EXTENSIBLE chunk raises, never IndexError
+    short = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(short)) + short
+    chunks += b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav_ex(blob)
