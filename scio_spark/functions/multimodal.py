@@ -19,13 +19,17 @@ Codec policy, two tiers:
   framing, CRCs, and all five scanline filters implemented and tested
   against independently hand-assembled bytes).
 - JPEG has a REAL pure-Python codec too (``functions/jpeg.py`` — ITU
-  T.81 Huffman+DCT, baseline AND progressive SOF2 decode, no library
-  needed).
-- The remaining COMPRESSED formats (MP3, compressed video codecs
-  beyond Motion-JPEG AVI, 12-bit/arithmetic JPEG) are media-library
-  work this container doesn't ship, so those decoders are
-  import-gated: with the libs absent they run a deterministic fake
-  (tested) or raise NotImplementedError (strict mode).
+  T.81 Huffman+DCT: baseline, progressive SOF2, and 12-bit
+  extended-sequential SOF1, no library needed), as do FLAC
+  (``functions/flac.py``, lossless) and G.711/IMA-ADPCM WAV
+  (``functions/audio.py``), plus an MP3 frame-walk metadata probe.
+- The remaining COMPRESSED formats (MP3 SAMPLE decode, compressed
+  video codecs beyond Motion-JPEG AVI, arithmetic JPEG) stay gated:
+  they are either media-library work this container doesn't ship or —
+  for arithmetic JPEG — unverifiable here against any independent
+  implementation (SCALING.md round-12 notes). With the libs absent
+  they run a deterministic fake (tested) or raise NotImplementedError
+  (strict mode).
 
 Scale notes: binary payloads dominate row size — the helpers repartition by
 byte budget, not row count (maxPartitionBytes analog for in-flight data), and
