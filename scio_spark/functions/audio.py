@@ -191,47 +191,91 @@ def adpcm_wav_decode(
     Each block starts with a 4-byte header per channel (int16 predictor
     = the block's first output sample, uint8 step index, reserved);
     payload nibbles are low-first, stereo interleaved in 4-byte groups
-    per channel."""
+    per channel.
+
+    Blocks are decoded VECTORIZED: the per-sample recurrence is
+    unavoidable (the predictor feeds back), but every block carries its
+    own starting state in its header, so the loop runs once over the
+    samples-per-block axis with all (block, channel) lanes advancing as
+    numpy vectors — samples_per_block iterations total instead of
+    samples_per_block x n_blocks (the nibble core ima_nibbles_decode
+    stays as the audioop-pinned scalar reference)."""
     if channels not in (1, 2):
         raise ValueError(f"IMA ADPCM: unsupported channel count {channels}")
     if block_align < 4 * channels:
         raise ValueError("IMA ADPCM: block_align smaller than headers")
-    chans: list[list[int]] = [[] for _ in range(channels)]
-    pos = 0
-    while pos + 4 * channels <= len(data):
-        block = data[pos : pos + block_align]
-        pos += block_align
-        preds, idxs = [], []
-        for ch in range(channels):
-            p, i, _ = struct.unpack_from("<hBB", block, ch * 4)
-            if i > 88:
-                raise ValueError(f"IMA ADPCM: step index {i} out of range")
-            preds.append(p)
-            idxs.append(i)
-            chans[ch].append(p)  # header predictor IS the first sample
-        payload = block[4 * channels :]
-        if channels == 1:
-            nibs = []
-            for b in payload:
-                nibs.append(b & 0x0F)
-                nibs.append(b >> 4)
-            out, _, _ = ima_nibbles_decode(nibs, preds[0], idxs[0])
-            chans[0].extend(out)
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        if len(data) >= 4 * channels:
+            nblocks = 0  # fall through to the short-tail path below
         else:
-            # stereo: alternating 4-byte (8-nibble) groups, L first
-            states = [(preds[0], idxs[0]), (preds[1], idxs[1])]
-            for g in range(0, len(payload) - 7, 8):
-                for ch in range(2):
-                    quad = payload[g + ch * 4 : g + ch * 4 + 4]
-                    nibs = []
-                    for b in quad:
-                        nibs.append(b & 0x0F)
-                        nibs.append(b >> 4)
-                    out, p, i = ima_nibbles_decode(nibs, *states[ch])
-                    states[ch] = (p, i)
-                    chans[ch].extend(out)
-    n = min(len(c) for c in chans)
-    return np.stack([np.array(c[:n], np.int16) for c in chans], axis=1)
+            return np.zeros((0, channels), np.int16)
+    blocks = np.frombuffer(
+        data[: nblocks * block_align], np.uint8
+    ).reshape(nblocks, block_align)
+    tail = data[nblocks * block_align :]
+
+    # headers: per channel (int16 LE predictor, uint8 index, reserved)
+    hdr = blocks[:, : 4 * channels].reshape(nblocks, channels, 4)
+    preds = (
+        hdr[:, :, 0].astype(np.int64) | (hdr[:, :, 1].astype(np.int64) << 8)
+    )
+    preds = np.where(preds >= 1 << 15, preds - (1 << 16), preds)
+    idxs = hdr[:, :, 2].astype(np.int64)
+    if (idxs > 88).any():
+        raise ValueError("IMA ADPCM: step index out of range")
+
+    payload = blocks[:, 4 * channels :]
+    nib_lo = payload & 0x0F
+    nib_hi = payload >> 4
+    if channels == 1:
+        # (nblocks, n_payload_bytes * 2) low-first
+        nibs = np.stack([nib_lo, nib_hi], axis=2).reshape(nblocks, -1)
+        nibs = nibs[:, :, None]  # (nblocks, spb-1, 1)
+    else:
+        nbytes = payload.shape[1] - payload.shape[1] % 8
+        lo = nib_lo[:, :nbytes].reshape(nblocks, -1, 2, 4)
+        hi = nib_hi[:, :nbytes].reshape(nblocks, -1, 2, 4)
+        # byte k of a 4-byte group holds nibbles (2k, 2k+1) low-first
+        grp = np.stack([lo, hi], axis=4).reshape(nblocks, -1, 2, 8)
+        nibs = grp.transpose(0, 1, 3, 2).reshape(nblocks, -1, 2)
+
+    n_per = nibs.shape[1]
+    out = np.empty((nblocks, n_per + 1, channels), np.int64)
+    out[:, 0, :] = preds
+    pred = preds.copy()
+    index = idxs.copy()
+    nibs = nibs.astype(np.int64)
+    for j in range(n_per):
+        nib = nibs[:, j, :]
+        step = _IMA_STEP[index]
+        diff = (
+            (step >> 3)
+            + (nib & 1) * (step >> 2)
+            + ((nib >> 1) & 1) * (step >> 1)
+            + ((nib >> 2) & 1) * step
+        )
+        diff = np.where(nib & 8, -diff, diff)
+        pred = np.clip(pred + diff, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[nib & 7], 0, 88)
+        out[:, j + 1, :] = pred
+    chans = [out[:, :, c].reshape(-1).astype(np.int16) for c in range(channels)]
+
+    # short tail (a final partial block): scalar path, mono layout only
+    if len(tail) >= 4 * channels and channels == 1:
+        p, i, _ = struct.unpack_from("<hBB", tail, 0)
+        if i > 88:
+            raise ValueError("IMA ADPCM: step index out of range")
+        tnibs = []
+        for b in tail[4:]:
+            tnibs.append(b & 0x0F)
+            tnibs.append(b >> 4)
+        dec, _, _ = ima_nibbles_decode(tnibs, p, i)
+        chans[0] = np.concatenate(
+            [chans[0], np.array([p] + dec, np.int16)]
+        )
+    n = min(c.size for c in chans)
+    return np.stack([c[:n] for c in chans], axis=1)
 
 
 def adpcm_wav_encode(
