@@ -4837,14 +4837,18 @@ FROM val GROUP BY i
 def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA/DVI ADPCM WAV (format tag 0x11; functions/audio.py — block
     headers + 4-bit adaptive codes, nibble core pinned bit-exact vs
-    audioop in tests): per asset a smooth two-tone signal of EXACTLY
-    2/3/4 full 505-sample blocks is ADPCM-encoded into a fmt-0x11 RIFF
-    container and decoded back. ADPCM is an adaptive recurrence (not
-    SQL-expressible), so the oracle checks the deterministic frame
-    geometry exactly (block math: n_frames = 505 * n_blocks) plus a
-    reconstruction-error property bound (mean |err| < 120 for a smooth
-    signal — fails if the step adaptation, block framing, or stereo
-    interleave is wrong)."""
+    audioop in tests), VALUE-EXACT end to end: per asset (stereo when
+    i%4==3) samples x(ch, j) = ((i*53 + t*t) % 4001) - 2000 with
+    t = j + 7*ch fill EXACTLY 2/3/4 full 505-sample blocks, go through
+    encode_wav_adpcm → RIFF → decode_wav_ex, and come back as a
+    position-weighted digest. The oracle RE-DERIVES the whole
+    encode-decode recurrence in SQL: because the encoder tracks the
+    decoder's reconstruction, the roundtrip output is a single
+    recurrence in (predictor, step index) with block-start resets —
+    expressed as a DuckDB recursive CTE over the literal 89-entry step
+    table. Any defect in the quantizer, the reconstruction, the index
+    walk, the block framing, or the stereo nibble interleave breaks the
+    value hash."""
     import numpy as np
     import pandas as pd
 
@@ -4859,24 +4863,24 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             for aid in pdf["asset_id"]:
                 i = int(aid)
                 n = 505 * (2 + i % 3)
-                t = np.arange(n)
-                sig = (
-                    5000 * np.sin(t / (20.0 + i % 10))
-                    + 900 * np.sin(t / (5.0 + i % 4))
-                ).astype(np.int16)
+                j = np.arange(n, dtype=np.int64)
                 stereo = i % 4 == 3
-                x = np.stack([sig, sig[::-1]], axis=1) if stereo else sig
+                chans = [(((i * 53 + j * j) % 4001) - 2000)]
+                if stereo:
+                    t = j + 7
+                    chans.append(((i * 53 + t * t) % 4001) - 2000)
+                x = np.stack(chans, axis=1).astype(np.int16)
+                x = x[:, 0] if not stereo else x
                 sr, arr, codec = decode_wav_ex(encode_wav_adpcm(x, 8000))
-                ref = x if stereo else x[:, None]
-                err = np.abs(
-                    arr[:n].astype(np.int64) - ref.astype(np.int64)
-                ).mean()
+                s = arr.astype(np.int64)
+                w = (j + 1)[:, None] * (np.arange(s.shape[1]) * 2 + 1)
                 rows.append(
                     {
                         "asset_id": i, "codec": codec, "sample_rate": sr,
-                        "channels": int(arr.shape[1]),
-                        "n_frames": int(arr.shape[0]),
-                        "within_tol": bool(err < 120.0),
+                        "channels": int(s.shape[1]),
+                        "n_frames": int(s.shape[0]),
+                        "sample_sum": int(s.sum()),
+                        "digest": int((s * w).sum()),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -4884,17 +4888,96 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.mapInPandas(
         gen,
         "asset_id long, codec string, sample_rate int, channels int, "
-        "n_frames long, within_tol boolean",
+        "n_frames long, sample_sum long, digest long",
     )
 
 
-ORACLE_AUDIO_ADPCM = """
+# The IMA step table as a SQL literal (ISO/IMA spec data — deliberately
+# transcribed here rather than imported from functions/audio.py, so the
+# oracle does not share the implementation's table object).
+_IMA_STEP_SQL = ",".join(
+    f"({k},{v})"
+    for k, v in enumerate(
+        [
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+            143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+            449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+            1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+            3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+            9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+            22385, 24623, 27086, 29794, 32767,
+        ]
+    )
+)
+
+ORACLE_AUDIO_ADPCM = f"""
+WITH RECURSIVE
+steptab(si, sv) AS (VALUES {_IMA_STEP_SQL}),
+lanes AS (
+  SELECT i, ch FROM range(0, 48) t(i) CROSS JOIN range(0, 2) c(ch)
+  WHERE ch = 0 OR i % 4 = 3
+),
+s AS (
+  SELECT l.i, l.ch, j,
+         ((l.i * 53 + (j + 7 * l.ch) * (j + 7 * l.ch)) % 4001) - 2000 AS x
+  FROM lanes l CROSS JOIN range(0, 2020) u(j)
+  WHERE j < 505 * (2 + l.i % 3)
+),
+rec(i, ch, j, pred, sidx) AS (
+  SELECT i, ch, 0, x, 0 FROM s WHERE j = 0
+  UNION ALL
+  SELECT s.i, s.ch, s.j,
+    CASE WHEN s.j % 505 = 0 THEN s.x ELSE
+      GREATEST(-32768, LEAST(32767,
+        r.pred + CASE WHEN s.x - r.pred < 0 THEN -1 ELSE 1 END * (
+          (st.sv >> 3)
+          + CASE WHEN (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                       THEN ABS(s.x - r.pred) - st.sv
+                       ELSE ABS(s.x - r.pred) END) >= (st.sv >> 1)
+                 THEN st.sv >> 1 ELSE 0 END
+          + CASE WHEN (
+              (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                    THEN ABS(s.x - r.pred) - st.sv
+                    ELSE ABS(s.x - r.pred) END)
+              - (CASE WHEN (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                            THEN ABS(s.x - r.pred) - st.sv
+                            ELSE ABS(s.x - r.pred) END) >= (st.sv >> 1)
+                      THEN st.sv >> 1 ELSE 0 END)
+            ) >= (st.sv >> 2) THEN st.sv >> 2 ELSE 0 END
+          + CASE WHEN ABS(s.x - r.pred) >= st.sv THEN st.sv ELSE 0 END
+        )))
+    END,
+    CASE WHEN s.j % 505 = 0 THEN r.sidx ELSE
+      GREATEST(0, LEAST(88, r.sidx +
+        CASE (CASE WHEN ABS(s.x - r.pred) >= st.sv THEN 4 ELSE 0 END
+            + CASE WHEN (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                         THEN ABS(s.x - r.pred) - st.sv
+                         ELSE ABS(s.x - r.pred) END) >= (st.sv >> 1)
+                   THEN 2 ELSE 0 END
+            + CASE WHEN (
+                (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                      THEN ABS(s.x - r.pred) - st.sv
+                      ELSE ABS(s.x - r.pred) END)
+                - (CASE WHEN (CASE WHEN ABS(s.x - r.pred) >= st.sv
+                              THEN ABS(s.x - r.pred) - st.sv
+                              ELSE ABS(s.x - r.pred) END) >= (st.sv >> 1)
+                        THEN st.sv >> 1 ELSE 0 END)
+              ) >= (st.sv >> 2) THEN 1 ELSE 0 END)
+          WHEN 0 THEN -1 WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN -1
+          WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 ELSE 8 END))
+    END
+  FROM rec r
+  JOIN s ON s.i = r.i AND s.ch = r.ch AND s.j = r.j + 1
+  JOIN steptab st ON st.si = r.sidx
+)
 SELECT i AS asset_id, 'ima_adpcm' AS codec,
        CAST(8000 AS INT) AS sample_rate,
        CAST(CASE WHEN i % 4 = 3 THEN 2 ELSE 1 END AS INT) AS channels,
        CAST(505 * (2 + i % 3) AS BIGINT) AS n_frames,
-       TRUE AS within_tol
-FROM range(0, 48) t(i)
+       CAST(SUM(pred) AS BIGINT) AS sample_sum,
+       CAST(SUM(pred * (j + 1) * (ch * 2 + 1)) AS BIGINT) AS digest
+FROM rec GROUP BY i
 """
 
 
