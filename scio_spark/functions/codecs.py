@@ -712,7 +712,12 @@ def encode_gif(arr: np.ndarray) -> bytes:
 
 
 def encode_avi(
-    frames: np.ndarray, fps: int = 25, codec: str = "DIB", quality: int = 90
+    frames: np.ndarray,
+    fps: int = 25,
+    codec: str = "DIB",
+    quality: int = 90,
+    audio: np.ndarray | None = None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """uint8 (n, h, w, 3) RGB frames → AVI bytes (RIFF 'AVI ', one 'vids'
     stream), per the public AVI RIFF spec. ``codec='DIB'`` writes
@@ -720,6 +725,10 @@ def encode_avi(
     pixel layout); ``codec='MJPG'`` writes Motion-JPEG: one baseline JPEG
     per frame (functions/jpeg.py at ``quality``) in '00dc' chunks — the
     simplest compressed video tier, every frame independently decodable.
+    ``audio`` (int16 (samples,) or (samples, ch) PCM) adds a second
+    'auds' stream: a WAVEFORMATEX strf plus '01wb' chunks interleaved
+    one per video frame, the standard A/V layout
+    (extract_avi_audio reads it back exactly).
     Parity note: the reference has no media codecs at all (binaryFile is
     its multimodal floor)."""
     frames = np.asarray(frames, dtype=np.uint8)
@@ -771,21 +780,47 @@ def encode_avi(
     strf = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, compression, buf_bytes, 0, 0, 0, 0
     )
-    hdrl = lst(
-        b"hdrl",
-        chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)),
-    )
+    strl = lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf))
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        aud = np.asarray(audio, np.int16)
+        if aud.ndim == 1:
+            aud = aud[:, None]
+        ach = aud.shape[1]
+        block = 2 * ach
+        astrh = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII", 0, 0, 0, 0, 1, audio_rate, 0,
+                aud.shape[0], audio_rate * block, 0, block,
+            )
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        astrf = struct.pack(
+            "<HHIIHHH", 1, ach, audio_rate, audio_rate * block, block, 16, 0
+        )
+        strl += lst(b"strl", chk(b"strh", astrh) + chk(b"strf", astrf))
+        per = -(-aud.shape[0] // max(n, 1))
+        for k in range(0, aud.shape[0], per):
+            audio_chunks.append(aud[k : k + per].tobytes())
+    n_streams = 2 if audio is not None else 1
+    avih = avih[:24] + struct.pack("<I", n_streams) + avih[28:]
+    hdrl = lst(b"hdrl", chk(b"avih", avih) + strl)
     movi_body = bytearray(b"movi")
-    if codec == "MJPG":
-        for p in payloads:
-            movi_body += chk(frame_tag, p)
-    else:
-        for f in frames:
+    for fi in range(n):
+        if codec == "MJPG":
+            movi_body += chk(frame_tag, payloads[fi])
+        else:
+            f = frames[fi]
             body = bytearray()
             for y in range(h - 1, -1, -1):
                 body += f[y, :, ::-1].tobytes()  # bottom-up BGR, like BMP
                 body += b"\x00" * pad
             movi_body += chk(frame_tag, bytes(body))
+        if fi < len(audio_chunks):  # standard interleave: audio follows
+            movi_body += chk(b"01wb", audio_chunks[fi])  # its video frame
+    for extra in audio_chunks[n:]:
+        movi_body += chk(b"01wb", extra)
     riff_body = b"AVI " + hdrl + b"LIST" + struct.pack(
         "<I", len(movi_body)
     ) + bytes(movi_body)
@@ -923,6 +958,54 @@ def decode_avi(blob: bytes) -> tuple[int, np.ndarray]:
         for off, clen in spans
     ]
     return fps, np.stack(frames)
+
+
+def extract_avi_audio(blob: bytes) -> tuple[int, np.ndarray, str]:
+    """AVI audio track → (sample_rate, int16 (frames, channels), codec).
+    Walks the RIFF tree for the 'auds' stream header, takes its strf —
+    which IS a WAVEFORMATEX, byte-identical to a WAV fmt chunk body —
+    gathers that stream's interleaved 'NNwb' chunks in order, and hands
+    the pair to the WAV decode stack, so every audio codec decode_wav_ex
+    supports (PCM depths, float32, G.711, IMA ADPCM, EXTENSIBLE) works
+    inside AVI for free. Raises ValueError when the file has no audio
+    stream."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    stream_no = -1
+    n_streams = 0
+    fmt_body: bytes | None = None
+    in_auds = False
+    parts: list[bytes] = []
+    tag_prefix = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal stream_no, n_streams, fmt_body, in_auds, tag_prefix
+        while pos + 8 <= end:
+            tag = blob[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", blob, pos + 4)
+            body = pos + 8
+            if body + clen > len(blob):
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body + 4, body + clen)
+            elif tag == b"strh":
+                in_auds = blob[body : body + 4] == b"auds"
+                if in_auds and stream_no < 0:
+                    stream_no = n_streams
+                    tag_prefix = b"%02dw" % stream_no
+                n_streams += 1
+            elif tag == b"strf" and in_auds and fmt_body is None:
+                fmt_body = blob[body : body + clen]
+            elif tag_prefix and tag[:3] == tag_prefix:  # NNwb chunks
+                parts.append(blob[body : body + clen])
+            pos = body + clen + (clen & 1)
+
+    walk(12, len(blob))
+    if fmt_body is None:
+        raise ValueError("AVI has no audio ('auds') stream")
+    from scio_spark.functions.audio import _riff_wave
+
+    return decode_wav_ex(_riff_wave(fmt_body, b"".join(parts)))
 
 
 def sample_video_frames(

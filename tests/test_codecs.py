@@ -721,3 +721,90 @@ def test_sample_video_frames_mjpeg_spark(spark):
     for r in rows:
         arr = decode_ppm(bytes(r.content))
         assert (arr == 30 + r.frame_idx * 7).all()
+
+
+def test_avi_audio_track_roundtrip_and_codec_reuse():
+    """A/V AVI: the 'auds' strf IS a WAVEFORMATEX, so extract_avi_audio
+    reuses the whole WAV decode stack. PCM16 mono/stereo roundtrip
+    exactly through the interleaved '01wb' chunks; video decode is
+    unaffected; a file with no audio stream raises."""
+    from scio_spark.functions.codecs import extract_avi_audio
+
+    frames = np.stack([np.full((16, 24, 3), v, np.uint8) for v in (10, 80, 200)])
+    aud = (3000 * np.sin(np.arange(4800) / 20)).astype(np.int16)
+    blob = encode_avi(frames, fps=10, audio=aud, audio_rate=16000)
+    fps, back = decode_avi(blob)
+    assert fps == 10 and (back == frames).all()
+    sr, a, codec = extract_avi_audio(blob)
+    assert (sr, codec) == (16000, "pcm16")
+    assert (a[:, 0] == aud).all()
+    stereo = np.stack([aud, aud[::-1]], axis=1)
+    sr, a, _ = extract_avi_audio(
+        encode_avi(frames, codec="MJPG", audio=stereo, audio_rate=8000)
+    )
+    assert sr == 8000 and (a == stereo).all()
+    with pytest.raises(ValueError, match="no audio"):
+        extract_avi_audio(encode_avi(frames))
+
+
+def test_avi_audio_g711_track_hand_assembled():
+    """An AVI whose audio stream declares WAVEFORMATEX tag 7 (μ-law):
+    splice a G.711 strf + '01wb' payload into an encoded container and
+    the extractor must expand it through the G.711 path."""
+    import struct as _s
+
+    from scio_spark.functions.audio import ulaw_decode, ulaw_encode
+    from scio_spark.functions.codecs import extract_avi_audio
+
+    frames = np.zeros((2, 8, 8, 3), np.uint8)
+    sig = (2000 * np.sin(np.arange(800) / 9)).astype(np.int16)
+    codes = ulaw_encode(sig)
+
+    def lst(tag, body):
+        return b"LIST" + _s.pack("<I", len(body) + 4) + tag + body
+
+    def chk(tag, body):
+        return tag + _s.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    base = encode_avi(frames, fps=5)
+    astrh = (
+        b"auds" + bytes(4)
+        + _s.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 800, 8000, 0, 1)
+        + _s.pack("<4H", 0, 0, 0, 0)
+    )
+    astrf = _s.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+    extra = lst(b"strl", chk(b"strh", astrh) + chk(b"strf", astrf))
+    wb = chk(b"01wb", codes.tobytes())
+    # splice before the movi LIST; fix RIFF/hdrl sizes by rebuilding
+    movi_at = base.index(b"LIST", 12)
+    # find the movi LIST (the one whose type is 'movi')
+    pos = 12
+    while True:
+        pos = base.index(b"LIST", pos)
+        (ln,) = _s.unpack_from("<I", base, pos + 4)
+        if base[pos + 8 : pos + 12] == b"movi":
+            break
+        pos += 8 + ln
+    hdrl_at = base.index(b"LIST", 12)
+    (hlen,) = _s.unpack_from("<I", base, hdrl_at + 4)
+    hdrl_end = hdrl_at + 8 + hlen
+    new_hdrl_len = hlen + len(extra)
+    movi = base[pos : pos + 8] + base[pos + 8 : pos + 8 + _s.unpack_from("<I", base, pos + 4)[0]]
+    (mlen,) = _s.unpack_from("<I", base, pos + 4)
+    new_movi = b"LIST" + _s.pack("<I", mlen + len(wb)) + base[pos + 8 : pos + 8 + mlen] + wb
+    body = (
+        b"AVI "
+        + base[12 : hdrl_at + 4]
+        + _s.pack("<I", new_hdrl_len)
+        + base[hdrl_at + 8 : hdrl_end]
+        + extra
+        + new_movi
+    )
+    blob = b"RIFF" + _s.pack("<I", len(body)) + body
+    sr, a, codec = extract_avi_audio(blob)
+    assert (sr, codec) == (8000, "ulaw")
+    assert (a[:, 0] == ulaw_decode(codes)).all()
+    fps, back = decode_avi(blob)  # video still decodes around the splice
+    assert back.shape == frames.shape
