@@ -5043,6 +5043,123 @@ FROM s GROUP BY i
 """
 
 
+def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata probe (codecs.video_features — AVI header/chunk
+    walk, NO pixel decode, the video analog of the MP3 probe): per
+    asset an AVI with id-derived geometry/fps/frame-count (DIB or MJPG,
+    audio track on every third asset) is assembled executor-side and
+    probed back. The oracle replays the arithmetic — wrong chunk walk,
+    fps math, or stream detection breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import encode_avi, video_features
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                nf = 2 + i % 4
+                w = 8 * (1 + i % 3)
+                fps = 5 + i % 6
+                frames = np.full((nf, 8, w, 3), (i * 31) % 256, np.uint8)
+                audio = (
+                    np.zeros(200 + i, np.int16) if i % 3 == 0 else None
+                )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "content": encode_avi(
+                            frames,
+                            fps=fps,
+                            codec="MJPG" if i % 2 else "DIB",
+                            audio=audio,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+    return video_features(assets).select(
+        "asset_id", "width", "height", "fps", "n_frames", "duration_ms",
+        "codec", "has_audio",
+    )
+
+
+ORACLE_VIDEO_PROBE = """
+SELECT i AS asset_id,
+       CAST(8 * (1 + i % 3) AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(5 + i % 6 AS INT) AS fps,
+       CAST(2 + i % 4 AS INT) AS n_frames,
+       CAST(((2 + i % 4) * 1000) // (5 + i % 6) AS BIGINT) AS duration_ms,
+       CASE WHEN i % 2 = 1 THEN 'MJPG' ELSE 'DIB' END AS codec,
+       i % 3 = 0 AS has_audio
+FROM range(0, 40) t(i)
+"""
+
+
+def q_avi_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI audio-track extraction (codecs.extract_avi_audio): PCM16
+    samples x_j = ((i*29 + j*13) % 5000) - 2500 ride an A/V AVI as
+    interleaved '01wb' chunks next to MJPG video and come back EXACTLY
+    (PCM is lossless through the WAVEFORMATEX reuse). The oracle
+    replays the sample arithmetic; a wrong stream number, chunk order,
+    or fmt hand-off breaks the digest."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.codecs import encode_avi, extract_avi_audio
+
+    base = spark.range(32).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                n = 600 + 100 * (i % 4)
+                j = np.arange(n, dtype=np.int64)
+                x = (((i * 29 + j * 13) % 5000) - 2500).astype(np.int16)
+                frames = np.full((3, 8, 8, 3), (i * 7) % 256, np.uint8)
+                blob = encode_avi(
+                    frames, fps=10, codec="MJPG", audio=x, audio_rate=8000
+                )
+                sr, arr, codec = extract_avi_audio(blob)
+                s = arr[:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "asset_id": i, "sample_rate": sr, "codec": codec,
+                        "n_samples": int(s.size),
+                        "digest": int((s * (j + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, sample_rate int, codec string, n_samples int, "
+        "digest long",
+    )
+
+
+ORACLE_AVI_AUDIO = """
+WITH s AS (
+  SELECT i, j, ((i * 29 + j * 13) % 5000) - 2500 AS x
+  FROM range(0, 32) t(i) CROSS JOIN range(0, 900) u(j)
+  WHERE j < 600 + 100 * (i % 4)
+)
+SELECT i AS asset_id, CAST(8000 AS INT) AS sample_rate,
+       'pcm16' AS codec,
+       CAST(600 + 100 * (i % 4) AS INT) AS n_samples,
+       CAST(SUM(x * (j + 1)) AS BIGINT) AS digest
+FROM s GROUP BY i
+"""
+
+
 def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata probe (functions/audio.py probe_mp3 — ISO 11172-3
     frame-header walk; sample decode needs a polyphase filterbank and
@@ -7096,6 +7213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_probe": q_audio_mp3_probe,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r9-latest remainder — r13 window candidates, standing order
+        "video_probe": q_video_probe,
+        "avi_audio": q_avi_audio,
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
@@ -7397,6 +7516,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_adpcm": ORACLE_AUDIO_ADPCM,
         "audio_flac": ORACLE_AUDIO_FLAC,
         "audio_mp3_probe": ORACLE_AUDIO_MP3_PROBE,
+        "video_probe": ORACLE_VIDEO_PROBE,
+        "avi_audio": ORACLE_AVI_AUDIO,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,

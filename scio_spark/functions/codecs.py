@@ -1008,6 +1008,74 @@ def extract_avi_audio(blob: bytes) -> tuple[int, np.ndarray, str]:
     return decode_wav_ex(_riff_wave(fmt_body, b"".join(parts)))
 
 
+def _avi_has_audio(blob: bytes) -> bool:
+    """Chunk-walk for an 'auds' stream header (headers only, no decode)."""
+
+    def walk(pos: int, end: int) -> bool:
+        while pos + 8 <= end:
+            tag = blob[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", blob, pos + 4)
+            body = pos + 8
+            if body + clen > len(blob):
+                return False
+            if tag == b"LIST":
+                if walk(body + 4, body + clen):
+                    return True
+            elif tag == b"strh" and blob[body : body + 4] == b"auds":
+                return True
+            pos = body + clen + (clen & 1)
+        return False
+
+    return walk(12, len(blob))
+
+
+def video_features(
+    df: DataFrame, content_col: str = "content", id_col: str = "asset_id"
+) -> DataFrame:
+    """Video metadata probe — the curation-pipeline slice of video: the
+    AVI header/chunk walk (_parse_avi) touches only chunk headers, so
+    width/height/fps/frame-count/duration come back WITHOUT decoding a
+    single pixel (the video analog of probe_mp3). has_audio flags an
+    'auds' stream. Unknown/corrupt payloads → decoder='unknown' rows,
+    never task death."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, width int, height int, fps int, n_frames int, "
+        "duration_ms long, codec string, has_audio boolean, decoder string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                try:
+                    w, h, fps, codec, spans = _parse_avi(b)
+                    rows.append(
+                        {
+                            id_col: aid, "width": w, "height": h,
+                            "fps": fps, "n_frames": len(spans),
+                            "duration_ms": len(spans) * 1000 // fps,
+                            "codec": codec,
+                            "has_audio": _avi_has_audio(b),
+                            "decoder": "avi",
+                        }
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        {
+                            id_col: aid, "width": None, "height": None,
+                            "fps": None, "n_frames": None,
+                            "duration_ms": None, "codec": None,
+                            "has_audio": None, "decoder": "unknown",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -808,3 +808,25 @@ def test_avi_audio_g711_track_hand_assembled():
     assert (a[:, 0] == ulaw_decode(codes)).all()
     fps, back = decode_avi(blob)  # video still decodes around the splice
     assert back.shape == frames.shape
+
+
+def test_video_features_probe_without_decode(spark):
+    from scio_spark.functions.codecs import video_features
+
+    f1 = np.zeros((4, 8, 12, 3), np.uint8)
+    aud = np.zeros(400, np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi(f1, fps=10))),
+            (2, bytearray(encode_avi(f1, fps=5, codec="MJPG", audio=aud))),
+            (3, bytearray(b"RIFF\x10\x00\x00\x00AVI corrupted")),
+        ],
+        "asset_id long, content binary",
+    )
+    rows = {r.asset_id: r for r in video_features(df).collect()}
+    assert rows[1].width == 12 and rows[1].height == 8
+    assert rows[1].fps == 10 and rows[1].n_frames == 4
+    assert rows[1].duration_ms == 400 and rows[1].codec == "DIB"
+    assert rows[1].has_audio is False
+    assert rows[2].codec == "MJPG" and rows[2].has_audio is True
+    assert rows[3].decoder == "unknown" and rows[3].width is None
