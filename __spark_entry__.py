@@ -5043,6 +5043,89 @@ FROM s GROUP BY i
 """
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (functions/tiff.py — TIFF 6.0 strip layout,
+    pure Python): per asset an id-derived gradient pix(y,x) =
+    (y*(3+i%5) + x*7 + i) % 256 (gray for even assets, RGB with
+    per-channel offsets for odd) is encoded with the compression the
+    asset id selects — none / PackBits / LZW / LZW+predictor — split
+    into 4-row strips, and decoded back to an integer sum + position-
+    weighted digest. The oracle replays the pixel arithmetic: a wrong
+    IFD walk, strip split, LZW width bump, predictor integration, or
+    byte order breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.tiff import decode_tiff, encode_tiff
+
+    base = spark.range(40).select(F.col("id").alias("asset_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                h, w = 10 + (i % 3) * 2, 13
+                y, x = np.mgrid[0:h, 0:w]
+                g = (y * (3 + i % 5) + x * 7 + i) % 256
+                if i % 2:
+                    img = np.dstack(
+                        [g, (g + 85) % 256, (g + 170) % 256]
+                    ).astype(np.uint8)
+                else:
+                    img = g.astype(np.uint8)
+                comp = ("none", "packbits", "lzw", "lzw")[i % 4]
+                blob = encode_tiff(
+                    img, compression=comp, rows_per_strip=4,
+                    predictor=(i % 4 == 3),
+                )
+                out = decode_tiff(blob).astype(np.int64)
+                flat = out.reshape(-1)
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "width": int(out.shape[1]),
+                        "height": int(out.shape[0]),
+                        "channels": 3 if i % 2 else 1,
+                        "pix_sum": int(flat.sum()),
+                        "digest": int(
+                            (flat * (np.arange(flat.size) + 1)).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen,
+        "asset_id long, width int, height int, channels int, "
+        "pix_sum long, digest long",
+    )
+
+
+ORACLE_TIFF_DECODE = """
+WITH px AS (
+  SELECT i, y, x, c,
+         CASE WHEN i % 2 = 1
+              THEN (y * (3 + i % 5) + x * 7 + i + c * 85) % 256
+              ELSE (y * (3 + i % 5) + x * 7 + i) % 256 END AS v,
+         (y * 13 + x) * (CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END) + c + 1
+           AS pos
+  FROM range(0, 40) t(i)
+  CROSS JOIN range(0, 14) ty(y)
+  CROSS JOIN range(0, 13) tx(x)
+  CROSS JOIN range(0, 3) tc(c)
+  WHERE y < 10 + (i % 3) * 2 AND (c = 0 OR i % 2 = 1)
+)
+SELECT i AS asset_id,
+       CAST(13 AS INT) AS width,
+       CAST(10 + (i % 3) * 2 AS INT) AS height,
+       CAST(CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(SUM(v) AS BIGINT) AS pix_sum,
+       CAST(SUM(v * pos) AS BIGINT) AS digest
+FROM px GROUP BY i
+"""
+
+
 def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video metadata probe (codecs.video_features — AVI header/chunk
     walk, NO pixel decode, the video analog of the MP3 probe): per
@@ -7213,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_probe": q_audio_mp3_probe,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r9-latest remainder — r13 window candidates, standing order
+        "tiff_decode": q_tiff_decode,
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
         "autocomplete": q_autocomplete,
@@ -7516,6 +7600,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_adpcm": ORACLE_AUDIO_ADPCM,
         "audio_flac": ORACLE_AUDIO_FLAC,
         "audio_mp3_probe": ORACLE_AUDIO_MP3_PROBE,
+        "tiff_decode": ORACLE_TIFF_DECODE,
         "video_probe": ORACLE_VIDEO_PROBE,
         "avi_audio": ORACLE_AVI_AUDIO,
         "gif_decode": ORACLE_GIF_DECODE,

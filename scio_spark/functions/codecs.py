@@ -23,9 +23,12 @@ formats are pure arithmetic and get real, tested implementations here:
   encoder, palette-derived, for images with <= 256 distinct colors,
 - AVI (uncompressed 'DIB ' video): RIFF chunk walk, BMP-layout frames,
   real frame sampling (sample_video_frames),
-- baseline JPEG lives in ``functions/jpeg.py`` (T.81 Huffman + DCT).
-  Only MP3/compressed-video/progressive-JPEG stay behind multimodal.py's
-  import gate.
+- JPEG lives in ``functions/jpeg.py`` (T.81: baseline + progressive +
+  12-bit), TIFF in ``functions/tiff.py`` (6.0 strips: none/PackBits/LZW
+  + predictor), compressed audio in ``functions/audio.py`` (G.711, IMA
+  ADPCM, MP3 probe) and ``functions/flac.py`` (lossless FLAC). Only
+  MP3 sample decode, arithmetic JPEG, and video codecs beyond the AVI
+  tier stay behind multimodal.py's import gate.
 
 On top of the byte codecs: Spark-side feature extraction (dimensions,
 per-channel mean/std, RMS/peak audio energy), nearest-neighbor image
@@ -1149,6 +1152,8 @@ def sniff(blob: bytes) -> str | None:
         return "flac"
     if blob[:3] == b"ID3":
         return "mp3"
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -1196,6 +1201,10 @@ def image_features(
                         from scio_spark.functions.jpeg import decode_jpeg
 
                         arr = decode_jpeg(b)
+                    elif kind == "tiff":
+                        from scio_spark.functions.tiff import decode_tiff
+
+                        arr = decode_tiff(b)
                     else:
                         raise ValueError("unknown")
                     h, w = arr.shape[:2]
