@@ -1,5 +1,5 @@
 """Multimodal image-curation pipeline over the REAL pure-Python codecs:
-synthesize a mixed PNG/JPEG/PPM/BMP corpus (binary column + typed
+synthesize a mixed PNG/JPEG/PPM/BMP/TIFF corpus (binary column + typed
 metadata), exact-dedup assets by payload digest, decode + feature-extract
 (dimensions, mean/std intensity) with corrupt payloads degrading to
 decoder='unknown' rows instead of task failures, filter on decode
@@ -21,13 +21,14 @@ sys.path.insert(0, ".")
 from scio_spark import ScioContext  # noqa: E402
 from scio_spark.functions import codecs as C  # noqa: E402
 from scio_spark.functions.jpeg import encode_jpeg  # noqa: E402
+from scio_spark.functions.tiff import encode_tiff  # noqa: E402
 from scio_spark.functions.multimodal import content_stats  # noqa: E402
 from scio_spark.sources import webdataset as W  # noqa: E402
 
 
 def synth_assets(spark, n=240):
     """Deterministic mixed-format corpus: gradient images cycled through
-    PNG / JPEG / PPM / BMP encoders, ~5% duplicated payloads (the exact-
+    PNG / JPEG / PPM / BMP / TIFF-LZW encoders, ~5% duplicated payloads (the exact-
     dup case), ~4% truncated (the corrupt-payload case)."""
     base = spark.range(n).select(F.col("id").alias("asset_id"))
 
@@ -44,15 +45,19 @@ def synth_assets(spark, n=240):
                 img = np.dstack(
                     [((x * 5 + c * 40 + src) % 256) for c in range(3)]
                 ).astype(np.uint8)
-                kind = src % 4
+                kind = src % 5
                 if kind == 0:
                     blob = C.encode_png(img, filter_cycle=(0, 1, 2, 3, 4))
                 elif kind == 1:
                     blob = encode_jpeg(img, 85)
                 elif kind == 2:
                     blob = C.encode_ppm(img)
-                else:
+                elif kind == 3:
                     blob = C.encode_bmp(img)
+                else:
+                    blob = encode_tiff(
+                        img, compression="lzw", predictor=bool(src % 2)
+                    )
                 if i % 25 == 13:
                     blob = blob[: len(blob) // 3]  # corrupt in transit
                 rows.append({"asset_id": i, "content": blob})
@@ -84,7 +89,7 @@ def main():
     )
     n1 = deduped.count()
 
-    # 2. decode + feature-extract (PNG/JPEG/PPM/BMP all REAL decoders;
+    # 2. decode + feature-extract (PNG/JPEG/PPM/BMP/TIFF all REAL decoders;
     # truncated payloads come back decoder='unknown', job survives)
     feats = C.image_features(deduped)
     by_decoder = {

@@ -1255,6 +1255,10 @@ def resize_images(
                         from scio_spark.functions.jpeg import decode_jpeg
 
                         arr = decode_jpeg(b)
+                    elif kind == "tiff":
+                        from scio_spark.functions.tiff import decode_tiff
+
+                        arr = decode_tiff(b)
                     else:
                         arr = (
                             decode_ppm(b)
@@ -1286,6 +1290,10 @@ def resize_images(
                         from scio_spark.functions.jpeg import encode_jpeg
 
                         payload = encode_jpeg(out, 85)
+                    elif kind == "tiff":
+                        from scio_spark.functions.tiff import encode_tiff
+
+                        payload = encode_tiff(out, compression="lzw")
                     else:
                         payload = encode_ppm(out)
                     rows.append(
