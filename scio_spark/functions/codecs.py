@@ -1166,6 +1166,31 @@ def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, fully vectorized (gather the four neighbors via
+    index maps, blend with the center-aligned fractional weights —
+    the half-pixel-center convention used by the mainstream training
+    pipelines). Separable weights, edge-clamped; uint8 in → uint8 out
+    (round-half-away like the codecs' quantizers)."""
+    h, w = arr.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx)[None, :, None] + a[y0][:, x1] * wx[None, :, None] \
+        if arr.ndim == 3 else a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx)[None, :, None] + a[y1][:, x1] * wx[None, :, None] \
+        if arr.ndim == 3 else a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None] \
+        if arr.ndim == 3 else top * (1 - wy)[:, None] + bot * wy[:, None]
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 # ------------------------------------------------------------ Spark surface
 
 
@@ -1236,11 +1261,18 @@ def resize_images(
     out_w: int,
     content_col: str = "content",
     id_col: str = "asset_id",
+    method: str = "nearest",
 ) -> DataFrame:
-    """Real nearest-neighbor resize for PPM/PGM/BMP payloads; output is
-    re-encoded PPM/PGM (the uncompressed interchange format). Unknown
-    payloads pass through unchanged with resized=false."""
+    """Real resize for decodable image payloads — ``method='nearest'``
+    (index-map sampling) or ``'bilinear'`` (vectorized four-neighbor
+    blend, the training-pipeline default). Output re-encodes in the
+    source family; unknown payloads pass through unchanged with
+    resized=false."""
     import pandas as pd
+
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"resize_images: unknown method {method!r}")
+    resize_fn = resize_nearest if method == "nearest" else resize_bilinear
 
     schema = f"{id_col} long, {content_col} binary, resized boolean"
 
@@ -1276,16 +1308,20 @@ def resize_images(
                 if arr is None:
                     rows.append({id_col: aid, content_col: b, "resized": False})
                 else:
-                    out = resize_nearest(arr, out_h, out_w)
+                    out = resize_fn(arr, out_h, out_w)
                     # stay in the source family: PNG re-encodes as PNG
                     # (PPM can't carry alpha), JPEG as JPEG (the training-
                     # pipeline norm), netpbm/BMP as PPM/PGM
                     if kind == "png":
                         payload = encode_png(out)
                     elif kind == "gif":
-                        # nearest-resize samples existing pixels, so the
-                        # palette can only shrink — still GIF-encodable
-                        payload = encode_gif(out)
+                        # nearest keeps the palette closed; bilinear can
+                        # blend new colors past 256 — fall back to PNG
+                        # (lossless) when the GIF re-encode would fail
+                        try:
+                            payload = encode_gif(out)
+                        except ValueError:
+                            payload = encode_png(out)
                     elif kind == "jpeg":
                         from scio_spark.functions.jpeg import encode_jpeg
 

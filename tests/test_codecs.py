@@ -830,3 +830,35 @@ def test_video_features_probe_without_decode(spark):
     assert rows[1].has_audio is False
     assert rows[2].codec == "MJPG" and rows[2].has_audio is True
     assert rows[3].decoder == "unknown" and rows[3].width is None
+
+
+def test_resize_bilinear_analytic_and_spark_surface(spark):
+    from scio_spark.functions.codecs import resize_bilinear
+
+    # 2x upscale of a 2x2 ramp: interior samples sit at quarter points —
+    # weights derived by hand from the half-pixel-center grid
+    src = np.array([[0, 100], [200, 100]], np.uint8)
+    out = resize_bilinear(src, 4, 4)
+    assert out.shape == (4, 4)
+    assert out[0, 0] == 0 and out[0, 3] == 100  # corners clamp
+    assert out[0, 1] == 25  # x frac 0.25: 0*(0.75) + 100*0.25
+    assert out[1, 0] == 50  # y frac 0.25: 0*0.75 + 200*0.25
+    # identity resize is exact for any image
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (9, 7, 3), np.uint8)
+    assert (resize_bilinear(img, 9, 7) == img).all()
+    # downscale averages: constant image stays constant
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert (resize_bilinear(flat, 5, 3) == 77).all()
+    # Spark surface: bilinear thumbnails re-encode in the source family
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)))], "asset_id long, content binary"
+    )
+    rows = resize_images(df, 4, 4, method="bilinear").collect()
+    assert rows[0].resized is True
+    back = decode_ppm(bytes(rows[0].content))
+    assert back.shape == (4, 4, 3)
+    from scio_spark.functions.codecs import resize_images as _ri
+
+    with pytest.raises(ValueError, match="unknown method"):
+        _ri(df, 4, 4, method="lanczos")
