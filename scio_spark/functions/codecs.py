@@ -113,24 +113,95 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(blob: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP → uint8 (h, w, 3) RGB."""
+    """BMP → uint8 (h, w, 3) RGB. Layouts per the public BMP format:
+    24-bit BI_RGB (the encoder's output), 32-bit BI_RGB (BGRX — alpha
+    byte dropped), 8-bit palette (BI_RGB), and 8-bit BI_RLE8 run-length
+    (encoded/absolute runs, end-of-line/bitmap, delta skips). Bottom-up
+    and top-down (negative height) row orders both handled."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", blob, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
     planes, bpp = struct.unpack_from("<HH", blob, 26)
     (compression,) = struct.unpack_from("<I", blob, 30)
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     flip = h > 0
     h = abs(h)
-    row = w * 3
-    stride = (row + 3) // 4 * 4
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for y in range(h):
-        line = np.frombuffer(blob, np.uint8, count=row, offset=data_off + y * stride)
-        out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]  # BGR→RGB
-    return out
+    if w <= 0 or h == 0:
+        raise ValueError("BMP: empty image")
+    if bpp == 24 and compression == 0:
+        row = w * 3
+        stride = (row + 3) // 4 * 4
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            line = np.frombuffer(
+                blob, np.uint8, count=row, offset=data_off + y * stride
+            )
+            out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]
+        return out
+    if bpp == 32 and compression == 0:
+        stride = w * 4
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            line = np.frombuffer(
+                blob, np.uint8, count=stride, offset=data_off + y * stride
+            ).reshape(w, 4)
+            out[h - 1 - y if flip else y] = line[:, 2::-1]  # BGRX → RGB
+        return out
+    if bpp == 8 and compression in (0, 1):
+        (used,) = struct.unpack_from("<I", blob, 46)
+        ncolors = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            blob, np.uint8, count=ncolors * 4, offset=pal_off
+        ).reshape(ncolors, 4)[:, 2::-1]  # BGRX → RGB
+        idx = np.zeros((h, w), np.uint8)
+        if compression == 0:
+            stride = (w + 3) // 4 * 4
+            for y in range(h):
+                idx[h - 1 - y if flip else y] = np.frombuffer(
+                    blob, np.uint8, count=w, offset=data_off + y * stride
+                )
+        else:  # BI_RLE8 — always bottom-up per the format
+            pos = data_off
+            x = y = 0  # y counts from the BOTTOM row
+            while pos + 1 < len(blob):
+                n, v = blob[pos], blob[pos + 1]
+                pos += 2
+                if n > 0:  # encoded run
+                    end = min(x + n, w)
+                    idx[h - 1 - y, x:end] = v
+                    x = end
+                elif v == 0:  # end of line
+                    x, y = 0, y + 1
+                    if y >= h:
+                        break
+                elif v == 1:  # end of bitmap
+                    break
+                elif v == 2:  # delta
+                    if pos + 1 >= len(blob):
+                        raise ValueError("BMP RLE8: truncated delta")
+                    x += blob[pos]
+                    y += blob[pos + 1]
+                    pos += 2
+                    if x > w or y >= h:
+                        raise ValueError("BMP RLE8: delta out of range")
+                else:  # absolute run of v pixels, word-aligned
+                    if pos + v > len(blob):
+                        raise ValueError("BMP RLE8: truncated absolute run")
+                    end = min(x + v, w)
+                    idx[h - 1 - y, x:end] = np.frombuffer(
+                        blob, np.uint8, count=end - x, offset=pos
+                    )
+                    x = end
+                    pos += v + (v & 1)
+            if not flip:
+                idx = idx[::-1]
+        if int(idx.max(initial=0)) >= ncolors:
+            raise ValueError("BMP: palette index out of range")
+        return pal[idx]
+    raise ValueError(
+        f"unsupported BMP (bpp={bpp}, compression={compression})"
+    )
 
 
 # --------------------------------------------------------------- audio: WAV

@@ -1313,3 +1313,71 @@ def encode_jpeg12(arr: np.ndarray, quality: int = 85) -> bytes:
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------- EXIF orientation
+
+def exif_orientation(blob: bytes) -> int:
+    """EXIF orientation (1-8; 1 when absent/unparseable) from the APP1
+    segment — photo corpora carry rotation as metadata, not pixels. The
+    APP1 payload after 'Exif\\0\\0' IS a TIFF structure, so the parse
+    reuses functions/tiff.py's IFD reader; tag 274 in IFD0."""
+    if blob[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return 1
+        tag = blob[pos + 1]
+        if tag in (0xD8, 0xD9) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag == 0xDA:  # entropy data starts: no APP1 seen
+            return 1
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if tag == 0xE1 and blob[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = blob[pos + 10 : pos + 2 + seglen]
+            try:
+                from scio_spark.functions.tiff import _read_ifd
+
+                if tiff[:4] == b"II*\x00":
+                    bo = "<"
+                elif tiff[:4] == b"MM\x00*":
+                    bo = ">"
+                else:
+                    return 1
+                (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+                tags = _read_ifd(tiff, ifd_off, bo)
+                o = tags.get(274, [1])[0]
+                return o if 1 <= o <= 8 else 1
+            except (ValueError, struct.error, IndexError):
+                return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation (the 8 TIFF/EXIF cases) to decoded
+    pixels so the array reads top-left-up."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:  # transpose (TL-BR diagonal)
+        return np.swapaxes(arr, 0, 1)
+    if orientation == 6:  # rotate 90 CW
+        return np.rot90(arr, k=-1)
+    if orientation == 7:  # transverse (TR-BL diagonal)
+        return np.swapaxes(arr, 0, 1)[::-1, ::-1]
+    if orientation == 8:  # rotate 90 CCW
+        return np.rot90(arr, k=1)
+    return arr
+
+
+def decode_jpeg_oriented(blob: bytes) -> np.ndarray:
+    """decode_jpeg + EXIF orientation applied — what a photo-corpus
+    pipeline actually wants (a 6-oriented portrait decodes to portrait
+    pixels, not sideways-landscape plus a forgotten metadata bit)."""
+    return apply_orientation(decode_jpeg(blob), exif_orientation(blob))

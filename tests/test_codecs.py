@@ -862,3 +862,55 @@ def test_resize_bilinear_analytic_and_spark_surface(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         _ri(df, 4, 4, method="lanczos")
+
+
+def test_bmp_palette_rle8_and_32bpp_hand_assembled():
+    """Hand-built BMP variants beyond the encoder's 24-bit output:
+    8-bit palette (uncompressed + BI_RLE8 with encoded/absolute runs,
+    EOL, delta, EOB) and 32-bit BGRX; pixels known by construction."""
+    import struct as _s
+
+    def hdr(w, h, bpp, comp, data_off, used=0):
+        head = _s.pack("<2sIHHI", b"BM", 0, 0, 0, data_off)
+        info = _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, 0, 0, 0, used, 0
+        )
+        return head + info
+
+    # palette: 3 colors
+    pal = bytes([255, 0, 0, 0]) + bytes([0, 255, 0, 0]) + bytes([0, 0, 255, 0])
+    # --- uncompressed 8-bit, 3x2, stride 4
+    rows = bytes([0, 1, 2, 0]) + bytes([2, 2, 0, 0])  # bottom row first
+    blob = hdr(3, 2, 8, 0, 14 + 40 + 12, used=3) + pal + rows
+    arr = decode_bmp(blob)
+    assert arr.shape == (2, 3, 3)
+    # palette entries are BGRX: (255,0,0,0) is BLUE
+    assert arr[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+    assert arr[0].tolist() == [[255, 0, 0], [255, 0, 0], [0, 0, 255]]
+    # --- RLE8: encoded run, EOL, delta skip, clipped run, EOB
+    rle = bytes(
+        [2, 1,  0, 0,  # bottom row: run of 2 idx 1 | end of line
+         1, 2,  0, 2, 1, 0,  2, 0,  0, 1]  # 1px idx2, delta(+1,0), run idx0, EOB
+    )
+    blob = hdr(3, 2, 8, 1, 14 + 40 + 12, used=3) + pal + rle
+    arr = decode_bmp(blob)
+    assert arr.shape == (2, 3, 3)
+    # bottom (stored first): [1,1,<unset 0>]; top: [2, <delta-skipped 0>, 0]
+    assert arr[1].tolist() == [[0, 255, 0], [0, 255, 0], [0, 0, 255]]
+    assert arr[0].tolist() == [[255, 0, 0], [0, 0, 255], [0, 0, 255]]
+    # --- 32bpp BGRX
+    px = bytes([10, 20, 30, 99, 40, 50, 60, 99])  # one row, 2 px
+    blob = hdr(2, 1, 32, 0, 14 + 40) + px
+    arr = decode_bmp(blob)
+    assert arr.tolist() == [[[30, 20, 10], [60, 50, 40]]]
+
+
+def test_bmp_palette_semantics_precise():
+    """Pin the BGRX palette interpretation exactly: entry bytes
+    (B,G,R,X) = (255,0,0,0) is pure blue."""
+    import struct as _s
+
+    head = _s.pack("<2sIHHI", b"BM", 0, 0, 0, 14 + 40 + 4)
+    info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 1, 0)
+    blob = head + info + bytes([255, 0, 0, 0]) + bytes([0, 0, 0, 0])
+    assert decode_bmp(blob).tolist() == [[[0, 0, 255]]]

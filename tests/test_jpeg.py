@@ -670,3 +670,49 @@ def test_12bit_encoder_input_validation():
     # 8-bit streams still come back uint8 (no dtype regression)
     out = decode_jpeg(encode_jpeg(np.full((8, 8), 77, np.uint8), 90))
     assert out.dtype == np.uint8
+
+
+# --------------------------------------------------- EXIF orientation
+
+
+def _with_exif(jpeg_bytes, orientation):
+    """Splice a hand-built APP1 Exif segment (TIFF IFD, tag 274) right
+    after SOI."""
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+    tiff += struct.pack("<I", 0)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = struct.pack(">BBH", 0xFF, 0xE1, len(payload) + 2) + payload
+    return jpeg_bytes[:2] + app1 + jpeg_bytes[2:]
+
+
+def test_exif_orientation_parse_and_apply():
+    from scio_spark.functions.jpeg import (
+        apply_orientation,
+        decode_jpeg_oriented,
+        exif_orientation,
+    )
+
+    base = np.zeros((8, 16, 3), np.uint8)
+    base[0, 0] = 255  # a corner marker
+    plain = encode_jpeg(base, 95)
+    assert exif_orientation(plain) == 1
+    for o in range(1, 9):
+        blob = _with_exif(plain, o)
+        assert exif_orientation(blob) == o
+        got = decode_jpeg_oriented(blob)
+        exp = apply_orientation(decode_jpeg(plain), o)
+        assert got.shape == exp.shape
+        assert (got == exp).all()
+    # the transforms themselves, pinned on an asymmetric array
+    a = np.arange(6).reshape(2, 3)
+    assert apply_orientation(a, 3).tolist() == [[5, 4, 3], [2, 1, 0]]
+    assert apply_orientation(a, 6).tolist() == [[3, 0], [4, 1], [5, 2]]
+    assert apply_orientation(a, 8).tolist() == [[2, 5], [1, 4], [0, 3]]
+    assert apply_orientation(a, 5).tolist() == [[0, 3], [1, 4], [2, 5]]
+    # malformed APP1 payloads degrade to orientation 1
+    broken = _with_exif(plain, 6)
+    broken = broken.replace(b"II*\x00", b"XX*\x00")
+    assert exif_orientation(broken) == 1
+    assert exif_orientation(b"\xff\xd8\xff\xd9") == 1
