@@ -7218,16 +7218,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. the 25 queries whose latest driver row is r7 (hll_merge …
        aggregate_global) — the stalest external evidence after the r11
        rotation, in their standing order;
-    2. the 18 stalest r9-latest queries in their standing order
-       (hash_filter … cohort_retention);
-    3. the 7 NEW r12 codec queries, each needing its first driver row:
-       video_mjpeg (Motion-JPEG AVI via the streaming chunk walk),
-       jpeg_progressive (SOF2 spectral selection + successive
-       approximation), jpeg12_decode (extended-sequential 12-bit),
-       audio_g711 / audio_adpcm / audio_flac (compressed + lossless
-       audio), audio_mp3_probe (frame-walk metadata).
+    2. the 17 stalest r9-latest queries in their standing order
+       (hash_filter … funnel);
+    3. the 8 NEW r12 codec queries, each needing its first driver row:
+       tiff_decode (TIFF 6.0 strips/LZW/predictor), video_mjpeg
+       (Motion-JPEG AVI via the streaming chunk walk), jpeg_progressive
+       (SOF2 spectral selection + successive approximation),
+       jpeg12_decode (extended-sequential 12-bit), audio_g711 /
+       audio_adpcm / audio_flac (compressed + lossless audio),
+       audio_mp3_probe (frame-walk metadata).
 
-    The remaining r9-latest queries (autocomplete … metrics first —
+    The remaining r9-latest queries (cohort_retention … metrics first —
     displaced by the new codec tier, they keep their r9 evidence) head
     the post-window section as the r13 rotation candidates, followed by
     the 50 r10-window and the 50 r11-window queries (freshest evidence,
@@ -7279,7 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quota": q_token_quota,
         "snapshot_diff": q_snapshot_diff,
         "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
+        "tiff_decode": q_tiff_decode,
         # (b) NEW this round — the r12 codec tier, each needing its first
         #     driver row: compressed video (Motion-JPEG in AVI, sampled
         #     via the streaming chunk walk), progressive JPEG, G.711 /
@@ -7296,7 +7297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_probe": q_audio_mp3_probe,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r9-latest remainder — r13 window candidates, standing order
-        "tiff_decode": q_tiff_decode,
+        "cohort_retention": q_cohort_retention,
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
         "autocomplete": q_autocomplete,
