@@ -241,51 +241,85 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
         raise ValueError("TIFF: planar (non-chunky) layout unsupported")
     if w == 0 or h == 0:
         raise ValueError("TIFF: empty image")
-    offs = tags.get(273)
-    counts = tags.get(279)
-    if not offs or not counts or len(offs) != len(counts):
-        raise ValueError("TIFF: missing strip offsets/byte counts")
-    rps = one(278, h)
     bps = depth // 8
-    row_bytes = w * spp * bps
-
-    raws: list[bytes] = []
-    rows_left = h
-    for si, (off, cnt) in enumerate(zip(offs, counts)):
-        if off + cnt > len(blob):
-            raise ValueError("TIFF: strip out of range")
-        strip_rows = min(rps, rows_left)
-        rows_left -= strip_rows
-        want = strip_rows * row_bytes
-        chunk = blob[off : off + cnt]
-        if comp == 1:
-            raw = chunk[:want]
-        elif comp == 5:
-            raw = _lzw_decode_tiff(chunk, want)
-        elif comp == 32773:
-            raw = _packbits_decode(chunk, want)
-        else:
-            raise ValueError(
-                f"TIFF: compression {comp} unsupported "
-                "(none/LZW/PackBits are built in)"
-            )
-        if len(raw) < want:
-            raise ValueError("TIFF: strip shorter than declared rows")
-        raws.append(raw[:want])
-    raw = b"".join(raws)
-
+    out_dt = np.uint8 if depth == 8 else np.uint16
     dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")
-    arr = np.frombuffer(raw, dt).reshape(h, w, spp).astype(
-        np.uint8 if depth == 8 else np.uint16
-    )
-    if predictor == 2:
-        # horizontal differencing per channel: integrate along the row
-        arr = np.cumsum(arr.astype(np.int64), axis=1)
-        arr = (arr & ((1 << depth) - 1)).astype(
-            np.uint8 if depth == 8 else np.uint16
-        )
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} unsupported")
+
+    def decompress(chunk: bytes, want: int) -> bytes:
+        if comp == 1:
+            return chunk[:want]
+        if comp == 5:
+            return _lzw_decode_tiff(chunk, want)
+        if comp == 32773:
+            return _packbits_decode(chunk, want)
+        raise ValueError(
+            f"TIFF: compression {comp} unsupported "
+            "(none/LZW/PackBits are built in)"
+        )
+
+    def undiff(a: np.ndarray) -> np.ndarray:
+        # horizontal differencing per channel: integrate along the row
+        a = np.cumsum(a.astype(np.int64), axis=1)
+        return (a & ((1 << depth) - 1)).astype(out_dt)
+
+    if 322 in tags:  # tiled layout (TileWidth/TileLength/Offsets/Counts)
+        tw, tl = one(322), one(323)
+        offs = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not tl or not offs or not counts:
+            raise ValueError("TIFF: tiled image missing tile tags")
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // tl)
+        if len(offs) < tiles_x * tiles_y or len(counts) < len(offs):
+            raise ValueError("TIFF: tile count mismatch")
+        tile_bytes = tl * tw * spp * bps
+        arr = np.zeros((h, w, spp), out_dt)
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                ti = ty * tiles_x + tx
+                off, cnt = offs[ti], counts[ti]
+                if off + cnt > len(blob):
+                    raise ValueError("TIFF: tile out of range")
+                raw = decompress(blob[off : off + cnt], tile_bytes)
+                if len(raw) < tile_bytes:
+                    raise ValueError("TIFF: tile shorter than declared")
+                tile = np.frombuffer(raw[:tile_bytes], dt).reshape(
+                    tl, tw, spp
+                ).astype(out_dt)
+                if predictor == 2:
+                    # differencing restarts per TILE row, so integrate
+                    # before cropping edge tiles into place
+                    tile = undiff(tile)
+                y0, x0 = ty * tl, tx * tw
+                ch = min(tl, h - y0)
+                cw = min(tw, w - x0)
+                arr[y0 : y0 + ch, x0 : x0 + cw] = tile[:ch, :cw]
+    else:
+        offs = tags.get(273)
+        counts = tags.get(279)
+        if not offs or not counts or len(offs) != len(counts):
+            raise ValueError("TIFF: missing strip offsets/byte counts")
+        rps = one(278, h)
+        row_bytes = w * spp * bps
+        raws: list[bytes] = []
+        rows_left = h
+        for off, cnt in zip(offs, counts):
+            if off + cnt > len(blob):
+                raise ValueError("TIFF: strip out of range")
+            strip_rows = min(rps, rows_left)
+            rows_left -= strip_rows
+            want = strip_rows * row_bytes
+            raw = decompress(blob[off : off + cnt], want)
+            if len(raw) < want:
+                raise ValueError("TIFF: strip shorter than declared rows")
+            raws.append(raw[:want])
+        arr = np.frombuffer(b"".join(raws), dt).reshape(h, w, spp).astype(
+            out_dt
+        )
+        if predictor == 2:
+            arr = undiff(arr)
 
     if photo == 3:  # palette-color: ColorMap has 3*2^depth SHORTs
         cmap = tags.get(320)

@@ -238,3 +238,89 @@ def test_sniff_and_image_features_route_tiff(spark):
     assert f.decoder == "tiff"
     assert (f.width, f.height, f.channels) == (7, 9, 3)
     assert f.mean_intensity == pytest.approx(100.0)
+
+
+def _tiled_tiff(img, tw, tl, comp_id=1, predictor=False):
+    """Hand-build a tiled little-endian TIFF (tags 322-325)."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w, spp)
+    tiles = []
+    for y0 in range(0, h, tl):
+        for x0 in range(0, w, tw):
+            tile = np.zeros((tl, tw, spp), px.dtype)
+            ch, cw = min(tl, h - y0), min(tw, w - x0)
+            tile[:ch, :cw] = px[y0 : y0 + ch, x0 : x0 + cw]
+            if predictor:
+                d = tile.astype(np.int64)
+                d[:, 1:, :] -= tile.astype(np.int64)[:, :-1, :]
+                tile = (d & 0xFF).astype(np.uint8)
+            raw = tile.tobytes()
+            if comp_id == 5:
+                raw = _lzw_encode_tiff(raw)
+            elif comp_id == 32773:
+                raw = _packbits_encode(raw)
+            tiles.append(raw)
+    entries = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]), (258, 3, spp, [8] * spp),
+        (259, 3, 1, [comp_id]), (262, 3, 1, [2 if spp == 3 else 1]),
+        (277, 3, 1, [spp]), (322, 3, 1, [tw]), (323, 3, 1, [tl]),
+        (324, 4, len(tiles), None), (325, 4, len(tiles), [len(t) for t in tiles]),
+    ]
+    if predictor:
+        entries.append((317, 3, 1, [2]))
+        entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n)
+    tail = bytearray()
+    patch_at = None
+    for tag, typ, cnt, vals in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        fmt = "H" if typ == 3 else "I"
+        size = (2 if typ == 3 else 4) * cnt
+        if vals is None:  # tile offsets, patched below
+            patch_at = (len(out), size > 4, len(tail))
+            vals = [0] * cnt
+        if size <= 4:
+            out += struct.pack("<" + fmt * cnt, *vals).ljust(4, b"\x00")
+        else:
+            out += struct.pack("<I", data_off + len(tail))
+            tail += struct.pack("<" + fmt * cnt, *vals)
+    out += struct.pack("<I", 0)
+    tile_base = data_off + len(tail)
+    offsets, pos = [], tile_base
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    at, indirect, tail_pos = patch_at
+    if indirect:
+        tail[tail_pos : tail_pos + 4 * len(tiles)] = struct.pack(
+            "<" + "I" * len(tiles), *offsets
+        )
+    else:
+        out[at : at + 4] = struct.pack("<I", offsets[0])
+    out += tail
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+def test_tiled_tiff_all_compressions_and_edge_crop():
+    """Tiled layout (tags 322-325): tiles raster across then down, edge
+    tiles are full-size and cropped; with the predictor, differencing
+    restarts per TILE row (not per image row) — a multi-tile-wide image
+    catches an implementation that integrates across tile seams."""
+    y, x = np.mgrid[0:10, 0:13]
+    img = np.dstack(
+        [(y * 11 + x * 3) % 256, (x * 7) % 256, (y * 5) % 256]
+    ).astype(np.uint8)
+    for comp_id in (1, 5, 32773):
+        blob = _tiled_tiff(img, tw=6, tl=4, comp_id=comp_id)
+        assert (decode_tiff(blob) == img).all(), comp_id
+    blob = _tiled_tiff(img, tw=6, tl=4, comp_id=5, predictor=True)
+    assert (decode_tiff(blob) == img).all()
+    gray = ((y * 11 + x * 3) % 256).astype(np.uint8)
+    assert (decode_tiff(_tiled_tiff(gray, 5, 3, 5)) == gray).all()
