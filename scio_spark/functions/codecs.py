@@ -918,8 +918,10 @@ def _parse_avi(blob: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
     spans: list[tuple[int, int]] = []
     in_vids = False
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal w, h, fps, codec, in_vids
+        if depth > 16:  # crafted deep nesting must not escape as
+            raise ValueError("AVI LIST nesting too deep")  # RecursionError
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -927,7 +929,7 @@ def _parse_avi(blob: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
             if body + clen > len(blob):
                 raise ValueError("truncated AVI chunk")
             if tag == b"LIST":
-                walk(body + 4, body + clen)
+                walk(body + 4, body + clen, depth + 1)
             elif tag == b"avih":
                 vals = struct.unpack_from("<14I", blob, body)
                 w = w or vals[8]
@@ -1052,8 +1054,10 @@ def extract_avi_audio(blob: bytes) -> tuple[int, np.ndarray, str]:
     parts: list[bytes] = []
     tag_prefix = None
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal stream_no, n_streams, fmt_body, in_auds, tag_prefix
+        if depth > 16:
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -1061,7 +1065,7 @@ def extract_avi_audio(blob: bytes) -> tuple[int, np.ndarray, str]:
             if body + clen > len(blob):
                 raise ValueError("truncated AVI chunk")
             if tag == b"LIST":
-                walk(body + 4, body + clen)
+                walk(body + 4, body + clen, depth + 1)
             elif tag == b"strh":
                 in_auds = blob[body : body + 4] == b"auds"
                 if in_auds and stream_no < 0:
@@ -1085,7 +1089,9 @@ def extract_avi_audio(blob: bytes) -> tuple[int, np.ndarray, str]:
 def _avi_has_audio(blob: bytes) -> bool:
     """Chunk-walk for an 'auds' stream header (headers only, no decode)."""
 
-    def walk(pos: int, end: int) -> bool:
+    def walk(pos: int, end: int, depth: int = 0) -> bool:
+        if depth > 16:
+            return False
         while pos + 8 <= end:
             tag = blob[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", blob, pos + 4)
@@ -1093,7 +1099,7 @@ def _avi_has_audio(blob: bytes) -> bool:
             if body + clen > len(blob):
                 return False
             if tag == b"LIST":
-                if walk(body + 4, body + clen):
+                if walk(body + 4, body + clen, depth + 1):
                     return True
             elif tag == b"strh" and blob[body : body + 4] == b"auds":
                 return True

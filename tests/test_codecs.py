@@ -914,3 +914,21 @@ def test_bmp_palette_semantics_precise():
     info = _s.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 1, 0)
     blob = head + info + bytes([255, 0, 0, 0]) + bytes([0, 0, 0, 0])
     assert decode_bmp(blob).tolist() == [[[0, 0, 255]]]
+
+
+def test_avi_deep_list_nesting_raises_valueerror_not_recursionerror():
+    """A crafted AVI with thousands of nested LISTs must degrade to a
+    ValueError (contained per-asset), never a RecursionError that kills
+    the task."""
+    import struct as _s
+
+    from scio_spark.functions.codecs import extract_avi_audio
+
+    inner = b""
+    for _ in range(2000):
+        inner = b"LIST" + _s.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    blob = b"RIFF" + _s.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        decode_avi(blob)
+    with pytest.raises(ValueError):
+        extract_avi_audio(blob)
