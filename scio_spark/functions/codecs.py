@@ -128,6 +128,8 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     h = abs(h)
     if w <= 0 or h == 0:
         raise ValueError("BMP: empty image")
+    if h * w > 1 << 28:  # hostile header: error, don't allocate TBs
+        raise ValueError(f"BMP: implausible dimensions {w}x{h}")
     if bpp == 24 and compression == 0:
         row = w * 3
         stride = (row + 3) // 4 * 4

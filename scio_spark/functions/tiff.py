@@ -241,6 +241,10 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
         raise ValueError("TIFF: planar (non-chunky) layout unsupported")
     if w == 0 or h == 0:
         raise ValueError("TIFF: empty image")
+    if h * w * spp > 1 << 29:  # hostile header: don't allocate TBs on a
+        raise ValueError(  # 30-byte blob — contained per-asset error
+            f"TIFF: implausible dimensions {w}x{h}x{spp}"
+        )
     bps = depth // 8
     out_dt = np.uint8 if depth == 8 else np.uint16
     dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")

@@ -932,3 +932,12 @@ def test_avi_deep_list_nesting_raises_valueerror_not_recursionerror():
         decode_avi(blob)
     with pytest.raises(ValueError):
         extract_avi_audio(blob)
+
+
+def test_bmp_hostile_dimensions_raise_not_allocate():
+    import struct as _s
+
+    head = _s.pack("<2sIHHI", b"BM", 0, 0, 0, 54)
+    info = _s.pack("<IiiHHIIiiII", 40, 1 << 20, 1 << 20, 1, 32, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_bmp(head + info)

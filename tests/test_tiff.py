@@ -324,3 +324,18 @@ def test_tiled_tiff_all_compressions_and_edge_crop():
     assert (decode_tiff(blob) == img).all()
     gray = ((y * 11 + x * 3) % 256).astype(np.uint8)
     assert (decode_tiff(_tiled_tiff(gray, 5, 3, 5)) == gray).all()
+
+
+def test_hostile_dimensions_raise_not_allocate():
+    """A 30-byte blob whose header claims 65535x65535x3 must raise
+    ValueError, not attempt a multi-TB allocation."""
+    import struct as _s
+
+    out = bytearray(b"II*\x00" + _s.pack("<I", 8))
+    entries = [(256, 3, 1, 65535), (257, 3, 1, 65535), (277, 3, 1, 3)]
+    out += _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += _s.pack("<HHI", tag, typ, cnt) + _s.pack("<HH", val, 0)
+    out += _s.pack("<I", 0)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_tiff(bytes(out))
