@@ -528,8 +528,17 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("16-bit palette PNG is not valid")
     bps = depth // 8
     bpp = ch * bps
+    if h * w * bpp > 1 << 29:  # hostile header: contained error, not an
+        raise ValueError(f"PNG: implausible dimensions {w}x{h}x{ch}")  # OOM
+    # expected pixel bytes (+1 filter byte/row; Adam7 re-rows the same
+    # pixels so the bound holds with a small slack for its 7 sub-headers)
+    cap = h * (1 + w * bpp) + 8 * h + 64
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), cap)
+        if dec.unconsumed_tail or len(dec.decompress(b"", 1)) > 0:
+            # a deflate bomb: output past anything the header justifies
+            raise ValueError("PNG IDAT inflates past declared dimensions")
     except zlib.error as e:  # corrupt deflate stream must raise ValueError
         raise ValueError(f"corrupt PNG IDAT: {e}") from e
     if interlace == 0:

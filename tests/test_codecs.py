@@ -941,3 +941,31 @@ def test_bmp_hostile_dimensions_raise_not_allocate():
     info = _s.pack("<IiiHHIIiiII", 40, 1 << 20, 1 << 20, 1, 32, 0, 0, 0, 0, 0, 0)
     with pytest.raises(ValueError, match="implausible"):
         decode_bmp(head + info)
+
+
+def test_png_deflate_bomb_and_hostile_dims_contained():
+    """A ~1 MB IDAT inflating to 256 MB behind a 4x4 header, and a
+    65536x65536 header over a tiny IDAT: both must raise ValueError
+    before allocating anything header-sized."""
+    import struct as _s
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    bomb = zlib.compress(b"\x00" * (1 << 28), 9)
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates"):
+        decode_png(blob)
+    ihdr = _s.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    blob = (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"x")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(blob)
