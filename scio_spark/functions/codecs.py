@@ -694,6 +694,8 @@ def decode_gif_frames(blob: bytes, max_frames: int = 0) -> list[np.ndarray]:
 
 def _gif_frames(blob: bytes, max_frames: int) -> list[np.ndarray]:
     W, H, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    if W == 0 or H == 0 or W * H > 1 << 28:  # hostile header: contained
+        raise ValueError(f"GIF: implausible canvas {W}x{H}")  # error, no OOM
     pos = 13
     gct = None
     if flags & 0x80:

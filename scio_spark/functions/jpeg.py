@@ -789,6 +789,10 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             pos = pos + 2 + seglen
             break
         pos += 2 + seglen
+    if h * w > 1 << 28:  # hostile SOF: contained error before the
+        raise ValueError(  # coefficient planes allocate header-sized
+            f"JPEG: implausible dimensions {w}x{h}"
+        )
     if scan is None or not comps or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
     if progressive:

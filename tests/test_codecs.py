@@ -969,3 +969,24 @@ def test_png_deflate_bomb_and_hostile_dims_contained():
     )
     with pytest.raises(ValueError, match="implausible"):
         decode_png(blob)
+
+
+def test_gif_and_jpeg_hostile_dimensions_contained():
+    import struct as _s
+
+    from scio_spark.functions.codecs import decode_gif
+    from scio_spark.functions.jpeg import decode_jpeg
+
+    gif = b"GIF89a" + _s.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif(gif)
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jpg = (
+        b"\xff\xd8"
+        + _s.pack(">BBH", 0xFF, 0xC0, len(sof) + 2) + sof
+        + _s.pack(">BBH", 0xFF, 0xDA, len(sos) + 2) + sos
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(jpg)
