@@ -303,3 +303,52 @@ def test_wav_format_extensible_routes_by_subformat_guid():
     blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(ValueError, match="EXTENSIBLE"):
         decode_wav_ex(blob)
+
+
+def test_resample_linear_analytic():
+    from scio_spark.functions.audio import resample_linear
+
+    ramp = np.arange(0, 1000, 10, dtype=np.int16)  # 100 samples
+    # identity: exact passthrough
+    assert (resample_linear(ramp, 16000, 16000) == ramp).all()
+    # 2x upsample of a linear ramp stays on the line (interior)
+    up = resample_linear(ramp, 8000, 16000)
+    assert up.shape == (200,)
+    diffs = np.diff(up[2:-2].astype(int))
+    assert diffs.min() >= 4 and diffs.max() <= 6  # slope 10 per src step
+    # 2x downsample averages neighbors: midpoint of a ramp
+    down = resample_linear(ramp, 16000, 8000)
+    assert down.shape == (50,)
+    assert abs(int(down[10]) - int(ramp[20] + ramp[21]) // 2) <= 10
+    # stereo keeps channel identity
+    st = np.stack([ramp, ramp[::-1]], axis=1)
+    out = resample_linear(st, 16000, 8000)
+    assert out.shape == (50, 2)
+    assert (out[:, 0][::-1] == out[:, 1]).all()
+    with pytest.raises(ValueError):
+        resample_linear(ramp, 0, 8000)
+
+
+def test_resample_audio_spark_surface(spark):
+    from scio_spark.functions.audio import resample_audio
+    from scio_spark.functions.codecs import decode_wav_ex, encode_wav
+    from scio_spark.functions.flac import encode_flac
+
+    tone = (4000 * np.sin(np.arange(8000) / 20)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone, 8000))),
+            (2, bytearray(encode_flac(tone, 8000))),
+            (3, bytearray(encode_wav_g711(tone, 8000, "ulaw"))),
+            (4, bytearray(b"not audio at all")),
+        ],
+        "asset_id long, content binary",
+    )
+    rows = {r.asset_id: r for r in resample_audio(df, 16000).collect()}
+    for aid in (1, 2, 3):
+        assert rows[aid].resampled is True
+        sr, arr, codec = decode_wav_ex(bytes(rows[aid].content))
+        assert (sr, codec) == (16000, "pcm16")
+        assert arr.shape[0] == 16000  # 1 s at the new rate
+    assert rows[4].resampled is False
+    assert bytes(rows[4].content) == b"not audio at all"
