@@ -5126,6 +5126,98 @@ FROM px GROUP BY i
 """
 
 
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio corpus normalization (functions/audio.py resample_linear +
+    resample_audio): per asset an arithmetic signal x_j = ((i*37 +
+    j*11) % 3000) - 1500 at 8 kHz is PCM-encoded, resampled THROUGH the
+    Spark surface (decode → linear interpolation on the center-aligned
+    grid → PCM16 WAV re-encode) to 16 kHz (even assets) or 6 kHz (odd),
+    decoded back, and digested. The oracle RE-DERIVES the interpolation
+    in SQL — source position arithmetic, neighbor clamp, fractional
+    blend, floor(+0.5) rounding — so a wrong grid convention or an
+    off-by-one at the edges breaks the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.audio import resample_audio
+    from scio_spark.functions.codecs import decode_wav_ex, encode_wav
+
+    base = spark.range(32).select(F.col("id").alias("asset_id"))
+    n = 400
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for aid in pdf["asset_id"]:
+                i = int(aid)
+                j = np.arange(n, dtype=np.int64)
+                x = (((i * 37 + j * 11) % 3000) - 1500).astype(np.int16)
+                rows.append({"asset_id": i, "content": encode_wav(x, 8000)})
+            yield pd.DataFrame(rows)
+
+    assets = base.mapInPandas(gen, "asset_id long, content binary")
+
+    def post(batches):
+        for pdf in batches:
+            rows = []
+            for aid, blob, sr in zip(
+                pdf["asset_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                _, arr, _ = decode_wav_ex(bytes(blob))
+                s = arr[:, 0].astype(np.int64)
+                k = np.arange(s.size, dtype=np.int64)
+                rows.append(
+                    {
+                        "asset_id": int(aid), "sample_rate": int(sr),
+                        "n_samples": int(s.size),
+                        "digest": int((s * (k + 1)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    even = resample_audio(assets.filter("asset_id % 2 = 0"), 16000)
+    odd = resample_audio(assets.filter("asset_id % 2 = 1"), 6000)
+    return even.unionByName(odd).mapInPandas(
+        post, "asset_id long, sample_rate int, n_samples int, digest long"
+    )
+
+
+ORACLE_AUDIO_RESAMPLE = """
+WITH p AS (
+  SELECT i, CASE WHEN i % 2 = 0 THEN 800 ELSE 300 END AS m
+  FROM range(0, 32) t(i)
+),
+grid AS (
+  SELECT p.i, p.m, k,
+         (k + 0.5) * 400 / p.m - 0.5 AS pos
+  FROM p CROSS JOIN range(0, 800) u(k)
+  WHERE k < p.m
+),
+interp AS (
+  SELECT i, m, k,
+         GREATEST(0, LEAST(399, CAST(FLOOR(pos) AS BIGINT))) AS i0,
+         LEAST(GREATEST(0, LEAST(399, CAST(FLOOR(pos) AS BIGINT))) + 1, 399) AS i1,
+         GREATEST(0.0, LEAST(1.0,
+           pos - GREATEST(0, LEAST(399, CAST(FLOOR(pos) AS BIGINT))))) AS frac
+  FROM grid
+),
+vals AS (
+  SELECT i, m, k,
+         FLOOR(
+           (((i * 37 + i0 * 11) % 3000) - 1500) * (1.0 - frac)
+           + (((i * 37 + i1 * 11) % 3000) - 1500) * frac + 0.5
+         ) AS v
+  FROM interp
+)
+SELECT i AS asset_id,
+       CAST(CASE WHEN i % 2 = 0 THEN 16000 ELSE 6000 END AS INT)
+         AS sample_rate,
+       CAST(m AS INT) AS n_samples,
+       CAST(SUM(v * (k + 1)) AS BIGINT) AS digest
+FROM vals GROUP BY i, m
+"""
+
+
 def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video metadata probe (codecs.video_features — AVI header/chunk
     walk, NO pixel decode, the video analog of the MP3 probe): per
@@ -7300,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
+        "audio_resample": q_audio_resample,
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
@@ -7604,6 +7697,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_decode": ORACLE_TIFF_DECODE,
         "video_probe": ORACLE_VIDEO_PROBE,
         "avi_audio": ORACLE_AVI_AUDIO,
+        "audio_resample": ORACLE_AUDIO_RESAMPLE,
         "gif_decode": ORACLE_GIF_DECODE,
         "video_decode": ORACLE_VIDEO_DECODE,
         "video_mjpeg": ORACLE_VIDEO_MJPEG,
