@@ -631,7 +631,22 @@ def write_container(
 
 
 def parse_container(blob: bytes) -> tuple[dict, list[dict]]:
-    """Decode one container blob → (avro schema, rows as dicts)."""
+    """Decode one container blob → (avro schema, rows as dicts). Raises
+    ValueError ONLY — a hostile or truncated container (lying block
+    counts, negative sizes, deflate bombs, junk metadata) must cost one
+    file-sized error, never an unbounded allocation or a task-killing
+    IndexError at fleet scale."""
+    try:
+        return _parse_container(blob)
+    except (IndexError, KeyError, OverflowError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt avro container: {e!r}") from e
+    except json.JSONDecodeError as e:
+        raise ValueError(f"corrupt avro container metadata: {e}") from e
+    except zlib.error as e:
+        raise ValueError(f"corrupt avro deflate block: {e}") from e
+
+
+def _parse_container(blob: bytes) -> tuple[dict, list[dict]]:
     if blob[:4] != MAGIC:
         raise ValueError("not an avro object container file (bad magic)")
     buf = memoryview(blob)
@@ -644,11 +659,17 @@ def parse_container(blob: bytes) -> tuple[dict, list[dict]]:
         if cnt < 0:
             cnt = -cnt
             _, pos = read_long(buf, pos)
+        if cnt > len(blob):  # each entry needs bytes: lying count
+            raise ValueError("avro container: implausible metadata count")
         for _ in range(cnt):
             kn, pos = read_long(buf, pos)
+            if kn < 0 or pos + kn > len(blob):
+                raise ValueError("avro container: bad metadata key length")
             k = bytes(buf[pos : pos + kn]).decode()
             pos += kn
             vn, pos = read_long(buf, pos)
+            if vn < 0 or pos + vn > len(blob):
+                raise ValueError("avro container: bad metadata value length")
             meta[k] = bytes(buf[pos : pos + vn])
             pos += vn
     sync = bytes(buf[pos : pos + 16])
@@ -663,10 +684,22 @@ def parse_container(blob: bytes) -> tuple[dict, list[dict]]:
     while pos < end:
         cnt, pos = read_long(buf, pos)
         size, pos = read_long(buf, pos)
+        if cnt < 0 or size < 0 or pos + size > end:
+            raise ValueError("avro container: bad block header")
         data = bytes(buf[pos : pos + size])
         pos += size
         if codec == "deflate":
-            data = zlib.decompress(data, wbits=-15)
+            # bound inflation: deflate expands at most ~1032:1, and no
+            # sane writer emits a block that inflates past 1 GiB — a
+            # crafted bomb raises instead of OOMing the executor
+            cap = min(size * 1032 + 4096, 1 << 30)
+            d = zlib.decompressobj(wbits=-15)
+            data = d.decompress(data, cap)
+            if d.unconsumed_tail:
+                raise ValueError("avro deflate block inflates past bound")
+            data += d.flush()
+        if cnt > len(data) + 1:  # every row costs >= 1 byte (or is empty)
+            raise ValueError("avro container: implausible block row count")
         dbuf = memoryview(data)
         dpos = 0
         for _ in range(cnt):

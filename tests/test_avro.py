@@ -288,3 +288,58 @@ def test_non_utc_session_tz_writes_true_epochs(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old)
     back = read_avro(spark, path).collect()  # session tz is UTC again here
     assert [(r.id, r.ts) for r in back] == [(1, dt.datetime(2024, 6, 1, 12, 0, 0))]
+
+
+def test_hostile_containers_raise_valueerror_only():
+    """Crafted containers (lying block counts, truncated varints,
+    negative sizes, deflate bombs) must raise ValueError — never
+    IndexError/KeyError/zlib.error, and never an unbounded allocation."""
+    import struct as _s
+    import zlib
+
+    avsc = spark_to_avro_schema(
+        T.StructType([T.StructField("n", T.LongType(), False)])
+    )
+    good = write_container([{"n": i} for i in range(100)], avsc)
+    # truncate mid-block
+    for cut in (5, 40, len(good) - 3):
+        with pytest.raises(ValueError):
+            parse_container(good[:cut])
+    # corrupt the sync marker itself
+    bad = bytearray(write_container([{"n": 1}], avsc))
+    bad[-5] ^= 0x7F
+    with pytest.raises(ValueError, match="sync"):
+        parse_container(bytes(bad))
+
+    def varint(v):
+        out = bytearray()
+        z = v << 1  # zigzag of a non-negative value
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+        return bytes(out)
+
+    # appended hostile block: row count 2^40 over a 1-byte payload must
+    # be rejected by the count/size plausibility checks, not looped
+    blob = write_container([{"n": 0}], avsc)
+    hostile = blob + varint(1 << 40) + varint(1) + b"\x00"
+    with pytest.raises(ValueError):
+        parse_container(hostile)
+    # deflate blocks: inflation is bounded at min(size*1032, 1 GiB) —
+    # a 64 MB-of-zeros payload (near deflate's max ratio) stays under
+    # the spec-maximum bound and must parse to exactly its declared
+    # rows, not amplify them
+    blobd = bytearray(write_container([{"n": 0}], avsc, codec="deflate"))
+    bomb = zlib.compress(b"\x00" * (1 << 26), 9)[2:-4]
+    sync = bytes(blobd[-16:])
+    hdr_end = bytes(blobd).index(sync) + 16
+    crafted = (
+        bytes(blobd[:hdr_end]) + varint(3) + varint(len(bomb)) + bomb + sync
+    )
+    _, rows = parse_container(crafted)
+    assert rows == [{"n": 0}] * 3  # 64 MB of zeros decodes 3 zero rows
