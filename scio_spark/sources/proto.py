@@ -119,24 +119,33 @@ def decode_fields(blob: bytes | memoryview) -> dict[int, list[tuple[int, Any]]]:
     buf = memoryview(blob)
     pos, end = 0, len(buf)
     out: dict[int, list[tuple[int, Any]]] = {}
-    while pos < end:
-        key, pos = read_uvarint(buf, pos)
-        field_no, wt = key >> 3, key & 7
-        if wt == WT_VARINT:
-            v, pos = read_uvarint(buf, pos)
-        elif wt == WT_I64:
-            v = bytes(buf[pos : pos + 8])
-            pos += 8
-        elif wt == WT_LEN:
-            n, pos = read_uvarint(buf, pos)
-            v = bytes(buf[pos : pos + n])
-            pos += n
-        elif wt == WT_I32:
-            v = bytes(buf[pos : pos + 4])
-            pos += 4
-        else:
-            raise ValueError(f"unsupported wire type {wt} for field {field_no}")
-        out.setdefault(field_no, []).append((wt, v))
+    try:
+        while pos < end:
+            key, pos = read_uvarint(buf, pos)
+            field_no, wt = key >> 3, key & 7
+            if wt == WT_VARINT:
+                v, pos = read_uvarint(buf, pos)
+            elif wt == WT_I64:
+                v = bytes(buf[pos : pos + 8])
+                pos += 8
+            elif wt == WT_LEN:
+                n, pos = read_uvarint(buf, pos)
+                v = bytes(buf[pos : pos + n])
+                pos += n
+            elif wt == WT_I32:
+                v = bytes(buf[pos : pos + 4])
+                pos += 4
+            else:
+                raise ValueError(
+                    f"unsupported wire type {wt} for field {field_no}"
+                )
+            if pos > end:  # LEN/I64/I32 claimed more bytes than exist
+                raise ValueError(
+                    f"truncated wire value for field {field_no}"
+                )
+            out.setdefault(field_no, []).append((wt, v))
+    except IndexError:  # varint running off the end of the buffer
+        raise ValueError("truncated protobuf message") from None
     return out
 
 
@@ -188,6 +197,16 @@ def message_encode(row: dict, spec: dict[int, tuple]) -> bytes:
 
 
 def message_decode(blob: bytes, spec: dict[int, tuple]) -> dict:
+    """Inverse of message_encode. Raises ValueError ONLY on malformed
+    wire bytes (truncated values, junk UTF-8, short fixed-width
+    payloads) — typed so callers can contain one bad record."""
+    try:
+        return _message_decode(blob, spec)
+    except (struct.error, UnicodeDecodeError) as e:
+        raise ValueError(f"malformed protobuf payload: {e!r}") from e
+
+
+def _message_decode(blob: bytes, spec: dict[int, tuple]) -> dict:
     fields = decode_fields(blob)
     row: dict[str, Any] = {}
     for no, (name, kind, repeated) in spec.items():
@@ -322,7 +341,15 @@ def example_encode(row: dict, schema: T.StructType) -> bytes:
 def example_decode(blob: bytes, schema: T.StructType) -> dict:
     """Serialized tf.Example → row dict shaped by ``schema`` (the schema
     names which features to extract and their target types; extra features
-    are ignored, absent ones decode to null/empty)."""
+    are ignored, absent ones decode to null/empty). Raises ValueError
+    ONLY on malformed wire bytes (typed for per-record containment)."""
+    try:
+        return _example_decode(blob, schema)
+    except (struct.error, UnicodeDecodeError, KeyError, IndexError) as e:
+        raise ValueError(f"malformed tf.Example payload: {e!r}") from e
+
+
+def _example_decode(blob: bytes, schema: T.StructType) -> dict:
     ex = decode_fields(blob)
     feat_map: dict[str, dict[int, list]] = {}
     for _, features_blob in ex.get(1, []):

@@ -165,3 +165,32 @@ def test_distributed_protobuf_file_roundtrip(spark, tmp_path):
 def test_bad_wire_type_rejected():
     with pytest.raises(ValueError, match="wire type"):
         decode_fields(bytes([(1 << 3) | 3]))  # deprecated group wire type
+
+
+def test_malformed_wire_bytes_raise_valueerror_only():
+    """Hostile/foreign wire bytes must surface as typed ValueErrors:
+    truncated varints, LEN fields claiming more bytes than exist, short
+    fixed-width payloads, junk UTF-8 — never IndexError/struct.error/
+    UnicodeDecodeError escaping to kill a task."""
+    import pyspark.sql.types as T
+
+    from scio_spark.sources.proto import (
+        decode_fields,
+        example_decode,
+        message_decode,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_fields(b"\x80\x80\x80")  # endless varint
+    with pytest.raises(ValueError, match="truncated"):
+        decode_fields(b"\x0a\x7f\x00")  # LEN field claims 127 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        decode_fields(b"\x09\x01\x02")  # I64 with 2 bytes left
+    spec = {1: ("s", "string", False), 2: ("d", "double", False)}
+    with pytest.raises(ValueError, match="malformed"):
+        message_decode(b"\x0a\x02\xff\xfe", spec)  # invalid UTF-8
+    with pytest.raises(ValueError, match="malformed"):
+        message_decode(b"\x12\x03\x00\x00\x00", spec)  # 3-byte double
+    schema = T.StructType([T.StructField("x", T.StringType())])
+    with pytest.raises(ValueError):
+        example_decode(b"\x0a\x05\x0a\x03\x0a\x01\xff", schema)
