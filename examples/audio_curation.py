@@ -180,8 +180,14 @@ def main():
     segs = C.segment_audio(kept, window_ms=100)
     n_seg = segs.count()
 
-    # 6. archive the keepers losslessly as FLAC and write parquet
-    flac = to_flac(kept)
+    # 6. normalize every keeper to 16 kHz (the featurization rate),
+    # then archive losslessly as FLAC and write parquet
+    from scio_spark.functions.audio import resample_audio
+
+    normalized = resample_audio(kept, 16000).filter("resampled").drop(
+        "sample_rate", "resampled"
+    )
+    flac = to_flac(normalized)
     flac.write.mode("overwrite").parquet(out)
     sizes = flac.agg(
         F.count("*").alias("n"), F.sum("n_bytes").alias("bytes")
