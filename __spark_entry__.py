@@ -7305,94 +7305,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-12 window, in order:
+    Round-13 window, in order:
 
-    1. the 25 queries whose latest driver row is r7 (hll_merge …
-       aggregate_global) — the stalest external evidence after the r11
-       rotation, in their standing order;
-    2. the 17 stalest r9-latest queries in their standing order
-       (hash_filter … funnel);
-    3. the 8 NEW r12 codec queries, each needing its first driver row:
-       tiff_decode (TIFF 6.0 strips/LZW/predictor), video_mjpeg
-       (Motion-JPEG AVI via the streaming chunk walk), jpeg_progressive
-       (SOF2 spectral selection + successive approximation),
-       jpeg12_decode (extended-sequential 12-bit), audio_g711 /
-       audio_adpcm / audio_flac (compressed + lossless audio),
-       audio_mp3_probe (frame-walk metadata).
+    1. the 3 queries that have NEVER had a driver row (added late in
+       r12, after that round's window was fixed): video_probe,
+       avi_audio, audio_resample — value-exact under the local oracle
+       but unseen by the external gate until now;
+    2. the 32 r9-stale queries (latest driver row = r9), standing
+       order (cohort_retention … stratified_sample);
+    3. the 15 oldest r10-window rows to fill the 50
+       (traffic_max_lane_flow … tfrecord_roundtrip).
 
-    The remaining r9-latest queries (cohort_retention … metrics first —
-    displaced by the new codec tier, they keep their r9 evidence) head
-    the post-window section as the r13 rotation candidates, followed by
-    the 50 r10-window and the 50 r11-window queries (freshest evidence,
-    last). After this round no query's latest driver row predates r9.
-    tools/check_oracle.py still value-checks ALL queries every round."""
+    The remaining r10-window queries head the post-window section as
+    the r14 rotation candidates, followed by the 50 r11-window and the
+    50 r12-window queries (freshest evidence, last). After this round
+    no query's latest driver row predates r10 and every query has at
+    least one driver row. tools/check_oracle.py still value-checks ALL
+    queries every round."""
     return {
-        # -- r12 driver window (first 50) ----------------------------------
-        # (a) the 25 r7-latest remainder — stalest external evidence
-        "hll_merge": q_hll_merge,
-        "intersection": q_intersection,
-        "json_extract": q_json_extract,
-        "large_orders": q_large_orders,
-        "mean_by_key": q_mean_by_key,
-        "multi_join": q_multi_join,
-        "partition_counts": q_partition_counts,
-        "pipe_identity": q_pipe_identity,
-        "reduce_by_key": q_reduce_by_key,
-        "safe_map": q_safe_map,
-        "salted_agg": q_salted_agg,
-        "skewed_join": q_skewed_join,
-        "smb_join": q_smb_join,
-        "sparse_join": q_sparse_join,
-        "subtract_els": q_subtract_els,
-        "text_repetition": q_text_repetition,
-        "train_split": q_train_split,
-        "top_by_key": q_top_by_key,
-        "window_fixed": q_window_fixed,
-        "window_session": q_window_session,
-        "rollup": q_rollup,
-        "stats": q_stats,
-        "lang_id": q_lang_id,
-        "aggregate_by_key": q_aggregate_by_key,
-        "aggregate_global": q_aggregate_global,
-        # (b) the 25 stalest r9-latest queries, standing order
-        "hash_filter": q_hash_filter,
-        "refreshing_side_input": q_refreshing_side_input,
-        "processing_time_panes": q_processing_time_panes,
-        "watermark_panes": q_watermark_panes,
-        "side_outputs": q_side_outputs,
-        "map_file": q_map_file,
-        "allowed_lateness": q_allowed_lateness,
-        "vector_sum_by_key": q_vector_sum_by_key,
-        "running_total": q_running_total,
-        "pack_chunks": q_pack_chunks,
-        "shuffle_positions": q_shuffle_positions,
-        "length_buckets": q_length_buckets,
-        "shard_layout": q_shard_layout,
-        "source_cap": q_source_cap,
-        "token_quota": q_token_quota,
-        "snapshot_diff": q_snapshot_diff,
-        "funnel": q_funnel,
-        "tiff_decode": q_tiff_decode,
-        # (b) NEW this round — the r12 codec tier, each needing its first
-        #     driver row: compressed video (Motion-JPEG in AVI, sampled
-        #     via the streaming chunk walk), progressive JPEG, G.711 /
-        #     IMA-ADPCM / FLAC audio, and the MP3 metadata probe. These
-        #     displace the 5 least-stale r9 rows (top_sessions …
-        #     metrics, moved just below — they keep their r9 evidence
-        #     and head the r13 rotation instead).
-        "video_mjpeg": q_video_mjpeg,
-        "jpeg_progressive": q_jpeg_progressive,
-        "jpeg12_decode": q_jpeg12_decode,
-        "audio_g711": q_audio_g711,
-        "audio_adpcm": q_audio_adpcm,
-        "audio_flac": q_audio_flac,
-        "audio_mp3_probe": q_audio_mp3_probe,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r9-latest remainder — r13 window candidates, standing order
-        "cohort_retention": q_cohort_retention,
+        # -- r13 driver window (first 50) ----------------------------------
+        # (a) never driver-checked — added after the r12 window was fixed
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
         "audio_resample": q_audio_resample,
+        # (b) the 32 r9-stale queries, standing order
+        "cohort_retention": q_cohort_retention,
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
         "spam_users": q_spam_users,
@@ -7424,7 +7361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_calendar": q_window_calendar,
         "stratified_sample": q_stratified_sample,
-        # the 50 r10-window queries, standing order
+        # (c) the 15 oldest r10-window rows, standing order
         "traffic_max_lane_flow": q_traffic_max_lane_flow,
         "traffic_routes": q_traffic_routes,
         "pii_scrub": q_pii_scrub,
@@ -7440,6 +7377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "text_roundtrip": q_text_roundtrip,
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r10-window remainder — r14 rotation candidates, standing order
         "binary_roundtrip": q_binary_roundtrip,
         "object_roundtrip": q_object_roundtrip,
         "dynamic_destinations": q_dynamic_destinations,
@@ -7526,6 +7465,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_join": q_hash_join,
         "hash_lookup": q_hash_lookup,
         "heavy_hitters": q_heavy_hitters,
+        # the 50 r12-window queries — freshest driver evidence, last
+        "hll_merge": q_hll_merge,
+        "intersection": q_intersection,
+        "json_extract": q_json_extract,
+        "large_orders": q_large_orders,
+        "mean_by_key": q_mean_by_key,
+        "multi_join": q_multi_join,
+        "partition_counts": q_partition_counts,
+        "pipe_identity": q_pipe_identity,
+        "reduce_by_key": q_reduce_by_key,
+        "safe_map": q_safe_map,
+        "salted_agg": q_salted_agg,
+        "skewed_join": q_skewed_join,
+        "smb_join": q_smb_join,
+        "sparse_join": q_sparse_join,
+        "subtract_els": q_subtract_els,
+        "text_repetition": q_text_repetition,
+        "train_split": q_train_split,
+        "top_by_key": q_top_by_key,
+        "window_fixed": q_window_fixed,
+        "window_session": q_window_session,
+        "rollup": q_rollup,
+        "stats": q_stats,
+        "lang_id": q_lang_id,
+        "aggregate_by_key": q_aggregate_by_key,
+        "aggregate_global": q_aggregate_global,
+        "hash_filter": q_hash_filter,
+        "refreshing_side_input": q_refreshing_side_input,
+        "processing_time_panes": q_processing_time_panes,
+        "watermark_panes": q_watermark_panes,
+        "side_outputs": q_side_outputs,
+        "map_file": q_map_file,
+        "allowed_lateness": q_allowed_lateness,
+        "vector_sum_by_key": q_vector_sum_by_key,
+        "running_total": q_running_total,
+        "pack_chunks": q_pack_chunks,
+        "shuffle_positions": q_shuffle_positions,
+        "length_buckets": q_length_buckets,
+        "shard_layout": q_shard_layout,
+        "source_cap": q_source_cap,
+        "token_quota": q_token_quota,
+        "snapshot_diff": q_snapshot_diff,
+        "funnel": q_funnel,
+        "tiff_decode": q_tiff_decode,
+        "video_mjpeg": q_video_mjpeg,
+        "jpeg_progressive": q_jpeg_progressive,
+        "jpeg12_decode": q_jpeg12_decode,
+        "audio_g711": q_audio_g711,
+        "audio_adpcm": q_audio_adpcm,
+        "audio_flac": q_audio_flac,
+        "audio_mp3_probe": q_audio_mp3_probe,
     }
 
 
