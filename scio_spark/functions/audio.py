@@ -430,7 +430,12 @@ def probe_mp3(blob: bytes) -> dict:
     while pos + 4 <= len(blob):
         h = struct.unpack_from(">I", blob, pos)[0]
         if h >> 21 != 0x7FF:
-            if n_frames and len(blob) - pos < 4:
+            if n_frames:
+                # Trailing non-frame bytes after a clean walk are tags,
+                # not corruption: ID3v1 ("TAG", 128 bytes), APEv2,
+                # Lyrics3 etc. are appended to the elementary stream by
+                # most taggers. Stop the walk; only a lost sync BEFORE
+                # any valid frame is an error.
                 break
             raise ValueError(f"MP3: lost sync at byte {pos}")
         vbits = (h >> 19) & 3

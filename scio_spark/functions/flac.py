@@ -329,15 +329,15 @@ def _decode_flac(blob: bytes) -> tuple[int, np.ndarray]:
     if total:
         arr = arr[:total]
     if md5 != b"\x00" * 16:
-        width = bps // 8
-        dt = {1: "<i1", 2: "<i2", 3: None, 4: "<i4"}[width]
+        # Per RFC 9639 the MD5 is over samples packed little-endian into
+        # ceil(bps/8) bytes each — NOT bps//8 (a 12-bit stream hashes
+        # 2-byte samples, a 20-bit stream 3-byte samples, 4-bit 1-byte).
+        width = (bps + 7) // 8
         if width == 3:
-            le = arr.astype("<i4").tobytes()
-            raw = b"".join(
-                le[i : i + 3] for i in range(0, len(le), 4)
-            )
+            le = np.frombuffer(arr.astype("<i4").tobytes(), np.uint8)
+            raw = le.reshape(-1, 4)[:, :3].tobytes()
         else:
-            raw = arr.astype(dt).tobytes()
+            raw = arr.astype({1: "<i1", 2: "<i2", 4: "<i4"}[width]).tobytes()
         if hashlib.md5(raw).digest() != md5:
             raise ValueError("FLAC: MD5 mismatch — decoded audio is wrong")
     return rate, arr.astype(np.int32)

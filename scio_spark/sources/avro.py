@@ -75,6 +75,11 @@ def read_long(buf: memoryview, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             break
         shift += 7
+        if shift > 63:
+            # Avro longs are zig-zag varints of at most 10 bytes; cap
+            # so a hostile 0x80-run can't accumulate a bignum (O(n^2)
+            # shift cost) before the buffer ends.
+            raise ValueError("Avro: varint exceeds 10 bytes")
     return (acc >> 1) ^ -(acc & 1), pos
 
 

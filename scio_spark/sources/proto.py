@@ -63,6 +63,10 @@ def read_uvarint(buf: memoryview, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return acc, pos
         shift += 7
+        if shift > 63:
+            # Wire spec caps varints at 10 bytes; a hostile run of
+            # 0x80-continuation bytes must not accumulate a bignum.
+            raise ValueError("protobuf: varint exceeds 10 bytes")
 
 
 def _tag(out: bytearray, field_no: int, wt: int) -> None:

@@ -276,10 +276,27 @@ def test_probe_mp3_corrupt_raises_valueerror():
         probe_mp3(_mp3_header(3, 1, 0, 0) + bytes(100))  # free-format
     with pytest.raises(ValueError):
         probe_mp3(_mp3_header(3, 0, 9, 0) + bytes(100))  # reserved layer
-    flen = 144 * 128000 // 44100
-    good = _mp3_header(3, 1, 9, 0) + bytes(flen - 4)
+    # lost sync BEFORE any valid frame is corruption
     with pytest.raises(ValueError, match="lost sync"):
-        probe_mp3(good + b"garbage-that-is-not-a-frame-header....")
+        probe_mp3(b"\xff\x00" + b"not-a-frame" * 10)
+
+
+def test_probe_mp3_tolerates_trailing_tags():
+    """Trailing non-frame bytes after a clean walk are appended tags
+    (ID3v1 'TAG' 128 bytes, APEv2, Lyrics3 — near-universal on real
+    MP3s), not corruption: the walk stops and reports the frames it
+    saw. Regression: this used to raise 'lost sync' because the
+    trailer guard was unreachable."""
+    from scio_spark.functions.audio import probe_mp3
+
+    flen = 144 * 128000 // 44100
+    good = (_mp3_header(3, 1, 9, 0) + bytes(flen - 4)) * 5
+    id3v1 = b"TAG" + bytes(125)  # 128-byte ID3v1 trailer
+    assert probe_mp3(good + id3v1)["n_frames"] == 5
+    ape = b"APETAGEX" + bytes(24)  # APEv2 footer-ish trailer
+    assert probe_mp3(good + ape)["n_frames"] == 5
+    # short trailer (<4 bytes) also fine
+    assert probe_mp3(good + b"..")["n_frames"] == 5
 
 
 def test_wav_format_extensible_routes_by_subformat_guid():

@@ -343,3 +343,17 @@ def test_hostile_containers_raise_valueerror_only():
     )
     _, rows = parse_container(crafted)
     assert rows == [{"n": 0}] * 3  # 64 MB of zeros decodes 3 zero rows
+
+
+def test_read_long_ten_byte_cap():
+    """Avro zig-zag varints are at most 10 bytes: a hostile
+    0x80-continuation run raises instead of accumulating a bignum."""
+    from scio_spark.sources.avro import read_long
+
+    legal = b"\x80" * 9 + b"\x01"  # shift 63 on byte 10 -> legal
+    val, pos = read_long(memoryview(legal), 0)
+    assert pos == 10
+    with pytest.raises(ValueError, match="varint"):
+        read_long(memoryview(b"\x80" * 11 + b"\x01"), 0)
+    with pytest.raises(ValueError, match="varint"):
+        read_long(memoryview(b"\x80" * 100000 + b"\x01"), 0)

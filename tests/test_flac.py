@@ -316,3 +316,34 @@ def test_corrupt_streams_raise_valueerror_only():
     for cut in (10, 30, len(good) - 3):
         with pytest.raises(ValueError):
             decode_flac(good[:cut])
+
+
+def test_md5_verification_uses_ceil_bps_bytes():
+    """STREAMINFO MD5 is over samples packed little-endian into
+    ceil(bps/8) bytes each (RFC 9639): a 12-bit stream hashes 2-byte
+    samples, 20-bit 3-byte, 4-bit 1-byte. Regression: bps//8 hashed
+    the wrong widths (false MD5 mismatch for valid 12/20-bit streams,
+    KeyError at bps<8)."""
+    import hashlib
+
+    def stream(bps, value, md5_raw):
+        si = _streaminfo(8000, 1, bps, 8)
+        si = si[:-16] + hashlib.md5(md5_raw).digest()
+        # bps_code 0 = from STREAMINFO; bs 8 via 8-bit follow
+        hdr = _frame_header(6, 0, 0, 0, fno=0, extra=[(7, 8)])
+        body = _BW()
+        body.w(0, 1).w(0, 6).w(0, 1).ws(value, bps)  # CONSTANT
+        return si + _finish_frame(hdr, body)
+
+    raw = np.full(8, -777, "<i2").tobytes()  # 12-bit -> 2-byte samples
+    _, out = decode_flac(stream(12, -777, raw))
+    assert out[:, 0].tolist() == [-777] * 8
+    le = np.frombuffer(np.full(8, 123456, "<i4").tobytes(), np.uint8)
+    raw = le.reshape(-1, 4)[:, :3].tobytes()  # 20-bit -> 3-byte samples
+    _, out = decode_flac(stream(20, 123456, raw))
+    assert out[:, 0].tolist() == [123456] * 8
+    raw = np.full(8, -5, "<i1").tobytes()  # 4-bit -> 1-byte samples
+    _, out = decode_flac(stream(4, -5, raw))
+    assert out[:, 0].tolist() == [-5] * 8
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(stream(12, -777, b"wrong bytes"))

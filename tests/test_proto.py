@@ -194,3 +194,19 @@ def test_malformed_wire_bytes_raise_valueerror_only():
     schema = T.StructType([T.StructField("x", T.StringType())])
     with pytest.raises(ValueError):
         example_decode(b"\x0a\x05\x0a\x03\x0a\x01\xff", schema)
+
+
+def test_uvarint_ten_byte_cap():
+    """Wire spec caps varints at 10 bytes: a hostile run of
+    0x80-continuation bytes must raise, not accumulate a multi-megabit
+    bignum with O(n^2) shift cost."""
+    from scio_spark.sources.proto import read_uvarint
+
+    # exactly 10 bytes (shift 63 on the last) is legal
+    legal = b"\x80" * 9 + b"\x01"
+    val, pos = read_uvarint(memoryview(legal), 0)
+    assert pos == 10 and val == 1 << 63
+    with pytest.raises(ValueError, match="varint"):
+        read_uvarint(memoryview(b"\x80" * 11 + b"\x01"), 0)
+    with pytest.raises(ValueError, match="varint"):
+        read_uvarint(memoryview(b"\x80" * 100000 + b"\x01"), 0)
