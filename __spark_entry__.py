@@ -4844,9 +4844,10 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-weighted digest. The oracle RE-DERIVES the whole
     encode-decode recurrence in SQL: because the encoder tracks the
     decoder's reconstruction, the roundtrip output is a single
-    recurrence in (predictor, step index) with block-start resets —
-    expressed as a DuckDB recursive CTE over the literal 89-entry step
-    table. Any defect in the quantizer, the reconstruction, the index
+    recurrence in (predictor, step index) with block-start resets
+    (predictor := first sample, step index := 0 — the vectorized
+    encoder seeds every block's header independently) — expressed as a
+    DuckDB recursive CTE over the literal 89-entry step table. Any defect in the quantizer, the reconstruction, the index
     walk, the block framing, or the stereo nibble interleave breaks the
     value hash."""
     import numpy as np
@@ -4948,7 +4949,7 @@ rec(i, ch, j, pred, sidx) AS (
           + CASE WHEN ABS(s.x - r.pred) >= st.sv THEN st.sv ELSE 0 END
         )))
     END,
-    CASE WHEN s.j % 505 = 0 THEN r.sidx ELSE
+    CASE WHEN s.j % 505 = 0 THEN 0 ELSE
       GREATEST(0, LEAST(88, r.sidx +
         CASE (CASE WHEN ABS(s.x - r.pred) >= st.sv THEN 4 ELSE 0 END
             + CASE WHEN (CASE WHEN ABS(s.x - r.pred) >= st.sv

@@ -285,7 +285,19 @@ def adpcm_wav_encode(
     bytes. Returns (data, block_align). samples_per_block must be odd
     for mono (the header carries sample 0; the rest pack two per byte)
     and 1 mod 8 for stereo (4-byte channel groups); 505 satisfies both
-    and is the common choice for 2041/2048-byte mono/stereo blocks."""
+    and is the common choice for 2041/2048-byte mono/stereo blocks.
+
+    Encodes VECTORIZED, mirroring adpcm_wav_decode: every block's
+    4-byte header carries its full starting state (predictor = first
+    sample, step index = 0), so blocks are independent and the
+    per-sample feedback loop runs once over the samples-per-block axis
+    with all (block, channel) lanes as numpy vectors. Seeding the step
+    index at 0 per block (instead of carrying it across blocks) costs
+    a few coarse steps of adaptation per 505-sample block — inaudible
+    — and is what makes the ~20x lane-parallel encode possible; any
+    spec decoder honours the header state (ours does, pinned in
+    tests). The nibble core ima_nibbles_encode stays as the
+    audioop-pinned scalar reference."""
     arr = np.asarray(samples, np.int16)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -303,32 +315,53 @@ def adpcm_wav_encode(
                 "stereo IMA ADPCM needs samples_per_block ≡ 1 (mod 8)"
             )
         block_align = 8 + (spb - 1)
-    out = bytearray()
-    idxs = [0] * channels
-    for start in range(0, arr.shape[0], spb):
-        blk = arr[start : start + spb]
-        if blk.shape[0] < spb:  # pad the tail block by repeating the last
-            pad = np.repeat(blk[-1:], spb - blk.shape[0], axis=0)
-            blk = np.concatenate([blk, pad], axis=0)
-        nibs_per_ch = []
-        for ch in range(channels):
-            pred = int(blk[0, ch])
-            out += struct.pack("<hBB", pred, idxs[ch], 0)
-            nibs, _, idxs[ch] = ima_nibbles_encode(
-                blk[1:, ch].tolist(), pred, idxs[ch]
-            )
-            nibs_per_ch.append(nibs)
-        if channels == 1:
-            nibs = nibs_per_ch[0]
-            for j in range(0, len(nibs), 2):
-                out.append((nibs[j] & 0x0F) | (nibs[j + 1] << 4))
-        else:
-            for g in range(0, len(nibs_per_ch[0]), 8):
-                for ch in range(2):
-                    nibs = nibs_per_ch[ch][g : g + 8]
-                    for j in range(0, 8, 2):
-                        out.append((nibs[j] & 0x0F) | (nibs[j + 1] << 4))
-    return bytes(out), block_align
+    frames = arr.shape[0]
+    if frames == 0:
+        return b"", block_align
+    nblocks = -(-frames // spb)
+    pad = nblocks * spb - frames
+    if pad:  # pad the tail block by repeating the last sample
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+    blk = arr.reshape(nblocks, spb, channels).astype(np.int64)
+
+    pred = blk[:, 0, :].copy()  # (nblocks, channels) lanes
+    index = np.zeros((nblocks, channels), np.int64)
+    nibs = np.empty((nblocks, spb - 1, channels), np.int64)
+    for j in range(1, spb):
+        step = _IMA_STEP[index]
+        diff = blk[:, j, :] - pred
+        sign = (diff < 0).astype(np.int64)
+        adiff = np.abs(diff)
+        b4 = (adiff >= step).astype(np.int64)
+        adiff = adiff - b4 * step
+        half = step >> 1
+        b2 = (adiff >= half).astype(np.int64)
+        adiff = adiff - b2 * half
+        quarter = step >> 2
+        b1 = (adiff >= quarter).astype(np.int64)
+        nib = (sign << 3) | (b4 << 2) | (b2 << 1) | b1
+        # track the decoder's reconstruction so the state never drifts
+        d = (step >> 3) + b1 * quarter + b2 * half + b4 * step
+        pred = np.clip(pred + np.where(sign, -d, d), -32768, 32767)
+        index = np.clip(index + _IMA_INDEX[nib & 7], 0, 88)
+        nibs[:, j - 1, :] = nib
+
+    # headers: per channel (int16 LE predictor, uint8 index=0, reserved)
+    hdr = np.zeros((nblocks, channels, 4), np.uint8)
+    p16 = blk[:, 0, :] & 0xFFFF
+    hdr[:, :, 0] = p16 & 0xFF
+    hdr[:, :, 1] = p16 >> 8
+    if channels == 1:
+        lo = nibs[:, 0::2, 0]
+        hi = nibs[:, 1::2, 0]
+        payload = (lo | (hi << 4)).astype(np.uint8)
+    else:
+        # 4-byte channel groups of 8 nibbles, low nibble first
+        grp = nibs.reshape(nblocks, -1, 8, 2).transpose(0, 1, 3, 2)
+        packed = (grp[..., 0::2] | (grp[..., 1::2] << 4)).astype(np.uint8)
+        payload = packed.reshape(nblocks, -1)
+    out = np.concatenate([hdr.reshape(nblocks, -1), payload], axis=1)
+    return out.tobytes(), block_align
 
 
 # --------------------------------------------------- WAV container glue
