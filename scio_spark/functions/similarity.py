@@ -43,17 +43,66 @@ def _dot(a, b):
     )
 
 
-def require_side_input_sized(df: DataFrame, max_rows: int, what: str, knob: str):
+#: Byte budget for driver-collected side inputs. A row cap alone lets a
+#: wide-row input (long documents, fat embeddings) bloat the driver while
+#: staying under the row count — so the guard also sums approximate
+#: serialized bytes and fails actionably past this budget.
+SIDE_INPUT_MAX_BYTES = 2 << 30  # 2 GiB
+
+
+def _approx_row_bytes(df: DataFrame):
+    """Column: approximate in-memory bytes of one row — octet_length for
+    string/binary, JSON length for nested types (over-estimates ~4/3 on
+    binary-in-array, fine for a budget), 8 for scalars, +16 overhead."""
+    from pyspark.sql import types as T
+
+    out = F.lit(16)
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            out = out + F.coalesce(F.octet_length(c), F.lit(0))
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            out = out + F.coalesce(
+                F.octet_length(F.to_json(F.struct(c))), F.lit(0)
+            )
+        else:
+            out = out + F.lit(8)
+    return out
+
+
+def require_side_input_sized(
+    df: DataFrame,
+    max_rows: int,
+    what: str,
+    knob: str,
+    max_bytes: int | None = SIDE_INPUT_MAX_BYTES,
+):
     """Driver-collect guard: a by-contract-small side input that is actually
     big must fail with an actionable error, not an executor/driver OOM.
-    ``limit(n+1).count()`` stops scanning at the cap, so the check is cheap
-    even when the input is huge."""
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    The scan is capped at ``max_rows + 1`` rows (``limit`` stops early), so
+    the check is cheap even when the input is huge; within that cap it also
+    sums approximate row bytes, so a wide-row input trips the byte budget
+    even when its row count is legal."""
+    row = (
+        df.limit(max_rows + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_approx_row_bytes(df)).alias("b"),
+        )
+        .collect()[0]
+    )
+    if row["n"] > max_rows:
         raise ValueError(
             f"{what}: the query set has >{max_rows} rows but is collected/"
             f"broadcast as a side input by this operator. Reduce the query "
             f"set, or raise {knob} if the driver genuinely has the memory."
+        )
+    if max_bytes is not None and (row["b"] or 0) > max_bytes:
+        raise ValueError(
+            f"{what}: ~{int(row['b']) >> 20} MiB exceeds the "
+            f"{max_bytes >> 20} MiB side-input byte budget (rows are within "
+            f"the {knob} cap but too wide). Reduce the input, or raise "
+            f"max_bytes if the driver genuinely has the memory."
         )
 
 

@@ -34,11 +34,22 @@ from pyspark.sql import functions as F
 #: require_side_input_sized pattern the ANN corpus/query collects use.
 SIDE_INPUT_MAX_ROWS = 4_000_000
 
+#: Byte budget companion to the row cap: a wide-row side input (long
+#: documents, fat embeddings) can bloat the driver while staying under the
+#: row count, so the guard also sums approximate serialized bytes
+#: (similarity.SIDE_INPUT_MAX_BYTES, 2 GiB default).
+SIDE_INPUT_MAX_BYTES = None  # None -> similarity module default
 
-def _guard_side_input(df: DataFrame, what: str, max_rows: int) -> None:
-    from scio_spark.functions.similarity import require_side_input_sized
 
-    require_side_input_sized(df, max_rows, what, "max_rows")
+def _guard_side_input(
+    df: DataFrame, what: str, max_rows: int, max_bytes=SIDE_INPUT_MAX_BYTES
+) -> None:
+    from scio_spark.functions import similarity
+
+    require = similarity.require_side_input_sized
+    if max_bytes is None:
+        max_bytes = similarity.SIDE_INPUT_MAX_BYTES
+    require(df, max_rows, what, "max_rows", max_bytes=max_bytes)
 
 
 def side_input_singleton(df: DataFrame):
@@ -54,28 +65,32 @@ def side_input_singleton(df: DataFrame):
     return df.sparkSession.sparkContext.broadcast(val)
 
 
-def side_input_list(df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS):
+def side_input_list(
+    df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS, max_bytes=None
+):
     """asListSideInput (:105)."""
-    _guard_side_input(df, "side_input_list", max_rows)
+    _guard_side_input(df, "side_input_list", max_rows, max_bytes)
     rows = [r[0] if len(r) == 1 else tuple(r) for r in df.collect()]
     return df.sparkSession.sparkContext.broadcast(rows)
 
 
-def side_input_set(df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS):
+def side_input_set(
+    df: DataFrame, max_rows: int = SIDE_INPUT_MAX_ROWS, max_bytes=None
+):
     """asSetSingletonSideInput (SideInput.scala:110): the collection as ONE
     broadcast python set — the membership-test side input (hashFilter's
     substrate when the predicate runs inside a pandas fn)."""
-    _guard_side_input(df, "side_input_set", max_rows)
+    _guard_side_input(df, "side_input_set", max_rows, max_bytes)
     rows = {r[0] if len(r) == 1 else tuple(r) for r in df.collect()}
     return df.sparkSession.sparkContext.broadcast(rows)
 
 
 def side_input_map(
     df: DataFrame, key_col: str, value_col: str,
-    max_rows: int = SIDE_INPUT_MAX_ROWS,
+    max_rows: int = SIDE_INPUT_MAX_ROWS, max_bytes=None,
 ):
     """asMapSideInput (:117) — unique keys."""
-    _guard_side_input(df, "side_input_map", max_rows)
+    _guard_side_input(df, "side_input_map", max_rows, max_bytes)
     m = {}
     for r in df.select(key_col, value_col).collect():
         if r[0] in m:
@@ -86,11 +101,11 @@ def side_input_map(
 
 def side_input_multimap(
     df: DataFrame, key_col: str, value_col: str,
-    max_rows: int = SIDE_INPUT_MAX_ROWS,
+    max_rows: int = SIDE_INPUT_MAX_ROWS, max_bytes=None,
 ):
     """asMultiMapSideInput (:123) — the hashJoin substrate
     (PairHashSCollectionFunctions.scala:62-73)."""
-    _guard_side_input(df, "side_input_multimap", max_rows)
+    _guard_side_input(df, "side_input_multimap", max_rows, max_bytes)
     m: dict[Any, list] = {}
     for r in df.select(key_col, value_col).collect():
         m.setdefault(r[0], []).append(r[1])
