@@ -1849,6 +1849,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph ANN (functions/hnsw.py, pure numpy — Voyager parity,
+    scio-extra voyager SCollectionSyntax.scala:47-215), run in the
+    exhaustive regime: ef = corpus size makes the beam visit every node
+    (layer-0 connectivity is repaired at build), and exact_rescore moves
+    scoring/ranking JVM-side (sequential-fold dot, round-before-rank) —
+    so the output equals exact top-3 and is value-oracled while the real
+    graph build + beam walk is exercised end to end (the same
+    exact-regime pattern as q_ann_ivf's n_probe = n_clusters). The
+    approximate regime (ef=64) is recall-pinned in tests/test_hnsw.py."""
+    from scio_spark.functions.similarity import cosine_topk_hnsw
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    qs = emb.filter("vec_id % 10 = 3")
+    return cosine_topk_hnsw(
+        emb, qs, k=3, ef_search=None, exact_rescore=True, score_decimals=5
+    )
+
+
+ORACLE_ANN_HNSW = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 3),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 MULTIMODAL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "examples", "fixtures", "multimodal_assets.parquet",
@@ -7312,10 +7350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        r12, after that round's window was fixed): video_probe,
        avi_audio, audio_resample — value-exact under the local oracle
        but unseen by the external gate until now;
-    2. the 32 r9-stale queries (latest driver row = r9), standing
+    2. ann_hnsw, NEW this round (pure-numpy HNSW, exhaustive regime +
+       exact rescore), needing its first driver row;
+    3. the 32 r9-stale queries (latest driver row = r9), standing
        order (cohort_retention … stratified_sample);
-    3. the 15 oldest r10-window rows to fill the 50
-       (traffic_max_lane_flow … tfrecord_roundtrip).
+    4. the 14 oldest r10-window rows to fill the 50
+       (traffic_max_lane_flow … text_roundtrip).
 
     The remaining r10-window queries head the post-window section as
     the r14 rotation candidates, followed by the 50 r11-window and the
@@ -7329,7 +7369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
         "audio_resample": q_audio_resample,
-        # (b) the 32 r9-stale queries, standing order
+        # (b) NEW this round — pure-numpy HNSW in the exhaustive+rescore
+        #     exact regime, needing its first driver row
+        "ann_hnsw": q_ann_hnsw,
+        # (c) the 32 r9-stale queries, standing order
         "cohort_retention": q_cohort_retention,
         "autocomplete": q_autocomplete,
         "top_sessions": q_top_sessions,
@@ -7362,7 +7405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "window_calendar": q_window_calendar,
         "stratified_sample": q_stratified_sample,
-        # (c) the 15 oldest r10-window rows, standing order
+        # (d) the 14 oldest r10-window rows, standing order
         "traffic_max_lane_flow": q_traffic_max_lane_flow,
         "traffic_routes": q_traffic_routes,
         "pii_scrub": q_pii_scrub,
@@ -7377,9 +7420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_weekly": q_window_weekly,
         "json_roundtrip": q_json_roundtrip,
         "text_roundtrip": q_text_roundtrip,
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
         # r10-window remainder — r14 rotation candidates, standing order
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "binary_roundtrip": q_binary_roundtrip,
         "object_roundtrip": q_object_roundtrip,
         "dynamic_destinations": q_dynamic_destinations,
@@ -7707,6 +7750,7 @@ def oracle_sql() -> dict[str, str]:
         # two-micro-batch incremental build of the same hourly rollup
         "continuous_rollup": ORACLE_STREAMING_WINDOW,
         "ann_lsh": ORACLE_ANN_LSH,
+        "ann_hnsw": ORACLE_ANN_HNSW,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
         "ann_ivf": ORACLE_EMBEDDING_TOPK,

@@ -13,9 +13,10 @@ broadcast an index and look up per element. Spark-first re-expression:
   deterministically from md5 so plans are reproducible. With b-bit signatures
   the corpus scan fans out b× less than brute force at equal recall targets.
 - **HNSW broadcast index** (``cosine_topk_hnsw``): real Voyager parity —
-  corpus → in-memory HNSW graph side input, broadcast once, probed per Arrow
-  batch. Import-gated on hnswlib (not in this image; the gate raises with
-  the LSH/IVF fallbacks named — multimodal.py gating pattern).
+  corpus → in-memory HNSW graph side input (pure-numpy, functions/hnsw.py),
+  broadcast once, probed per Arrow batch. No native dependency; the
+  exhaustive regime (``ef_search >= n`` + ``exact_rescore``) is provably
+  exact, which is what the ann_hnsw contract query pins against SQL.
 
 Embeddings in the fixture are L2-normalized, so cosine == dot product.
 """
@@ -24,13 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-try:  # pragma: no cover - not in this image
-    import hnswlib  # noqa: F401
-
-    HAS_HNSWLIB = True
-except ImportError:
-    HAS_HNSWLIB = False
 
 
 def _dot(a, b):
@@ -529,78 +523,130 @@ def cosine_topk_hnsw(
     vec_col: str = "embedding",
     m: int = 16,
     ef_construction: int = 200,
-    ef_search: int = 64,
-    max_corpus_rows: int = 2_000_000,
+    ef_search: int | None = 64,
+    max_corpus_rows: int = 200_000,
     score_decimals: int | None = 5,
+    exact_rescore: bool = False,
 ) -> DataFrame:
     """Voyager/HNSW ANN parity (scio-extra voyager/syntax/
     SCollectionSyntax.scala:47-215 ``asVoyagerSideInput`` → per-element
-    lookup): the corpus becomes an in-memory HNSW graph SIDE INPUT — built
-    once, broadcast to every executor — and queries probe it per Arrow batch
-    (one Python crossing, vectorized knn_query). Same output contract as
-    cosine_topk: (query_id, neighbor_id, score, rank), self-matches dropped.
+    lookup): the corpus becomes an in-memory HNSW graph SIDE INPUT
+    (pure-numpy, functions/hnsw.py — no native dependency) — built once,
+    broadcast to every executor — and queries probe it per Arrow batch.
+    Same output contract as cosine_topk: (query_id, neighbor_id, score,
+    rank), self-matches dropped.
 
-    Import-gated on hnswlib, which this image doesn't ship — the gate raises
-    with the same-contract fallbacks named (cosine_topk_lsh here, ivf.
-    cosine_topk_ivf for the partition-pruned disk index). Like scio's Annoy/
-    Voyager side inputs, the CORPUS is side-input-sized BY CONTRACT (an HNSW
-    graph is a single in-memory artifact); guarded by ``max_corpus_rows`` —
-    corpus-scale similarity belongs to the LSH/IVF paths, which never
-    collect. Vectors are pre-normalized ⇒ cosine distance = 1 − dot; score
-    is reported as the dot product to match the other paths."""
-    if not HAS_HNSWLIB:
-        raise NotImplementedError(
-            "cosine_topk_hnsw requires hnswlib (not in this container). "
-            "Same-contract substitutes: cosine_topk (exact), cosine_topk_lsh "
-            "(hyperplane buckets), scio_spark.functions.ivf.cosine_topk_ivf "
-            "(persisted partition-pruned index)."
-        )
+    Like scio's Annoy/Voyager side inputs, the CORPUS is side-input-sized
+    BY CONTRACT (an HNSW graph is a single in-memory artifact); guarded by
+    ``max_corpus_rows`` (build is a Python insert loop, ~10-20k vectors/s
+    — corpus-scale similarity belongs to the LSH/IVF paths, which never
+    collect). Vectors are pre-normalized ⇒ cosine = dot product.
+
+    ``ef_search=None`` means exhaustive (ef = corpus size): the beam
+    visits every node (hnsw.py guarantees layer-0 connectivity), so the
+    candidate set provably contains the exact top-k. With
+    ``exact_rescore=True`` the Python side emits only candidate PAIRS and
+    the scoring/ranking runs JVM-side with the deterministic sequential
+    fold + round-before-rank — exactly reproducible in the DuckDB oracle
+    (the exact-regime-for-the-oracle pattern of q_ann_ivf). Recall of the
+    approximate regime is pinned in tests/test_hnsw.py."""
     import pickle
 
     import numpy as np
     import pandas as pd
+
+    from scio_spark.functions.hnsw import build_hnsw, search_hnsw
 
     require_side_input_sized(
         corpus, max_corpus_rows, "cosine_topk_hnsw", "max_corpus_rows"
     )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float32)
-    index = hnswlib.Index(space="cosine", dim=mat.shape[1])
-    index.init_index(
-        max_elements=len(ids), M=m, ef_construction=ef_construction
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    index = build_hnsw(mat, m=m, ef_construction=ef_construction)
+    ef = index.n if ef_search is None else max(ef_search, k + 2)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        pickle.dumps((ids, index))
     )
-    index.add_items(mat, ids)
-    index.set_ef(max(ef_search, k + 2))
-    bc = corpus.sparkSession.sparkContext.broadcast(pickle.dumps(index))
 
     def gen(batches):
-        idx = pickle.loads(bc.value)
+        c_ids, idx = pickle.loads(bc.value)
+        id_of = {int(v): j for j, v in enumerate(c_ids)}
         for pdf in batches:
             if not len(pdf):
                 continue
-            block = np.array(list(pdf[vec_col]), dtype=np.float32)
-            q_ids = pdf[id_col].to_numpy()
-            # k+1 then drop self-matches (a corpus-resident query returns
-            # itself at distance ~0)
-            labels, dists = idx.knn_query(block, k=min(k + 1, len(ids)))
             out = []
-            for qi, (labs, ds) in enumerate(zip(labels, dists)):
+            for q_id, vec in zip(pdf[id_col], pdf[vec_col]):
+                q_id = int(q_id)
+                self_row = id_of.get(q_id, -1)
+                # k+1 then drop the self-match of a corpus-resident query
+                found = search_hnsw(
+                    idx, np.asarray(vec, np.float64), min(k + 1, idx.n), ef
+                )
                 rank = 0
-                for lab, d in zip(labs, ds):
-                    if int(lab) == int(q_ids[qi]):
+                for s, row in found:
+                    if row == self_row:
                         continue
                     rank += 1
                     if rank > k:
                         break
-                    out.append((int(q_ids[qi]), int(lab), 1.0 - float(d), rank))
+                    out.append((q_id, int(c_ids[row]), s, rank))
             yield pd.DataFrame(
                 out, columns=["query_id", "neighbor_id", "score", "rank"]
             )
 
-    out = queries.select(id_col, vec_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, score double, rank int"
+    def gen_pairs(batches):
+        c_ids, idx = pickle.loads(bc.value)
+        id_of = {int(v): j for j, v in enumerate(c_ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for q_id, vec in zip(pdf[id_col], pdf[vec_col]):
+                q_id = int(q_id)
+                self_row = id_of.get(q_id, -1)
+                found = search_hnsw(
+                    idx, np.asarray(vec, np.float64), ef, ef
+                )
+                out.extend(
+                    (q_id, int(c_ids[row]))
+                    for _, row in found
+                    if row != self_row
+                )
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id"])
+
+    qsel = queries.select(id_col, vec_col)
+    if not exact_rescore:
+        out = qsel.mapInPandas(
+            gen, "query_id long, neighbor_id long, score double, rank int"
+        )
+        if score_decimals is not None:
+            out = out.withColumn("score", F.round("score", score_decimals))
+        return out
+
+    cands = qsel.mapInPandas(gen_pairs, "query_id long, neighbor_id long")
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    cv = F.broadcast(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
     )
     if score_decimals is not None:
-        out = out.withColumn("score", F.round("score", score_decimals))
-    return out
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

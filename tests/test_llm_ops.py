@@ -539,15 +539,12 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     assert walked  # reliable checkpoints materialized under checkpoint_dir
 
 
-def test_cosine_topk_hnsw_gate_or_parity(embeddings):
-    """Voyager/HNSW side-input path: with hnswlib absent (this image) the
-    gate raises naming the same-contract fallbacks; with it present, top-1
-    neighbors must agree with exact cosine_topk on the fixture."""
+def test_cosine_topk_hnsw_parity(embeddings):
+    """Voyager/HNSW side-input path (pure-numpy graph, no import gate):
+    top-1 neighbors at a generous ef must agree with exact cosine_topk on
+    the fixture; the exhaustive + exact_rescore regime must agree on the
+    full (score, rank) contract including tie-breaks."""
     qs = embeddings.limit(4)
-    if not S.HAS_HNSWLIB:
-        with pytest.raises(NotImplementedError, match="hnswlib"):
-            S.cosine_topk_hnsw(embeddings, qs, k=1)
-        return
     got = {
         r["query_id"]: r["neighbor_id"]
         for r in S.cosine_topk_hnsw(
@@ -559,6 +556,14 @@ def test_cosine_topk_hnsw_gate_or_parity(embeddings):
         for r in S.cosine_topk(embeddings, qs, k=1).collect()
     }
     assert got == exact
+    full = sorted(
+        tuple(r)
+        for r in S.cosine_topk_hnsw(
+            embeddings, qs, k=3, ef_search=None, exact_rescore=True
+        ).collect()
+    )
+    ref = sorted(tuple(r) for r in S.cosine_topk(embeddings, qs, k=3).collect())
+    assert full == ref
 
 
 def test_scrub_pii_masks_all_categories(spark):
