@@ -1858,11 +1858,18 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the output equals exact top-3 and is value-oracled while the real
     graph build + beam walk is exercised end to end (the same
     exact-regime pattern as q_ann_ivf's n_probe = n_clusters). The
-    approximate regime (ef=64) is recall-pinned in tests/test_hnsw.py."""
+    approximate regime (ef=64) is recall-pinned in tests/test_hnsw.py.
+
+    The corpus is pinned to a BOUNDED reference set (vec_id < 2000 —
+    the whole table at the driver-gate SFs): an HNSW index is a
+    side input by contract, and the exhaustive-exact regime walks
+    O(corpus) nodes per query, so the query's cost must not grow with
+    the table (corpus-scale ANN is the IVF/LSH paths, which do scale
+    in the bench)."""
     from scio_spark.functions.similarity import cosine_topk_hnsw
 
     sc = _ctx(spark)
-    emb = _t(sc, sf_dir, "embeddings").df
+    emb = _t(sc, sf_dir, "embeddings").df.filter("vec_id < 2000")
     qs = emb.filter("vec_id % 10 = 3")
     return cosine_topk_hnsw(
         emb, qs, k=3, ef_search=None, exact_rescore=True, score_decimals=5
@@ -1870,14 +1877,15 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_HNSW = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 3),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 10 = 3 AND vec_id < 2000),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_reduce(
              list_transform(generate_series(1, len(c.embedding)),
                             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
              (acc, x) -> acc + x), 5) AS score
-  FROM embeddings c, q WHERE c.vec_id != q.query_id
+  FROM embeddings c, q WHERE c.vec_id != q.query_id AND c.vec_id < 2000
 )
 SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
