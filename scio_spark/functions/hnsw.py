@@ -49,7 +49,7 @@ class HnswIndex:
     plus the entry point and its level. Picklable (plain python + the
     corpus matrix), hence broadcastable."""
 
-    __slots__ = ("mat", "adj", "entry", "top", "m")
+    __slots__ = ("mat", "adj", "entry", "top", "m", "_reach")
 
     def __init__(self, mat, adj, entry, top, m):
         self.mat = mat
@@ -57,10 +57,28 @@ class HnswIndex:
         self.entry = entry
         self.top = top
         self.m = m
+        self._reach = None
 
     @property
     def n(self) -> int:
         return self.mat.shape[0]
+
+    def reachable(self) -> np.ndarray:
+        """Row indices reachable from the entry at layer 0 (cached).
+        After _repair_connectivity this is every row; computed rather
+        than assumed so the exhaustive-search shortcut stays honest."""
+        if self._reach is None:
+            seen = {self.entry}
+            stack = [self.entry]
+            while stack:
+                c = stack.pop()
+                for v in self.adj[0].get(c, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            self._reach = np.fromiter(seen, np.int64, len(seen))
+            self._reach.sort()
+        return self._reach
 
 
 def _search_layer(mat, adj_l, q, eps, ef):
@@ -168,9 +186,20 @@ def build_hnsw(
 def search_hnsw(index: HnswIndex, q: np.ndarray, k: int, ef: int = 64):
     """Top-k rows of the index for query ``q``: greedy descent through
     the upper layers, then an ef-beam at layer 0. Returns [(sim, row)]
-    sorted desc. ``ef >= index.n`` visits every node (exhaustive ⇒
-    exact, given the connectivity repair)."""
+    sorted desc (ties by row asc).
+
+    ``ef >= index.n``: the beam never prunes (|res| < ef until every
+    reachable node is in it), so the result is provably exact top-k
+    over the layer-0 reachable set — computed here as one GEMM over
+    ``index.reachable()`` instead of a per-query Python walk (identical
+    output, ~50x faster; the walk itself is what the ef < n regime and
+    its recall tests exercise)."""
     q = np.asarray(q, np.float64)
+    if ef >= index.n:
+        reach = index.reachable()
+        sims = index.mat[reach] @ q
+        order = np.lexsort((reach, -sims))[:k]
+        return [(float(sims[j]), int(reach[j])) for j in order]
     eps = [index.entry]
     for lc in range(index.top, 0, -1):
         eps = [_search_layer(index.mat, index.adj[lc], q, eps, 1)[0][1]]

@@ -77,6 +77,27 @@ def test_connectivity_repair_bridges_clusters():
     assert got == _brute_topk(mat, mat[100], 3).tolist()
 
 
+def test_exhaustive_gemm_shortcut_equals_the_beam_walk():
+    """search_hnsw computes ef >= n as one GEMM over the reachable set;
+    pin that this equals what the actual beam walk returns (the beam
+    never prunes below ef, so both are top-k of the reachable set)."""
+    from scio_spark.functions.hnsw import _search_layer
+
+    rng = np.random.default_rng(21)
+    mat = _unit_rows(rng, 200, 16)
+    idx = build_hnsw(mat, m=8, ef_construction=40)
+    for qi in (3, 77, 150):
+        q = mat[qi]
+        eps = [idx.entry]
+        for lc in range(idx.top, 0, -1):
+            eps = [_search_layer(idx.mat, idx.adj[lc], q, eps, 1)[0][1]]
+        beam = _search_layer(idx.mat, idx.adj[0], q, eps, idx.n)
+        beam_rows = sorted(row for _, row in beam[:7])
+        gemm_rows = sorted(row for _, row in search_hnsw(idx, q, 7, ef=idx.n))
+        # same top-7 membership; ordering ties differ only on equal sims
+        assert beam_rows == gemm_rows
+
+
 def test_repair_is_noop_on_connected_graph():
     mat = _unit_rows(np.random.default_rng(5), 50, 8)
     idx = build_hnsw(mat, m=8, ef_construction=40)
