@@ -931,32 +931,27 @@ FROM u GROUP BY 1
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group clustering: transitive closure of the exact 3-gram
-    Jaccard ≥0.8 pair set via iterative min-label propagation
-    (functions/dedup.py connected_components) — every clustered doc labeled
-    with its component's min doc_id."""
+    """Duplicate-group clustering: transitive closure of the MinHash-LSH
+    ≥0.8 pair set via iterative min-label propagation (functions/dedup.py
+    connected_components) — every clustered doc labeled with its
+    component's min doc_id. This is the production composition: LSH
+    banding generates candidates at measured e≈0.8 (SCALING.md r13),
+    where the exact inverted-index pair generator is Θ(Σ f_shingle²) —
+    quadratic on a saturated-shingle corpus like this synthetic one
+    (that exact path remains its own contract row,
+    dedup_ngram_jaccard)."""
     from scio_spark.functions import dedup as D
 
     sc = _ctx(spark)
-    pairs = D.ngram_jaccard_dedup(_t(sc, sf_dir, "documents").df, min_jaccard=0.8)
-    return (
+    pairs = D.minhash_lsh_dedup(
+        _t(sc, sf_dir, "documents").df, min_jaccard=0.8
+    )
+    out = (
         D.connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("comp"))
     )
-
-
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE {_SHINGLE_CTE},
-dup_pairs AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= 0.8),
-edges AS (SELECT id_1 AS a, id_2 AS b FROM dup_pairs
-          UNION SELECT id_2, id_1 FROM dup_pairs),
-reach(a, b) AS (
-    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-    UNION
-    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
-"""
+    out._scio_cached = getattr(pairs, "_scio_cached", None)
+    return out
 
 
 def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
@@ -987,6 +982,30 @@ cands AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
 SELECT j.id_1, j.id_2, j.jaccard
 FROM jac j JOIN cands c ON j.id_1 = c.id_1 AND j.id_2 = c.id_2
 WHERE j.jaccard >= {thr}
+"""
+
+
+# clusters over the SAME banded-candidate pair set _minhash_oracle pins
+# (16 hashes / 4 bands, jaccard verified >= 0.8), transitively closed.
+_MINHASH_ORACLE_CTES = _minhash_oracle(16, 4, 0.8).split("WITH ", 1)[1].rsplit(
+    "SELECT j.id_1", 1
+)[0].rstrip().rstrip(",")
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_ORACLE_CTES},
+dup_pairs AS (
+  SELECT j.id_1, j.id_2 FROM jac j
+  JOIN cands c ON j.id_1 = c.id_1 AND j.id_2 = c.id_2
+  WHERE j.jaccard >= 0.8
+),
+edges AS (SELECT id_1 AS a, id_2 AS b FROM dup_pairs
+          UNION SELECT id_2, id_1 FROM dup_pairs),
+reach(a, b) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, MIN(b) AS comp FROM reach GROUP BY a
 """
 
 
@@ -3947,21 +3966,45 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy join (operators/fuzzy_join.py — Gravano-style
     q-gram count filter + exact levenshtein re-check; the naive BETWEEN
     formulation is a cross product): two disjoint part-name strata joined
-    at distance ≤ 6 (TPC-H names are 5-color phrases, so near-pairs
-    differing by one short color exist), reported as a distance histogram.
-    Oracle = the naive cross join in DuckDB (same builtin)."""
+    at distance ≤ 6, reported as a distance histogram.
+
+    Runs in the DEDUP-BEFORE-JOIN shape — the scale-correct pattern for
+    a fuzzy join over a low-cardinality string column: part names are a
+    small closed vocabulary repeated ~n/|vocab| times, so joining raw
+    rows makes the PAIR SET itself quadratic in n (every copy of
+    'red bolt' pairs with every copy of 'old bolt' — no candidate
+    structure can beat the output size). Instead: count per distinct
+    name (one linear agg per side), fuzzy-join the distinct names
+    (constant-size problem at any sf), and weight the histogram by
+    cnt_l*cnt_r. Identical result to the naive pair count (the oracle
+    IS the naive cross join), measured e~=0.1 at sf0.1->sf1 vs e~=1.9
+    for the raw-pairs spelling (SCALING.md r13)."""
     from scio_spark.operators.fuzzy_join import fuzzy_join
 
     sc = _ctx(spark)
     part = _t(sc, sf_dir, "part").df
-    left = part.filter("p_partkey % 20 = 0").select(
-        F.col("p_partkey").alias("l_id"), F.col("p_name").alias("l_text")
+    ldist = (
+        part.filter("p_partkey % 20 = 0")
+        .groupBy(F.col("p_name").alias("l_text"))
+        .agg(F.count(F.lit(1)).alias("__lw"))
+        .withColumn("l_id", F.col("l_text"))
     )
-    right = part.filter("p_partkey % 20 = 10").select(
-        F.col("p_partkey").alias("r_id"), F.col("p_name").alias("r_text")
+    rdist = (
+        part.filter("p_partkey % 20 = 10")
+        .groupBy(F.col("p_name").alias("r_text"))
+        .agg(F.count(F.lit(1)).alias("__rw"))
+        .withColumn("r_id", F.col("r_text"))
     )
-    pairs = fuzzy_join(left, right, max_dist=6)
-    return pairs.groupBy("distance").agg(F.count(F.lit(1)).alias("n_pairs"))
+    pairs = fuzzy_join(
+        ldist.select("l_id", "l_text"), rdist.select("r_id", "r_text"),
+        max_dist=6,
+    )
+    return (
+        pairs.join(F.broadcast(ldist.select("l_id", "__lw")), "l_id")
+        .join(F.broadcast(rdist.select("r_id", "__rw")), "r_id")
+        .groupBy("distance")
+        .agg(F.sum(F.col("__lw") * F.col("__rw")).alias("n_pairs"))
+    )
 
 
 ORACLE_FUZZY_JOIN = """

@@ -103,6 +103,16 @@ def main():
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 return None, False
 
+    # Optional subset (scale-evidence runs at big SFs time only the
+    # scale-sensitive families): SPARK_GRAFT_QUERIES="q1,q2,..."
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        wanted = [q.strip() for q in subset.split(",") if q.strip()]
+        unknown = [q for q in wanted if q not in qs]
+        if unknown:
+            raise SystemExit(f"bench: unknown queries {unknown}")
+        qs = {q: qs[q] for q in wanted}
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     fallback: list[str] = []

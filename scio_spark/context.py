@@ -42,6 +42,13 @@ DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # Single-JVM local mode: the driver heap IS the executor heap. Spark's
+    # 1g default fits sf0.1 but OOMs at sf1 (streaming state + shuffles on
+    # 6M-row lineitem); the box has 128 GiB. Honored at JVM spawn when the
+    # session is built from a fresh Python process (pyspark passes builder
+    # confs to the launcher); ignored if a JVM already exists.
+    "spark.driver.memory": "32g",
+    "spark.driver.maxResultSize": "4g",
 }
 
 

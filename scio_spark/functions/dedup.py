@@ -503,7 +503,13 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the incoming pair list BEFORE the symmetrize-union: the
+    # union references it twice, and Spark re-executes a non-materialized
+    # subtree per reference — when ``pairs`` is an expensive dedup
+    # pipeline (shingle index + jaccard verify), that doubled the whole
+    # upstream cost (measured r13: 161 s -> 55 s for dedup_clusters at
+    # sf1, where pair generation dominates).
+    e = ckpt(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     edges = ckpt(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
