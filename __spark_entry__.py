@@ -1102,16 +1102,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 near-dup pairs, Hamming ≤ 3 — the realistic wide-signature
-    configuration (16-bit signatures saturate band buckets at corpus scale;
-    SCALING.md). Spark side uses exact banded candidates (pigeonhole);
-    oracle is the full pairwise check — equality proves the banding loses
+    """SimHash-48 near-dup pairs, Hamming ≤ 3 — the realistic wide-signature
+    configuration. Signature width is the scale dial: 12-bit band buckets
+    (4096 per band) where 32-bit signatures left only 256 — at 50k docs
+    the 8-bit bands were saturating (e≈1.5 measured sf0.1→sf1, and ~1.6k
+    ACCIDENTAL hamming≤3 collisions — the output itself was going
+    quadratic; 48-bit keeps expected random collisions ≪1; SCALING.md
+    r13). Spark side uses exact banded candidates (pigeonhole); oracle
+    is the full pairwise check — equality proves the banding loses
     nothing."""
     from scio_spark.functions import dedup as D
 
     sc = _ctx(spark)
     return D.simhash_dedup(
-        _t(sc, sf_dir, "documents").df, max_hamming=3, bits=32
+        _t(sc, sf_dir, "documents").df, max_hamming=3, bits=48
     )
 
 
@@ -1808,7 +1812,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sc = _ctx(spark)
     emb = _t(sc, sf_dir, "embeddings").df
-    qs = emb.filter("vec_id % 10 = 0")
+    # Bounded query WORKLOAD against a growing corpus (the production
+    # shape): with both sides growing, fixed-bit LSH candidates are
+    # Θ(n_q·n_c/2^bits) — measured e≈1.5 at sf0.1→sf1 before the bound.
+    qs = emb.filter("vec_id % 10 = 0 AND vec_id < 2000")
     return cosine_topk_lsh(emb, qs, k=3, bits=4, score_decimals=5)
 
 
@@ -1836,7 +1843,7 @@ s AS (
                             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
              (acc, x) -> acc + x), 5) AS score
   FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-  WHERE q.vec_id % 10 = 0
+  WHERE q.vec_id % 10 = 0 AND q.vec_id < 2000
 )
 SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -7642,7 +7649,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_minhash_lsh": _minhash_oracle(16, 4, 0.8),
-        "dedup_simhash": _simhash_oracle(3, bits=32),
+        "dedup_simhash": _simhash_oracle(3, bits=48),
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_split": ORACLE_TRAIN_SPLIT,
         "decontaminate": ORACLE_DECONTAMINATE,
