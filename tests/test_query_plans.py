@@ -220,3 +220,54 @@ def test_data_checks_row_rules_single_scan(spark):
     df = ent.q_data_checks(spark, SF)
     plan = lint.executed_plan(df)
     assert plan.count("FileScan parquet") <= 2
+
+
+# ------------------------------------------- top-compute plan budgets (r13)
+
+# Exchange-count and join-strategy budgets for the most expensive compute
+# queries (BENCH top-20 by warm time + ann_hnsw), pinned from the plans
+# shipped in round 13 (capture: tools/plan_budgets.py). A refactor that
+# adds a shuffle or loses a broadcast now fails HERE instead of surfacing
+# as bench drift. Budgets are ceilings (<=): AQE may remove exchanges at
+# runtime but the pre-AQE plan is deterministic at a pinned Spark version.
+TOP_COMPUTE_BUDGETS = {
+    # name: (max total Exchange nodes, required join substring or None)
+    "dedup_clusters": (0, None),  # returns a checkpoint; lineage truncated
+    "dedup_minhash_lsh": (13, "BroadcastHashJoin"),
+    "sparse_join_bloom": (2, "BroadcastHashJoin"),
+    "incremental_dedup": (6, "BroadcastHashJoin"),
+    "fuzzy_join": (20, "BroadcastHashJoin"),
+    "smb_join": (2, "BroadcastHashJoin"),
+    "substring_dedup": (6, "BroadcastHashJoin"),
+    "dedup_ngram_jaccard": (10, "BroadcastHashJoin"),
+    "dsir_select": (4, "BroadcastHashJoin"),
+    "winnow_fingerprints": (6, "BroadcastHashJoin"),
+    "curation_e2e": (3, "BroadcastHashJoin"),
+    "dedup_simhash": (4, "BroadcastHashJoin"),
+    "pipe_identity": (0, None),
+    "lang_id": (0, None),
+    "video_mjpeg": (0, None),
+    "bigram_lm": (10, "BroadcastHashJoin"),
+    "merge_upsert": (1, None),
+    "zorder_layout": (2, None),
+    "aggregate_global": (0, None),
+    "smb_transform": (1, None),
+    "ann_hnsw": (3, "BroadcastHashJoin"),
+}
+
+
+@pytest.mark.parametrize("qname", sorted(TOP_COMPUTE_BUDGETS))
+def test_top_compute_query_plan_budgets(spark, qname):
+    max_exch, want_join = TOP_COMPUTE_BUDGETS[qname]
+    df = ent.queries()[qname](spark, SF)
+    plan = lint.executed_plan(df)
+    n_exch = plan.count("Exchange")
+    assert n_exch <= max_exch, (
+        f"{qname}: {n_exch} Exchange nodes (budget {max_exch}) — a shuffle "
+        f"was added; if intentional, re-pin via tools/plan_budgets.py\n{plan}"
+    )
+    if want_join is not None:
+        assert want_join in plan, f"{qname}: expected {want_join}\n{plan}"
+    assert "CartesianProduct" not in plan, qname
+    # BroadcastNestedLoopJoin is legal only with a scalar/bounded side
+    lint.assert_no_unbounded_all_pairs(df)
