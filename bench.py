@@ -116,6 +116,7 @@ def main():
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     fallback: list[str] = []
+    progress = os.environ.get("SPARK_GRAFT_PROGRESS")
     for name, fn in qs.items():
         cold_s, fb = run_once(name, fn)
         if cold_s is None:
@@ -126,6 +127,11 @@ def main():
         warm_s, _ = run_once(name, fn)
         if warm_s is not None:
             warm[name] = warm_s
+        if progress:
+            print(
+                f"bench: {name} cold={cold_s} warm={warm_s}",
+                file=sys.stderr, flush=True,
+            )
 
     total = round(sum(timings.values()), 3)
     # Wall-clock streaming queries: their cost is trigger-sleep cadence
