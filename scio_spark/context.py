@@ -44,10 +44,14 @@ DEFAULT_CONFS = {
     "spark.ui.enabled": "false",
     # Single-JVM local mode: the driver heap IS the executor heap. Spark's
     # 1g default fits sf0.1 but OOMs at sf1 (streaming state + shuffles on
-    # 6M-row lineitem); the box has 128 GiB. Honored at JVM spawn when the
-    # session is built from a fresh Python process (pyspark passes builder
-    # confs to the launcher); ignored if a JVM already exists.
-    "spark.driver.memory": "32g",
+    # 6M-row lineitem). 8g clears sf1 with headroom; BIGGER is measurably
+    # WORSE at bench scale (A/B r13: 32g ran the sf0.1 suite ~30% slower
+    # than 8g — G1 young-gen growth), so scale the heap with the data via
+    # SPARK_GRAFT_DRIVER_MEM (e.g. 32g for sf10) instead of defaulting
+    # high. Honored at JVM spawn when the session is built from a fresh
+    # Python process (pyspark passes builder confs to the launcher);
+    # ignored if a JVM already exists.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.driver.maxResultSize": "4g",
 }
 
