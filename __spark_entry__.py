@@ -77,14 +77,26 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .key_by("l_returnflag", "l_linestatus")
         .agg_by_key(
             F.sum("l_quantity").alias("sum_qty"),
+            # money sums stay DECIMAL end to end: the products are exact
+            # decimal arithmetic (each 2-decimal factor round-trips
+            # double->decimal identically on every engine), and the sums
+            # are NOT cast back to double — DuckDB's wide-decimal->double
+            # conversion double-rounds above 2^53, which surfaced at sf1
+            # as a last-ulp sum_charge hash mismatch.
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " AS DECIMAL(18,2))"
             ).alias("sum_base_price"),
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4)))"
+                " AS DECIMAL(18,4))"
             ).alias("sum_disc_price"),
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)"
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(1 - l_discount AS DECIMAL(8,2))"
+                " * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6)))"
+                " AS DECIMAL(18,6))"
             ).alias("sum_charge"),
             F.expr("SUM(l_quantity) / COUNT(*)").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -96,9 +108,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
        SUM(l_quantity) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
