@@ -77,26 +77,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .key_by("l_returnflag", "l_linestatus")
         .agg_by_key(
             F.sum("l_quantity").alias("sum_qty"),
-            # money sums stay DECIMAL end to end: the products are exact
-            # decimal arithmetic (each 2-decimal factor round-trips
-            # double->decimal identically on every engine), and the sums
-            # are NOT cast back to double — DuckDB's wide-decimal->double
-            # conversion double-rounds above 2^53, which surfaced at sf1
-            # as a last-ulp sum_charge hash mismatch.
+            # Money sums are EXACT decimal arithmetic (each 2-decimal
+            # factor round-trips double->decimal identically on every
+            # engine), then convert decimal->STRING->DOUBLE for output:
+            # the driver gate cannot hash decimal columns (r6/r7 lesson,
+            # pinned in test_contract_schema), and DuckDB's direct
+            # wide-decimal->double cast double-rounds above 2^53 (a
+            # last-ulp sf1 hash mismatch) — string parsing is correctly
+            # rounded on both engines, so the doubles agree bit-exactly.
             F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
-                " AS DECIMAL(18,2))"
+                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " AS STRING) AS DOUBLE)"
             ).alias("sum_base_price"),
             F.expr(
-                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
                 " * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4)))"
-                " AS DECIMAL(18,4))"
+                " AS STRING) AS DOUBLE)"
             ).alias("sum_disc_price"),
             F.expr(
-                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
                 " * CAST(1 - l_discount AS DECIMAL(8,2))"
                 " * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6)))"
-                " AS DECIMAL(18,6))"
+                " AS STRING) AS DOUBLE)"
             ).alias("sum_charge"),
             F.expr("SUM(l_quantity) / COUNT(*)").alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
@@ -108,9 +110,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2)) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
        SUM(l_quantity) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
