@@ -968,7 +968,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
+def _minhash_cte_block(k: int = 16, bands: int = 4) -> str:
+    """The shared MinHash-LSH CTE chain (shingles → jac → sig → banded →
+    cands), WITHOUT the leading ``WITH`` or a final SELECT, so every
+    oracle that needs the banded-candidate pair set composes it directly
+    instead of slicing rendered SQL."""
     rpb = k // bands
     # 48-bit md5-slice BIGINT minhashes (dedup.minhash_signature) — the
     # engine-portable integer recipe, two hash functions sliced per md5
@@ -986,13 +990,17 @@ def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 banded AS ({band_selects}),
 cands AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
           FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_oracle(k: int = 16, bands: int = 4, thr: float = 0.8) -> str:
+    return f"""
+WITH {_minhash_cte_block(k, bands)}
 SELECT j.id_1, j.id_2, j.jaccard
 FROM jac j JOIN cands c ON j.id_1 = c.id_1 AND j.id_2 = c.id_2
 WHERE j.jaccard >= {thr}
@@ -1001,9 +1009,7 @@ WHERE j.jaccard >= {thr}
 
 # clusters over the SAME banded-candidate pair set _minhash_oracle pins
 # (16 hashes / 4 bands, jaccard verified >= 0.8), transitively closed.
-_MINHASH_ORACLE_CTES = _minhash_oracle(16, 4, 0.8).split("WITH ", 1)[1].rsplit(
-    "SELECT j.id_1", 1
-)[0].rstrip().rstrip(",")
+_MINHASH_ORACLE_CTES = _minhash_cte_block(16, 4)
 
 ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_MINHASH_ORACLE_CTES},
@@ -1813,6 +1819,62 @@ WITH pairs AS (
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
 )
 SELECT id_1, id_2, score FROM pairs WHERE score >= 0.4
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded hyperplane LSH + exact rescore
+    (similarity.embedding_dedup_pairs_lsh) — the sub-quadratic 100 TB path
+    for the 5th dedup family (the exact O(n²) anchor is its own contract
+    row, dedup_embedding). 16 bands × 8 bits: candidate rate ≈7% of all
+    pairs on this corpus vs 100% for the exact operator, and precision is
+    exact because candidates are rescored with the deterministic
+    sequential-fold dot. The md5-derived ±1 hyperplanes are replayed
+    bit-for-bit by the oracle (same family as ann_lsh), so the banded
+    candidate construction itself is value-checked, not just the rescore.
+    Reference analog: Voyager-style candidate probing,
+    scio-extra/src/main/scala/com/spotify/scio/extra/voyager/syntax/SCollectionSyntax.scala:47-215."""
+    from scio_spark.functions.similarity import embedding_dedup_pairs_lsh
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    return embedding_dedup_pairs_lsh(emb, threshold=0.4, bands=16, band_bits=8)
+
+
+# DuckDB replays the md5 hyperplane family of embedding_dedup_pairs_lsh:
+# plane i (= band*8 + k), dim j → sign = +1 iff hex char 4 of
+# md5(f"{i}:{j}") is odd; band sig = Σ bit_k·2^k; candidates = pairs
+# sharing ≥1 (band, sig); score = ordered-fold dot, rounded then filtered.
+ORACLE_DEDUP_EMBEDDING_LSH = """
+WITH sig AS (
+  SELECT e.vec_id, b.band,
+    list_reduce(list_transform(generate_series(0, 7), k ->
+      CASE WHEN list_reduce(list_transform(generate_series(1, 64), j ->
+             CAST(e.embedding[j] AS DOUBLE) *
+             (CASE WHEN (instr('0123456789abcdef',
+                 substr(md5(CAST(b.band * 8 + k AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 4, 1)) - 1) % 2 = 1
+              THEN 1.0 ELSE -1.0 END)),
+           (acc, x) -> acc + x) >= 0
+      THEN CAST(POW(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+      (acc, x) -> acc + x) AS sig
+  FROM embeddings e CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_1, c.id_2,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(ea.embedding)),
+                            i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.id_1
+  JOIN embeddings eb ON eb.vec_id = c.id_2
+)
+SELECT id_1, id_2, score FROM scored WHERE score >= 0.4
 """
 
 
@@ -7416,84 +7478,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-13 window, in order:
+    Round-14 window, in order:
 
-    1. the 3 queries that have NEVER had a driver row (added late in
-       r12, after that round's window was fixed): video_probe,
-       avi_audio, audio_resample — value-exact under the local oracle
-       but unseen by the external gate until now;
-    2. ann_hnsw, NEW this round (pure-numpy HNSW, exhaustive regime +
-       exact rescore), needing its first driver row;
-    3. the 32 r9-stale queries (latest driver row = r9), standing
-       order (cohort_retention … stratified_sample);
-    4. the 14 oldest r10-window rows to fill the 50
-       (traffic_max_lane_flow … text_roundtrip).
+    1. dedup_embedding_lsh, NEW this round — the sub-quadratic banded-
+       hyperplane path for embedding dedup (the exact O(n²) anchor,
+       dedup_embedding, has been green since r11), needing its first
+       driver row;
+    2. the 36 r10-stale queries (latest driver row = r10), standing
+       order (tfrecord_roundtrip … sum_by_key);
+    3. the 13 oldest r11-window rows to fill the 50
+       (histogram … discarding_panes).
 
-    The remaining r10-window queries head the post-window section as
-    the r14 rotation candidates, followed by the 50 r11-window and the
-    50 r12-window queries (freshest evidence, last). After this round
-    no query's latest driver row predates r10 and every query has at
-    least one driver row. tools/check_oracle.py still value-checks ALL
-    queries every round."""
+    The remaining r11-window queries head the post-window section as
+    the r15 rotation candidates, followed by the 50 r12-window and the
+    50 r13-window queries (freshest evidence, last). After this round
+    no query's latest driver row predates r11. tools/check_oracle.py
+    still value-checks ALL queries every round."""
     return {
-        # -- r13 driver window (first 50) ----------------------------------
-        # (a) never driver-checked — added after the r12 window was fixed
-        "video_probe": q_video_probe,
-        "avi_audio": q_avi_audio,
-        "audio_resample": q_audio_resample,
-        # (b) NEW this round — pure-numpy HNSW in the exhaustive+rescore
-        #     exact regime, needing its first driver row
-        "ann_hnsw": q_ann_hnsw,
-        # (c) the 32 r9-stale queries, standing order
-        "cohort_retention": q_cohort_retention,
-        "autocomplete": q_autocomplete,
-        "top_sessions": q_top_sessions,
-        "spam_users": q_spam_users,
-        "data_checks": q_data_checks,
-        "incremental_dedup": q_incremental_dedup,
-        "metrics": q_metrics,
-        "quality_funnel": q_quality_funnel,
-        "pack_greedy": q_pack_greedy,
-        "quantiles": q_quantiles,
-        "quantiles_by_key": q_quantiles_by_key,
-        "sorted_groups": q_sorted_groups,
-        "streaming_window": q_streaming_window,
-        "streaming_session": q_streaming_session,
-        "streaming_join": q_streaming_join,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
-        "kv_store_join": q_kv_store_join,
-        "smb_transform": q_smb_transform,
-        "lm_score": q_lm_score,
-        "tfidf_keywords": q_tfidf_keywords,
-        "source_overlap": q_source_overlap,
-        "cube": q_cube,
-        "grouping_sets": q_grouping_sets,
-        "top_orders": q_top_orders,
-        "intersect_by_key": q_intersect_by_key,
-        "approx_distinct": q_approx_distinct,
-        "latest_by_key": q_latest_by_key,
-        "local_supplier_volume": q_local_supplier_volume,
-        "window_sliding": q_window_sliding,
-        "window_calendar": q_window_calendar,
-        "stratified_sample": q_stratified_sample,
-        # (d) the 14 oldest r10-window rows, standing order
-        "traffic_max_lane_flow": q_traffic_max_lane_flow,
-        "traffic_routes": q_traffic_routes,
-        "pii_scrub": q_pii_scrub,
-        "text_chunks": q_text_chunks,
-        "csv_roundtrip": q_csv_roundtrip,
-        "union_agg": q_union_distinct_by,
-        "text_features": q_text_features,
-        "text_quality": q_text_quality,
-        "sparse_lookup": q_sparse_lookup,
-        "custom_window": q_custom_window,
-        "multimodal_features": q_multimodal_features,
-        "window_weekly": q_window_weekly,
-        "json_roundtrip": q_json_roundtrip,
-        "text_roundtrip": q_text_roundtrip,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # r10-window remainder — r14 rotation candidates, standing order
+        # -- r14 driver window (first 50) ----------------------------------
+        # (a) NEW this round — banded hyperplane LSH + exact rescore, the
+        #     100 TB path for the embedding dedup family
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        # (b) the 36 r10-stale queries, standing order
         "tfrecord_roundtrip": q_tfrecord_roundtrip,
         "binary_roundtrip": q_binary_roundtrip,
         "object_roundtrip": q_object_roundtrip,
@@ -7530,7 +7536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_value": q_count_by_value,
         "distinct": q_distinct,
         "sum_by_key": q_sum_by_key,
-        # the 50 r11-window queries — freshest driver evidence, last
+        # (c) the 13 oldest r11-window rows, filling the 50
         "histogram": q_histogram,
         "flat_map": q_flat_map_tokens,
         "cross": q_cross,
@@ -7544,6 +7550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "orc_roundtrip": q_orc_roundtrip,
         "discarding_panes": q_discarding_panes,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r11-window remainder — r15 rotation candidates, standing order
         "contamination_report": q_contamination_report,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "weighted_sample": q_weighted_sample,
@@ -7632,6 +7640,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_adpcm": q_audio_adpcm,
         "audio_flac": q_audio_flac,
         "audio_mp3_probe": q_audio_mp3_probe,
+        # the 50 r13-window queries — freshest driver evidence, last
+        "video_probe": q_video_probe,
+        "avi_audio": q_avi_audio,
+        "audio_resample": q_audio_resample,
+        "ann_hnsw": q_ann_hnsw,
+        "cohort_retention": q_cohort_retention,
+        "autocomplete": q_autocomplete,
+        "top_sessions": q_top_sessions,
+        "spam_users": q_spam_users,
+        "data_checks": q_data_checks,
+        "incremental_dedup": q_incremental_dedup,
+        "metrics": q_metrics,
+        "quality_funnel": q_quality_funnel,
+        "pack_greedy": q_pack_greedy,
+        "quantiles": q_quantiles,
+        "quantiles_by_key": q_quantiles_by_key,
+        "sorted_groups": q_sorted_groups,
+        "streaming_window": q_streaming_window,
+        "streaming_session": q_streaming_session,
+        "streaming_join": q_streaming_join,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
+        "kv_store_join": q_kv_store_join,
+        "smb_transform": q_smb_transform,
+        "lm_score": q_lm_score,
+        "tfidf_keywords": q_tfidf_keywords,
+        "source_overlap": q_source_overlap,
+        "cube": q_cube,
+        "grouping_sets": q_grouping_sets,
+        "top_orders": q_top_orders,
+        "intersect_by_key": q_intersect_by_key,
+        "approx_distinct": q_approx_distinct,
+        "latest_by_key": q_latest_by_key,
+        "local_supplier_volume": q_local_supplier_volume,
+        "window_sliding": q_window_sliding,
+        "window_calendar": q_window_calendar,
+        "stratified_sample": q_stratified_sample,
+        "traffic_max_lane_flow": q_traffic_max_lane_flow,
+        "traffic_routes": q_traffic_routes,
+        "pii_scrub": q_pii_scrub,
+        "text_chunks": q_text_chunks,
+        "csv_roundtrip": q_csv_roundtrip,
+        "union_agg": q_union_distinct_by,
+        "text_features": q_text_features,
+        "text_quality": q_text_quality,
+        "sparse_lookup": q_sparse_lookup,
+        "custom_window": q_custom_window,
+        "multimodal_features": q_multimodal_features,
+        "window_weekly": q_window_weekly,
+        "json_roundtrip": q_json_roundtrip,
+        "text_roundtrip": q_text_roundtrip,
     }
 
 
@@ -7721,6 +7780,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_by_key": ORACLE_QUANTILES_BY_KEY,
         "sorted_groups": ORACLE_SORTED_GROUPS,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
         "stateful_stream": ORACLE_STATEFUL_STREAM,
         "pipe_identity": ORACLE_PIPE,
         "large_orders": ORACLE_LARGE_ORDERS,

@@ -44,11 +44,38 @@ def main():
     # and run one representative agg+join+window so the codegen compiler,
     # shuffle and broadcast machinery are JIT-warm before the first
     # measurement (otherwise query #1 absorbs ~2-3s of JVM warmup).
-    for t in ["lineitem", "orders", "customer", "part", "events"]:
+    #
+    # Two cold-cost sources that .count() alone does NOT cover (r13: the
+    # first-in-suite query absorbed them and masqueraded as a regression):
+    # 1. page cache — Spark serves count() over parquet from row-group
+    #    metadata (zero-column scan), so data pages stay cold on disk.
+    #    Read the raw file bytes once: every table is page-cache-hot
+    #    before the first timed query, so cold numbers measure PLAN cost,
+    #    not suite order.
+    # 2. the Python/Arrow worker pool — the first pandas-UDF query pays
+    #    spawning the per-core python workers. One tiny mapInPandas
+    #    round-trip spins the pool up front.
+    import glob as _glob
+
+    for f in _glob.glob(f"{sf_dir}/*.parquet"):
+        try:
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+        except OSError:
+            pass
+    for t in ["lineitem", "orders", "customer", "part", "events",
+              "documents", "embeddings"]:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         except Exception:
             pass
+    try:
+        spark.range(64, numPartitions=32).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     try:
         from pyspark.sql import Window
         from pyspark.sql import functions as F

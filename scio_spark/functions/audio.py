@@ -463,12 +463,16 @@ def probe_mp3(blob: bytes) -> dict:
     while pos + 4 <= len(blob):
         h = struct.unpack_from(">I", blob, pos)[0]
         if h >> 21 != 0x7FF:
-            if n_frames:
-                # Trailing non-frame bytes after a clean walk are tags,
-                # not corruption: ID3v1 ("TAG", 128 bytes), APEv2,
-                # Lyrics3 etc. are appended to the elementary stream by
-                # most taggers. Stop the walk; only a lost sync BEFORE
-                # any valid frame is an error.
+            # Trailing metadata after a clean walk is fine — but ONLY
+            # when the bytes at the walk position look like a known
+            # appended tag (ID3v1 "TAG", APEv2 "APETAGEX", appended
+            # ID3v2, Lyrics3) or we are within a few slack bytes of
+            # EOF. Arbitrary mid-stream garbage must keep raising so a
+            # corrupt file can't silently report truncated
+            # n_frames/duration.
+            trailer = blob[pos : pos + 11]
+            is_tag = trailer[:3] in (b"TAG", b"ID3") or trailer[:8] == b"APETAGEX" or trailer == b"LYRICSBEGIN"
+            if n_frames and (is_tag or len(blob) - pos < 16):
                 break
             raise ValueError(f"MP3: lost sync at byte {pos}")
         vbits = (h >> 19) & 3

@@ -108,7 +108,10 @@ def _search_layer(mat, adj_l, q, eps, ef):
                 heapq.heappush(res, (s, v))
                 if len(res) > ef:
                     heapq.heappop(res)
-    return sorted(res, reverse=True)
+    # score DESC, row id ASC on ties — matches the exhaustive GEMM
+    # shortcut (np.lexsort) and the search_hnsw contract, so both
+    # regimes rank exact-score ties identically.
+    return sorted(res, key=lambda t: (-t[0], t[1]))
 
 
 def _repair_connectivity(mat, adj0, entry):

@@ -352,3 +352,106 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_topk_ivf_streamed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    score_decimals: int | None = None,
+    max_iter: int = 8,
+    init_mode: str = "k-means||",
+    trainer: str = "local",
+    train_rows_cap: int = 100_000,
+) -> DataFrame:
+    """cosine_topk_ivf for CORPUS-SCALE query workloads: the queries stay
+    a DataFrame end to end — nothing query-sized ever passes through the
+    driver (cosine_topk_ivf collects the query set to route probes, fine
+    for its by-contract-small side-input regime but a funnel when the
+    "queries" are themselves a corpus, e.g. all-pairs retrieval).
+
+    Shape: broadcast only the centroid matrix (n_clusters × dim floats);
+    probe routing runs distributed (probe_centroids mapInPandas — each
+    query row replicated to its n_probe centroid ids); candidates come
+    from a centroid-cogrouped numpy GEMM (probing queries × inverted
+    list, top-(k+4) per query per list); the exact sequential-fold
+    rescore then joins both vector sides as ordinary distributed joins —
+    AQE picks broadcast only if a side is genuinely small. Output is
+    identical to cosine_topk_ivf at the same (n_clusters, n_probe):
+    any true top-k candidate is top-k within its own probed list, so the
+    per-list top-(k+4) union always contains it (parity-pinned in
+    tests/test_ann_simhash64.py). The only remaining driver touch is the
+    bounded centroid training sample (train_rows_cap), which is
+    independent of both corpus and query scale."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.similarity import _dot
+
+    cents = _centroids(
+        corpus, vec_col, n_clusters, seed, sample_fraction, max_iter,
+        init_mode, trainer, train_rows_cap,
+    )
+    inv = assign_centroid(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        cents,
+    )
+    probes = probe_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        cents,
+        n_probe,
+    )
+
+    def gemm(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+        q_ids = qpdf["query_id"].to_numpy()
+        q_mat = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        b_ids = cpdf["neighbor_id"].to_numpy()
+        block = np.array(list(cpdf["__cv"]), dtype=np.float64)
+        sims = q_mat @ block.T
+        kk = min(k + 4, sims.shape[1])
+        out_q, out_n = [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = (
+                np.argpartition(-row, kk - 1)[:kk]
+                if kk < len(row)
+                else np.arange(len(row))
+            )
+            keep = idx[b_ids[idx] != q_ids[qi]]
+            out_q.extend([q_ids[qi]] * len(keep))
+            out_n.extend(b_ids[keep])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    # each corpus vector lives in exactly one inverted list, so the
+    # (query, neighbor) pairs are unique across centroid groups — no
+    # dedup shuffle needed before the rescore
+    cands = (
+        probes.groupBy("centroid")
+        .cogroup(inv.groupBy("centroid"))
+        .applyInPandas(gemm, "query_id long, neighbor_id long")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

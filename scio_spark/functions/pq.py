@@ -283,3 +283,182 @@ def cosine_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def cosine_topk_pq_streamed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 8,
+    score_decimals: int | None = 5,
+    max_index_rows: int = 50_000_000,
+) -> DataFrame:
+    """cosine_topk_pq for CORPUS-SCALE query workloads: queries stay a
+    DataFrame end to end. The side-input roles invert — the PQ CODES are
+    the broadcast (m bytes/vector, e.g. 64-dim float32 → 8 B at m=8, a
+    32× shrink, guarded by the row+byte budget), and each query Arrow
+    batch builds its own ADC tables in-task and scans the broadcast code
+    matrix with numpy fancy indexing. Candidates then get the exact
+    distributed fold-rescore; queries never pass through the driver.
+    This is the FAISS deployment shape: the compressed index is the
+    replicated artifact, the query stream is the data. For an index too
+    big even as codes, compose IVF routing instead
+    (ivf.cosine_topk_ivf_streamed / cosine_topk_ivfpq_streamed)."""
+    import pandas as pd
+
+    from .similarity import _dot
+
+    m, n_codes, sub = codebooks.shape
+    coded = pq_encode(corpus, codebooks, vec_col, id_col)
+    require_side_input_sized(
+        coded, max_index_rows, "cosine_topk_pq_streamed", "max_index_rows"
+    )
+    rows = coded.collect()
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    codes = np.frombuffer(b"".join(r[1] for r in rows), dtype=np.uint8).reshape(
+        len(rows), m
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((b_ids, codes, codebooks))
+    kk_keep = k * oversample
+
+    def gen(batches):
+        ids, cds, books = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf["query_id"].to_numpy()
+            q_mat = np.array(list(pdf["__qv"]), dtype=np.float32)
+            tabs = np.einsum(
+                "qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books
+            )
+            sims = tabs[:, np.arange(m)[None, :], cds].sum(-1)
+            out_q, out_n = [], []
+            kk = min(kk_keep + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                keep = idx[ids[idx] != q_ids[qi]]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_n.extend(ids[keep])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    q_in = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cands = q_in.mapInPandas(gen, "query_id long, neighbor_id long")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def cosine_topk_ivfpq_streamed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    oversample: int = 8,
+    seed: int = 42,
+    score_decimals: int | None = 5,
+) -> DataFrame:
+    """cosine_topk_ivfpq for CORPUS-SCALE query workloads: the full
+    FAISS composition with the queries kept as a DataFrame end to end.
+    Broadcasts only the training artifacts (centroids + codebooks —
+    size independent of both corpus and queries); probe routing runs
+    distributed (ivf.probe_centroids), candidates come from a
+    centroid-cogrouped task that PQ-encodes its corpus block and scores
+    it against ADC tables built from its probing-query block, and the
+    exact fold-rescore joins both vector sides distributed. The only
+    driver touches are the bounded training samples."""
+    import pandas as pd
+
+    from .ivf import _centroids, assign_centroid, probe_centroids
+    from .similarity import _dot
+
+    m, n_codes, sub = codebooks.shape
+    cents = _centroids(corpus, vec_col, n_clusters, seed, 1.0)
+    inv = assign_centroid(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "__cv",
+        cents,
+    )
+    probes = probe_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "__qv",
+        cents,
+        n_probe,
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    kk_keep = k * oversample
+
+    def adc(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+        books = bc.value
+        q_ids = qpdf["query_id"].to_numpy()
+        q_mat = np.array(list(qpdf["__qv"]), dtype=np.float32)
+        tabs = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
+        x = np.array(list(cpdf["__cv"]), dtype=np.float32)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            s = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(1)
+            codes[:, j] = s.argmax(1)
+        b_ids = cpdf["neighbor_id"].to_numpy()
+        sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+        out_q, out_n = [], []
+        kk = min(kk_keep + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = (
+                np.argpartition(-row, kk - 1)[:kk]
+                if kk < len(row)
+                else np.arange(len(row))
+            )
+            keep = idx[b_ids[idx] != q_ids[qi]]
+            out_q.extend([q_ids[qi]] * len(keep))
+            out_n.extend(b_ids[keep])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = (
+        probes.groupBy("centroid")
+        .cogroup(inv.groupBy("centroid"))
+        .applyInPandas(adc, "query_id long, neighbor_id long")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv2"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv2")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -64,6 +64,10 @@ def _approx_row_bytes(df: DataFrame):
     return out
 
 
+#: Rows used to estimate mean row bytes for the budget check below.
+SIDE_INPUT_BYTE_SAMPLE = 4096
+
+
 def require_side_input_sized(
     df: DataFrame,
     max_rows: int,
@@ -73,31 +77,46 @@ def require_side_input_sized(
 ):
     """Driver-collect guard: a by-contract-small side input that is actually
     big must fail with an actionable error, not an executor/driver OOM.
-    The scan is capped at ``max_rows + 1`` rows (``limit`` stops early), so
-    the check is cheap even when the input is huge; within that cap it also
-    sums approximate row bytes, so a wide-row input trips the byte budget
-    even when its row count is legal."""
-    row = (
-        df.limit(max_rows + 1)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_approx_row_bytes(df)).alias("b"),
-        )
-        .collect()[0]
-    )
-    if row["n"] > max_rows:
+
+    Two cheap checks, both capped so the guard stays O(1)-ish even when
+    the input is huge: (1) a column-pruned ``limit(max_rows+1).count()``
+    for the row cap; (2) a byte budget ESTIMATED from the first
+    ``SIDE_INPUT_BYTE_SAMPLE`` rows' approximate serialized size
+    (octet_length / to_json), extrapolated to the observed row count —
+    evaluating the byte expression over every row of a multi-million-row
+    side input on every build would cost a full-width scan per guard
+    call. The budget is a driver-OOM guard, not an exact accountant:
+    to_json over-estimates nested binary ~4/3 and the sample assumes the
+    head is representative; callers with legitimately huge-but-fits
+    inputs pass ``max_bytes=None`` alongside a raised row cap.
+    ``max_bytes`` defaults ON (SIDE_INPUT_MAX_BYTES = 2 GiB) for every
+    caller — a deliberate behavior change from the pre-r13 rows-only
+    guard."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
         raise ValueError(
             f"{what}: the query set has >{max_rows} rows but is collected/"
             f"broadcast as a side input by this operator. Reduce the query "
             f"set, or raise {knob} if the driver genuinely has the memory."
         )
-    if max_bytes is not None and (row["b"] or 0) > max_bytes:
-        raise ValueError(
-            f"{what}: ~{int(row['b']) >> 20} MiB exceeds the "
-            f"{max_bytes >> 20} MiB side-input byte budget (rows are within "
-            f"the {knob} cap but too wide). Reduce the input, or raise "
-            f"max_bytes if the driver genuinely has the memory."
+    if max_bytes is not None and n:
+        row = (
+            df.limit(SIDE_INPUT_BYTE_SAMPLE)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(_approx_row_bytes(df)).alias("b"),
+            )
+            .collect()[0]
         )
+        est = int((row["b"] or 0) / max(row["n"], 1) * n)
+        if est > max_bytes:
+            raise ValueError(
+                f"{what}: ~{est >> 20} MiB (estimated from the first "
+                f"{row['n']} rows) exceeds the {max_bytes >> 20} MiB "
+                f"side-input byte budget (rows are within the {knob} cap "
+                f"but too wide). Reduce the input, or raise max_bytes if "
+                f"the driver genuinely has the memory."
+            )
 
 
 def cosine_topk(

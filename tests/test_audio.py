@@ -297,6 +297,22 @@ def test_probe_mp3_tolerates_trailing_tags():
     assert probe_mp3(good + ape)["n_frames"] == 5
     # short trailer (<4 bytes) also fine
     assert probe_mp3(good + b"..")["n_frames"] == 5
+    # appended ID3v2 and Lyrics3 trailers too
+    assert probe_mp3(good + b"ID3\x04\x00\x00" + bytes(100))["n_frames"] == 5
+    assert probe_mp3(good + b"LYRICSBEGIN" + bytes(40))["n_frames"] == 5
+
+
+def test_probe_mp3_midstream_garbage_still_raises():
+    """r13-ADVICE regression: junk that is neither a recognized tag magic
+    nor within a few bytes of EOF must raise even after valid frames — a
+    mid-stream-corrupt file can't silently report truncated
+    n_frames/duration."""
+    from scio_spark.functions.audio import probe_mp3
+
+    flen = 144 * 128000 // 44100
+    good = (_mp3_header(3, 1, 9, 0) + bytes(flen - 4)) * 5
+    with pytest.raises(ValueError, match="lost sync"):
+        probe_mp3(good + b"\x01" * 4096 + good)
 
 
 def test_wav_format_extensible_routes_by_subformat_guid():

@@ -61,6 +61,25 @@ def test_side_input_builders_guard_wide_rows_by_bytes(spark):
     assert len(E.side_input_list(wide, max_rows=100, max_bytes=1 << 30).value) == 4
 
 
+def test_side_input_byte_budget_extrapolates_beyond_sample(spark):
+    """Past SIDE_INPUT_BYTE_SAMPLE rows the byte check estimates from the
+    head sample instead of scanning every row (full-width octet_length/
+    to_json over millions of side-input rows per build is the r13-ADVICE
+    regression); the extrapolated estimate must still trip the budget."""
+    from scio_spark.functions.similarity import (
+        SIDE_INPUT_BYTE_SAMPLE,
+        require_side_input_sized,
+    )
+
+    n = SIDE_INPUT_BYTE_SAMPLE * 2
+    wide = spark.range(n).selectExpr("id AS k", "repeat('x', 4096) AS v")
+    with pytest.raises(ValueError, match="byte budget"):
+        # ~4 KiB/row * 8192 rows ≈ 32 MiB estimated >> 1 MiB budget
+        require_side_input_sized(wide, n, "test", "max_rows", max_bytes=1 << 20)
+    # generous budget passes without scanning past the sample
+    require_side_input_sized(wide, n, "test", "max_rows", max_bytes=1 << 30)
+
+
 def test_with_side_input(spark):
     df = spark.createDataFrame([(1,), (2,)], ["x"])
     bc = spark.sparkContext.broadcast(10)
