@@ -1951,6 +1951,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed-queries IVF ANN (ivf.cosine_topk_ivf_streamed): the same
+    training/probing parameters as q_ann_ivf, but the query workload stays
+    a DataFrame end to end — probe routing is a distributed mapInPandas
+    against broadcast centroids and candidates come from a
+    centroid-cogrouped GEMM, so nothing query-sized touches the driver
+    (the corpus-scale deployment shape; parity with the collected path is
+    pinned in tests/test_ann_streamed.py). n_probe = n_clusters makes the
+    output exact top-3, so it shares the exact oracle."""
+    from scio_spark.functions.ivf import cosine_topk_ivf_streamed
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    qs = emb.filter("vec_id % 10 = 0")
+    return cosine_topk_ivf_streamed(
+        emb, qs, k=3, n_clusters=8, n_probe=8, sample_fraction=0.5,
+        score_decimals=5, max_iter=2,
+    )
+
+
 def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW graph ANN (functions/hnsw.py, pure numpy — Voyager parity,
     scio-extra voyager SCollectionSyntax.scala:47-215), run in the
@@ -7551,6 +7571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "discarding_panes": q_discarding_panes,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # NEW post-window this round (locally value-checked; heads the r15
+        # rotation for its first driver row, the video_probe r12→r13 pattern)
+        "ann_ivf_streamed": q_ann_ivf_streamed,
         # r11-window remainder — r15 rotation candidates, standing order
         "contamination_report": q_contamination_report,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
@@ -7886,4 +7909,5 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
         "ann_ivf": ORACLE_EMBEDDING_TOPK,
+        "ann_ivf_streamed": ORACLE_EMBEDDING_TOPK,
     }
