@@ -1832,6 +1832,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-fold dot. The md5-derived ±1 hyperplanes are replayed
     bit-for-bit by the oracle (same family as ann_lsh), so the banded
     candidate construction itself is value-checked, not just the rescore.
+    8-bit bands are sized for the contract corpus (10³–10⁴ rows); at
+    larger n, band_bits grows ≈log2(n/bucket) to hold the random-collision
+    candidate volume — see the scale rule on embedding_dedup_pairs_lsh.
     Reference analog: Voyager-style candidate probing,
     scio-extra/src/main/scala/com/spotify/scio/extra/voyager/syntax/SCollectionSyntax.scala:47-215."""
     from scio_spark.functions.similarity import embedding_dedup_pairs_lsh

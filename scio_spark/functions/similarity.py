@@ -417,7 +417,16 @@ def embedding_dedup_pairs_lsh(
     at cosine c is 1 − (1 − (1−θ/π)^band_bits)^bands with θ = arccos(c) —
     tune bands up / band_bits down for lower thresholds. Candidates are then
     exact-rescored, so precision is exact; only recall is approximate
-    (pinned by a test against the exact operator)."""
+    (pinned by a test against the exact operator).
+
+    Scale rule: an UNRELATED pair collides on a band with probability
+    ~2^-band_bits, so the random-collision candidate volume is
+    Θ(bands · n² / 2^band_bits) — at fixed band_bits that is still
+    quadratic with a small constant. Grow band_bits ≈ log2(n / B) to hold
+    the expected bucket size at B (e.g. 8 bits for 10⁴–10⁵ rows, 20+ bits
+    at 10⁸ — recall lost to narrower bands is bought back with more
+    bands); true near-dup recall depends only on (bands, band_bits), not
+    n, so the tuning trades a constant recall factor for the asymptote."""
     import hashlib
 
     import numpy as np

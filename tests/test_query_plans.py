@@ -253,6 +253,10 @@ TOP_COMPUTE_BUDGETS = {
     "aggregate_global": (0, None),
     "smb_transform": (1, None),
     "ann_hnsw": (3, "BroadcastHashJoin"),
+    # r14 additions: banded-LSH embedding dedup (sig self-join + rescore
+    # joins) and the streamed IVF path (centroid cogroup + rescore joins)
+    "dedup_embedding_lsh": (4, "BroadcastHashJoin"),
+    "ann_ivf_streamed": (5, "FlatMapCoGroupsInPandas"),
 }
 
 
