@@ -1844,28 +1844,35 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs_lsh(emb, threshold=0.4, bands=16, band_bits=8)
 
 
-# DuckDB replays the md5 hyperplane family of embedding_dedup_pairs_lsh:
-# plane i (= band*8 + k), dim j → sign = +1 iff hex char 4 of
-# md5(f"{i}:{j}") is odd; band sig = Σ bit_k·2^k; candidates = pairs
-# sharing ≥1 (band, sig); score = ordered-fold dot, rounded then filtered.
-ORACLE_DEDUP_EMBEDDING_LSH = """
+def _embedding_lsh_oracle(
+    bands: int = 16, band_bits: int = 8, thr: float = 0.4, extra_pred: str = ""
+) -> str:
+    """DuckDB replay of the md5 hyperplane family of
+    embedding_dedup_pairs_lsh / band_signatures: plane i (= band·band_bits
+    + k), dim j → sign = +1 iff hex char 4 of md5(f"{i}:{j}") is odd; band
+    sig = Σ bit_k·2^k; candidates = pairs sharing ≥1 (band, sig) (plus
+    ``extra_pred`` — e.g. the ≥1-new-side restriction of the incremental
+    path); score = ordered-fold dot, rounded then filtered. A composable
+    renderer so the one-shot and incremental oracles share one template
+    instead of string-slicing rendered SQL."""
+    return f"""
 WITH sig AS (
   SELECT e.vec_id, b.band,
-    list_reduce(list_transform(generate_series(0, 7), k ->
+    list_reduce(list_transform(generate_series(0, {band_bits - 1}), k ->
       CASE WHEN list_reduce(list_transform(generate_series(1, 64), j ->
              CAST(e.embedding[j] AS DOUBLE) *
              (CASE WHEN (instr('0123456789abcdef',
-                 substr(md5(CAST(b.band * 8 + k AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 4, 1)) - 1) % 2 = 1
+                 substr(md5(CAST(b.band * {band_bits} + k AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 4, 1)) - 1) % 2 = 1
               THEN 1.0 ELSE -1.0 END)),
            (acc, x) -> acc + x) >= 0
       THEN CAST(POW(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
       (acc, x) -> acc + x) AS sig
-  FROM embeddings e CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS band) b
+  FROM embeddings e CROSS JOIN (SELECT UNNEST(generate_series(0, {bands - 1})) AS band) b
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
   FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
-  WHERE a.vec_id < b.vec_id
+  WHERE a.vec_id < b.vec_id{extra_pred}
 ),
 scored AS (
   SELECT c.id_1, c.id_2,
@@ -1877,8 +1884,39 @@ scored AS (
   JOIN embeddings ea ON ea.vec_id = c.id_1
   JOIN embeddings eb ON eb.vec_id = c.id_2
 )
-SELECT id_1, id_2, score FROM scored WHERE score >= 0.4
+SELECT id_1, id_2, score FROM scored WHERE score >= {thr}
 """
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = _embedding_lsh_oracle()
+
+
+def q_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup (similarity.stage_embedding_lsh_index +
+    incremental_embedding_dedup): the corpus (vec_id % 5 != 0) is staged
+    ONCE as a (band, sig)-bucketed signature index; the daily batch
+    (vec_id % 5 = 0) signs itself and joins the index co-located — O(batch)
+    per ingestion, the corpus is never re-signed. Verified pairs (exact
+    fold-rescore ≥ 0.4) with ≥1 new side; the oracle recomputes them from
+    the whole corpus, which equals the staged path because banding is
+    per-row (pinned by the full-rebuild equivalence test). The vector
+    analog of the incremental_dedup contract row."""
+    from scio_spark.functions.similarity import (
+        incremental_embedding_dedup,
+        stage_embedding_lsh_index,
+    )
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df
+    new = emb.filter("vec_id % 5 = 0")
+    corpus = emb.filter("vec_id % 5 != 0")
+    idx = stage_embedding_lsh_index(corpus, "emb_lsh_index_contract")
+    return incremental_embedding_dedup(new, idx, emb, threshold=0.4)
+
+
+ORACLE_INCREMENTAL_EMBEDDING = _embedding_lsh_oracle(
+    extra_pred=" AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)"
+)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7577,6 +7615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW post-window this round (locally value-checked; heads the r15
         # rotation for its first driver row, the video_probe r12→r13 pattern)
         "ann_ivf_streamed": q_ann_ivf_streamed,
+        "incremental_embedding_dedup": q_incremental_embedding_dedup,
         # r11-window remainder — r15 rotation candidates, standing order
         "contamination_report": q_contamination_report,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
@@ -7807,6 +7846,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_groups": ORACLE_SORTED_GROUPS,
         "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
+        "incremental_embedding_dedup": ORACLE_INCREMENTAL_EMBEDDING,
         "stateful_stream": ORACLE_STATEFUL_STREAM,
         "pipe_identity": ORACLE_PIPE,
         "large_orders": ORACLE_LARGE_ORDERS,

@@ -397,6 +397,164 @@ def embedding_dedup_pairs(
     return _exact_rescore(corpus, cands, threshold, id_col, vec_col, score_decimals)
 
 
+def band_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(__id, band, sig): each vector's ``bands`` independent
+    ``band_bits``-bit random-hyperplane signatures — one mapInPandas GEMM
+    per Arrow batch against a broadcast ±1 matrix whose signs come from
+    md5(f"{plane}:{dim}") parity (deterministic, engine-replayable; same
+    family as hyperplane_signature). Shared by the one-shot LSH dedup,
+    the staged index, and the incremental path so all three band
+    identically."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    nbits = bands * band_bits
+    planes = np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16) % 2
+                else -1.0
+                for j in range(dim)
+            ]
+            for i in range(nbits)
+        ]
+    )  # (nbits, dim) — deterministic, same family as hyperplane_signature
+    weights = (2 ** np.arange(band_bits)).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((planes, weights))
+
+    def sig_gen(batches):
+        pl, w = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ pl.T >= 0).astype(np.int64)  # (n, nbits)
+            sigs = bits.reshape(len(mat), bands, band_bits) @ w  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col].to_numpy().repeat(bands),
+                    "band": np.tile(np.arange(bands), len(mat)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sig_gen, "__id long, band int, sig long"
+    )
+
+
+def stage_embedding_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    band_bits: int = 8,
+    dim: int = 64,
+    buckets: int = 64,
+) -> DataFrame:
+    """Persist the corpus's hyperplane band signatures as a table bucketed
+    on (band, sig) — the historical side of INCREMENTAL embedding dedup
+    (the vector analog of dedup.stage_minhash_index): a daily embedding
+    batch dedups against the full corpus without the corpus ever being
+    re-signed or re-shuffled. Append each accepted batch's signatures to
+    keep the index current (saveAsTable append preserves the bucket
+    spec)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    sigs = band_signatures(corpus, id_col, vec_col, bands, band_bits, dim)
+    spark = corpus.sparkSession
+    # a previous session may have left the warehouse dir without the
+    # catalog entry — saveAsTable refuses to reuse the location (same
+    # guard as stage_minhash_index / smb.save_sorted_bucket)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    (
+        sigs.repartition(buckets, F.col("band"), F.col("sig"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "band", "sig")
+        .sortBy("band", "sig")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def incremental_embedding_candidates(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    band_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs for a NEW embedding batch against an
+    existing ``stage_embedding_lsh_index`` table, plus new-vs-new pairs:
+    (id_1, id_2) with id_1 < id_2 where at least one side is new.
+
+    Cost scales with the BATCH, not the corpus: the batch's band
+    signatures join the bucketed index co-located on (band, sig); the
+    corpus is read through bucket pruning, never re-signed. Banding is
+    per-row (the md5 planes are global constants), so the staged path
+    emits exactly the candidates a full rebuild would — pinned by the
+    equivalence test."""
+    new_sigs = band_signatures(new_vecs, id_col, vec_col, bands, band_bits, dim)
+    vs_corpus = (
+        new_sigs.withColumnRenamed("__id", "id_a")
+        .join(index.withColumnRenamed("__id", "id_b"), ["band", "sig"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_1"),
+            F.greatest("id_a", "id_b").alias("id_2"),
+        )
+    )
+    a = new_sigs.select(F.col("__id").alias("id_1"), "band", "sig")
+    b = new_sigs.select(F.col("__id").alias("id_2"), "band", "sig")
+    vs_new = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+    return vs_corpus.unionByName(vs_new).distinct()
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    corpus_vecs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = 5,
+    bands: int = 16,
+    band_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Incremental embedding near-dup, verified: staged-index candidates
+    (O(batch) per ingestion) exact-rescored against ``corpus_vecs`` (the
+    full vector table, new batch included) — (id_1, id_2, score) with
+    score ≥ threshold and ≥1 new side. The vector analog of the
+    incremental_dedup contract row."""
+    cands = incremental_embedding_candidates(
+        new_vecs, index, id_col, vec_col, bands, band_bits, dim
+    )
+    return _exact_rescore(
+        corpus_vecs, cands, threshold, id_col, vec_col, score_decimals
+    )
+
+
 def embedding_dedup_pairs_lsh(
     corpus: DataFrame,
     threshold: float,
@@ -427,43 +585,7 @@ def embedding_dedup_pairs_lsh(
     at 10⁸ — recall lost to narrower bands is bought back with more
     bands); true near-dup recall depends only on (bands, band_bits), not
     n, so the tuning trades a constant recall factor for the asymptote."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    nbits = bands * band_bits
-    planes = np.array(
-        [
-            [
-                1.0
-                if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16) % 2
-                else -1.0
-                for j in range(dim)
-            ]
-            for i in range(nbits)
-        ]
-    )  # (nbits, dim) — deterministic, same family as hyperplane_signature
-    weights = (2 ** np.arange(band_bits)).astype(np.int64)
-    bc = corpus.sparkSession.sparkContext.broadcast((planes, weights))
-
-    def sig_gen(batches):
-        pl, w = bc.value
-        for pdf in batches:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bits = (mat @ pl.T >= 0).astype(np.int64)  # (n, nbits)
-            sigs = bits.reshape(len(mat), bands, band_bits) @ w  # (n, bands)
-            yield pd.DataFrame(
-                {
-                    "__id": pdf[id_col].to_numpy().repeat(bands),
-                    "band": np.tile(np.arange(bands), len(mat)),
-                    "sig": sigs.reshape(-1),
-                }
-            )
-
-    sigs = corpus.select(id_col, vec_col).mapInPandas(
-        sig_gen, "__id long, band int, sig long"
-    )
+    sigs = band_signatures(corpus, id_col, vec_col, bands, band_bits, dim)
     a = sigs.select(F.col("__id").alias("id_1"), "band", "sig")
     b = sigs.select(F.col("__id").alias("id_2"), "band", "sig")
     cands = (

@@ -182,6 +182,30 @@ def test_embedding_dedup_lsh_recall(embeddings):
     assert len(approx) >= max(1, int(len(exact) * 0.8))  # high recall
 
 
+def test_incremental_embedding_dedup_equals_full_rebuild(embeddings):
+    """Staged-index incremental path (vector analog of incremental_dedup):
+    banding is per-row, so candidates for a new batch against the staged
+    corpus index + rescore must EQUAL the one-shot LSH operator's pairs
+    restricted to ≥1 new side — the corpus is never re-signed."""
+    from scio_spark.functions import similarity as S
+
+    new = embeddings.filter("vec_id % 5 = 0")
+    corpus = embeddings.filter("vec_id % 5 != 0")
+    kw = dict(bands=16, band_bits=2, dim=16)
+    idx = S.stage_embedding_lsh_index(corpus, "emb_lsh_idx_test", **kw)
+    inc = S.incremental_embedding_dedup(
+        new, idx, embeddings, threshold=0.8, **kw
+    )
+    full = S.embedding_dedup_pairs_lsh(embeddings, threshold=0.8, **kw)
+    want = sorted(
+        (r.id_1, r.id_2, r.score)
+        for r in full.collect()
+        if r.id_1 % 5 == 0 or r.id_2 % 5 == 0
+    )
+    got = sorted((r.id_1, r.id_2, r.score) for r in inc.collect())
+    assert got == want and got  # equal AND non-trivial
+
+
 def test_shingle_frequency_cap_agreement(docs):
     """Capped vs uncapped agree when the cap is above the fixture's max DF,
     and an aggressive cap still finds the planted dup pairs (their shared
