@@ -188,22 +188,29 @@ def search_ivf_index(
     n_probe: int = 4,
     score_decimals: int | None = None,
     max_query_rows: int = 100_000,
+    streamed: bool = False,
 ) -> DataFrame:
     """Search a persisted IVF index: route each query to its n_probe nearest
     centroids, then read ONLY those partitions (`centroid IN (...)` reaches
     the scan as a PartitionFilter — assert via .explain) and exact-fold
-    re-rank. The probed-centroid set is collected from the (broadcast-sized
-    by contract — guarded by ``max_query_rows``, since the routed query set
-    is broadcast into the pruned-partition join) query set; the corpus is
-    touched only through pruned
-    partition directories."""
+    re-rank. The probed-centroid LIST is always collected — it is at most
+    n_clusters ints regardless of query volume, and it must be a literal
+    for partition pruning to fire.
+
+    Default: the routed query set is broadcast into the pruned-partition
+    join — broadcast-sized BY CONTRACT, guarded by ``max_query_rows``.
+    ``streamed=True``: corpus-scale query workloads — the probes stay a
+    DataFrame and join the pruned partitions as a centroid cogroup + GEMM
+    (the cosine_topk_ivf_streamed candidate shape), so nothing query-sized
+    passes through the driver or a broadcast."""
     import json
 
     from scio_spark.functions.similarity import require_side_input_sized
 
-    require_side_input_sized(
-        queries, max_query_rows, "search_ivf_index", "max_query_rows"
-    )
+    if not streamed:
+        require_side_input_sized(
+            queries, max_query_rows, "search_ivf_index", "max_query_rows"
+        )
     cents_df = spark.read.json(path.rstrip("/") + "__centroids")
     cents = json.loads(cents_df.collect()[0]["centroids"])
     probes = probe_centroids(
@@ -222,21 +229,72 @@ def search_ivf_index(
             "centroid",
         )
     )
-    scored = (
-        inv.join(F.broadcast(probes), "centroid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"), F.col("__cv"),
-                    lambda x, y: x.cast("double") * y.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+    if streamed:
+        import numpy as np
+        import pandas as pd
+
+        def gemm(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            if qpdf.empty or cpdf.empty:
+                return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+            q_ids = qpdf["query_id"].to_numpy()
+            q_mat = np.array(list(qpdf["__qv"]), dtype=np.float64)
+            b_ids = cpdf["neighbor_id"].to_numpy()
+            block = np.array(list(cpdf["__cv"]), dtype=np.float64)
+            sims = q_mat @ block.T
+            kk = min(k + 4, sims.shape[1])
+            out_q, out_n = [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                keep = idx[b_ids[idx] != q_ids[qi]]
+                out_q.extend([q_ids[qi]] * len(keep))
+                out_n.extend(b_ids[keep])
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+        cands = (
+            probes.groupBy("centroid")
+            .cogroup(inv.groupBy("centroid"))
+            .applyInPandas(gemm, "query_id long, neighbor_id long")
         )
-    )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        c = inv.select("neighbor_id", "__cv")
+        scored = (
+            cands.join(q, "query_id")
+            .join(c, "neighbor_id")
+            .withColumn(
+                "score",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"), F.col("__cv"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
+    else:
+        scored = (
+            inv.join(F.broadcast(probes), "centroid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"), F.col("__cv"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        )
     if score_decimals is not None:
         scored = scored.withColumn("score", F.round("score", score_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

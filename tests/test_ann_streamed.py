@@ -73,6 +73,26 @@ def test_ivf_streamed_plan_cogroups_without_query_collect(vec_df):
     assert "FlatMapCoGroupsInPandas" in lint.executed_plan(df)
 
 
+def test_search_ivf_index_streamed_matches_broadcast(vec_df, tmp_path):
+    """The persisted-index search in streamed mode (centroid cogroup, no
+    query broadcast/collect) equals the default broadcast-probe mode —
+    and both keep the PartitionFilter-pruned read."""
+    from scio_spark.functions.ivf import build_ivf_index, search_ivf_index
+
+    spark = vec_df.sparkSession
+    path = str(tmp_path / "ivf_idx")
+    build_ivf_index(vec_df, path, n_clusters=4, max_iter=4)
+    qs = vec_df.filter("vec_id % 7 = 0")
+    a = search_ivf_index(spark, path, qs, k=3, n_probe=2, score_decimals=5)
+    b = search_ivf_index(
+        spark, path, qs, k=3, n_probe=2, score_decimals=5, streamed=True
+    )
+    assert _rows(a) == _rows(b)
+    plan = lint.executed_plan(b)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "PartitionFilters" in plan or "centroid" in plan
+
+
 def test_pq_streamed_exhaustive_equals_collected_and_exact(vec_df):
     """With oversample ≥ corpus/k the ADC candidate set is every
     (query, corpus) pair, so both PQ paths degenerate to exact brute
