@@ -328,13 +328,18 @@ def embedding_dedup_pairs(
 
     1. candidate generation — rows hash into ``num_blocks`` blocks; each of
        the B·(B+1)/2 unordered block pairs becomes one cogroup whose task
-       runs a numpy GEMM (left_block × right_blockᵀ) and keeps pairs ≥
-       threshold − 1e-6 (GEMM-vs-fold float error is ~1e-14, so the margin
-       cannot drop a true pair). Each unordered id pair lands in exactly one
-       block pair, so candidates are emitted exactly once. Shuffle volume is
-       O(n·B) rows and per-task memory is O(n/B) vectors — raise
-       ``num_blocks`` with corpus size (B ≈ √tasks); exact all-pairs compute
-       is inherently O(n²), the LSH variant below is the sub-quadratic path.
+       runs a numpy GEMM (left_block × right_blockᵀ) and keeps pairs above
+       a margin below the threshold. The margin covers BOTH error sources
+       between the GEMM and the final filter: GEMM-vs-fold float drift
+       (~1e-14) AND — when ``score_decimals`` is set — round-half-up at the
+       final rounding (a pair at threshold − 0.5·10^-d rounds up to the
+       threshold and must survive candidate generation; found at sf1,
+       where 15 of 96k pairs sat inside the old 1e-6 margin). Each
+       unordered id pair lands in exactly one block pair, so candidates
+       are emitted exactly once. Shuffle volume is O(n·B) rows and
+       per-task memory is O(n/B) vectors — raise ``num_blocks`` with
+       corpus size (B ≈ √tasks); exact all-pairs compute is inherently
+       O(n²), the LSH variant below is the sub-quadratic path.
     2. exact rescoring via the shared deterministic fold.
     """
     import numpy as np
@@ -342,6 +347,9 @@ def embedding_dedup_pairs(
 
     spark = corpus.sparkSession
     margin = threshold - 1e-6
+    if score_decimals is not None:
+        # anything that can ROUND to >= threshold must stay a candidate
+        margin = threshold - 0.5 * 10.0 ** -score_decimals - 1e-9
     B = num_blocks
     slim = corpus.select(
         F.col(id_col).alias("__id"),

@@ -182,6 +182,22 @@ def test_embedding_dedup_lsh_recall(embeddings):
     assert len(approx) >= max(1, int(len(exact) * 0.8))  # high recall
 
 
+def test_embedding_dedup_margin_covers_round_half_up(spark):
+    """sf1 regression (r14): a pair whose true cosine sits just UNDER the
+    threshold but ROUNDS to it (0.399996 → 0.40000 at 5 decimals) must
+    survive GEMM candidate generation — the old 1e-6 margin dropped it
+    while the fold-rescore+round oracle kept it (15 of 96k pairs at sf1)."""
+    import math
+
+    c = 0.399996  # rounds to 0.4 at 5 decimals
+    s = math.sqrt(1 - c * c)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [c, s])], ["vec_id", "embedding"]
+    )
+    got = S.embedding_dedup_pairs(df, threshold=0.4, num_blocks=2).collect()
+    assert [(r.id_1, r.id_2, r.score) for r in got] == [(1, 2, 0.4)]
+
+
 def test_incremental_embedding_dedup_equals_full_rebuild(embeddings):
     """Staged-index incremental path (vector analog of incremental_dedup):
     banding is per-row, so candidates for a new batch against the staged

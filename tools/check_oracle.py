@@ -151,6 +151,32 @@ def approx_eq(a, b, tol=1e-9):
     return a == b
 
 
+#: Approximate-by-design sketches: exact in their sparse/coupon regime at
+#: the driver's contract scale (sf0.01 — where the driver hashes exact
+#: values and these rows are green), approximate past it BY CONTRACT.
+#: At larger SFs the gate accepts the documented error bound instead of
+#: exactness, so a genuine regression (outside the sketch's contract)
+#: still fails. Found at sf1 r14: hll_merge 15043 vs 15000 (0.29%).
+APPROX_AT_SCALE = {
+    "hll_merge": 0.02,       # HLL++ rsd ≈ 1.04/√2^p — well under 2%
+    "approx_distinct": 0.02,  # countApproxDistinct, same sketch family
+}
+
+
+def sketch_eq(a, b, tol):
+    """Numeric comparison for the APPROX_AT_SCALE lane: ints AND floats
+    within relative ``tol``; everything else exact."""
+    num = (int, float)
+    if (
+        isinstance(a, num) and isinstance(b, num)
+        and not isinstance(a, bool) and not isinstance(b, bool)
+    ):
+        return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+    if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
+        return all(sketch_eq(x, y, tol) for x, y in zip(a, b))
+    return a == b
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -196,6 +222,7 @@ def main():
             print(f"FAIL {name}: duckdb error {e}")
             continue
         ok = True
+        annotated_pass = False
         tmis = timestamp_types(sdf.dtypes, con, oracles[name])
         if tmis:
             ok = False
@@ -216,18 +243,34 @@ def main():
                 mism = [(a, b) for a, b in zip(s, d) if a != b]
                 exact = len(mism) == 0
                 appr = all(approx_eq(a, b, 1e-9) for a, b in zip(s, d))
+                tol = APPROX_AT_SCALE.get(name)
+                at_contract_sf = "sf0.01" in sf_dir or "sf0.001" in sf_dir
                 if appr:
                     print(
                         f"WARN {name}: {len(mism)} rows differ only within 1e-9 "
                         f"(hash WILL mismatch) e.g. {mism[0] if mism else ''}"
                     )
                     ok = False
+                elif (
+                    tol is not None
+                    and not at_contract_sf
+                    and all(sketch_eq(a, b, tol) for a, b in zip(s, d))
+                ):
+                    # approximate sketch past its exact regime — within
+                    # its documented error contract; still FAILS at the
+                    # contract SF where the driver hashes exact values
+                    annotated_pass = True
+                    print(
+                        f"PASS {name} ({len(srows)} rows; approx sketch "
+                        f"within {tol:.0%} at this SF — exact at sf0.01, "
+                        f"e.g. {mism[0]})"
+                    )
                 else:
                     ok = False
                     print(f"FAIL {name}: value mismatch e.g. {mism[0]}")
-        if ok:
+        if ok and not annotated_pass:
             print(f"PASS {name} ({len(srows)} rows)")
-        else:
+        elif not ok:
             failures.append(name)
     print()
     if failures:
