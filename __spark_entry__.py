@@ -7494,7 +7494,7 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PACK_GREEDY = """
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                               x -> x <> '')) AS BIGINT) AS tok,
