@@ -1018,7 +1018,10 @@ dup_pairs AS (
   JOIN cands c ON j.id_1 = c.id_1 AND j.id_2 = c.id_2
   WHERE j.jaccard >= 0.8
 ),
-edges AS (SELECT id_1 AS a, id_2 AS b FROM dup_pairs
+-- MATERIALIZED: the reach recursion scans edges once per closure round;
+-- un-materialized, every round would re-derive the whole minhash chain
+-- (the pack_greedy sf1 lesson)
+edges AS MATERIALIZED (SELECT id_1 AS a, id_2 AS b FROM dup_pairs
           UNION SELECT id_2, id_1 FROM dup_pairs),
 reach(a, b) AS (
     SELECT a, a FROM (SELECT DISTINCT a FROM edges)
