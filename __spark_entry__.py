@@ -7553,11 +7553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. the 13 oldest r11-window rows to fill the 50
        (histogram … discarding_panes).
 
-    The remaining r11-window queries head the post-window section as
-    the r15 rotation candidates, followed by the 50 r12-window and the
-    50 r13-window queries (freshest evidence, last). After this round
-    no query's latest driver row predates r11. tools/check_oracle.py
-    still value-checks ALL queries every round."""
+    The post-window section leads with the two queries added after this
+    round's window was fixed (ann_ivf_streamed, incremental_embedding_dedup
+    — locally value-checked at sf0.01 AND sf1, heading the r15 rotation
+    for their first driver rows), then the remaining r11-window queries,
+    then the 50 r12-window and 50 r13-window queries (freshest evidence,
+    last). After this round no query's latest driver row predates r11.
+    tools/check_oracle.py still value-checks ALL queries every round."""
     return {
         # -- r14 driver window (first 50) ----------------------------------
         # (a) NEW this round — banded hyperplane LSH + exact rescore, the
