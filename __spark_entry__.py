@@ -1913,7 +1913,10 @@ def q_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = _t(sc, sf_dir, "embeddings").df
     new = emb.filter("vec_id % 5 = 0")
     corpus = emb.filter("vec_id % 5 != 0")
-    idx = stage_embedding_lsh_index(corpus, "emb_lsh_index_contract")
+    # 16 buckets: the contract-scale index is ~10⁴-10⁵ signature rows, so
+    # 64 bucket files would be write-overhead, not parallelism (the
+    # operator default stays 64 for real corpora)
+    idx = stage_embedding_lsh_index(corpus, "emb_lsh_index_contract", buckets=16)
     return incremental_embedding_dedup(new, idx, emb, threshold=0.4)
 
 
