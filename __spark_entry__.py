@@ -7551,86 +7551,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness gate records rows for exactly the first 50 entries, so
     the dict rotates which queries sit in that window (policy + per-round
     membership: COVERAGE.md, regenerable via tools/coverage_map.py).
-    Round-14 window, in order:
+    Round-15 window, in order:
 
-    1. dedup_embedding_lsh, NEW this round — the sub-quadratic banded-
-       hyperplane path for embedding dedup (the exact O(n²) anchor,
-       dedup_embedding, has been green since r11), needing its first
-       driver row;
-    2. the 36 r10-stale queries (latest driver row = r10), standing
-       order (tfrecord_roundtrip … sum_by_key);
-    3. the 13 oldest r11-window rows to fill the 50
-       (histogram … discarding_panes).
+    1. ann_ivf_streamed + incremental_embedding_dedup — added late in r14
+       (locally value-exact at sf0.01 AND sf1 since then) but never
+       driver-rowed; they head this window per the standing "every query
+       earns driver evidence" contract;
+    2. the 37 r11-stale queries (latest driver row = r11), standing
+       order (contamination_report ... heavy_hitters);
+    3. the 11 oldest r12-window rows to fill the 50
+       (hll_merge ... salted_agg).
 
-    The post-window section leads with the two queries added after this
-    round's window was fixed (ann_ivf_streamed, incremental_embedding_dedup
-    — locally value-checked at sf0.01 AND sf1, heading the r15 rotation
-    for their first driver rows), then the remaining r11-window queries,
-    then the 50 r12-window and 50 r13-window queries (freshest evidence,
-    last). After this round no query's latest driver row predates r11.
-    tools/check_oracle.py still value-checks ALL queries every round."""
+    Post-window: the remaining 39 r12-window queries (r16 rotation
+    candidates, standing order), then the 50 r13-window queries, then the
+    50 r14-window queries (freshest driver evidence, last). After this
+    round no query's latest driver row predates r12 and no query is
+    driver-unrowed. tools/check_oracle.py still value-checks ALL queries
+    every round, and tools/coverage_map.py now FAILS (exit 1) if a query
+    exists for two full rounds without a driver row (freshness ratchet,
+    VERDICT r14 ask #5)."""
     return {
-        # -- r14 driver window (first 50) ----------------------------------
-        # (a) NEW this round — banded hyperplane LSH + exact rescore, the
-        #     100 TB path for the embedding dedup family
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        # (b) the 36 r10-stale queries, standing order
-        "tfrecord_roundtrip": q_tfrecord_roundtrip,
-        "binary_roundtrip": q_binary_roundtrip,
-        "object_roundtrip": q_object_roundtrip,
-        "dynamic_destinations": q_dynamic_destinations,
-        "jdbc_roundtrip": q_jdbc_roundtrip,
-        "xml_roundtrip": q_xml_roundtrip,
-        "protobuf_roundtrip": q_protobuf_roundtrip,
-        "compact_table": q_compact_table,
-        "substring_dedup": q_substring_dedup,
-        "merge_upsert": q_merge_upsert,
-        "sparse_join_bloom": q_sparse_join_bloom,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
-        "bpe_segment": q_bpe_segment,
-        "zorder_layout": q_zorder_layout,
-        "image_decode": q_image_decode,
-        "audio_decode": q_audio_decode,
-        "bigram_lm": q_bigram_lm,
-        "interval_join": q_interval_join,
-        "arrow_roundtrip": q_arrow_roundtrip,
-        "fuzzy_join": q_fuzzy_join,
-        "k_anonymity": q_k_anonymity,
-        "capped_sessions": q_capped_sessions,
-        "dedup_lines": q_dedup_lines,
-        "files_with_path": q_files_with_path,
-        "curation_e2e": q_curation_e2e,
-        "continuous_rollup": q_continuous_rollup,
-        "hash_intersect": q_hash_intersect,
-        "hash_subtract": q_hash_subtract,
-        "combine_pandas": q_combine_pandas,
-        "pane_info": q_pane_info,
-        "keyed_variants": q_keyed_variants,
-        "map_with_resource": q_map_with_resource,
-        "count_by_key": q_count_by_key,
-        "count_by_value": q_count_by_value,
-        "distinct": q_distinct,
-        "sum_by_key": q_sum_by_key,
-        # (c) the 13 oldest r11-window rows, filling the 50
-        "histogram": q_histogram,
-        "flat_map": q_flat_map_tokens,
-        "cross": q_cross,
-        "subtract_by_key": q_subtract_by_key,
-        "tfexample_roundtrip": q_tfexample_roundtrip,
-        "avro_roundtrip": q_avro_roundtrip,
-        "quantiles_tdigest": q_quantiles_tdigest,
-        "element_count_panes": q_element_count_panes,
-        "semantic_dedup": q_semantic_dedup,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "dsir_select": q_dsir_select,
-        "orc_roundtrip": q_orc_roundtrip,
-        "discarding_panes": q_discarding_panes,
-        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
-        # NEW post-window this round (locally value-checked; heads the r15
-        # rotation for its first driver row, the video_probe r12→r13 pattern)
+        # -- r15 driver window (first 50) ----------------------------------
+        # (a) the two queries added post-window in r14 — first driver rows
         "ann_ivf_streamed": q_ann_ivf_streamed,
         "incremental_embedding_dedup": q_incremental_embedding_dedup,
-        # r11-window remainder — r15 rotation candidates, standing order
+        # (b) the 37 r11-stale queries, standing order
         "contamination_report": q_contamination_report,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "weighted_sample": q_weighted_sample,
@@ -7668,7 +7613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_join": q_hash_join,
         "hash_lookup": q_hash_lookup,
         "heavy_hitters": q_heavy_hitters,
-        # the 50 r12-window queries — freshest driver evidence, last
+        # (c) the 11 oldest r12-window rows, filling the 50
         "hll_merge": q_hll_merge,
         "intersection": q_intersection,
         "json_extract": q_json_extract,
@@ -7680,6 +7625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_by_key": q_reduce_by_key,
         "safe_map": q_safe_map,
         "salted_agg": q_salted_agg,
+        # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # r12-window remainder — r16 rotation candidates, standing order
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
         "sparse_join": q_sparse_join,
@@ -7719,7 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_adpcm": q_audio_adpcm,
         "audio_flac": q_audio_flac,
         "audio_mp3_probe": q_audio_mp3_probe,
-        # the 50 r13-window queries — freshest driver evidence, last
+        # the 50 r13-window queries
         "video_probe": q_video_probe,
         "avi_audio": q_avi_audio,
         "audio_resample": q_audio_resample,
@@ -7770,6 +7717,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_weekly": q_window_weekly,
         "json_roundtrip": q_json_roundtrip,
         "text_roundtrip": q_text_roundtrip,
+        # the 50 r14-window queries — freshest driver evidence, last
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "binary_roundtrip": q_binary_roundtrip,
+        "object_roundtrip": q_object_roundtrip,
+        "dynamic_destinations": q_dynamic_destinations,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
+        "xml_roundtrip": q_xml_roundtrip,
+        "protobuf_roundtrip": q_protobuf_roundtrip,
+        "compact_table": q_compact_table,
+        "substring_dedup": q_substring_dedup,
+        "merge_upsert": q_merge_upsert,
+        "sparse_join_bloom": q_sparse_join_bloom,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "bpe_segment": q_bpe_segment,
+        "zorder_layout": q_zorder_layout,
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
+        "bigram_lm": q_bigram_lm,
+        "interval_join": q_interval_join,
+        "arrow_roundtrip": q_arrow_roundtrip,
+        "fuzzy_join": q_fuzzy_join,
+        "k_anonymity": q_k_anonymity,
+        "capped_sessions": q_capped_sessions,
+        "dedup_lines": q_dedup_lines,
+        "files_with_path": q_files_with_path,
+        "curation_e2e": q_curation_e2e,
+        "continuous_rollup": q_continuous_rollup,
+        "hash_intersect": q_hash_intersect,
+        "hash_subtract": q_hash_subtract,
+        "combine_pandas": q_combine_pandas,
+        "pane_info": q_pane_info,
+        "keyed_variants": q_keyed_variants,
+        "map_with_resource": q_map_with_resource,
+        "count_by_key": q_count_by_key,
+        "count_by_value": q_count_by_value,
+        "distinct": q_distinct,
+        "sum_by_key": q_sum_by_key,
+        "histogram": q_histogram,
+        "flat_map": q_flat_map_tokens,
+        "cross": q_cross,
+        "subtract_by_key": q_subtract_by_key,
+        "tfexample_roundtrip": q_tfexample_roundtrip,
+        "avro_roundtrip": q_avro_roundtrip,
+        "quantiles_tdigest": q_quantiles_tdigest,
+        "element_count_panes": q_element_count_panes,
+        "semantic_dedup": q_semantic_dedup,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "dsir_select": q_dsir_select,
+        "orc_roundtrip": q_orc_roundtrip,
+        "discarding_panes": q_discarding_panes,
     }
 
 
