@@ -30,7 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import require_side_input_sized
+from .similarity import keep_candidates, require_side_input_sized
 
 
 def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
@@ -154,12 +154,9 @@ def cosine_topk_pq(
             out_q, out_n = [], []
             kk = min(kk_keep + 1, sims.shape[1])
             for qi in range(sims.shape[0]):
-                row = sims[qi]
-                idx = (
-                    np.argpartition(-row, kk - 1)[:kk]
-                    if kk < len(row)
-                    else np.arange(len(row))
-                )
+                # keep ties at the cut (similarity.keep_candidates) so the
+                # ADC candidate SET is partition/batch-order independent
+                idx = keep_candidates(sims[qi], kk, 0.0)
                 keep = idx[b_ids[idx] != ids[qi]]
                 out_q.extend([ids[qi]] * len(keep))
                 out_n.extend(b_ids[keep])
@@ -255,12 +252,9 @@ def cosine_topk_ivfpq(
                 out_q, out_n = [], []
                 kk = min(kk_keep + 1, sims.shape[1])
                 for qi in range(sims.shape[0]):
-                    row = sims[qi]
-                    idx = (
-                        np.argpartition(-row, kk - 1)[:kk]
-                        if kk < len(row)
-                        else np.arange(len(row))
-                    )
+                    # keep ties at the cut (similarity.keep_candidates) so the
+                    # ADC candidate SET is partition/batch-order independent
+                    idx = keep_candidates(sims[qi], kk, 0.0)
                     keep = idx[b_ids[idx] != ids[qi]]
                     out_q.extend([ids[qi]] * len(keep))
                     out_n.extend(b_ids[keep])
@@ -338,12 +332,9 @@ def cosine_topk_pq_streamed(
             out_q, out_n = [], []
             kk = min(kk_keep + 1, sims.shape[1])
             for qi in range(sims.shape[0]):
-                row = sims[qi]
-                idx = (
-                    np.argpartition(-row, kk - 1)[:kk]
-                    if kk < len(row)
-                    else np.arange(len(row))
-                )
+                # keep ties at the cut (similarity.keep_candidates) so the
+                # ADC candidate SET is partition/batch-order independent
+                idx = keep_candidates(sims[qi], kk, 0.0)
                 keep = idx[ids[idx] != q_ids[qi]]
                 out_q.extend([q_ids[qi]] * len(keep))
                 out_n.extend(ids[keep])
@@ -382,16 +373,27 @@ def cosine_topk_ivfpq_streamed(
     oversample: int = 8,
     seed: int = 42,
     score_decimals: int | None = 5,
+    corpus_blocks: int = 1,
+    max_group_rows: int = 2_000_000,
 ) -> DataFrame:
     """cosine_topk_ivfpq for CORPUS-SCALE query workloads: the full
     FAISS composition with the queries kept as a DataFrame end to end.
     Broadcasts only the training artifacts (centroids + codebooks —
     size independent of both corpus and queries); probe routing runs
-    distributed (ivf.probe_centroids), candidates come from a
+    distributed (ivf.probe_centroids), candidates come from a salted
     centroid-cogrouped task that PQ-encodes its corpus block and scores
     it against ADC tables built from its probing-query block, and the
     exact fold-rescore joins both vector sides distributed. The only
-    driver touches are the bounded training samples."""
+    driver touches are the bounded training samples.
+
+    Per-task memory is bounded the same way as ivf._cogroup_gemm_candidates
+    (VERDICT r14 scale seam): the corpus side is salted to (centroid,
+    pmod(xxhash64(neighbor_id), corpus_blocks)) — one task holds at most
+    Θ(n/(n_clusters·corpus_blocks)) corpus vectors — and both group sides
+    are guarded by ``max_group_rows`` with the matching lever named in the
+    error (n_clusters for the query side, k ~ √n). Per-block ADC keep
+    lists can only ADD candidates vs the unsalted per-list cut, so recall
+    is monotone in corpus_blocks and the exhaustive regime is unchanged."""
     import pandas as pd
 
     from .ivf import _centroids, assign_centroid, probe_centroids
@@ -416,6 +418,24 @@ def cosine_topk_ivfpq_streamed(
     def adc(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or cpdf.empty:
             return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+        if len(cpdf) > max_group_rows:
+            raise ValueError(
+                f"cosine_topk_ivfpq_streamed: inverted-list block for "
+                f"centroid {int(cpdf['centroid'].iloc[0])} has {len(cpdf)} "
+                f"rows > max_group_rows={max_group_rows}; increase "
+                f"corpus_blocks (per-task corpus block is "
+                f"~n/(n_clusters*corpus_blocks) rows) or n_clusters, or "
+                f"raise the cap explicitly"
+            )
+        if len(qpdf) > max_group_rows:
+            raise ValueError(
+                f"cosine_topk_ivfpq_streamed: {len(qpdf)} queries routed "
+                f"to centroid {int(qpdf['centroid'].iloc[0])} > "
+                f"max_group_rows={max_group_rows}; increase n_clusters "
+                f"(expected per-centroid query volume is "
+                f"~queries*n_probe/n_clusters; size k ~ sqrt(n)) or raise "
+                f"the cap explicitly"
+            )
         books = bc.value
         q_ids = qpdf["query_id"].to_numpy()
         q_mat = np.array(list(qpdf["__qv"]), dtype=np.float32)
@@ -431,20 +451,24 @@ def cosine_topk_ivfpq_streamed(
         out_q, out_n = [], []
         kk = min(kk_keep + 1, sims.shape[1])
         for qi in range(sims.shape[0]):
-            row = sims[qi]
-            idx = (
-                np.argpartition(-row, kk - 1)[:kk]
-                if kk < len(row)
-                else np.arange(len(row))
-            )
+            # keep ties at the cut (similarity.keep_candidates) so the
+            # ADC candidate SET is partition/batch-order independent
+            idx = keep_candidates(sims[qi], kk, 0.0)
             keep = idx[b_ids[idx] != q_ids[qi]]
             out_q.extend([q_ids[qi]] * len(keep))
             out_n.extend(b_ids[keep])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
+    B = max(1, corpus_blocks)
+    inv_b = inv.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(B)).cast("int")
+    )
+    probes_b = probes.withColumn(
+        "__blk", F.explode(F.array(*[F.lit(i) for i in range(B)]))
+    )
     cands = (
-        probes.groupBy("centroid")
-        .cogroup(inv.groupBy("centroid"))
+        probes_b.groupBy("centroid", "__blk")
+        .cogroup(inv_b.groupBy("centroid", "__blk"))
         .applyInPandas(adc, "query_id long, neighbor_id long")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))

@@ -37,6 +37,44 @@ def _dot(a, b):
     )
 
 
+def cut_margin(score_decimals: int | None, gemm_eps: float = 1e-9) -> float:
+    """Safety margin for a candidate cut whose scores feed a downstream
+    ``F.round(score, score_decimals)`` before final ranking.
+
+    Two kept candidates f and a dropped one e satisfy
+    rounded(f) − rounded(e) >= (raw_f − raw_e) − 10^-d  (round-half-even
+    moves each value by at most half a step, in opposite directions at
+    worst), so dropping only rows more than a FULL step + float-drift eps
+    below the cut guarantees every kept candidate strictly outranks every
+    dropped one after rounding — the containment argument survives the
+    rounding (ADVICE r14: the 0.399996-cosine class found at sf1)."""
+    if score_decimals is None:
+        return gemm_eps
+    return 10.0 ** -score_decimals + gemm_eps
+
+
+def keep_candidates(row, kk: int, margin: float):
+    """Indices of all entries of ``row`` scoring >= (kk-th largest − margin).
+
+    Replaces a bare ``np.argpartition(-row, kk-1)[:kk]`` cut at every ANN
+    candidate stage: argpartition breaks ties in ARBITRARY (memory-layout)
+    order, so with >= kk tied or near-tied scores a true top-k row (the
+    smallest neighbor_id among ties under the final deterministic ordering)
+    could be silently dropped. Keeping everything at-or-within-margin-of
+    the threshold makes the candidate SET a pure function of the score
+    multiset — independent of row order, partitioning, and Arrow batch
+    boundaries — and (with ``cut_margin``) of downstream rounding. Worst
+    case (all scores tied) this keeps the whole block: correctness over a
+    tighter cut; callers bound block size upstream (corpus_blocks /
+    max_group_rows)."""
+    import numpy as np
+
+    if kk >= len(row):
+        return np.arange(len(row))
+    t = np.partition(row, len(row) - kk)[len(row) - kk]
+    return np.nonzero(row >= t - margin)[0]
+
+
 #: Byte budget for driver-collected side inputs. A row cap alone lets a
 #: wide-row input (long documents, fat embeddings) bloat the driver while
 #: staying under the row count — so the guard also sums approximate
@@ -80,14 +118,15 @@ def require_side_input_sized(
 
     Two cheap checks, both capped so the guard stays O(1)-ish even when
     the input is huge: (1) a column-pruned ``limit(max_rows+1).count()``
-    for the row cap; (2) a byte budget ESTIMATED from the first
-    ``SIDE_INPUT_BYTE_SAMPLE`` rows' approximate serialized size
-    (octet_length / to_json), extrapolated to the observed row count —
-    evaluating the byte expression over every row of a multi-million-row
-    side input on every build would cost a full-width scan per guard
-    call. The budget is a driver-OOM guard, not an exact accountant:
-    to_json over-estimates nested binary ~4/3 and the sample assumes the
-    head is representative; callers with legitimately huge-but-fits
+    for the row cap; (2) a byte budget ESTIMATED from a seeded Bernoulli
+    sample of ~``SIDE_INPUT_BYTE_SAMPLE`` rows' approximate serialized
+    size (octet_length / to_json), extrapolated to the observed row
+    count — evaluating the byte expression over every row of a
+    multi-million-row side input on every build would cost a full-width
+    scan per guard call (inputs at or under the sample size are summed
+    exactly). The budget is a driver-OOM guard, not an exact accountant:
+    to_json over-estimates nested binary ~4/3 and a random sample can
+    still miss a pathological byte skew; callers with legitimately huge-but-fits
     inputs pass ``max_bytes=None`` alongside a raised row cap.
     ``max_bytes`` defaults ON (SIDE_INPUT_MAX_BYTES = 2 GiB) for every
     caller — a deliberate behavior change from the pre-r13 rows-only
@@ -100,14 +139,21 @@ def require_side_input_sized(
             f"set, or raise {knob} if the driver genuinely has the memory."
         )
     if max_bytes is not None and n:
-        row = (
-            df.limit(SIDE_INPUT_BYTE_SAMPLE)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(_approx_row_bytes(df)).alias("b"),
-            )
-            .collect()[0]
+        # Unbiased mean-row-bytes estimate: a limit() head is order-biased
+        # (a narrow head hides a wide tail — variable-length text/binary
+        # columns, ADVICE r14); a Bernoulli sample over the (already
+        # row-capped, so bounded) input is not. Small inputs are summed
+        # exactly. Oversample 2x so the expected sample stays near
+        # SIDE_INPUT_BYTE_SAMPLE even with sampling variance.
+        sampled = (
+            df
+            if n <= SIDE_INPUT_BYTE_SAMPLE
+            else df.sample(False, min(1.0, 2.0 * SIDE_INPUT_BYTE_SAMPLE / n), seed=7)
         )
+        row = sampled.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_approx_row_bytes(df)).alias("b"),
+        ).collect()[0]
         est = int((row["b"] or 0) / max(row["n"], 1) * n)
         if est > max_bytes:
             raise ValueError(
@@ -148,8 +194,12 @@ def cosine_topk(
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     # Stage 1 — GEMM candidates: per corpus Arrow batch, block × queriesᵀ;
-    # keep per-query top-(k+4) with a 1e-6 margin (GEMM-vs-fold error is
-    # ~1e-14, so the exact top-k cannot be outside the candidate set).
+    # keep per-query top-(k+4) with ties and the rounding margin included
+    # (keep_candidates/cut_margin — GEMM-vs-fold error is ~1e-14 and the
+    # final ranking rounds when score_decimals is set, so the exact top-k
+    # cannot be outside the candidate set).
+    margin = cut_margin(score_decimals)
+
     def gen(batches):
         ids, mat = bc.value
         for pdf in batches:
@@ -159,12 +209,7 @@ def cosine_topk(
             out_q, out_n = [], []
             kk = min(k + 4, sims.shape[1])
             for qi in range(sims.shape[0]):
-                row = sims[qi]
-                idx = (
-                    np.argpartition(-row, kk - 1)[:kk]
-                    if kk < len(row)
-                    else np.arange(len(row))
-                )
+                idx = keep_candidates(sims[qi], kk, margin)
                 keep = idx[b_ids[idx] != ids[qi]]
                 out_q.extend([ids[qi]] * len(keep))
                 out_n.extend(b_ids[keep])
@@ -259,12 +304,10 @@ def cosine_topk_sq8(
             out_q, out_n = [], []
             kk = min(kk_keep + 1, sims.shape[1])
             for qi in range(sims.shape[0]):
-                row = sims[qi]
-                idx = (
-                    np.argpartition(-row, kk - 1)[:kk]
-                    if kk < len(row)
-                    else np.arange(len(row))
-                )
+                # ties at the cut are all kept (keep_candidates) so the
+                # candidate SET is batch/partition-order independent; the
+                # SQ8 scores are approximate anyway, so no rounding margin
+                idx = keep_candidates(sims[qi], kk, 0.0)
                 keep = idx[b_ids[idx] != ids[qi]]
                 out_q.extend([ids[qi]] * len(keep))
                 out_n.extend(b_ids[keep])
