@@ -460,29 +460,46 @@ def probe_mp3(blob: bytes) -> dict:
     first = None
     xing_frames = None
     total_bits = 0
+
+    def _trailer_ok(at: int) -> bool:
+        # Trailing metadata after a clean walk is fine — but ONLY when
+        # the remaining bytes look like a known appended tag (ID3v1
+        # "TAG", APEv2 "APETAGEX", appended ID3v2, Lyrics3) or we are
+        # within a few slack bytes of EOF. Real-world taggers commonly
+        # pad with 0x00/0xFF runs BEFORE the tag (frames + zero padding
+        # + "TAG...", ADVICE r14) — and an 0xFF run even false-syncs as
+        # a header with reserved fields — so skip any such run first and
+        # re-check at the padding's end. Arbitrary mid-stream garbage
+        # must keep failing so a corrupt file can't silently report
+        # truncated n_frames/duration.
+        while at < len(blob) and blob[at] in (0x00, 0xFF):
+            at += 1
+        trailer = blob[at : at + 11]
+        is_tag = (
+            trailer[:3] in (b"TAG", b"ID3")
+            or trailer[:8] == b"APETAGEX"
+            or trailer == b"LYRICSBEGIN"
+        )
+        return is_tag or len(blob) - at < 16
+
     while pos + 4 <= len(blob):
         h = struct.unpack_from(">I", blob, pos)[0]
         if h >> 21 != 0x7FF:
-            # Trailing metadata after a clean walk is fine — but ONLY
-            # when the bytes at the walk position look like a known
-            # appended tag (ID3v1 "TAG", APEv2 "APETAGEX", appended
-            # ID3v2, Lyrics3) or we are within a few slack bytes of
-            # EOF. Arbitrary mid-stream garbage must keep raising so a
-            # corrupt file can't silently report truncated
-            # n_frames/duration.
-            trailer = blob[pos : pos + 11]
-            is_tag = trailer[:3] in (b"TAG", b"ID3") or trailer[:8] == b"APETAGEX" or trailer == b"LYRICSBEGIN"
-            if n_frames and (is_tag or len(blob) - pos < 16):
+            if n_frames and _trailer_ok(pos):
                 break
             raise ValueError(f"MP3: lost sync at byte {pos}")
         vbits = (h >> 19) & 3
         version = {0: 25, 2: 2, 3: 1}.get(vbits)
         layer = {1: 3, 2: 2, 3: 1}.get((h >> 17) & 3)
         if version is None or layer is None:
+            if n_frames and _trailer_ok(pos):
+                break
             raise ValueError("MP3: reserved version/layer bits")
         bridx = (h >> 12) & 0xF
         sridx = (h >> 10) & 3
         if bridx in (0, 15) or sridx == 3:
+            if n_frames and _trailer_ok(pos):
+                break
             raise ValueError("MP3: free-format/reserved bitrate or rate")
         pad = (h >> 9) & 1
         mode = (h >> 6) & 3

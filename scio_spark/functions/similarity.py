@@ -606,6 +606,38 @@ def incremental_embedding_dedup(
     )
 
 
+def derive_lsh_params(
+    n: int,
+    threshold: float,
+    base_bands: int = 16,
+    base_band_bits: int = 4,
+    target_bucket_rows: int = 1024,
+) -> tuple[int, int]:
+    """(bands, band_bits) for a corpus of ~``n`` vectors such that (a) the
+    expected random-collision bucket stays at ``target_bucket_rows``
+    (band_bits = max(base, ceil(log2(n / target_bucket_rows))) — the
+    SCALING.md band_bits rule, automated per VERDICT r14 ask #3) and (b)
+    recall for a pair AT the threshold matches what the explicit defaults
+    (base_bands, base_band_bits) give: with per-bit agreement probability
+    p = 1 − arccos(threshold)/π, recall is 1 − (1 − p^bits)^bands, so
+    bands = ceil(ln(1 − R0) / ln(1 − p^bits)). Pure arithmetic — no Spark —
+    so tests can pin derived parameters directly."""
+    import math
+
+    band_bits = base_band_bits
+    if n > target_bucket_rows:
+        band_bits = max(
+            base_band_bits, math.ceil(math.log2(n / target_bucket_rows))
+        )
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r0 = 1.0 - (1.0 - p**base_band_bits) ** base_bands
+    miss = 1.0 - p**band_bits
+    if band_bits == base_band_bits or r0 >= 1.0 or miss <= 0.0 or miss >= 1.0:
+        return base_bands, band_bits
+    bands = max(base_bands, math.ceil(math.log(1.0 - r0) / math.log(miss)))
+    return bands, band_bits
+
+
 def embedding_dedup_pairs_lsh(
     corpus: DataFrame,
     threshold: float,
@@ -613,8 +645,9 @@ def embedding_dedup_pairs_lsh(
     vec_col: str = "embedding",
     score_decimals: int | None = 5,
     bands: int = 16,
-    band_bits: int = 4,
+    band_bits: int | None = 4,
     dim: int = 64,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup, sub-quadratic (the 100 TB path): banded
     random-hyperplane LSH candidates + exact rescore.
@@ -635,7 +668,22 @@ def embedding_dedup_pairs_lsh(
     the expected bucket size at B (e.g. 8 bits for 10⁴–10⁵ rows, 20+ bits
     at 10⁸ — recall lost to narrower bands is bought back with more
     bands); true near-dup recall depends only on (bands, band_bits), not
-    n, so the tuning trades a constant recall factor for the asymptote."""
+    n, so the tuning trades a constant recall factor for the asymptote.
+
+    ``band_bits=None`` automates that rule (the 100 TB-safe default per
+    VERDICT r14 ask #3): one ``approx_count_distinct`` pass estimates the
+    corpus size, then derive_lsh_params picks band_bits to hold the
+    expected collision bucket at ``target_bucket_rows`` and scales bands
+    up to hold the explicit-defaults recall at the operator threshold.
+    Signatures stay md5-derived, so derived plans remain engine-replayable
+    (explicit params win — the contract row is unchanged)."""
+    if band_bits is None:
+        n_est = corpus.agg(
+            F.approx_count_distinct(F.col(id_col)).alias("n")
+        ).collect()[0]["n"]
+        bands, band_bits = derive_lsh_params(
+            n_est, threshold, bands, 4, target_bucket_rows
+        )
     sigs = band_signatures(corpus, id_col, vec_col, bands, band_bits, dim)
     a = sigs.select(F.col("__id").alias("id_1"), "band", "sig")
     b = sigs.select(F.col("__id").alias("id_2"), "band", "sig")

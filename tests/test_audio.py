@@ -300,6 +300,12 @@ def test_probe_mp3_tolerates_trailing_tags():
     # appended ID3v2 and Lyrics3 trailers too
     assert probe_mp3(good + b"ID3\x04\x00\x00" + bytes(100))["n_frames"] == 5
     assert probe_mp3(good + b"LYRICSBEGIN" + bytes(40))["n_frames"] == 5
+    # r14-ADVICE regression: taggers commonly leave 0x00/0xFF padding
+    # BEFORE the appended tag — frames + 500 zero bytes + ID3v1 is a
+    # valid file, as is padding that simply runs to EOF
+    assert probe_mp3(good + bytes(500) + id3v1)["n_frames"] == 5
+    assert probe_mp3(good + b"\xff" * 64 + ape)["n_frames"] == 5
+    assert probe_mp3(good + bytes(4096))["n_frames"] == 5
 
 
 def test_probe_mp3_midstream_garbage_still_raises():

@@ -922,3 +922,39 @@ def test_pack_sequences_skips_null_text(spark):
     packs = pack_sequences(docs, token_budget=5).collect()
     assert sorted(i for p in packs for i in p.doc_ids) == [1, 3]
     assert sum(p.total_tokens for p in packs) == 5
+
+
+def test_derive_lsh_params_pins_two_corpus_sizes():
+    """band_bits=None rule (VERDICT r15 ask #3): band_bits holds the
+    expected random-collision bucket at target_bucket_rows and bands
+    scale to hold the explicit-defaults recall at the threshold."""
+    # 100k rows / 1024-target -> ceil(log2(97.7)) = 7 bits; recall at
+    # threshold 0.8 held by widening 16 -> 37 bands
+    assert S.derive_lsh_params(100_000, 0.8) == (37, 7)
+    # 100M rows -> 17 bits (bucket ~763), 398 bands
+    assert S.derive_lsh_params(100_000_000, 0.8) == (398, 17)
+    # at or under the target the explicit defaults win untouched
+    assert S.derive_lsh_params(500, 0.8) == (16, 4)
+
+
+def test_embedding_dedup_lsh_band_bits_none_small_corpus(embeddings):
+    """On a corpus under target_bucket_rows the derived params equal the
+    explicit defaults, so band_bits=None must reproduce the explicit
+    run exactly (the contract row keeps explicit params)."""
+    explicit = set(
+        rows(
+            S.embedding_dedup_pairs_lsh(
+                embeddings, threshold=0.8, bands=16, band_bits=4, dim=16
+            ),
+            "id_1", "id_2",
+        )
+    )
+    derived = set(
+        rows(
+            S.embedding_dedup_pairs_lsh(
+                embeddings, threshold=0.8, bands=16, band_bits=None, dim=16
+            ),
+            "id_1", "id_2",
+        )
+    )
+    assert derived == explicit

@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import re
 import sys
+from collections import defaultdict
 
 import duckdb
 
@@ -158,9 +160,18 @@ def approx_eq(a, b, tol=1e-9):
 #: exactness, so a genuine regression (outside the sketch's contract)
 #: still fails. Found at sf1 r14: hll_merge 15043 vs 15000 (0.29%).
 APPROX_AT_SCALE = {
-    "hll_merge": 0.02,       # HLL++ rsd ≈ 1.04/√2^p — well under 2%
-    "approx_distinct": 0.02,  # countApproxDistinct, same sketch family
+    "hll_merge": {"tol": 0.02, "keys": []},       # HLL++ rsd ≈ 1.04/√2^p
+    "approx_distinct": {"tol": 0.02, "keys": []},  # same sketch family
 }
+
+
+def parse_sf(sf_dir: str) -> float | None:
+    """Scale factor from the data dir's last path component (sf0.01 →
+    0.01). None for paths outside the sfN convention — which the lane
+    logic treats as the STRICT contract regime, so a stray directory
+    name can't silently enable the tolerant compare (ADVICE r14)."""
+    m = re.search(r"(?:^|/)sf(\d+(?:\.\d+)?)/*$", sf_dir)
+    return float(m.group(1)) if m else None
 
 
 def sketch_eq(a, b, tol):
@@ -175,6 +186,36 @@ def sketch_eq(a, b, tol):
     if isinstance(a, tuple) and isinstance(b, tuple) and len(a) == len(b):
         return all(sketch_eq(x, y, tol) for x, y in zip(a, b))
     return a == b
+
+
+def sketch_aligned_eq(s, d, cols_sorted, spec) -> bool:
+    """APPROX_AT_SCALE compare with rows KEY-ALIGNED first: rows are
+    grouped on the spec's declared key columns and only same-key rows
+    are compared under the tolerance — a positional zip of sorted rows
+    could pair rows from different keys once the tolerant numeric values
+    reorder them (ADVICE r14; today's entries are single-row aggregates,
+    but the lane is generic). ``s``/``d`` are canon() outputs (columns
+    sorted by name), so key indices come from the sorted column list."""
+    keyix = [i for i, c in enumerate(cols_sorted) if c in spec["keys"]]
+
+    def key(row):
+        return repr(tuple(row[i] for i in keyix))
+
+    gs, gd = defaultdict(list), defaultdict(list)
+    for r in s:
+        gs[key(r)].append(r)
+    for r in d:
+        gd[key(r)].append(r)
+    if sorted(gs) != sorted(gd):
+        return False
+    for k, a in gs.items():
+        b = gd[k]
+        if len(a) != len(b):
+            return False
+        a, b = sorted(a, key=repr), sorted(b, key=repr)
+        if not all(sketch_eq(x, y, spec["tol"]) for x, y in zip(a, b)):
+            return False
+    return True
 
 
 def main():
@@ -243,8 +284,11 @@ def main():
                 mism = [(a, b) for a, b in zip(s, d) if a != b]
                 exact = len(mism) == 0
                 appr = all(approx_eq(a, b, 1e-9) for a, b in zip(s, d))
-                tol = APPROX_AT_SCALE.get(name)
-                at_contract_sf = "sf0.01" in sf_dir or "sf0.001" in sf_dir
+                spec = APPROX_AT_SCALE.get(name)
+                sf = parse_sf(sf_dir)
+                # unknown/unparseable dirs count as the contract regime:
+                # strict compare, never the tolerant lane
+                at_contract_sf = sf is None or sf <= 0.01
                 if appr:
                     print(
                         f"WARN {name}: {len(mism)} rows differ only within 1e-9 "
@@ -252,9 +296,9 @@ def main():
                     )
                     ok = False
                 elif (
-                    tol is not None
+                    spec is not None
                     and not at_contract_sf
-                    and all(sketch_eq(a, b, tol) for a, b in zip(s, d))
+                    and sketch_aligned_eq(s, d, sorted(scols), spec)
                 ):
                     # approximate sketch past its exact regime — within
                     # its documented error contract; still FAILS at the
@@ -262,8 +306,8 @@ def main():
                     annotated_pass = True
                     print(
                         f"PASS {name} ({len(srows)} rows; approx sketch "
-                        f"within {tol:.0%} at this SF — exact at sf0.01, "
-                        f"e.g. {mism[0]})"
+                        f"within {spec['tol']:.0%} at this SF — exact at "
+                        f"sf0.01, e.g. {mism[0]})"
                     )
                 else:
                     ok = False
