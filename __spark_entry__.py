@@ -2070,6 +2070,50 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_ann_hnsw_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded HNSW ANN (similarity.cosine_topk_hnsw_sharded — VERDICT r14
+    ask #7): removes cosine_topk_hnsw's side-input bound by building one
+    HNSW sub-graph per corpus shard INSIDE a cogrouped task (corpus sharded
+    on pmod(xxhash64(id), n_shards), queries replicated to every shard) and
+    merging per-shard top-k. Run in the exhaustive + exact_rescore regime
+    (per-shard beam = shard size), where the per-shard-top-k union provably
+    contains the global top-k — so the output equals exact top-3 and is
+    value-oracled while the real shard-build + beam walk + merge is
+    exercised end to end (same exact-regime pattern as q_ann_hnsw).
+    Parity at several shard counts and the approximate-regime recall are
+    pinned in tests/test_hnsw.py. The corpus cap here bounds QUERY-side
+    work only (exhaustive beams are O(corpus) per query by design); the
+    operator itself has no side-input bound."""
+    from scio_spark.functions.similarity import cosine_topk_hnsw_sharded
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df.filter("vec_id < 2000")
+    qs = emb.filter("vec_id % 10 = 7")
+    return cosine_topk_hnsw_sharded(
+        emb, qs, k=3, ef_construction=32, ef_search=None,
+        exact_rescore=True, score_decimals=5, n_shards=3,
+    )
+
+
+ORACLE_ANN_HNSW_SHARDED = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 10 = 7 AND vec_id < 2000),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id AND c.vec_id < 2000
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 MULTIMODAL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "examples", "fixtures", "multimodal_assets.parquet",
@@ -7626,6 +7670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_map": q_safe_map,
         "salted_agg": q_salted_agg,
         # ---- end of the 50-row driver window (gate cuts at entry 50) ------
+        # NEW post-window this round (locally value-checked; heads the r16
+        # rotation for its first driver row — the ratchet in
+        # tools/coverage_map.py enforces that)
+        "ann_hnsw_sharded": q_ann_hnsw_sharded,
         # r12-window remainder — r16 rotation candidates, standing order
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
@@ -7961,6 +8009,7 @@ def oracle_sql() -> dict[str, str]:
         "continuous_rollup": ORACLE_STREAMING_WINDOW,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_hnsw": ORACLE_ANN_HNSW,
+        "ann_hnsw_sharded": ORACLE_ANN_HNSW_SHARDED,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
         "ann_ivf": ORACLE_EMBEDDING_TOPK,

@@ -134,3 +134,103 @@ def test_index_is_picklable():
     assert isinstance(back, HnswIndex)
     q = mat[42]
     assert search_hnsw(back, q, 3, ef=100) == search_hnsw(idx, q, 3, ef=100)
+
+
+# ---------- sharded HNSW (VERDICT r14 ask #7: lift the side-input bound) ---
+
+
+def _fixture(spark, n=80, dim=16, seed=3):
+    import math
+    import random
+
+    random.seed(seed)
+    data = []
+    for i in range(n):
+        v = [random.gauss(0, 1) for _ in range(dim)]
+        nn = math.sqrt(sum(x * x for x in v))
+        data.append((i, [x / nn for x in v]))
+    return spark.createDataFrame(data, ["vec_id", "embedding"])
+
+
+def test_hnsw_sharded_exhaustive_parity(spark):
+    """Exhaustive + exact_rescore: the union of per-shard exact top-k
+    contains the global top-k, so the sharded path must equal cosine_topk
+    bit for bit — at 1 shard AND several."""
+    from scio_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_hnsw_sharded,
+    )
+
+    emb = _fixture(spark)
+    qs = emb.filter("vec_id % 9 = 0")
+    ref = sorted(tuple(r) for r in cosine_topk(emb, qs, k=3).collect())
+    for s in (1, 3):
+        got = sorted(
+            tuple(r)
+            for r in cosine_topk_hnsw_sharded(
+                emb, qs, k=3, ef_search=None, exact_rescore=True, n_shards=s
+            ).collect()
+        )
+        assert got == ref, f"n_shards={s}"
+
+
+def test_hnsw_sharded_no_driver_collect(spark):
+    """Nothing corpus- or query-sized touches the driver: zero collect()
+    calls in the build (unlike cosine_topk_hnsw, which collects the whole
+    corpus as a side input)."""
+    from scio_spark.functions.similarity import cosine_topk_hnsw_sharded
+
+    emb = _fixture(spark)
+    qs = emb.filter("vec_id % 9 = 0")
+    calls = []
+    cls = type(emb)
+    orig = cls.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    cls.collect = counting
+    try:
+        df = cosine_topk_hnsw_sharded(emb, qs, k=3, n_shards=3)
+    finally:
+        cls.collect = orig
+    assert calls == []
+    from scio_spark.plans import lint
+
+    assert "FlatMapCoGroupsInPandas" in lint.executed_plan(df)
+
+
+def test_hnsw_sharded_approx_recall(spark):
+    """Approximate regime at a realistic ef: sharding only shrinks each
+    graph, so recall vs exact stays high."""
+    from scio_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_hnsw_sharded,
+    )
+
+    emb = _fixture(spark, n=120)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, emb, k=3, max_query_rows=200).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_hnsw_sharded(
+            emb, emb, k=3, ef_search=64, n_shards=4
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_hnsw_sharded_group_guard_trips(spark):
+    import pytest
+
+    from scio_spark.functions.similarity import cosine_topk_hnsw_sharded
+
+    emb = _fixture(spark)
+    qs = emb.filter("vec_id % 9 = 0")
+    with pytest.raises(Exception, match="max_group_rows"):
+        cosine_topk_hnsw_sharded(
+            emb, qs, k=3, n_shards=2, max_group_rows=10
+        ).collect()
