@@ -1998,6 +1998,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (ivf.append_ivf_index — the ANN
+    sibling of incremental_dedup / incremental_embedding_dedup): vectors
+    with vec_id < 300 are the staged historical index (built once,
+    centroid-partitioned parquet, frozen quantizer), the rest arrive as
+    today's batch and are APPENDED with one O(batch) assignment pass —
+    existing index files are never rewritten (pinned in
+    tests/test_ann_streamed.py). Search runs in the exact regime
+    (n_probe = n_clusters probes every list), so the result over the
+    appended index equals brute-force top-3 over the full table and the
+    oracle is plain SQL."""
+    import tempfile
+
+    from scio_spark.functions.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    sc = _ctx(spark)
+    emb = _t(sc, sf_dir, "embeddings").df.select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="scio_spark_ivfidx_") + "/idx"
+    build_ivf_index(
+        emb.filter("vec_id < 300"), path, n_clusters=8, max_iter=2
+    )
+    append_ivf_index(spark, path, emb.filter("vec_id >= 300"))
+    qs = emb.filter("vec_id % 10 = 1")
+    return search_ivf_index(
+        spark, path, qs, k=3, n_probe=8, score_decimals=5
+    )
+
+
+ORACLE_ANN_IVF_APPENDED = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 10 = 1),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 def q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed-queries IVF ANN (ivf.cosine_topk_ivf_streamed): the same
     training/probing parameters as q_ann_ivf, but the query workload stays
@@ -7674,6 +7725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation for its first driver row — the ratchet in
         # tools/coverage_map.py enforces that)
         "ann_hnsw_sharded": q_ann_hnsw_sharded,
+        "ann_ivf_appended": q_ann_ivf_appended,
         # r12-window remainder — r16 rotation candidates, standing order
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
@@ -8010,6 +8062,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_hnsw": ORACLE_ANN_HNSW,
         "ann_hnsw_sharded": ORACLE_ANN_HNSW_SHARDED,
+        "ann_ivf_appended": ORACLE_ANN_IVF_APPENDED,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline
         "ann_ivf": ORACLE_EMBEDDING_TOPK,

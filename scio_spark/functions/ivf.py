@@ -262,6 +262,32 @@ def build_ivf_index(
     return cents
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a persisted IVF index WITHOUT retraining
+    or rewriting the corpus — the ANN sibling of the incremental dedup
+    indexes (dedup.stage_minhash_index / similarity.stage_embedding_lsh_index
+    append flows): read the stored centroids, assign ONLY the batch (one
+    broadcast-GEMM mapInPandas pass over O(batch) rows), and append
+    centroid-partitioned files. Cost scales with the batch, never the
+    index. The coarse quantizer is frozen (the FAISS maintenance model):
+    searches over the appended index stay exactly correct — candidate
+    recall at fixed n_probe drifts only if the data distribution drifts
+    from the training sample, and n_probe = n_clusters remains provably
+    exact — so rebuild on distribution change, append otherwise."""
+    import json
+
+    cents_df = spark.read.json(path.rstrip("/") + "__centroids")
+    cents = json.loads(cents_df.collect()[0]["centroids"])
+    assigned = assign_centroid(new_vecs.select(id_col, vec_col), vec_col, cents)
+    assigned.write.mode("append").partitionBy("centroid").parquet(path)
+
+
 def search_ivf_index(
     spark,
     path: str,

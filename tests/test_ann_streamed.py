@@ -214,3 +214,54 @@ def test_streamed_guard_names_corpus_blocks_lever(vec_df):
             vec_df, qs, k=3, n_clusters=2, n_probe=1, max_iter=2,
             corpus_blocks=2, max_group_rows=9,
         ).collect()
+
+
+def test_append_ivf_index_equals_build_once(vec_df, tmp_path):
+    """Index maintenance: build on a base slice, append the rest — in the
+    exhaustive regime (n_probe = n_clusters) search results must equal a
+    brute-force top-k over the full corpus, and the appended rows must
+    land in the centroid partition the frozen quantizer assigns (so
+    partition pruning keeps working)."""
+    from scio_spark.functions.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from scio_spark.functions.similarity import cosine_topk
+
+    spark = vec_df.sparkSession
+    path = str(tmp_path / "ivf_appended")
+    base = vec_df.filter("vec_id < 80")
+    batch = vec_df.filter("vec_id >= 80")
+    build_ivf_index(base, path, n_clusters=4, max_iter=4)
+    append_ivf_index(spark, path, batch)
+    # full corpus present, partitioned
+    idx = spark.read.parquet(path)
+    assert idx.count() == vec_df.count()
+    assert set(idx.columns) >= {"vec_id", "embedding", "centroid"}
+    qs = vec_df.filter("vec_id % 7 = 0")
+    got = search_ivf_index(
+        spark, path, qs, k=3, n_probe=4, score_decimals=5
+    )
+    exact = cosine_topk(vec_df, qs, k=3, score_decimals=5)
+    assert _rows(got) == _rows(exact)
+
+
+def test_append_ivf_index_cost_is_batch_sized(vec_df, tmp_path):
+    """The append never touches the existing index data files — only the
+    centroid JSON is read (one tiny driver read) and the batch is
+    assigned+written."""
+    from scio_spark.functions.ivf import append_ivf_index, build_ivf_index
+
+    spark = vec_df.sparkSession
+    path = str(tmp_path / "ivf_app2")
+    build_ivf_index(vec_df.filter("vec_id < 80"), path, n_clusters=4, max_iter=4)
+    import glob
+    import os
+
+    before = {f: os.path.getmtime(f) for f in glob.glob(path + "/**/*.parquet", recursive=True)}
+    append_ivf_index(spark, path, vec_df.filter("vec_id >= 80"))
+    after = {f: os.path.getmtime(f) for f in glob.glob(path + "/**/*.parquet", recursive=True)}
+    # every pre-existing data file untouched; new files appended
+    assert all(after[f] == t for f, t in before.items())
+    assert len(after) > len(before)
