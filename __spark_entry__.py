@@ -7657,11 +7657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. the 11 oldest r12-window rows to fill the 50
        (hll_merge ... salted_agg).
 
-    Post-window: the remaining 39 r12-window queries (r16 rotation
-    candidates, standing order), then the 50 r13-window queries, then the
-    50 r14-window queries (freshest driver evidence, last). After this
-    round no query's latest driver row predates r12 and no query is
-    driver-unrowed. tools/check_oracle.py still value-checks ALL queries
+    Post-window: the two queries ADDED this round (ann_hnsw_sharded,
+    ann_ivf_appended — locally value-exact, heading the r16 rotation for
+    their first driver rows; the coverage_map ratchet enforces that), then
+    the remaining 39 r12-window queries (r16 rotation candidates, standing
+    order), then the 50 r13-window queries, then the 50 r14-window queries
+    (freshest driver evidence, last). After this round no pre-existing
+    query's latest driver row predates r12. tools/check_oracle.py still value-checks ALL queries
     every round, and tools/coverage_map.py now FAILS (exit 1) if a query
     exists for two full rounds without a driver row (freshness ratchet,
     VERDICT r14 ask #5)."""
