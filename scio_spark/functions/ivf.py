@@ -230,6 +230,70 @@ def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]], n
     return df.mapInPandas(gen, schema)
 
 
+def _route_queries_driver(queries: DataFrame, id_col: str, vec_col: str,
+                          cents: list[list[float]], n_probe: int):
+    """Driver-side probe routing for the broadcast-query (side-input) regime:
+    collect the (by-contract bounded) query set, rank centroids with the same
+    stable-argsort tie-break as probe_centroids, and pack per-centroid query
+    blocks. Returns (packed {centroid: (ids, matrix)}, probed centroid list —
+    at most n_clusters ints, the literal a partition filter needs)."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return {}, []
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    cmat = np.array(cents, dtype=np.float64)
+    p = min(n_probe, len(cents))
+    order = np.argsort(-(q_mat @ cmat.T), axis=1, kind="stable")[:, :p]
+    packed: dict[int, tuple] = {}
+    for c in np.unique(order):
+        rows = np.nonzero((order == c).any(axis=1))[0]
+        packed[int(c)] = (q_ids[rows], q_mat[rows])
+    return packed, sorted(packed)
+
+
+def _routed_gemm_candidates(inv: DataFrame, packed: dict, k: int,
+                            margin: float) -> DataFrame:
+    """(query_id, neighbor_id) ANN candidates for the broadcast-query regime
+    — the side-input sibling of _cogroup_gemm_candidates, shared by
+    cosine_topk_ivf and search_ivf_index(streamed=False): one numpy GEMM per
+    (Arrow batch × centroid group) of the inverted lists against the queries
+    routed to that centroid, keeping top-(k+4) per list with ties and the
+    rounding margin (similarity.keep_candidates) so the candidate set is
+    batch-order independent and rounding-safe. ``inv`` must carry
+    (neighbor_id, __cv, centroid)."""
+    import numpy as np
+    import pandas as pd
+
+    from scio_spark.functions.similarity import keep_candidates
+
+    bc = inv.sparkSession.sparkContext.broadcast(packed)
+
+    def gen(batches):
+        tbl = bc.value
+        for pdf in batches:
+            for cen, grp in pdf.groupby("centroid"):
+                hit = tbl.get(int(cen))
+                if hit is None:
+                    continue
+                ids, mat = hit
+                block = np.array(list(grp["__cv"]), dtype=np.float64)
+                b_ids = grp["neighbor_id"].to_numpy()
+                sims = mat @ block.T  # probing queries × block
+                kk = min(k + 4, sims.shape[1])
+                out_q, out_n = [], []
+                for qi in range(sims.shape[0]):
+                    idx = keep_candidates(sims[qi], kk, margin)
+                    keep = idx[b_ids[idx] != ids[qi]]
+                    out_q.extend([ids[qi]] * len(keep))
+                    out_n.extend(b_ids[keep])
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    return inv.mapInPandas(gen, "query_id long, neighbor_id long")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -325,65 +389,67 @@ def search_ivf_index(
         require_side_input_sized(
             queries, max_query_rows, "search_ivf_index", "max_query_rows"
         )
+    from scio_spark.functions.similarity import cut_margin
+
     cents_df = spark.read.json(path.rstrip("/") + "__centroids")
     cents = json.loads(cents_df.collect()[0]["centroids"])
-    probes = probe_centroids(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
-        "__qv",
-        cents,
-        n_probe,
-    )
-    probed = sorted({r["centroid"] for r in probes.select("centroid").distinct().collect()})
-    inv = (
-        spark.read.parquet(path)
-        .filter(F.col("centroid").isin(probed))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            "centroid",
-        )
-    )
-    if streamed:
-        from scio_spark.functions.similarity import cut_margin
+    margin = cut_margin(score_decimals)
 
+    def _inv(probed):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("centroid").isin(list(probed)))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                "centroid",
+            )
+        )
+
+    if streamed:
+        probes = probe_centroids(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "__qv",
+            cents,
+            n_probe,
+        )
+        probed = sorted({r["centroid"] for r in probes.select("centroid").distinct().collect()})
+        inv = _inv(probed)
         cands = _cogroup_gemm_candidates(
-            probes, inv, k, cut_margin(score_decimals), corpus_blocks, max_group_rows
+            probes, inv, k, margin, corpus_blocks, max_group_rows
         )
         q = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
-        c = inv.select("neighbor_id", "__cv")
-        scored = (
-            cands.join(q, "query_id")
-            .join(c, "neighbor_id")
-            .withColumn(
-                "score",
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__qv"), F.col("__cv"),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
-        )
+        cands = cands.join(q, "query_id")
     else:
-        scored = (
-            inv.join(F.broadcast(probes), "centroid")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn(
-                "score",
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__qv"), F.col("__cv"),
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            )
+        # broadcast-query regime: route driver-side (the collect is the
+        # max_query_rows-guarded side input above) and run the same numpy
+        # GEMM candidate stage as cosine_topk_ivf over the pruned
+        # partitions — fold-scoring every (query, list-member) pair through
+        # interpreted higher-order functions costs |lists|×|queries|×dim
+        # expression evaluations and was the e≈1.0 hotspot at sf1.
+        packed, probed = _route_queries_driver(queries, id_col, vec_col, cents, n_probe)
+        inv = _inv(probed)
+        cands = _routed_gemm_candidates(inv, packed, k, margin)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
+        cands = cands.join(F.broadcast(q), "query_id")
+    scored = (
+        cands.join(inv.select("neighbor_id", "__cv"), "neighbor_id")
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"), F.col("__cv"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
     if score_decimals is not None:
         scored = scored.withColumn("score", F.round("score", score_decimals))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -424,13 +490,9 @@ def cosine_topk_ivf(
     queries|×dim expression evaluations. With n_probe = n_clusters the
     output is oracle-exact top-k. The query set is a broadcast-sized side
     input BY CONTRACT — guarded by ``max_query_rows``."""
-    import numpy as np
-    import pandas as pd
-
     from scio_spark.functions.similarity import (
         _dot,
         cut_margin,
-        keep_candidates,
         require_side_input_sized,
     )
 
@@ -448,41 +510,9 @@ def cosine_topk_ivf(
     )
     # Probe routing computed driver-side on the collected (bounded) query
     # set — same stable-argsort tie-break as probe_centroids.
-    qrows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    cmat = np.array(cents, dtype=np.float64)
-    p = min(n_probe, len(cents))
-    order = np.argsort(-(q_mat @ cmat.T), axis=1, kind="stable")[:, :p]
-    packed: dict[int, tuple] = {}
-    for c in np.unique(order):
-        rows = np.nonzero((order == c).any(axis=1))[0]
-        packed[int(c)] = (q_ids[rows], q_mat[rows])
-    bc = corpus.sparkSession.sparkContext.broadcast(packed)
-
+    packed, _ = _route_queries_driver(queries, id_col, vec_col, cents, n_probe)
     margin = cut_margin(score_decimals)
-
-    def gen(batches):
-        tbl = bc.value
-        for pdf in batches:
-            for cen, grp in pdf.groupby("centroid"):
-                hit = tbl.get(int(cen))
-                if hit is None:
-                    continue
-                ids, mat = hit
-                block = np.array(list(grp["__cv"]), dtype=np.float64)
-                b_ids = grp["neighbor_id"].to_numpy()
-                sims = mat @ block.T  # probing queries × block
-                kk = min(k + 4, sims.shape[1])
-                out_q, out_n = [], []
-                for qi in range(sims.shape[0]):
-                    idx = keep_candidates(sims[qi], kk, margin)
-                    keep = idx[b_ids[idx] != ids[qi]]
-                    out_q.extend([ids[qi]] * len(keep))
-                    out_n.extend(b_ids[keep])
-                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
-
-    cands = inv.mapInPandas(gen, "query_id long, neighbor_id long")
+    cands = _routed_gemm_candidates(inv, packed, k, margin)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (
