@@ -389,10 +389,7 @@ def embedding_dedup_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
-    margin = threshold - 1e-6
-    if score_decimals is not None:
-        # anything that can ROUND to >= threshold must stay a candidate
-        margin = threshold - 0.5 * 10.0 ** -score_decimals - 1e-9
+    margin = _dedup_margin(threshold, score_decimals)
     B = num_blocks
     slim = corpus.select(
         F.col(id_col).alias("__id"),
@@ -648,6 +645,7 @@ def embedding_dedup_pairs_lsh(
     band_bits: int | None = 4,
     dim: int = 64,
     target_bucket_rows: int = 1024,
+    max_bucket_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding near-dup, sub-quadratic (the 100 TB path): banded
     random-hyperplane LSH candidates + exact rescore.
@@ -655,7 +653,8 @@ def embedding_dedup_pairs_lsh(
     Each vector gets ``bands`` independent ``band_bits``-bit hyperplane
     signatures (one mapInPandas GEMM against a broadcast ±1 matrix — no
     giant codegen literals); a pair is a candidate iff it agrees on at least
-    one whole band (self-join on (band, sig), distinct). Recall for a pair
+    one whole band (per-(band, sig) bucket GEMM with the margin cut —
+    see _bucket_gemm_candidates — then distinct). Recall for a pair
     at cosine c is 1 − (1 − (1−θ/π)^band_bits)^bands with θ = arccos(c) —
     tune bands up / band_bits down for lower thresholds. Candidates are then
     exact-rescored, so precision is exact; only recall is approximate
@@ -685,15 +684,83 @@ def embedding_dedup_pairs_lsh(
             n_est, threshold, bands, 4, target_bucket_rows
         )
     sigs = band_signatures(corpus, id_col, vec_col, bands, band_bits, dim)
-    a = sigs.select(F.col("__id").alias("id_1"), "band", "sig")
-    b = sigs.select(F.col("__id").alias("id_2"), "band", "sig")
-    cands = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
-    )
+    cands = _bucket_gemm_candidates(
+        sigs.join(
+            corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")),
+            "__id",
+        ),
+        _dedup_margin(threshold, score_decimals),
+        max_bucket_rows,
+    ).distinct()
     return _exact_rescore(corpus, cands, threshold, id_col, vec_col, score_decimals)
+
+
+def _dedup_margin(threshold: float, score_decimals: int | None) -> float:
+    """Candidate-keep floor shared by the exact block-pair GEMM and the
+    LSH bucket GEMM: anything whose true fold score can pass the final
+    ``score >= threshold`` filter — including round-half-up when
+    ``score_decimals`` is set (the sf1 class fixed in r14) plus
+    GEMM-vs-fold float drift — must survive candidate generation."""
+    if score_decimals is not None:
+        return threshold - 0.5 * 10.0 ** -score_decimals - 1e-9
+    return threshold - 1e-6
+
+
+def _bucket_gemm_candidates(
+    sigs_with_vecs: DataFrame, margin: float, max_bucket_rows: int
+) -> DataFrame:
+    """(id_1 < id_2) near-dup candidates from banded LSH collision
+    buckets, cut by a per-bucket numpy GEMM instead of materializing the
+    full collision set: one task per (band, sig) bucket computes the
+    bucket's upper-triangle cosine block and keeps only pairs at or above
+    ``margin`` (see _dedup_margin). The random-collision volume
+    Θ(bands·n²/2^band_bits) therefore never exists as shuffled candidate
+    ROWS — only as flops inside tasks — and the deterministic fold
+    rescore downstream touches survivors alone (~the true near-dup count),
+    not every banded collision; that interpreted fold over all collisions
+    was the measured sf1 hotspot of the LSH path (e≈1.1, SCALING.md r15).
+
+    Per-task memory is Θ(bucket_rows · dim) with the GEMM slab chunked to
+    ~4M entries; a bucket past ``max_bucket_rows`` fails actionably
+    (grow band_bits / lower target_bucket_rows — the derive_lsh_params
+    rule) instead of OOMing the executor."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"id_1": pd.Series(dtype="int64"),
+                          "id_2": pd.Series(dtype="int64")})
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        if n > max_bucket_rows:
+            raise ValueError(
+                f"_bucket_gemm_candidates: collision bucket (band={key[0]}, "
+                f"sig={key[1]}) has {n} rows > max_bucket_rows="
+                f"{max_bucket_rows}; increase band_bits (or lower "
+                "target_bucket_rows with band_bits=None) so buckets stay "
+                "task-sized, or raise max_bucket_rows deliberately."
+            )
+        ids = pdf["__id"].to_numpy()
+        mat = np.array(list(pdf["__v"]), dtype=np.float64)
+        chunk = max(1, 4_194_304 // n)
+        out = []
+        for s in range(0, n, chunk):
+            sims = mat[s : s + chunk] @ mat.T
+            li, rj = np.where(sims >= margin)
+            li = li + s
+            keep = li < rj  # ids are distinct within a bucket
+            a, b = ids[li[keep]], ids[rj[keep]]
+            out.append(
+                pd.DataFrame({"id_1": np.minimum(a, b), "id_2": np.maximum(a, b)})
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        sigs_with_vecs.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, "id_1 long, id_2 long")
+    )
 
 
 def hyperplane_signature(df: DataFrame, id_col: str, vec_col: str, bits: int = 8, dim: int = 64) -> DataFrame:

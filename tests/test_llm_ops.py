@@ -198,6 +198,40 @@ def test_embedding_dedup_margin_covers_round_half_up(spark):
     assert [(r.id_1, r.id_2, r.score) for r in got] == [(1, 2, 0.4)]
 
 
+def test_embedding_dedup_lsh_margin_covers_round_half_up(spark):
+    """The LSH path's bucket-GEMM candidate cut must honor the same
+    round-half-up margin as the exact path: a colliding pair whose true
+    cosine rounds UP to the threshold survives the per-bucket cut."""
+    import math
+
+    c = 0.399996  # rounds to 0.4 at 5 decimals
+    s = math.sqrt(1 - c * c)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [c, s])], ["vec_id", "embedding"]
+    )
+    # 1-bit bands: collision probability per band is 1 - θ/π ≈ 0.63, so 32
+    # deterministic md5 bands make at least one collision certain here.
+    got = S.embedding_dedup_pairs_lsh(
+        df, threshold=0.4, bands=32, band_bits=1, dim=2
+    ).collect()
+    assert [(r.id_1, r.id_2, r.score) for r in got] == [(1, 2, 0.4)]
+
+
+def test_bucket_gemm_hot_bucket_guard(spark):
+    """A collision bucket past max_bucket_rows fails actionably (the
+    semdedup guard discipline) instead of materializing an unbounded GEMM
+    slab in one task — identical vectors all but guarantee a hot bucket."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        S.embedding_dedup_pairs_lsh(
+            df, threshold=0.4, bands=4, band_bits=1, dim=2, max_bucket_rows=4
+        ).collect()
+
+
 def test_incremental_embedding_dedup_equals_full_rebuild(embeddings):
     """Staged-index incremental path (vector analog of incremental_dedup):
     banding is per-row, so candidates for a new batch against the staged

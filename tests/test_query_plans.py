@@ -253,9 +253,11 @@ TOP_COMPUTE_BUDGETS = {
     "aggregate_global": (0, None),
     "smb_transform": (1, None),
     "ann_hnsw": (3, "BroadcastHashJoin"),
-    # r14 additions: banded-LSH embedding dedup (sig self-join + rescore
-    # joins) and the streamed IVF path (centroid cogroup + rescore joins)
-    "dedup_embedding_lsh": (4, "BroadcastHashJoin"),
+    # r14 additions: banded-LSH embedding dedup and the streamed IVF path
+    # (centroid cogroup + rescore joins). r15: the LSH path trades the sig
+    # self-join for a (band,sig) bucket-GEMM group — one more Exchange
+    # node, but the collision volume no longer exists as shuffled rows.
+    "dedup_embedding_lsh": (5, "BroadcastHashJoin"),
     "ann_ivf_streamed": (5, "FlatMapCoGroupsInPandas"),
 }
 
