@@ -2165,6 +2165,63 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index lifecycle (pq.build_pq_index / append_pq_index /
+    search_pq_index — the compressed sibling of q_ann_ivf_appended,
+    completing the index-maintenance family): vectors with vec_id < 300
+    are the staged index (codebooks trained once, frozen quantizer,
+    (id, pq_code, vector) parquet in the FAISS IndexRefineFlat layout),
+    the rest append as today's batch with one O(batch) encode pass.
+    Search scans only the column-pruned m-byte codes for ADC candidates
+    (16 B/row vs 264 B of raw float32 at dim 64 — pinned in
+    tests/test_pq.py) and exact-rescores against the index's vector
+    column. Run exhaustive (k·oversample ≥ index rows), so the result
+    equals brute-force top-3 and the oracle is plain SQL; production
+    oversample recall is pinned in tests/test_pq.py. The vec_id < 2000
+    cap bounds the exhaustive fixture, not the operator."""
+    import tempfile
+
+    from scio_spark.functions.pq import (
+        append_pq_index,
+        build_pq_index,
+        search_pq_index,
+    )
+
+    sc = _ctx(spark)
+    emb = (
+        _t(sc, sf_dir, "embeddings").df
+        .select("vec_id", "embedding").filter("vec_id < 2000")
+    )
+    path = tempfile.mkdtemp(prefix="scio_spark_pqidx_") + "/idx"
+    build_pq_index(
+        emb.filter("vec_id < 300"), path, m=8, n_codes=16, iters=4
+    )
+    append_pq_index(spark, path, emb.filter("vec_id >= 300"))
+    qs = emb.filter("vec_id % 10 = 2")
+    return search_pq_index(
+        spark, path, qs, k=3, oversample=700, score_decimals=5
+    )
+
+
+ORACLE_ANN_PQ_INDEX = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 10 = 2 AND vec_id < 2000),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id AND c.vec_id < 2000
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 MULTIMODAL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "examples", "fixtures", "multimodal_assets.parquet",
@@ -7657,8 +7714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. the 11 oldest r12-window rows to fill the 50
        (hll_merge ... salted_agg).
 
-    Post-window: the two queries ADDED this round (ann_hnsw_sharded,
-    ann_ivf_appended — locally value-exact, heading the r16 rotation for
+    Post-window: the three queries ADDED this round (ann_hnsw_sharded,
+    ann_ivf_appended, ann_pq_index — locally value-exact, heading the r16 rotation for
     their first driver rows; the coverage_map ratchet enforces that), then
     the remaining 39 r12-window queries (r16 rotation candidates, standing
     order), then the 50 r13-window queries, then the 50 r14-window queries
@@ -7728,6 +7785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/coverage_map.py enforces that)
         "ann_hnsw_sharded": q_ann_hnsw_sharded,
         "ann_ivf_appended": q_ann_ivf_appended,
+        "ann_pq_index": q_ann_pq_index,
         # r12-window remainder — r16 rotation candidates, standing order
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
@@ -8064,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_hnsw": ORACLE_ANN_HNSW,
         "ann_hnsw_sharded": ORACLE_ANN_HNSW_SHARDED,
+        "ann_pq_index": ORACLE_ANN_PQ_INDEX,
         "ann_ivf_appended": ORACLE_ANN_IVF_APPENDED,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

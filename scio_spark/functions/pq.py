@@ -114,6 +114,83 @@ def pq_encode(
     )
 
 
+def _rank_exact(
+    cands: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    score_decimals: int | None,
+    id_col: str,
+    vec_col: str,
+    broadcast_q: bool = False,
+) -> DataFrame:
+    """Shared final stage of every PQ path: exact deterministic-fold
+    rescore of (query_id, neighbor_id) candidates against the float
+    ``vectors`` table, round-before-rank, top-k per query with the
+    (score desc, neighbor_id asc) tie-break — so returned scores are
+    bit-identical to the DuckDB oracle regardless of which candidate
+    generator (ADC broadcast-queries, streamed, IVF-PQ, stored index)
+    produced them."""
+    from .similarity import _dot
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    if broadcast_q:
+        q = F.broadcast(q)
+    c = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cands.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
+    )
+    if score_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", score_decimals))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _adc_candidates(
+    coded: DataFrame,
+    q_ids: np.ndarray,
+    tables: np.ndarray,
+    kk_keep: int,
+    id_col: str,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC candidate scan for the broadcast-queries regime, over any
+    (id, pq_code) DataFrame — freshly encoded or read back from a stored
+    index (where the scan is column-pruned to m+8 bytes/row). Keeps ties
+    at the k·oversample cut (similarity.keep_candidates) so the candidate
+    SET is partition/batch-order independent."""
+    import pandas as pd
+
+    m = tables.shape[1]
+    bc = coded.sparkSession.sparkContext.broadcast((q_ids, tables))
+
+    def gen(batches):
+        ids, tabs = bc.value
+        for pdf in batches:
+            codes = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            b_ids = pdf[id_col].to_numpy()
+            # scores[q, row] = Σ_j tabs[q, j, codes[row, j]]
+            sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+            out_q, out_n = [], []
+            kk = min(kk_keep + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                idx = keep_candidates(sims[qi], kk, 0.0)
+                keep = idx[b_ids[idx] != ids[qi]]
+                out_q.extend([ids[qi]] * len(keep))
+                out_n.extend(b_ids[keep])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    return coded.mapInPandas(gen, "query_id long, neighbor_id long")
+
+
 def cosine_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,48 +214,10 @@ def cosine_topk_pq(
     q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
     # ADC tables: per query and subspace, dot products against every codeword
     tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), codebooks)
-    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, tables, codebooks))
-    kk_keep = k * oversample
-
     coded = pq_encode(corpus, codebooks, vec_col, id_col)
-
-    def gen(batches):
-        ids, tabs, books = bc.value
-        for pdf in batches:
-            codes = np.frombuffer(
-                b"".join(pdf["pq_code"]), dtype=np.uint8
-            ).reshape(len(pdf), m)
-            b_ids = pdf[id_col].to_numpy()
-            # scores[q, row] = Σ_j tabs[q, j, codes[row, j]]
-            sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
-            out_q, out_n = [], []
-            kk = min(kk_keep + 1, sims.shape[1])
-            for qi in range(sims.shape[0]):
-                # keep ties at the cut (similarity.keep_candidates) so the
-                # ADC candidate SET is partition/batch-order independent
-                idx = keep_candidates(sims[qi], kk, 0.0)
-                keep = idx[b_ids[idx] != ids[qi]]
-                out_q.extend([ids[qi]] * len(keep))
-                out_n.extend(b_ids[keep])
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
-
-    cands = coded.mapInPandas(gen, "query_id long, neighbor_id long")
-    from .similarity import _dot
-
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
-    )
-    if score_decimals is not None:
-        scored = scored.withColumn("score", F.round("score", score_decimals))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    cands = _adc_candidates(coded, q_ids, tables, k * oversample, id_col)
+    return _rank_exact(
+        cands, corpus, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )
 
 
@@ -207,7 +246,6 @@ def cosine_topk_ivfpq(
     import pandas as pd
 
     from .ivf import _centroids, assign_centroid
-    from .similarity import _dot
 
     require_side_input_sized(
         queries, max_query_rows, "cosine_topk_ivfpq", "max_query_rows"
@@ -262,20 +300,8 @@ def cosine_topk_ivfpq(
                     yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
     cands = inv.mapInPandas(gen, "query_id long, neighbor_id long").distinct()
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv2"))
-    scored = (
-        cands.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("score", _dot(F.col("__qv"), F.col("__cv2")))
-    )
-    if score_decimals is not None:
-        scored = scored.withColumn("score", F.round("score", score_decimals))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    return _rank_exact(
+        cands, corpus, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )
 
 
@@ -302,8 +328,6 @@ def cosine_topk_pq_streamed(
     big even as codes, compose IVF routing instead
     (ivf.cosine_topk_ivf_streamed / cosine_topk_ivfpq_streamed)."""
     import pandas as pd
-
-    from .similarity import _dot
 
     m, n_codes, sub = codebooks.shape
     coded = pq_encode(corpus, codebooks, vec_col, id_col)
@@ -344,21 +368,7 @@ def cosine_topk_pq_streamed(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     cands = q_in.mapInPandas(gen, "query_id long, neighbor_id long")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    scored = (
-        cands.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("score", _dot(F.col("__qv"), F.col("__cv")))
-    )
-    if score_decimals is not None:
-        scored = scored.withColumn("score", F.round("score", score_decimals))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    return _rank_exact(cands, corpus, queries, k, score_decimals, id_col, vec_col)
 
 
 def cosine_topk_ivfpq_streamed(
@@ -397,7 +407,6 @@ def cosine_topk_ivfpq_streamed(
     import pandas as pd
 
     from .ivf import _centroids, assign_centroid, probe_centroids
-    from .similarity import _dot
 
     m, n_codes, sub = codebooks.shape
     cents = _centroids(corpus, vec_col, n_clusters, seed, 1.0)
@@ -471,18 +480,192 @@ def cosine_topk_ivfpq_streamed(
         .cogroup(inv_b.groupBy("centroid", "__blk"))
         .applyInPandas(adc, "query_id long, neighbor_id long")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv2"))
-    scored = (
-        cands.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .withColumn("score", _dot(F.col("__qv"), F.col("__cv2")))
+    return _rank_exact(cands, corpus, queries, k, score_decimals, id_col, vec_col)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 7,
+    train_rows_cap: int = 50_000,
+) -> np.ndarray:
+    """Persist a PQ index: codebooks as JSON beside ``path`` (the
+    broadcast-sized training artifact, the ivf.build_ivf_index convention)
+    and one parquet row per vector carrying (id, pq_code, vector) — the
+    FAISS IndexRefineFlat layout. Storing the raw vector IN the index
+    keeps search self-contained while costing nothing at scan time:
+    parquet is columnar, so the ADC candidate pass reads only
+    (id, pq_code) — m+8 bytes/row, e.g. 16 B at m=8 vs 264 B for a
+    64-dim float32 row — and the exact rescore reads the vector column
+    for candidate rows alone. Returns the trained codebooks."""
+    import json
+
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    books = train_pq_codebooks(
+        corpus, vec_col, m, n_codes, iters, seed, train_rows_cap
     )
-    if score_decimals is not None:
-        scored = scored.withColumn("score", F.round("score", score_decimals))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+    spark.createDataFrame(
+        [(json.dumps(books.tolist()),)], "codebooks string"
+    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__codebooks")
+    _encode_with_vec(corpus, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return books
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    """Read back the codebooks persisted by build_pq_index."""
+    import json
+
+    row = spark.read.json(path.rstrip("/") + "__codebooks").collect()[0]
+    return np.array(json.loads(row["codebooks"]), dtype=np.float32)
+
+
+def _encode_with_vec(
+    df: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, pq_code, vector) index rows — pq_encode plus the original
+    vector column, preserving its Spark type so stored vectors rescore
+    bit-identically to the source table."""
+    import pandas as pd
+
+    m, n_codes, sub = books.shape
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    def gen(batches):
+        bks = bc.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float32)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                scores = xs @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)
+                codes[:, j] = scores.argmax(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pq_code": [c.tobytes() for c in codes],
+                    vec_col: pdf[vec_col],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, pq_code binary, {vec_col} {vec_type}"
+    )
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a persisted PQ index WITHOUT retraining —
+    the PQ sibling of ivf.append_ivf_index and the incremental dedup
+    index flows: load the stored codebooks (frozen quantizer, the FAISS
+    maintenance model), encode ONLY the batch (one broadcast-GEMM
+    mapInPandas pass over O(batch) rows), append parquet. Cost scales
+    with the batch, never the index; rebuild on distribution drift,
+    append otherwise. Search correctness is unaffected — ADC candidate
+    recall drifts only with codebook fit, and the exhaustive regime
+    stays provably exact."""
+    books = load_pq_codebooks(spark, path)
+    _encode_with_vec(new_vecs, books, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def search_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int = 8,
+    score_decimals: int | None = 5,
+    streamed: bool = False,
+    max_query_rows: int = 100_000,
+    max_index_rows: int = 50_000_000,
+) -> DataFrame:
+    """Top-k cosine over a PERSISTED PQ index (build_pq_index /
+    append_pq_index): ADC candidates from the column-pruned (id, pq_code)
+    scan — m+8 bytes per corpus row, never the float vectors — then the
+    shared exact rescore reading the index's vector column for candidate
+    rows only. Output contract matches cosine_topk; with
+    k·oversample ≥ index rows the candidate pass is exhaustive and the
+    result is provably exact top-k (the contract-query regime; at
+    production oversample the recall floor is pinned in tests/test_pq.py).
+
+    Two regimes, matching search_ivf_index: default collects the
+    (by-contract bounded, guarded) query set and broadcasts its ADC
+    tables; ``streamed=True`` inverts the side-input roles — the m-byte
+    code matrix is the (row-budgeted) broadcast and the query workload
+    stays a DataFrame end to end, each Arrow batch building its own ADC
+    tables in-task (the corpus-scale query shape; for an index too big
+    even as codes, route through ivf.search_ivf_index instead)."""
+    import pandas as pd
+
+    books = load_pq_codebooks(spark, path)
+    m, n_codes, sub = books.shape
+    idx = spark.read.parquet(path)
+    coded = idx.select(id_col, "pq_code")
+    kk_keep = k * oversample
+
+    if streamed:
+        require_side_input_sized(
+            coded, max_index_rows, "search_pq_index", "max_index_rows"
+        )
+        rows = coded.collect()
+        b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        codes = np.frombuffer(
+            b"".join(r[1] for r in rows), dtype=np.uint8
+        ).reshape(len(rows), m)
+        bc = spark.sparkContext.broadcast((b_ids, codes, books))
+
+        def gen(batches):
+            ids, cds, bks = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q_ids = pdf["query_id"].to_numpy()
+                q_mat = np.array(list(pdf["__qv"]), dtype=np.float32)
+                tabs = np.einsum(
+                    "qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), bks
+                )
+                sims = tabs[:, np.arange(m)[None, :], cds].sum(-1)
+                out_q, out_n = [], []
+                kk = min(kk_keep + 1, sims.shape[1])
+                for qi in range(sims.shape[0]):
+                    sel = keep_candidates(sims[qi], kk, 0.0)
+                    keep = sel[ids[sel] != q_ids[qi]]
+                    out_q.extend([q_ids[qi]] * len(keep))
+                    out_n.extend(ids[keep])
+                yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+        q_in = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        cands = q_in.mapInPandas(gen, "query_id long, neighbor_id long")
+        return _rank_exact(cands, idx, queries, k, score_decimals, id_col, vec_col)
+
+    require_side_input_sized(
+        queries, max_query_rows, "search_pq_index", "max_query_rows"
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
+    cands = _adc_candidates(coded, q_ids, tables, kk_keep, id_col)
+    return _rank_exact(
+        cands, idx, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )

@@ -118,3 +118,72 @@ def test_ivfpq_recall(vecs):
     ex = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
     for pair in e & set(s):
         assert ex[pair] == s[pair]
+
+
+def test_pq_index_build_search_exhaustive_exact(vecs, tmp_path):
+    """Persisted index, exhaustive regime (k·oversample ≥ index rows):
+    search over stored codes+vectors equals exact brute-force top-k —
+    the contract-query pin."""
+    from scio_spark.functions.pq import build_pq_index, search_pq_index
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "pqidx")
+    build_pq_index(vecs, path, m=8, n_codes=16, iters=4)
+    got = search_pq_index(spark, path, vecs.limit(20), k=3, oversample=200)
+    want = cosine_topk(vecs, vecs.limit(20), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pq_index_append_equals_full_build(vecs, tmp_path):
+    """build(part) + append(rest) answers searches identically to
+    build(all) in the exhaustive regime: appended rows are first-class
+    index rows and the frozen codebooks only gate candidate recall
+    (irrelevant when exhaustive). Codebooks must train on the SAME part
+    in both runs for code-level equality of the stored files."""
+    from scio_spark.functions.pq import (
+        append_pq_index,
+        build_pq_index,
+        search_pq_index,
+    )
+
+    spark = vecs.sparkSession
+    part = vecs.filter("vec_id < 300")
+    rest = vecs.filter("vec_id >= 300")
+    p1 = str(tmp_path / "staged")
+    build_pq_index(part, p1, m=8, n_codes=16, iters=4)
+    append_pq_index(spark, p1, rest)
+    qs = vecs.filter("vec_id % 40 = 0")
+    got = search_pq_index(spark, p1, qs, k=3, oversample=200)
+    want = cosine_topk(vecs, qs, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_pq_index_streamed_matches_collected(vecs, tmp_path):
+    """streamed=True (codes broadcast, queries stay a DataFrame) returns
+    the same rows as the collected-queries regime at equal parameters."""
+    from scio_spark.functions.pq import build_pq_index, search_pq_index
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "pqidx_s")
+    build_pq_index(vecs, path, m=8, n_codes=64, iters=8)
+    qs = vecs.filter("vec_id % 25 = 0")
+    a = search_pq_index(spark, path, qs, k=5, oversample=8)
+    b = search_pq_index(spark, path, qs, k=5, oversample=8, streamed=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_index_scan_is_column_pruned(vecs, tmp_path):
+    """The ADC candidate branch must read only (id, pq_code) from the
+    index parquet — never the float vector column; the rescore branch
+    reads the vectors. Both properties visible in ReadSchema."""
+    from scio_spark.functions.pq import build_pq_index, search_pq_index
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "pqidx_p")
+    build_pq_index(vecs, path, m=8, n_codes=16, iters=4)
+    plan = (
+        search_pq_index(spark, path, vecs.limit(5), k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("pq_code" in s and "embedding" not in s for s in schemas), schemas
