@@ -2222,6 +2222,63 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index lifecycle (pq.build_ivfpq_index /
+    append_ivfpq_index / search_ivfpq_index — the full FAISS composition
+    persisted: coarse centroids + PQ codebooks as frozen training
+    artifacts, (id, pq_code, vector) parquet PARTITIONED BY centroid):
+    vec_id < 300 is the staged index, the rest appends with one O(batch)
+    assign+encode pass. Search multiplies both prunings — probing touches
+    only n_probe partition directories AND the ADC scan reads only the
+    m-byte code column (both pinned by plan tests in tests/test_pq.py).
+    Run exhaustive (n_probe = n_clusters, k·oversample ≥ largest list) so
+    the result equals brute-force top-3 and the oracle is plain SQL;
+    production-parameter recall and the streamed (salted cogroup) parity
+    are pinned in tests/test_pq.py."""
+    import tempfile
+
+    from scio_spark.functions.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    sc = _ctx(spark)
+    emb = (
+        _t(sc, sf_dir, "embeddings").df
+        .select("vec_id", "embedding").filter("vec_id < 2000")
+    )
+    path = tempfile.mkdtemp(prefix="scio_spark_ivfpqidx_") + "/idx"
+    build_ivfpq_index(
+        emb.filter("vec_id < 300"), path, n_clusters=8, m=8, n_codes=16,
+        iters=4, max_iter=2,
+    )
+    append_ivfpq_index(spark, path, emb.filter("vec_id >= 300"))
+    qs = emb.filter("vec_id % 10 = 3")
+    return search_ivfpq_index(
+        spark, path, qs, k=3, n_probe=8, oversample=700, score_decimals=5
+    )
+
+
+ORACLE_ANN_IVFPQ_INDEX = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 10 = 3 AND vec_id < 2000),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+             list_transform(generate_series(1, len(c.embedding)),
+                            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+             (acc, x) -> acc + x), 5) AS score
+  FROM embeddings c, q WHERE c.vec_id != q.query_id AND c.vec_id < 2000
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 MULTIMODAL_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "examples", "fixtures", "multimodal_assets.parquet",
@@ -7714,8 +7771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. the 11 oldest r12-window rows to fill the 50
        (hll_merge ... salted_agg).
 
-    Post-window: the three queries ADDED this round (ann_hnsw_sharded,
-    ann_ivf_appended, ann_pq_index — locally value-exact, heading the r16 rotation for
+    Post-window: the four queries ADDED this round (ann_hnsw_sharded,
+    ann_ivf_appended, ann_pq_index, ann_ivfpq_index — locally value-exact, heading the r16 rotation for
     their first driver rows; the coverage_map ratchet enforces that), then
     the remaining 39 r12-window queries (r16 rotation candidates, standing
     order), then the 50 r13-window queries, then the 50 r14-window queries
@@ -7786,6 +7843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_sharded": q_ann_hnsw_sharded,
         "ann_ivf_appended": q_ann_ivf_appended,
         "ann_pq_index": q_ann_pq_index,
+        "ann_ivfpq_index": q_ann_ivfpq_index,
         # r12-window remainder — r16 rotation candidates, standing order
         "skewed_join": q_skewed_join,
         "smb_join": q_smb_join,
@@ -8123,6 +8181,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_hnsw": ORACLE_ANN_HNSW,
         "ann_hnsw_sharded": ORACLE_ANN_HNSW_SHARDED,
         "ann_pq_index": ORACLE_ANN_PQ_INDEX,
+        "ann_ivfpq_index": ORACLE_ANN_IVFPQ_INDEX,
         "ann_ivf_appended": ORACLE_ANN_IVF_APPENDED,
         # ann_ivf probes every inverted list (n_probe = n_clusters), so its
         # output is the exact top-3 — same oracle as the brute-force baseline

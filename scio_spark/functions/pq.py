@@ -371,6 +371,96 @@ def cosine_topk_pq_streamed(
     return _rank_exact(cands, corpus, queries, k, score_decimals, id_col, vec_col)
 
 
+def _cogroup_adc_candidates(
+    probes: DataFrame,
+    inv: DataFrame,
+    books: np.ndarray,
+    kk_keep: int,
+    corpus_blocks: int,
+    max_group_rows: int,
+    what: str,
+    coded: bool = False,
+) -> DataFrame:
+    """Salted centroid-cogrouped ADC candidate stage for streamed-queries
+    IVF-PQ, shared by cosine_topk_ivfpq_streamed (corpus arrives as float
+    vectors in ``__cv``, PQ-encoded in-task) and
+    search_ivfpq_index(streamed=True) (corpus arrives as stored m-byte
+    ``pq_code`` — the column-pruned index scan; ``coded=True``). Per-task
+    memory is bounded per the r14 scale seam: the corpus side is salted
+    to (centroid, pmod(xxhash64(neighbor_id), corpus_blocks)) — one task
+    holds at most Θ(n/(n_clusters·corpus_blocks)) corpus rows — and both
+    group sides fail actionably past ``max_group_rows``. Per-block ADC
+    keep lists can only ADD candidates vs the unsalted per-list cut, so
+    recall is monotone in corpus_blocks and the exhaustive regime is
+    unchanged."""
+    import pandas as pd
+
+    m, n_codes, sub = books.shape
+    bc = probes.sparkSession.sparkContext.broadcast(books)
+
+    def adc(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+        if len(cpdf) > max_group_rows:
+            raise ValueError(
+                f"{what}: inverted-list block for "
+                f"centroid {int(cpdf['centroid'].iloc[0])} has {len(cpdf)} "
+                f"rows > max_group_rows={max_group_rows}; increase "
+                f"corpus_blocks (per-task corpus block is "
+                f"~n/(n_clusters*corpus_blocks) rows) or n_clusters, or "
+                f"raise the cap explicitly"
+            )
+        if len(qpdf) > max_group_rows:
+            raise ValueError(
+                f"{what}: {len(qpdf)} queries routed "
+                f"to centroid {int(qpdf['centroid'].iloc[0])} > "
+                f"max_group_rows={max_group_rows}; increase n_clusters "
+                f"(expected per-centroid query volume is "
+                f"~queries*n_probe/n_clusters; size k ~ sqrt(n)) or raise "
+                f"the cap explicitly"
+            )
+        bks = bc.value
+        q_ids = qpdf["query_id"].to_numpy()
+        q_mat = np.array(list(qpdf["__qv"]), dtype=np.float32)
+        tabs = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), bks)
+        if coded:
+            codes = np.frombuffer(
+                b"".join(cpdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(cpdf), m)
+        else:
+            x = np.array(list(cpdf["__cv"]), dtype=np.float32)
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                s = xs @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)
+                codes[:, j] = s.argmax(1)
+        b_ids = cpdf["neighbor_id"].to_numpy()
+        sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+        out_q, out_n = [], []
+        kk = min(kk_keep + 1, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # keep ties at the cut (similarity.keep_candidates) so the
+            # ADC candidate SET is partition/batch-order independent
+            idx = keep_candidates(sims[qi], kk, 0.0)
+            keep = idx[b_ids[idx] != q_ids[qi]]
+            out_q.extend([q_ids[qi]] * len(keep))
+            out_n.extend(b_ids[keep])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    B = max(1, corpus_blocks)
+    inv_b = inv.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(B)).cast("int")
+    )
+    probes_b = probes.withColumn(
+        "__blk", F.explode(F.array(*[F.lit(i) for i in range(B)]))
+    )
+    return (
+        probes_b.groupBy("centroid", "__blk")
+        .cogroup(inv_b.groupBy("centroid", "__blk"))
+        .applyInPandas(adc, "query_id long, neighbor_id long")
+    )
+
+
 def cosine_topk_ivfpq_streamed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -404,11 +494,8 @@ def cosine_topk_ivfpq_streamed(
     error (n_clusters for the query side, k ~ √n). Per-block ADC keep
     lists can only ADD candidates vs the unsalted per-list cut, so recall
     is monotone in corpus_blocks and the exhaustive regime is unchanged."""
-    import pandas as pd
-
     from .ivf import _centroids, assign_centroid, probe_centroids
 
-    m, n_codes, sub = codebooks.shape
     cents = _centroids(corpus, vec_col, n_clusters, seed, 1.0)
     inv = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
@@ -421,64 +508,9 @@ def cosine_topk_ivfpq_streamed(
         cents,
         n_probe,
     )
-    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    kk_keep = k * oversample
-
-    def adc(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        if qpdf.empty or cpdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
-        if len(cpdf) > max_group_rows:
-            raise ValueError(
-                f"cosine_topk_ivfpq_streamed: inverted-list block for "
-                f"centroid {int(cpdf['centroid'].iloc[0])} has {len(cpdf)} "
-                f"rows > max_group_rows={max_group_rows}; increase "
-                f"corpus_blocks (per-task corpus block is "
-                f"~n/(n_clusters*corpus_blocks) rows) or n_clusters, or "
-                f"raise the cap explicitly"
-            )
-        if len(qpdf) > max_group_rows:
-            raise ValueError(
-                f"cosine_topk_ivfpq_streamed: {len(qpdf)} queries routed "
-                f"to centroid {int(qpdf['centroid'].iloc[0])} > "
-                f"max_group_rows={max_group_rows}; increase n_clusters "
-                f"(expected per-centroid query volume is "
-                f"~queries*n_probe/n_clusters; size k ~ sqrt(n)) or raise "
-                f"the cap explicitly"
-            )
-        books = bc.value
-        q_ids = qpdf["query_id"].to_numpy()
-        q_mat = np.array(list(qpdf["__qv"]), dtype=np.float32)
-        tabs = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
-        x = np.array(list(cpdf["__cv"]), dtype=np.float32)
-        codes = np.empty((len(x), m), dtype=np.uint8)
-        for j in range(m):
-            xs = x[:, j * sub : (j + 1) * sub]
-            s = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(1)
-            codes[:, j] = s.argmax(1)
-        b_ids = cpdf["neighbor_id"].to_numpy()
-        sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
-        out_q, out_n = [], []
-        kk = min(kk_keep + 1, sims.shape[1])
-        for qi in range(sims.shape[0]):
-            # keep ties at the cut (similarity.keep_candidates) so the
-            # ADC candidate SET is partition/batch-order independent
-            idx = keep_candidates(sims[qi], kk, 0.0)
-            keep = idx[b_ids[idx] != q_ids[qi]]
-            out_q.extend([q_ids[qi]] * len(keep))
-            out_n.extend(b_ids[keep])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
-
-    B = max(1, corpus_blocks)
-    inv_b = inv.withColumn(
-        "__blk", F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(B)).cast("int")
-    )
-    probes_b = probes.withColumn(
-        "__blk", F.explode(F.array(*[F.lit(i) for i in range(B)]))
-    )
-    cands = (
-        probes_b.groupBy("centroid", "__blk")
-        .cogroup(inv_b.groupBy("centroid", "__blk"))
-        .applyInPandas(adc, "query_id long, neighbor_id long")
+    cands = _cogroup_adc_candidates(
+        probes, inv, codebooks, k * oversample, corpus_blocks,
+        max_group_rows, "cosine_topk_ivfpq_streamed",
     )
     return _rank_exact(cands, corpus, queries, k, score_decimals, id_col, vec_col)
 
@@ -529,15 +561,23 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
 
 
 def _encode_with_vec(
-    df: DataFrame, books: np.ndarray, id_col: str, vec_col: str
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pq_code, vector) index rows — pq_encode plus the original
-    vector column, preserving its Spark type so stored vectors rescore
-    bit-identically to the source table."""
+    """(id, pq_code, vector[, passthrough...]) index rows — pq_encode plus
+    the original vector column (type preserved so stored vectors rescore
+    bit-identically to the source table) and any ``passthrough`` columns
+    (e.g. the IVFPQ centroid assignment)."""
     import pandas as pd
 
     m, n_codes, sub = books.shape
     vec_type = df.schema[vec_col].dataType.simpleString()
+    extra = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
     bc = df.sparkSession.sparkContext.broadcast(books)
 
     def gen(batches):
@@ -549,17 +589,19 @@ def _encode_with_vec(
                 xs = x[:, j * sub : (j + 1) * sub]
                 scores = xs @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)
                 codes[:, j] = scores.argmax(1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "pq_code": [c.tobytes() for c in codes],
-                    vec_col: pdf[vec_col],
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "pq_code": [c.tobytes() for c in codes],
+                vec_col: pdf[vec_col],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        gen, f"{id_col} long, pq_code binary, {vec_col} {vec_type}"
-    )
+    schema = f"{id_col} long, pq_code binary, {vec_col} {vec_type}"
+    if extra:
+        schema += ", " + extra
+    return df.select(id_col, vec_col, *passthrough).mapInPandas(gen, schema)
 
 
 def append_pq_index(
@@ -666,6 +708,197 @@ def search_pq_index(
     q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
     tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
     cands = _adc_candidates(coded, q_ids, tables, kk_keep, id_col)
+    return _rank_exact(
+        cands, idx, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    iters: int = 10,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    max_iter: int = 8,
+    train_rows_cap: int = 50_000,
+):
+    """Persist the full FAISS-style IVF-PQ index: coarse centroids AND PQ
+    codebooks as JSON beside ``path`` (both broadcast-sized training
+    artifacts, fit on bounded samples), and one parquet row per vector
+    carrying (id, pq_code, vector) PARTITIONED BY its coarse centroid.
+    Search gets both prunings multiplied: probing touches only n_probe
+    partition directories (ivf.build_ivf_index's layout) and the ADC scan
+    inside them reads only the m-byte code column (build_pq_index's
+    columnar cut) — at 100 TB the scan cost per query drops by
+    ~(n_probe/n_clusters)·(m+8)/(8+4·dim) versus brute force over raw
+    vectors. Returns (centroids, codebooks)."""
+    import json
+
+    from .ivf import _centroids, assign_centroid
+
+    spark = corpus.sparkSession
+    cents = _centroids(
+        corpus, vec_col, n_clusters, seed, sample_fraction, max_iter,
+        train_rows_cap=train_rows_cap,
+    )
+    books = train_pq_codebooks(
+        corpus, vec_col, m, n_codes, iters, seed, train_rows_cap
+    )
+    assigned = assign_centroid(corpus.select(id_col, vec_col), vec_col, cents)
+    _encode_with_vec(
+        assigned, books, id_col, vec_col, passthrough=("centroid",)
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+    spark.createDataFrame(
+        [(json.dumps(cents), json.dumps(books.tolist()))],
+        "centroids string, codebooks string",
+    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__meta")
+    return cents, books
+
+
+def _load_ivfpq_meta(spark, path: str):
+    """(centroids, codebooks) persisted by build_ivfpq_index."""
+    import json
+
+    row = spark.read.json(path.rstrip("/") + "__meta").collect()[0]
+    return (
+        json.loads(row["centroids"]),
+        np.array(json.loads(row["codebooks"]), dtype=np.float32),
+    )
+
+
+def append_ivfpq_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a vector batch to a persisted IVF-PQ index WITHOUT
+    retraining (frozen coarse quantizer AND codebooks — the FAISS
+    maintenance model shared with append_ivf_index / append_pq_index):
+    assign + encode ONLY the batch, append centroid-partitioned files.
+    Cost scales with the batch, never the index; rebuild on distribution
+    drift, append otherwise."""
+    from .ivf import assign_centroid
+
+    cents, books = _load_ivfpq_meta(spark, path)
+    assigned = assign_centroid(new_vecs.select(id_col, vec_col), vec_col, cents)
+    _encode_with_vec(
+        assigned, books, id_col, vec_col, passthrough=("centroid",)
+    ).write.mode("append").partitionBy("centroid").parquet(path)
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    oversample: int = 8,
+    score_decimals: int | None = 5,
+    streamed: bool = False,
+    max_query_rows: int = 100_000,
+    corpus_blocks: int = 1,
+    max_group_rows: int = 2_000_000,
+) -> DataFrame:
+    """Top-k cosine over a persisted IVF-PQ index: probe routing prunes
+    to n_probe centroid PARTITIONS, ADC candidates come from the
+    column-pruned (id, centroid, pq_code) scan of those partitions alone,
+    and the shared exact rescore reads the vector column for candidate
+    rows of the probed partitions only. With n_probe = n_clusters and
+    k·oversample ≥ the largest inverted list the result is provably
+    exact top-k (the contract-query regime).
+
+    Default regime collects the (guarded) query set, routes it
+    driver-side and broadcasts per-centroid ADC tables;
+    ``streamed=True`` keeps queries a DataFrame end to end — distributed
+    probe routing (ivf.probe_centroids) + the salted, memory-bounded
+    centroid cogroup (_cogroup_adc_candidates with the stored codes), so
+    only the two training artifacts are ever broadcast."""
+    import pandas as pd
+
+    from .ivf import probe_centroids
+
+    cents, books = _load_ivfpq_meta(spark, path)
+    m, n_codes, sub = books.shape
+    kk_keep = k * oversample
+
+    def _pruned(probed):
+        return spark.read.parquet(path).filter(
+            F.col("centroid").isin(list(probed))
+        )
+
+    if streamed:
+        probes = probe_centroids(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "__qv",
+            cents,
+            n_probe,
+        )
+        probed = sorted(
+            {r["centroid"] for r in probes.select("centroid").distinct().collect()}
+        )
+        idx = _pruned(probed)
+        inv = idx.select(
+            F.col(id_col).alias("neighbor_id"), "pq_code", "centroid"
+        )
+        cands = _cogroup_adc_candidates(
+            probes, inv, books, kk_keep, corpus_blocks, max_group_rows,
+            "search_ivfpq_index", coded=True,
+        )
+        return _rank_exact(cands, idx, queries, k, score_decimals, id_col, vec_col)
+
+    require_side_input_sized(
+        queries, max_query_rows, "search_ivfpq_index", "max_query_rows"
+    )
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
+    tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
+    cmat = np.array(cents, dtype=np.float32)
+    p = min(n_probe, len(cents))
+    order = np.argsort(-(q_mat @ cmat.T), axis=1, kind="stable")[:, :p]
+    packed: dict[int, tuple] = {}
+    for c in np.unique(order):
+        rows = np.nonzero((order == c).any(axis=1))[0]
+        packed[int(c)] = (q_ids[rows], tables[rows])
+    idx = _pruned(sorted(packed))
+    coded = idx.select(id_col, "centroid", "pq_code")
+    bc = spark.sparkContext.broadcast(packed)
+
+    def gen(batches):
+        tbl = bc.value
+        for pdf in batches:
+            for cen, grp in pdf.groupby("centroid"):
+                hit = tbl.get(int(cen))
+                if hit is None:
+                    continue
+                ids, tabs = hit
+                codes = np.frombuffer(
+                    b"".join(grp["pq_code"]), dtype=np.uint8
+                ).reshape(len(grp), m)
+                b_ids = grp[id_col].to_numpy()
+                sims = tabs[:, np.arange(m)[None, :], codes].sum(-1)
+                out_q, out_n = [], []
+                kk = min(kk_keep + 1, sims.shape[1])
+                for qi in range(sims.shape[0]):
+                    sel = keep_candidates(sims[qi], kk, 0.0)
+                    keep = sel[b_ids[sel] != ids[qi]]
+                    out_q.extend([ids[qi]] * len(keep))
+                    out_n.extend(b_ids[keep])
+                if out_q:
+                    yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = coded.mapInPandas(gen, "query_id long, neighbor_id long")
     return _rank_exact(
         cands, idx, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )

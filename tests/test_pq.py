@@ -187,3 +187,66 @@ def test_pq_index_scan_is_column_pruned(vecs, tmp_path):
     )
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert any("pq_code" in s and "embedding" not in s for s in schemas), schemas
+
+
+def test_ivfpq_index_build_append_search_exhaustive_exact(vecs, tmp_path):
+    """Persisted IVF-PQ index: build(part) + append(rest), searched with
+    n_probe = n_clusters and k·oversample ≥ the largest list, equals
+    exact brute-force top-k — both prunings exercised, zero recall loss
+    in the exhaustive regime."""
+    from scio_spark.functions.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        vecs.filter("vec_id < 300"), path, n_clusters=8, m=8, n_codes=16,
+        iters=4, max_iter=2,
+    )
+    append_ivfpq_index(spark, path, vecs.filter("vec_id >= 300"))
+    qs = vecs.filter("vec_id % 40 = 0")
+    got = search_ivfpq_index(spark, path, qs, k=3, n_probe=8, oversample=200)
+    want = cosine_topk(vecs, qs, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_index_streamed_matches_collected(vecs, tmp_path):
+    """streamed=True (distributed probe routing + salted coded cogroup)
+    returns the same rows as the collected regime at equal parameters,
+    including with corpus block-salting on."""
+    from scio_spark.functions.pq import build_ivfpq_index, search_ivfpq_index
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "ivfpq_s")
+    build_ivfpq_index(vecs, path, n_clusters=8, m=8, n_codes=64, iters=8, max_iter=2)
+    qs = vecs.filter("vec_id % 25 = 0")
+    a = search_ivfpq_index(spark, path, qs, k=5, n_probe=8, oversample=200)
+    b = search_ivfpq_index(
+        spark, path, qs, k=5, n_probe=8, oversample=200, streamed=True,
+        corpus_blocks=3,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_index_scan_is_partition_and_column_pruned(vecs, tmp_path):
+    """With n_probe < n_clusters the candidate branch must show BOTH
+    prunings: a centroid partition filter and a ReadSchema restricted to
+    (id, pq_code) — never the float vectors."""
+    from scio_spark.functions.pq import build_ivfpq_index, search_ivfpq_index
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "ivfpq_p")
+    build_ivfpq_index(vecs, path, n_clusters=8, m=8, n_codes=16, iters=4, max_iter=2)
+    plan = (
+        search_ivfpq_index(spark, path, vecs.limit(5), k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    assert any(
+        "PartitionFilters" in l and "centroid" in l for l in lines
+    ), "no centroid partition pruning in plan"
+    schemas = [l for l in lines if "ReadSchema" in l]
+    assert any("pq_code" in s and "embedding" not in s for s in schemas), schemas
