@@ -2104,7 +2104,7 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_HNSW = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 10 = 3 AND vec_id < 2000),
+           WHERE vec_id % 40 = 3 AND vec_id < 2000),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_reduce(
@@ -2197,7 +2197,7 @@ def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter("vec_id < 300"), path, m=8, n_codes=16, iters=4
     )
     append_pq_index(spark, path, emb.filter("vec_id >= 300"))
-    qs = emb.filter("vec_id % 10 = 2")
+    qs = emb.filter("vec_id % 40 = 2")
     return search_pq_index(
         spark, path, qs, k=3, oversample=700, score_decimals=5
     )
@@ -2205,7 +2205,7 @@ def q_ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_PQ_INDEX = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 10 = 2 AND vec_id < 2000),
+           WHERE vec_id % 40 = 2 AND vec_id < 2000),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_reduce(
@@ -2254,7 +2254,7 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=4, max_iter=2,
     )
     append_ivfpq_index(spark, path, emb.filter("vec_id >= 300"))
-    qs = emb.filter("vec_id % 10 = 3")
+    qs = emb.filter("vec_id % 40 = 3")
     return search_ivfpq_index(
         spark, path, qs, k=3, n_probe=8, oversample=700, score_decimals=5
     )
@@ -2262,7 +2262,7 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_IVFPQ_INDEX = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 10 = 3 AND vec_id < 2000),
+           WHERE vec_id % 40 = 3 AND vec_id < 2000),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_reduce(

@@ -294,6 +294,25 @@ def _routed_gemm_candidates(inv: DataFrame, packed: dict, k: int,
     return inv.mapInPandas(gen, "query_id long, neighbor_id long")
 
 
+def write_small_json(spark, dir_path: str, obj: dict) -> None:
+    """Persist a driver-sized metadata record (index centroids /
+    codebooks) as ``<dir>/part-00000.json`` through the Hadoop FileSystem
+    API — filesystem-agnostic like a DataFrame write (HDFS/S3A/GCS via
+    the same scheme resolution) but without a Spark job: writing one
+    local row through the JSON datasource costs ~4-6 s of job scheduling
+    + codegen per call (measured r15), which dominated the whole
+    build-index step. Readers keep using ``spark.read.json(dir)`` — the
+    on-disk layout is unchanged."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/") + "/part-00000.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray((json.dumps(obj) + "\n").encode("utf-8")))
+    out.close()
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -317,12 +336,13 @@ def build_ivf_index(
     )
     assigned = assign_centroid(corpus.select(id_col, vec_col), vec_col, cents)
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
-    spark = corpus.sparkSession
     import json
 
-    spark.createDataFrame(
-        [(json.dumps(cents),)], "centroids string"
-    ).repartition(1).write.mode("overwrite").json(path.rstrip("/") + "__centroids")
+    write_small_json(
+        corpus.sparkSession,
+        path.rstrip("/") + "__centroids",
+        {"centroids": json.dumps(cents)},
+    )
     return cents
 
 

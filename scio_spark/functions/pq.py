@@ -543,9 +543,12 @@ def build_pq_index(
     books = train_pq_codebooks(
         corpus, vec_col, m, n_codes, iters, seed, train_rows_cap
     )
-    spark.createDataFrame(
-        [(json.dumps(books.tolist()),)], "codebooks string"
-    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__codebooks")
+    from .ivf import write_small_json
+
+    write_small_json(
+        spark, path.rstrip("/") + "__codebooks",
+        {"codebooks": json.dumps(books.tolist())},
+    )
     _encode_with_vec(corpus, books, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(path)
@@ -753,10 +756,12 @@ def build_ivfpq_index(
     _encode_with_vec(
         assigned, books, id_col, vec_col, passthrough=("centroid",)
     ).write.mode("overwrite").partitionBy("centroid").parquet(path)
-    spark.createDataFrame(
-        [(json.dumps(cents), json.dumps(books.tolist()))],
-        "centroids string, codebooks string",
-    ).coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "__meta")
+    from .ivf import write_small_json
+
+    write_small_json(
+        spark, path.rstrip("/") + "__meta",
+        {"centroids": json.dumps(cents), "codebooks": json.dumps(books.tolist())},
+    )
     return cents, books
 
 
