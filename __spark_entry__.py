@@ -2104,7 +2104,7 @@ def q_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_HNSW = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 40 = 3 AND vec_id < 2000),
+           WHERE vec_id % 10 = 3 AND vec_id < 2000),
 s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_reduce(

@@ -205,8 +205,6 @@ def cosine_topk_pq(
     """Top-k cosine via PQ/ADC candidates + exact float rescore. Output
     contract matches cosine_topk: (query_id, neighbor_id, score, rank)
     with EXACT scores; the m-byte codes only gate candidate recall."""
-    import pandas as pd
-
     require_side_input_sized(queries, max_query_rows, "cosine_topk_pq", "max_query_rows")
     m, n_codes, sub = codebooks.shape
     qrows = queries.select(id_col, vec_col).collect()
@@ -536,8 +534,6 @@ def build_pq_index(
     64-dim float32 row — and the exact rescore reads the vector column
     for candidate rows alone. Returns the trained codebooks."""
     import json
-
-    import pandas as pd
 
     spark = corpus.sparkSession
     books = train_pq_codebooks(
