@@ -70,6 +70,14 @@ def train_pq_codebooks(
     of shape (m, n_codes, d/m). d must divide by m."""
     sample = corpus.select(vec_col).limit(train_rows_cap).collect()
     x = np.array([r[0] for r in sample], dtype=np.float32)
+    return _fit_codebooks(x, m, n_codes, iters, seed)
+
+
+def _fit_codebooks(
+    x: np.ndarray, m: int, n_codes: int, iters: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means over a training matrix (raw vectors for plain
+    PQ, residuals for IVFPQ residual mode)."""
     d = x.shape[1]
     if d % m:
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
@@ -565,11 +573,15 @@ def _encode_with_vec(
     id_col: str,
     vec_col: str,
     passthrough: tuple[str, ...] = (),
+    residual_cents: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, pq_code, vector[, passthrough...]) index rows — pq_encode plus
     the original vector column (type preserved so stored vectors rescore
     bit-identically to the source table) and any ``passthrough`` columns
-    (e.g. the IVFPQ centroid assignment)."""
+    (e.g. the IVFPQ centroid assignment). With ``residual_cents`` the
+    codes quantize the RESIDUAL x − centroid[assignment] (classic IVFPQ;
+    requires 'centroid' in passthrough) — the stored vector column stays
+    the raw vector either way."""
     import pandas as pd
 
     m, n_codes, sub = books.shape
@@ -577,12 +589,14 @@ def _encode_with_vec(
     extra = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in passthrough
     )
-    bc = df.sparkSession.sparkContext.broadcast(books)
+    bc = df.sparkSession.sparkContext.broadcast((books, residual_cents))
 
     def gen(batches):
-        bks = bc.value
+        bks, rcents = bc.value
         for pdf in batches:
             x = np.array(list(pdf[vec_col]), dtype=np.float32)
+            if rcents is not None and len(x):
+                x = x - rcents[pdf["centroid"].to_numpy()]
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
@@ -725,6 +739,7 @@ def build_ivfpq_index(
     sample_fraction: float = 1.0,
     max_iter: int = 8,
     train_rows_cap: int = 50_000,
+    residual: bool = False,
 ):
     """Persist the full FAISS-style IVF-PQ index: coarse centroids AND PQ
     codebooks as JSON beside ``path`` (both broadcast-sized training
@@ -735,7 +750,17 @@ def build_ivfpq_index(
     inside them reads only the m-byte code column (build_pq_index's
     columnar cut) — at 100 TB the scan cost per query drops by
     ~(n_probe/n_clusters)·(m+8)/(8+4·dim) versus brute force over raw
-    vectors. Returns (centroids, codebooks)."""
+    vectors. Returns (centroids, codebooks).
+
+    ``residual=True`` quantizes x − centroid[assignment] instead of x
+    (classic IVFPQ, Jégou et al. §IV): on clustered data the residual
+    cloud is tighter than the raw vectors, so the same m bytes buy a
+    finer quantizer and better ADC candidate recall (pinned on a blob
+    fixture in tests/test_pq.py). Search scoring needs NO change: within
+    one inverted list q·x = q·centroid + q·residual differs from the
+    residual-ADC estimate by a per-list constant, and every candidate
+    cut in this module is per-list, so candidate sets — and the exact
+    rescore on raw vectors — are computed identically."""
     import json
 
     from .ivf import _centroids, assign_centroid
@@ -745,30 +770,42 @@ def build_ivfpq_index(
         corpus, vec_col, n_clusters, seed, sample_fraction, max_iter,
         train_rows_cap=train_rows_cap,
     )
-    books = train_pq_codebooks(
-        corpus, vec_col, m, n_codes, iters, seed, train_rows_cap
-    )
+    cmat = np.array(cents, dtype=np.float32)
+    if residual:
+        sample = corpus.select(vec_col).limit(train_rows_cap).collect()
+        x = np.array([r[0] for r in sample], dtype=np.float32)
+        x = x - cmat[np.argmax(x @ cmat.T, axis=1)]
+        books = _fit_codebooks(x, m, n_codes, iters, seed)
+    else:
+        books = train_pq_codebooks(
+            corpus, vec_col, m, n_codes, iters, seed, train_rows_cap
+        )
     assigned = assign_centroid(corpus.select(id_col, vec_col), vec_col, cents)
     _encode_with_vec(
-        assigned, books, id_col, vec_col, passthrough=("centroid",)
+        assigned, books, id_col, vec_col, passthrough=("centroid",),
+        residual_cents=cmat if residual else None,
     ).write.mode("overwrite").partitionBy("centroid").parquet(path)
     from .ivf import write_small_json
 
     write_small_json(
         spark, path.rstrip("/") + "__meta",
-        {"centroids": json.dumps(cents), "codebooks": json.dumps(books.tolist())},
+        {"centroids": json.dumps(cents), "codebooks": json.dumps(books.tolist()),
+         "residual": "1" if residual else "0"},
     )
     return cents, books
 
 
 def _load_ivfpq_meta(spark, path: str):
-    """(centroids, codebooks) persisted by build_ivfpq_index."""
+    """(centroids, codebooks, residual) persisted by build_ivfpq_index.
+    Pre-residual indexes have no 'residual' field — treated as raw."""
     import json
 
     row = spark.read.json(path.rstrip("/") + "__meta").collect()[0]
+    residual = "residual" in row.__fields__ and row["residual"] == "1"
     return (
         json.loads(row["centroids"]),
         np.array(json.loads(row["codebooks"]), dtype=np.float32),
+        residual,
     )
 
 
@@ -787,10 +824,11 @@ def append_ivfpq_index(
     drift, append otherwise."""
     from .ivf import assign_centroid
 
-    cents, books = _load_ivfpq_meta(spark, path)
+    cents, books, residual = _load_ivfpq_meta(spark, path)
     assigned = assign_centroid(new_vecs.select(id_col, vec_col), vec_col, cents)
     _encode_with_vec(
-        assigned, books, id_col, vec_col, passthrough=("centroid",)
+        assigned, books, id_col, vec_col, passthrough=("centroid",),
+        residual_cents=np.array(cents, dtype=np.float32) if residual else None,
     ).write.mode("append").partitionBy("centroid").parquet(path)
 
 
@@ -827,7 +865,10 @@ def search_ivfpq_index(
 
     from .ivf import probe_centroids
 
-    cents, books = _load_ivfpq_meta(spark, path)
+    # residual mode changes only how codes were TRAINED/encoded; ADC
+    # tables and every per-list cut work identically (build_ivfpq_index
+    # docstring), so the flag is loaded but needs no branch here.
+    cents, books, _residual = _load_ivfpq_meta(spark, path)
     m, n_codes, sub = books.shape
     kk_keep = k * oversample
 

@@ -250,3 +250,69 @@ def test_ivfpq_index_scan_is_partition_and_column_pruned(vecs, tmp_path):
     ), "no centroid partition pruning in plan"
     schemas = [l for l in lines if "ReadSchema" in l]
     assert any("pq_code" in s and "embedding" not in s for s in schemas), schemas
+
+
+def test_ivfpq_index_residual_exhaustive_exact(vecs, tmp_path):
+    """residual=True changes only how codes are trained/encoded; the
+    exhaustive regime (with append) must still equal brute-force top-k,
+    and the stored flag must survive the append round-trip."""
+    from scio_spark.functions.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    spark = vecs.sparkSession
+    path = str(tmp_path / "ivfpq_r")
+    build_ivfpq_index(
+        vecs.filter("vec_id < 300"), path, n_clusters=8, m=8, n_codes=16,
+        iters=4, max_iter=2, residual=True,
+    )
+    append_ivfpq_index(spark, path, vecs.filter("vec_id >= 300"))
+    qs = vecs.filter("vec_id % 40 = 0")
+    got = search_ivfpq_index(spark, path, qs, k=3, n_probe=8, oversample=200)
+    want = cosine_topk(vecs, qs, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivfpq_residual_codes_reconstruct_better_on_clustered_data(spark, tmp_path):
+    """The point of residual mode: on clustered data the residual cloud is
+    tighter than the raw vectors, so the same m bytes quantize finer.
+    Pin: centroid + decoded-residual reconstruction beats raw-PQ decode
+    on a blob fixture (8 tight clusters around random unit centers)."""
+    import numpy as np
+
+    from scio_spark.functions.pq import _load_ivfpq_meta, build_ivfpq_index
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(0, 1, (8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 50, axis=0) + rng.normal(0, 0.05, (400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(400)],
+        ["vec_id", "embedding"],
+    )
+
+    def recon_err(path, residual):
+        cents, books, flag = _load_ivfpq_meta(spark, path)
+        assert flag is residual
+        cmat = np.array(cents, dtype=np.float32)
+        m, _, sub = books.shape
+        rows = spark.read.parquet(path).collect()
+        err = 0.0
+        for r in rows:
+            code = np.frombuffer(bytes(r.pq_code), np.uint8)
+            dec = np.concatenate([books[j, code[j]] for j in range(m)])
+            if residual:
+                dec = dec + cmat[r.centroid]
+            v = np.array(r.embedding, dtype=np.float32)
+            err += float(((dec - v) ** 2).sum())
+        return err
+
+    kw = dict(n_clusters=8, m=8, n_codes=8, iters=6, max_iter=4, seed=5)
+    p_raw = str(tmp_path / "raw")
+    p_res = str(tmp_path / "res")
+    build_ivfpq_index(df, p_raw, residual=False, **kw)
+    build_ivfpq_index(df, p_res, residual=True, **kw)
+    e_raw, e_res = recon_err(p_raw, False), recon_err(p_res, True)
+    assert e_res < 0.5 * e_raw, (e_res, e_raw)
