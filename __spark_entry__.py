@@ -2233,8 +2233,10 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m-byte code column (both pinned by plan tests in tests/test_pq.py).
     Run exhaustive (n_probe = n_clusters, k·oversample ≥ largest list) so
     the result equals brute-force top-3 and the oracle is plain SQL;
-    production-parameter recall and the streamed (salted cogroup) parity
-    are pinned in tests/test_pq.py."""
+    the index is built in RESIDUAL mode (codes quantize x − centroid —
+    exhaustive exactness is mode-independent, so the driver row covers
+    the deeper path). Production-parameter recall and the streamed
+    (salted cogroup) parity are pinned in tests/test_pq.py."""
     import tempfile
 
     from scio_spark.functions.pq import (
@@ -2251,7 +2253,7 @@ def q_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="scio_spark_ivfpqidx_") + "/idx"
     build_ivfpq_index(
         emb.filter("vec_id < 300"), path, n_clusters=8, m=8, n_codes=16,
-        iters=4, max_iter=2,
+        iters=4, max_iter=2, residual=True,
     )
     append_ivfpq_index(spark, path, emb.filter("vec_id >= 300"))
     qs = emb.filter("vec_id % 40 = 3")
