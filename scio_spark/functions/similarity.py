@@ -911,6 +911,8 @@ def cosine_topk_hnsw(
                 out, columns=["query_id", "neighbor_id", "score", "rank"]
             )
 
+    margin = cut_margin(score_decimals)
+
     def gen_pairs(batches):
         c_ids, idx = pickle.loads(bc.value)
         id_of = {int(v): j for j, v in enumerate(c_ids)}
@@ -924,10 +926,22 @@ def cosine_topk_hnsw(
                 found = search_hnsw(
                     idx, np.asarray(vec, np.float64), ef, ef
                 )
+                # Candidate cut before the JVM rescore (guide §2.3 —
+                # decide with small rows): only rows that can still rank
+                # top-k after round(score, score_decimals) survive.
+                # keep_candidates + cut_margin keep every row within a
+                # full rounding step (+ float drift) of the k-th beam
+                # score, so the rescored top-k is IDENTICAL to rescoring
+                # the whole beam — previously the exhaustive regime
+                # emitted the entire corpus per query (|queries|·n pairs)
+                # into the fold-dot + window rank.
+                sims = np.fromiter((s for s, _ in found), np.float64, len(found))
+                rows = np.fromiter((r for _, r in found), np.int64, len(found))
+                nonself = rows != self_row
+                sims, rows = sims[nonself], rows[nonself]
                 out.extend(
-                    (q_id, int(c_ids[row]))
-                    for _, row in found
-                    if row != self_row
+                    (q_id, int(c_ids[r]))
+                    for r in rows[keep_candidates(sims, k, margin)]
                 )
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id"])
 
@@ -1051,20 +1065,37 @@ def cosine_topk_hnsw_sharded(
         index = build_hnsw(mat, m=m, ef_construction=ef_construction)
         ef = index.n if ef_search is None else max(ef_search, k + 2)
         id_of = {int(v): j for j, v in enumerate(c_ids)}
+        margin = cut_margin(score_decimals)
         out = []
         for q_id, vec in zip(qpdf["query_id"], qpdf["__qv"]):
             q_id = int(q_id)
             self_row = id_of.get(q_id, -1)
-            # exhaustive+exact emits the whole beam (candidate pairs);
-            # the approximate regime keeps per-shard top-k directly
+            # exact_rescore: cut the beam to the score-safe per-shard
+            # top-k before the JVM rescore (guide §2.3) — every row
+            # within cut_margin of the shard's k-th beam score survives,
+            # so the rescored global rank is identical to emitting the
+            # whole beam (per-shard containment: k kept rows strictly
+            # outrank any dropped row even after rounding). The
+            # approximate regime keeps per-shard top-k directly.
             n_keep = ef if exact_rescore else min(k + 1, index.n)
             found = search_hnsw(index, np.asarray(vec, np.float64), n_keep, ef)
+            if exact_rescore:
+                sims = np.fromiter((s for s, _ in found), np.float64, len(found))
+                rows = np.fromiter((r for _, r in found), np.int64, len(found))
+                nonself = rows != self_row
+                sims, rows = sims[nonself], rows[nonself]
+                kp = keep_candidates(sims, k, margin)
+                out.extend(
+                    (q_id, int(c_ids[r]), float(s))
+                    for s, r in zip(sims[kp], rows[kp])
+                )
+                continue
             kept = 0
             for s, row in found:
                 if row == self_row:
                     continue
                 kept += 1
-                if not exact_rescore and kept > k:
+                if kept > k:
                     break
                 out.append((q_id, int(c_ids[row]), float(s)))
         return pd.DataFrame(out, columns=list(cols)) if out else pd.DataFrame(cols)

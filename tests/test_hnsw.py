@@ -234,3 +234,46 @@ def test_hnsw_sharded_group_guard_trips(spark):
         cosine_topk_hnsw_sharded(
             emb, qs, k=3, n_shards=2, max_group_rows=10
         ).collect()
+
+
+def test_hnsw_exact_rescore_cut_keeps_rounding_boundary_ties(spark):
+    """The r15-opt candidate cut (keep_candidates + cut_margin before the
+    JVM rescore) must keep every row within one rounding step of the k-th
+    beam score: a corpus planted with scores straddling the 5-decimal
+    boundary around rank k must still produce output identical to the
+    brute JVM path, for BOTH the side-input and the sharded operator."""
+    import math
+
+    from scio_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_hnsw,
+        cosine_topk_hnsw_sharded,
+    )
+
+    # query = angle 0; neighbors at angles giving cosines that tie at 5
+    # decimals across the k=2 boundary (0.9 + {4.9e-6, 0, -4.9e-6} all
+    # round to 0.90000 — the 0.399996-class pattern from ADVICE r14)
+    cosines = [0.99, 0.95, 0.9 + 4.9e-6, 0.9, 0.9 - 4.9e-6, 0.5, 0.1]
+    data = [(0, [1.0, 0.0])] + [
+        (i + 1, [c, math.sqrt(1 - c * c)]) for i, c in enumerate(cosines)
+    ]
+    emb = spark.createDataFrame(data, ["vec_id", "embedding"])
+    qs = emb.filter("vec_id = 0")
+    for k in (2, 4):
+        ref = sorted(
+            tuple(r) for r in cosine_topk(emb, qs, k=k).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in cosine_topk_hnsw(
+                emb, qs, k=k, ef_search=None, exact_rescore=True
+            ).collect()
+        )
+        assert got == ref, f"side-input k={k}"
+        got_sh = sorted(
+            tuple(r)
+            for r in cosine_topk_hnsw_sharded(
+                emb, qs, k=k, ef_search=None, exact_rescore=True, n_shards=2
+            ).collect()
+        )
+        assert got_sh == ref, f"sharded k={k}"
