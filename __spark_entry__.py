@@ -2623,10 +2623,11 @@ def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys = len({seg for seg, _ in batch})  # 5 at sf>=0.01, fewer at 0.001
     f = StreamFixture(spark, "segment string, v int")
     f.add_batch(batch)
-    # 1 s pane delay is pure latency here (ONE staged batch: the deadline
-    # arms at its processing time; no second batch can split the pane)
+    # pane delay is pure latency here (ONE staged batch: the deadline
+    # arms at its processing time; no second batch can split the pane) —
+    # r15-opt: 1000 → 400 ms, > one 300 ms trigger (soaked 3x stable)
     panes = processing_time_panes(
-        f.stream(), ["segment"], "v", delay_ms=1000
+        f.stream(), ["segment"], "v", delay_ms=400
     )
     rows: list = []
 
@@ -2717,12 +2718,14 @@ def q_watermark_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     f = StreamFixture(spark, "event_type string, ts timestamp, one int")
     f.add_batch(even)
-    # 1 s late delay is latency, not a race margin: the deadline arms at
-    # the processing time of the (single) late batch, so the pane can
-    # never fire early or split — shrinking it only trims wall time
+    # late delay is latency, not a race margin: the deadline arms at the
+    # processing time of the (single) late batch, so the pane can never
+    # fire early or split — shrinking it only trims wall time (r15-opt:
+    # 1000 → 400 ms, > one 300 ms trigger so the firing lands on the
+    # next sweep; soaked 3x stable)
     panes = watermark_panes(
         f.stream(), "ts", "1 hour", "6 hours", ["event_type"], "one",
-        late_delay_ms=1000,
+        late_delay_ms=400,
     )
     rows: list = []
 
