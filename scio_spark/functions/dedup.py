@@ -59,14 +59,31 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ----------------------------------------------------------------- shingles
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    fan_out: bool = True,
+) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, s). Single-space word
     split (documents fixture is single-spaced); joined with spaces.
 
     The split array is STAGED in its own projection so the n references to
     it inside the per-element lambda read a computed column instead of
     re-running the split (unstaged, the split re-evaluates per element —
-    O(words²) per doc)."""
+    O(words²) per doc).
+
+    ``fan_out`` (r15-opt): the scan is fanned out to scheduling width
+    first (fanout.py) — the split/concat/explode plus the distinct's
+    map-side partial agg are the expensive pre-shuffle stage, and a
+    narrow input (few row groups) would run them on one core. Callers
+    shingling a deliberately SMALL side (eval sets headed for a
+    broadcast) pass False: one extra exchange there is pure overhead."""
+    from scio_spark.fanout import fan_out_scan
+
+    if fan_out:
+        df = fan_out_scan(df)
     staged = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     )
@@ -367,7 +384,9 @@ def simhash(
     # array_distinct already dedupes tokens WITHIN the doc, and ids are
     # unique by contract (one row per document) — an extra .distinct()
     # here would be a second full shuffle of every (id, token) row for
-    # nothing
+    # nothing. (r15-opt: fan_out_scan here was A/B'd and LOST ~0.4 s at
+    # sf0.1 — one md5+conv per token is too little pre-shuffle work to
+    # buy back the extra exchange; the shingle pipelines keep it.)
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("t"),
@@ -611,7 +630,11 @@ def ngram_contamination(
     web scale cap near-universal shingles first with
     ``cap_shingle_frequency`` to keep the join selective."""
     t = shingles(train, id_col, text_col, n)
-    e = shingles(eval_df, id_col, text_col, n).select("s").distinct()
+    e = (
+        shingles(eval_df, id_col, text_col, n, fan_out=False)
+        .select("s")
+        .distinct()
+    )
     return (
         t.join(e, "s")
         .groupBy(id_col)
@@ -641,7 +664,7 @@ def contamination_fraction(
     partial-agg'd shuffle on the id."""
     t = shingles(train, id_col, text_col, n)
     e = (
-        shingles(eval_df, id_col, text_col, n)
+        shingles(eval_df, id_col, text_col, n, fan_out=False)
         .select("s")
         .distinct()
         .withColumn("__hit", F.lit(1))

@@ -139,6 +139,9 @@ def mark_duplicate_spans(
     First-occurrence-wins: the globally first (doc_id, pos) occurrence of
     each duplicated gram is NOT marked, so stripping never deletes the
     canonical copy."""
+    from scio_spark.fanout import fan_out_scan
+
+    df = fan_out_scan(df)  # positional n-gram explode runs pre-shuffle
     occ = _positional_ngrams(df, id_col, text_col, n, hash_grams)
     # first occurrence + occurrence count per gram — one partial-agg'd
     # shuffle on gram; immune to hot-gram skew (min/count are mergeable).

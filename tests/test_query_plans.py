@@ -233,13 +233,16 @@ def test_data_checks_row_rules_single_scan(spark):
 TOP_COMPUTE_BUDGETS = {
     # name: (max total Exchange nodes, required join substring or None)
     "dedup_clusters": (0, None),  # returns a checkpoint; lineage truncated
-    "dedup_minhash_lsh": (13, "BroadcastHashJoin"),
+    # r15-opt: +fan_out_scan round-robin exchange ahead of the shingle
+    # explode (fanout.py — fires only on narrow scans; repeated per
+    # shingle-diamond reference in the pre-AQE plan, reused at runtime)
+    "dedup_minhash_lsh": (19, "BroadcastHashJoin"),
     "sparse_join_bloom": (2, "BroadcastHashJoin"),
-    "incremental_dedup": (6, "BroadcastHashJoin"),
+    "incremental_dedup": (9, "BroadcastHashJoin"),
     "fuzzy_join": (20, "BroadcastHashJoin"),
     "smb_join": (2, "BroadcastHashJoin"),
-    "substring_dedup": (6, "BroadcastHashJoin"),
-    "dedup_ngram_jaccard": (10, "BroadcastHashJoin"),
+    "substring_dedup": (9, "BroadcastHashJoin"),
+    "dedup_ngram_jaccard": (14, "BroadcastHashJoin"),
     "dsir_select": (4, "BroadcastHashJoin"),
     "winnow_fingerprints": (6, "BroadcastHashJoin"),
     "curation_e2e": (3, "BroadcastHashJoin"),
