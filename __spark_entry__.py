@@ -6152,7 +6152,17 @@ def q_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pane_index",
         "pane_value",
     )
-    return run_to_memory(out, output_mode="update", num_state_partitions=16)
+    # one state store per core (r15-opt A/B at 32 cores: 4.4-5.2 s at
+    # defaultParallelism vs 5.2-5.7 at 16, 14 at 8): unlike the few-key
+    # pane fixtures where store maintenance dominates and FEWER stores
+    # win, this query has ~3.6k (type, window) groups — per-group Python
+    # work dominates and wants full scheduling width. Scale-adaptive,
+    # not a local constant.
+    return run_to_memory(
+        out,
+        output_mode="update",
+        num_state_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 ORACLE_DISCARDING_PANES = """

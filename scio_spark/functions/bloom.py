@@ -137,27 +137,35 @@ def filter_with_bloom(
     df: DataFrame, col: str, bf: BloomFilter, negate: bool = False
 ) -> DataFrame:
     """Keep rows whose ``col`` might be in the filter (no false negatives;
-    ~fpp false positives). ``negate=True`` keeps definite non-members. One
-    Arrow pass: JVM-hashed positions + broadcast-bitmap numpy gather."""
+    ~fpp false positives). ``negate=True`` keeps definite non-members.
+
+    The probe is a BOOLEAN pandas UDF over only the JVM-hashed position
+    array (r15-opt, guide §4: pass only the columns the function needs) —
+    the row payload never crosses the Python boundary. The previous
+    mapInPandas probe shipped EVERY column of every row JVM→Python→JVM
+    (Spark cannot prune through an opaque map), which for a wide
+    prefilter input multiplied Arrow bytes ~width×; as a filter predicate
+    the payload stays in the JVM and only ~k×8 bytes/row cross."""
     import numpy as np
-    import pandas as pd  # noqa: F401 — Arrow batches are pandas
+    import pandas as pd
 
     bc = df.sparkSession.sparkContext.broadcast(bf.bits)
-    m_bits, k = bf.m_bits, bf.k
-    out_cols = list(df.columns)
-    src = df.withColumn("__pos", _positions(col, m_bits, k))
 
-    def gen(batches):
+    def _might(pos_s):
         bits = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pos = np.stack([np.asarray(p, dtype=np.int64) for p in pdf["__pos"]])
-            hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
-            member = hit.all(axis=1)
-            yield pdf.loc[~member if negate else member, out_cols]
+        if not len(pos_s):
+            return pd.Series([], dtype=bool)
+        pos = np.stack([np.asarray(p, dtype=np.int64) for p in pos_s])
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
 
-    return src.mapInPandas(gen, df.schema)
+    # built without type hints (pandas is lazily imported here), so the
+    # eval type is stated explicitly: a scalar Series->Series pandas UDF
+    from pyspark.sql.functions import PandasUDFType
+
+    might_contain = F.pandas_udf(_might, "boolean", PandasUDFType.SCALAR)
+    pred = might_contain(_positions(col, bf.m_bits, bf.k))
+    return df.filter(~pred if negate else pred)
 
 
 class ScalableBloomFilter:
