@@ -2648,7 +2648,7 @@ def q_processing_time_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = time.time() + 60
         while time.time() < deadline and len({r[0] for r in rows}) < n_keys:
-            time.sleep(0.15)
+            time.sleep(0.05)
     finally:
         q.stop()
         f.close()
@@ -2739,7 +2739,7 @@ def q_watermark_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def wait(pred, deadline_s=90.0) -> None:
         end = time.time() + deadline_s
         while time.time() < end and not pred():
-            time.sleep(0.15)
+            time.sleep(0.05)
 
     # 2 state stores: fixture-sized state; the sweeps re-invoke every
     # armed key each trigger, so per-batch store overhead dominates wall
