@@ -124,7 +124,11 @@ def test_sparse_join_bloom_path(kv1, kv2):
         kv1.sparse_join(kv2, rhs_num_keys=big, how="inner")
         .df._jdf.queryExecution().executedPlan().toString()
     )
-    assert "MapInPandas" in plan  # vectorized BF probe is the prefilter
+    # r15-opt: the BF probe is a boolean pandas UDF over the JVM-hashed
+    # position array (ArrowEvalPython filter), no longer a full-row
+    # MapInPandas stage — payload columns never cross the Python boundary.
+    assert "ArrowEvalPython" in plan  # vectorized BF probe is the prefilter
+    assert "MapInPandas" not in plan  # full-row probe shape is gone
     assert "LeftSemi" not in plan  # no exact-keyset broadcast semi-join
 
 
