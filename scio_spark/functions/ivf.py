@@ -301,8 +301,10 @@ def write_small_json(spark, dir_path: str, obj: dict) -> None:
     the same scheme resolution) but without a Spark job: writing one
     local row through the JSON datasource costs ~4-6 s of job scheduling
     + codegen per call (measured r15), which dominated the whole
-    build-index step. Readers keep using ``spark.read.json(dir)`` — the
-    on-disk layout is unchanged."""
+    build-index step. Read back with ``read_small_json`` — the on-disk
+    layout (a directory of ``*.json`` line files) is unchanged, so
+    ``spark.read.json(dir)`` remains a valid consumer for external
+    tooling."""
     import json
 
     jvm = spark._jvm
@@ -311,6 +313,46 @@ def write_small_json(spark, dir_path: str, obj: dict) -> None:
     out = fs.create(p, True)
     out.write(bytearray((json.dumps(obj) + "\n").encode("utf-8")))
     out.close()
+
+
+def read_small_json(spark, dir_path: str) -> dict:
+    """Read back the single metadata record persisted by
+    ``write_small_json`` through the Hadoop FileSystem API — the reader
+    half of the same optimization (r15-opt): ``spark.read.json(dir)``
+    costs two driver-blocking jobs (schema inference + collect, ~0.2 s
+    each call at any scale) for a KB-sized artifact that is
+    driver-resident by design. Filesystem-agnostic via the same scheme
+    resolution; also reads multi-part ``part-*.json`` directories written
+    by a DataFrame writer (older indexes), merging records
+    last-one-wins per key (the record is a single row in practice)."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".json")
+        ),
+        key=lambda pp: pp.getName(),
+    )
+    merged: dict = {}
+    for pp in parts:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(pp), "UTF-8")
+        )
+        try:
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                if line.strip():
+                    merged.update(json.loads(line))
+        finally:
+            reader.close()
+    return merged
 
 
 def build_ivf_index(
@@ -366,8 +408,8 @@ def append_ivf_index(
     exact — so rebuild on distribution change, append otherwise."""
     import json
 
-    cents_df = spark.read.json(path.rstrip("/") + "__centroids")
-    cents = json.loads(cents_df.collect()[0]["centroids"])
+    meta = read_small_json(spark, path.rstrip("/") + "__centroids")
+    cents = json.loads(meta["centroids"])
     assigned = assign_centroid(new_vecs.select(id_col, vec_col), vec_col, cents)
     assigned.write.mode("append").partitionBy("centroid").parquet(path)
 
@@ -411,8 +453,9 @@ def search_ivf_index(
         )
     from scio_spark.functions.similarity import cut_margin
 
-    cents_df = spark.read.json(path.rstrip("/") + "__centroids")
-    cents = json.loads(cents_df.collect()[0]["centroids"])
+    cents = json.loads(
+        read_small_json(spark, path.rstrip("/") + "__centroids")["centroids"]
+    )
     margin = cut_margin(score_decimals)
 
     def _inv(probed):

@@ -563,8 +563,10 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     """Read back the codebooks persisted by build_pq_index."""
     import json
 
-    row = spark.read.json(path.rstrip("/") + "__codebooks").collect()[0]
-    return np.array(json.loads(row["codebooks"]), dtype=np.float32)
+    from .ivf import read_small_json
+
+    meta = read_small_json(spark, path.rstrip("/") + "__codebooks")
+    return np.array(json.loads(meta["codebooks"]), dtype=np.float32)
 
 
 def _encode_with_vec(
@@ -800,11 +802,13 @@ def _load_ivfpq_meta(spark, path: str):
     Pre-residual indexes have no 'residual' field — treated as raw."""
     import json
 
-    row = spark.read.json(path.rstrip("/") + "__meta").collect()[0]
-    residual = "residual" in row.__fields__ and row["residual"] == "1"
+    from .ivf import read_small_json
+
+    meta = read_small_json(spark, path.rstrip("/") + "__meta")
+    residual = meta.get("residual") == "1"
     return (
-        json.loads(row["centroids"]),
-        np.array(json.loads(row["codebooks"]), dtype=np.float32),
+        json.loads(meta["centroids"]),
+        np.array(json.loads(meta["codebooks"]), dtype=np.float32),
         residual,
     )
 
