@@ -84,39 +84,54 @@ def dsir_weights(
     # scan+hash, and at corpus scale the per-doc bucket table is itself
     # near-token-scale (long docs cap at `buckets` rows, short docs
     # don't), so spilling it approaches the cost of the second scan.
-    # models are <= buckets rows: cache them so the totals collect below
-    # and the ratio join share ONE token-explode pass per corpus (uncached,
-    # each model's full scan+explode would run twice)
-    tgt = _bucket_model(target, text_col, buckets).cache()
-    rawm = _bucket_model(raw, text_col, buckets).cache()
-    # smoothing denominators for buckets absent from a model
-    n_tgt = tgt.agg(F.first("n_total")).collect()[0][0]
-    n_raw = rawm.agg(F.first("n_total")).collect()[0][0]
-    ratio = (
-        tgt.select("bucket", F.col("logp").alias("lp_t"))
-        .join(
-            rawm.select("bucket", F.col("logp").alias("lp_r")),
-            "bucket",
-            "full_outer",
-        )
-        .select(
-            "bucket",
-            F.expr(
-                f"CAST(COALESCE(lp_t, LOG2(1.0 / ({n_tgt} + {buckets})))"
-                f" - COALESCE(lp_r, LOG2(1.0 / ({n_raw} + {buckets})))"
-                " AS DECIMAL(28,6)) AS lr"
-            ),
-        )
-    )
-    # materialize the <=buckets-row ratio table to the driver and rebuild
-    # it as a literal DataFrame: the cached bucket models can then be
-    # unpersisted HERE instead of leaking cached blocks into the session
-    # for the lifetime of the (lazy) result plan
+    #
+    # The two MODELS, however, come from ONE union-tagged explode pass
+    # (r15-opt; replaces two cached per-corpus _bucket_model passes + a
+    # totals collect each + a ratio-join collect — 3 driver-blocking
+    # jobs → 1): bucket counts per side are exact ints, so collecting the
+    # ≤2·buckets (side,bucket,cnt) rows and rebuilding them as a literal
+    # DataFrame changes nothing downstream. Totals are summed driver-side
+    # (same ints first("n_total") read); every float expression — the
+    # per-side logp and the lr subtraction with its DECIMAL(28,6) staging
+    # — still evaluates in Spark SQL over the literal rows, inside the
+    # scoring job's broadcast build (no separate job), so engine math is
+    # bit-identical to the two-pass form.
     spark = raw.sparkSession
-    ratio_rows = ratio.collect()
-    tgt.unpersist()
-    rawm.unpersist()
-    ratio = spark.createDataFrame(ratio_rows, schema=ratio.schema)
+    both = target.select(
+        F.lit(0).alias("__side"), F.col(text_col).alias("__t")
+    ).unionByName(raw.select(F.lit(1).alias("__side"), F.col(text_col).alias("__t")))
+    cnt_rows = (
+        both.select("__side", F.explode(tokens("__t")).alias("token"))
+        .select("__side", F.expr(f"{_HASH} % {buckets}").alias("bucket"))
+        .groupBy("__side", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    n_tgt = sum(r["cnt"] for r in cnt_rows if r["__side"] == 0)
+    n_raw = sum(r["cnt"] for r in cnt_rows if r["__side"] == 1)
+    # Bucket alignment (the former full-outer join) is pure exact-int
+    # bookkeeping — do it driver-side so the ratio plan is ONE Project
+    # over a LocalTableScan (no join, no exchange) built inside the
+    # scoring job's broadcast. NULL cnt propagates through LOG2(cnt+1…)
+    # to NULL, so COALESCE falls back to the absent-bucket smoothing term
+    # — the identical expression shape (and engine) as before.
+    aligned: dict[int, list] = {}
+    for r in cnt_rows:
+        slot = aligned.setdefault(r["bucket"], [None, None])
+        slot[r["__side"]] = r["cnt"]
+    ratio = spark.createDataFrame(
+        [(b, c[0], c[1]) for b, c in sorted(aligned.items())],
+        schema="bucket bigint, cnt_t bigint, cnt_r bigint",
+    ).select(
+        "bucket",
+        F.expr(
+            f"CAST(COALESCE(LOG2((cnt_t + 1) / CAST({n_tgt} + {buckets} AS DOUBLE)),"
+            f" LOG2(1.0 / ({n_tgt} + {buckets})))"
+            f" - COALESCE(LOG2((cnt_r + 1) / CAST({n_raw} + {buckets} AS DOUBLE)),"
+            f" LOG2(1.0 / ({n_raw} + {buckets})))"
+            " AS DECIMAL(28,6)) AS lr"
+        ),
+    )
     tok = raw.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     scored = tok.select(
         id_col, F.expr(f"{_HASH} % {buckets}").alias("bucket")
