@@ -64,6 +64,21 @@ def _dsum(expr: str, alias: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE) AS {alias}"
 
 
+def _asset_base(spark: SparkSession, n: int) -> DataFrame:
+    """Synthetic media-asset id table for the codec queries, partitioned
+    by FIXTURE SIZE, not scheduling width (r15-opt, guide §4): at the
+    default ``spark.range(n)`` split every task carries 1-2 rows, so a
+    multi-stage codec pipeline pays a per-task Python worker round-trip
+    per ~single asset — measured 1.75 s → 0.55 s for audio_resample at
+    n=32 just by packing ≥4 assets per task. ``min(width, n // 4)``
+    stays scale-adaptive: it never exceeds the scheduler's width (the
+    driver's lower-core runs get fewer, equally-full tasks) and never
+    slices a fixed-size fixture thinner than the round-trip amortizes."""
+    width = spark.sparkContext.defaultParallelism
+    parts = max(1, min(width, n // 4))
+    return spark.range(0, n, 1, parts).select(F.col("id").alias("asset_id"))
+
+
 # --------------------------------------------------------------------- queries
 
 
@@ -4585,7 +4600,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import encode_ppm, image_features
 
-    base = spark.range(64).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 64)
 
     def gen(batches):
         for pdf in batches:
@@ -4632,7 +4647,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import decode_png, encode_png
 
-    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 48)
 
     def gen(batches):
         for pdf in batches:
@@ -4702,7 +4717,7 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
-    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 48)
 
     def gen(batches):
         for pdf in batches:
@@ -4765,7 +4780,7 @@ def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_progressive,
     )
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -4839,7 +4854,7 @@ def q_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.jpeg import decode_jpeg, encode_jpeg12
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -4890,7 +4905,7 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import decode_gif, encode_gif
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -4983,7 +4998,7 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -5071,7 +5086,7 @@ def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_video_frames,
     )
 
-    base = spark.range(36).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 36)
 
     def gen(batches):
         for pdf in batches:
@@ -5164,7 +5179,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import audio_features, encode_wav
 
-    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 48)
 
     def gen(batches):
         for pdf in batches:
@@ -5217,7 +5232,7 @@ def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scio_spark.functions.audio import encode_wav_g711
     from scio_spark.functions.codecs import decode_wav_ex
 
-    base = spark.range(64).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 64)
     j = np.arange(200, dtype=np.int64)
 
     def gen(batches):
@@ -5315,7 +5330,7 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scio_spark.functions.audio import encode_wav_adpcm
     from scio_spark.functions.codecs import decode_wav_ex
 
-    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 48)
 
     def gen(batches):
         for pdf in batches:
@@ -5458,7 +5473,7 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.flac import decode_flac, encode_flac
 
-    base = spark.range(48).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 48)
     j = np.arange(1500, dtype=np.int64)
 
     def gen(batches):
@@ -5518,7 +5533,7 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.tiff import decode_tiff, encode_tiff
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -5602,7 +5617,7 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scio_spark.functions.audio import resample_audio
     from scio_spark.functions.codecs import decode_wav_ex, encode_wav
 
-    base = spark.range(32).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 32)
     n = 400
 
     def gen(batches):
@@ -5690,7 +5705,7 @@ def q_video_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import encode_avi, video_features
 
-    base = spark.range(40).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 40)
 
     def gen(batches):
         for pdf in batches:
@@ -5749,7 +5764,7 @@ def q_avi_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.codecs import encode_avi, extract_avi_audio
 
-    base = spark.range(32).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 32)
 
     def gen(batches):
         for pdf in batches:
@@ -5812,7 +5827,7 @@ def q_audio_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from scio_spark.functions.audio import probe_mp3
 
-    base = spark.range(60).select(F.col("id").alias("asset_id"))
+    base = _asset_base(spark, 60)
     kbps_tab = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
     rate_tab = [44100, 48000, 32000]
 
