@@ -196,7 +196,14 @@ def incremental_semantic_dedup(
     cent = json.loads(_read_text(spark, os.path.join(path, "centroids.json")))
     from scio_spark.functions.ivf import assign_centroid
 
-    b = assign_centroid(batch.select(id_col, vec_col), vec_col, cent)
+    # Materialize the batch assignment ONCE (r15-opt): it is read three
+    # times below (touched-cluster collect, the union branch, and the
+    # append-survivors join), and un-checkpointed each reference re-runs
+    # the scan + Python-GEMM assignment. The batch is O(day), not
+    # O(corpus), so the checkpoint is bounded by design.
+    b = assign_centroid(
+        batch.select(id_col, vec_col), vec_col, cent
+    ).localCheckpoint()
     touched = [int(r.centroid) for r in b.select("centroid").distinct().collect()]
     idx = (
         spark.read.parquet(os.path.join(path, "index"))
