@@ -558,7 +558,13 @@ def incremental_embedding_candidates(
     per-row (the md5 planes are global constants), so the staged path
     emits exactly the candidates a full rebuild would — pinned by the
     equivalence test."""
-    new_sigs = band_signatures(new_vecs, id_col, vec_col, bands, band_bits, dim)
+    # Materialize the batch's signatures once (r15-opt): they are read
+    # three times below (vs_corpus plus both sides of vs_new), and each
+    # un-checkpointed reference re-runs the scan + signature GEMM. The
+    # batch is O(day) × bands rows — bounded by design.
+    new_sigs = band_signatures(
+        new_vecs, id_col, vec_col, bands, band_bits, dim
+    ).localCheckpoint()
     vs_corpus = (
         new_sigs.withColumnRenamed("__id", "id_a")
         .join(index.withColumnRenamed("__id", "id_b"), ["band", "sig"])
