@@ -745,7 +745,13 @@ def incremental_lsh_candidates(
     scan. This is the shape that makes continuous corpus ingestion O(new)
     instead of O(corpus) per day."""
     sh = shingles(new_docs, id_col, text_col, n)
-    new_bands = minhash_bands(minhash_signature(sh, id_col, k), id_col, k, bands)
+    # Materialize the batch's band table once (r15-opt): it is read three
+    # times below (index join + both sides of the new-vs-new self-join),
+    # and each un-checkpointed reference re-runs the whole shingle +
+    # minhash pipeline. The batch is O(day) × bands rows by design.
+    new_bands = minhash_bands(
+        minhash_signature(sh, id_col, k), id_col, k, bands
+    ).localCheckpoint()
     vs_corpus = (
         new_bands.withColumnRenamed(id_col, "id_a")
         .join(index.withColumnRenamed(id_col, "id_b"), ["band", "bucket"])
