@@ -266,6 +266,13 @@ def incremental_duplicate_spans(
         F.col("first_enc").alias("_corpus_first"),
         F.col("cnt").alias("_corpus_cnt"),
     )
+    # occ feeds both the gram-count aggregation and the duplicate-
+    # occurrence join below; a localCheckpoint here (the shape that wins
+    # 2x in dedup.incremental_lsh_candidates / the embedding/semantic
+    # incrementals) was A/B'd r15-opt and LOST (warm 1.5 -> 2.0 s at
+    # sf0.1): unlike the O(batch) band/signature tables, occ is
+    # O(batch tokens) rows and materializing it costs more than
+    # re-running the explode. Leave the diamond to the optimizer.
     occ = _positional_ngrams(batch, id_col, text_col, n, hash_grams)
     enc = (F.col("_id") * _ENC_BASE) + F.col("pos")
     batch_firsts = occ.groupBy("gram").agg(
