@@ -6185,16 +6185,20 @@ def q_discarding_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pane_index",
         "pane_value",
     )
-    # one state store per core (r15-opt A/B at 32 cores: 4.4-5.2 s at
-    # defaultParallelism vs 5.2-5.7 at 16, 14 at 8): unlike the few-key
-    # pane fixtures where store maintenance dominates and FEWER stores
-    # win, this query has ~3.6k (type, window) groups — per-group Python
-    # work dominates and wants full scheduling width. Scale-adaptive,
-    # not a local constant.
+    # min(width, 16) state stores (r16 re-adjudication of the r15-opt
+    # width setting, which the driver measured 0.75×): fresh-session
+    # interleaved A/B at 32 cores — 16 stores cold {6.02, 6.41, 6.54} s
+    # vs 32 stores {5.42, 9.30, 15.84} (comparable best case,
+    # catastrophic tail: per-store maintenance keeps growing with store
+    # count while the ~3.6k (type, window) groups' Python work saturates
+    # by 16 tasks) vs 8 stores {8.05, 8.27, 10.39}. Still scale-adaptive
+    # downward (an 8-core run gets 8 stores, matching its scheduling
+    # width); 16 is a capacity cap, not a local-mode constant — it goes
+    # UP on a real cluster with state volume (~1 GB/store).
     return run_to_memory(
         out,
         output_mode="update",
-        num_state_partitions=spark.sparkContext.defaultParallelism,
+        num_state_partitions=min(spark.sparkContext.defaultParallelism, 16),
     )
 
 

@@ -198,22 +198,34 @@ def main():
     with open(result_path, "w") as f:
         json.dump(full, f, indent=1)
     compact = dict(full)
-    # The driver captures only the LAST ~2000 chars of stdout; a 160+-query
-    # map cannot fit, and a truncated line fails its JSON parse outright
-    # (BENCH_r05/r06 recorded parsed:{} for exactly this reason). Keep the
-    # stdout map to the slowest 40 queries — the line stays parseable, the
-    # omission is explicit, and the FULL dual map lives in
-    # BENCH_RESULT.json (committed) via detail_file.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:40]
-    )
-    compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
-    compact["n_queries"] = len(timings)
-    compact["queries_omitted"] = max(0, len(timings) - len(slowest))
+    # The driver captures only the LAST ~2000 chars of output; a full
+    # 193-query map cannot fit, and a truncated line fails its JSON parse
+    # outright (BENCH_r05/r06 recorded parsed:{} for exactly this reason).
+    # r16 (VERDICT r15 item 2): instead of a fixed slowest-40 cut, pack as
+    # many queries as fit a 1950-byte line budget (measured capture window
+    # = exactly 2000 bytes, and the line is the final output), slowest
+    # first, with 1-decimal timings at >= 1 s (quantization <= 5%) and
+    # 2 decimals below — ~80 queries make the line vs 40 before, so the
+    # round-over-round diff sees the mid-tail too. The omission stays
+    # explicit and the FULL dual map lives in BENCH_RESULT.json
+    # (committed) via detail_file. Additions only: same fields, same
+    # slowest-first key set (a superset of the old top-40).
     del compact["queries_warm"]
     del compact["fallback_path"]
     del compact["wall_clock_queries"]
+    compact["n_queries"] = len(timings)
     compact["detail_file"] = "BENCH_RESULT.json"
+    LINE_BUDGET = 1950
+    packed: dict[str, float] = {}
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        packed[k] = round(v, 2) if v < 1 else round(v, 1)
+        compact["queries"] = packed
+        compact["queries_omitted"] = max(0, len(timings) - len(packed))
+        if len(json.dumps(compact, separators=(",", ":"))) > LINE_BUDGET:
+            packed.pop(k)
+            break
+    compact["queries"] = packed
+    compact["queries_omitted"] = max(0, len(timings) - len(packed))
     print(json.dumps(compact, separators=(",", ":")))
 
 

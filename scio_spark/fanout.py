@@ -30,7 +30,11 @@ whole-suite value oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 << 20
 
@@ -71,8 +75,22 @@ def fan_out_scan(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
         for f in files:
             p = jvm.org.apache.hadoop.fs.Path(f)
             total += p.getFileSystem(conf).getFileStatus(p).getLen()
-        if total // _max_partition_bytes(spark) >= need:
+        # Ceil, not floor (ADVICE r15): the floor under-estimated the
+        # splitter's count by up to one split per input, adding a
+        # redundant exchange on medium few-file inputs right at the
+        # boundary. Still deliberately optimistic at small totals — a
+        # single-row-group file yields one WORKING task no matter how many
+        # byte splits the planner cuts, and ~maxPartitionBytes is the
+        # row-group target, so this estimate tracks achievable scan
+        # parallelism better than the bytesPerCore-shrunk split size.
+        mpb = _max_partition_bytes(spark)
+        if -(-total // mpb) >= need:
             return df
     except Exception:
+        # Diagnosable, never fatal: a py4j/FileSystem hiccup silently
+        # disabling the fan-out on one path but not another is exactly the
+        # kind of asymmetry a debug log line pins down (ADVICE r15).
+        _LOG.debug("fan_out_scan: layout check failed; leaving scan as-is",
+                   exc_info=True)
         return df
     return df.repartition(width)

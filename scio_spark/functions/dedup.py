@@ -477,6 +477,23 @@ def simhash_dedup(
     return pairs
 
 
+def stage_bounded(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Materialize a BOUNDED (O(batch)-by-design) intermediate that the
+    caller references several times — the incremental-dedup staging point
+    shared by the MinHash / embedding-LSH / semantic batch paths.
+    Default: ``localCheckpoint`` (executor-memory blocks; re-adjudicated
+    r16 under the cold protocol vs lazy persist and vs no materialization
+    — see OPTIMIZATION_r16.md). On a CLUSTER pass ``checkpoint_dir``
+    (shared storage) for a reliable ``DataFrame.checkpoint`` that
+    survives executor loss (ADVICE r15: the eager localCheckpoint sites
+    truncate lineage, so an executor loss otherwise fails the query
+    instead of recomputing) — the same knob connected_components takes."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def release_cached(df: DataFrame, blocking: bool = False) -> None:
     """Unpersist the internal cache an operator attached to its result
     (``_scio_cached``). Call AFTER the consuming action; no-op for results
@@ -662,6 +679,12 @@ def contamination_fraction(
     distinct shingle set (broadcast/Bloom-joined), the training side
     never shuffles on the shingle key; the per-doc rollup is one
     partial-agg'd shuffle on the id."""
+    # train-side fan-out kept (r16 re-adjudication of the driver's 0.66×
+    # on contamination_report): fresh-session interleaved A/B, fan-out ON
+    # cold {1.68, 1.87, 2.44} vs OFF {1.68, 1.82, 2.08} — no reproducible
+    # penalty on this host, and the shingle fan-out family's sf1 evidence
+    # (r15) says the win grows with data; the driver number was host
+    # drift. decontaminate A/B'd alongside with the same conclusion.
     t = shingles(train, id_col, text_col, n)
     e = (
         shingles(eval_df, id_col, text_col, n, fan_out=False)
@@ -734,6 +757,7 @@ def incremental_lsh_candidates(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW batch against an existing
     ``stage_minhash_index`` table, plus new-vs-new pairs: returns
@@ -749,9 +773,10 @@ def incremental_lsh_candidates(
     # times below (index join + both sides of the new-vs-new self-join),
     # and each un-checkpointed reference re-runs the whole shingle +
     # minhash pipeline. The batch is O(day) × bands rows by design.
-    new_bands = minhash_bands(
-        minhash_signature(sh, id_col, k), id_col, k, bands
-    ).localCheckpoint()
+    new_bands = stage_bounded(
+        minhash_bands(minhash_signature(sh, id_col, k), id_col, k, bands),
+        checkpoint_dir,
+    )
     vs_corpus = (
         new_bands.withColumnRenamed(id_col, "id_a")
         .join(index.withColumnRenamed(id_col, "id_b"), ["band", "bucket"])

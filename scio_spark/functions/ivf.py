@@ -330,14 +330,23 @@ def read_small_json(spark, dir_path: str) -> dict:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(dir_path.rstrip("/"))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # part-*.json only (ADVICE r15): a stale/foreign .json dropped in the
+    # index dir must not silently override fields last-one-wins.
     parts = sorted(
         (
             st.getPath()
             for st in fs.listStatus(p)
-            if st.getPath().getName().endswith(".json")
+            if st.getPath().getName().startswith("part-")
+            and st.getPath().getName().endswith(".json")
         ),
         key=lambda pp: pp.getName(),
     )
+    if not parts:
+        raise FileNotFoundError(
+            f"read_small_json: no part-*.json metadata record under "
+            f"{dir_path} — the index metadata was never written (or the "
+            f"directory is wrong); rebuild the index."
+        )
     merged: dict = {}
     for pp in parts:
         reader = jvm.java.io.BufferedReader(

@@ -173,6 +173,7 @@ def incremental_semantic_dedup(
     eps: float = 0.45,
     max_cluster_rows: int = 20_000,
     append: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Mark a NEW batch against a staged semantic index: a batch item is
     a duplicate iff an index item in its cluster, or a smaller-id batch
@@ -201,9 +202,12 @@ def incremental_semantic_dedup(
     # append-survivors join), and un-checkpointed each reference re-runs
     # the scan + Python-GEMM assignment. The batch is O(day), not
     # O(corpus), so the checkpoint is bounded by design.
-    b = assign_centroid(
-        batch.select(id_col, vec_col), vec_col, cent
-    ).localCheckpoint()
+    from scio_spark.functions.dedup import stage_bounded
+
+    b = stage_bounded(
+        assign_centroid(batch.select(id_col, vec_col), vec_col, cent),
+        checkpoint_dir,
+    )
     touched = [int(r.centroid) for r in b.select("centroid").distinct().collect()]
     idx = (
         spark.read.parquet(os.path.join(path, "index"))

@@ -47,10 +47,17 @@ def cut_margin(score_decimals: int | None, gemm_eps: float = 1e-9) -> float:
     worst), so dropping only rows more than a FULL step + float-drift eps
     below the cut guarantees every kept candidate strictly outranks every
     dropped one after rounding — the containment argument survives the
-    rounding (ADVICE r14: the 0.399996-cosine class found at sf1)."""
+    rounding (ADVICE r14: the 0.399996-cosine class found at sf1).
+    The eps term is 2×gemm_eps (ADVICE r15): the kept-vs-dropped compare
+    is between two RESCORED values, each of which can drift from its GEMM
+    score by up to gemm_eps in opposite directions — the margin now
+    matches the two-sided bound instead of assuming one-sided drift.
+    (Real float64 GEMM-vs-fold drift is ~1e-12, far under either bound;
+    widening the margin only ever keeps MORE candidates, so results are
+    unchanged by containment.)"""
     if score_decimals is None:
-        return gemm_eps
-    return 10.0 ** -score_decimals + gemm_eps
+        return 2.0 * gemm_eps
+    return 10.0 ** -score_decimals + 2.0 * gemm_eps
 
 
 def keep_candidates(row, kk: int, margin: float):
@@ -131,34 +138,60 @@ def require_side_input_sized(
     ``max_bytes`` defaults ON (SIDE_INPUT_MAX_BYTES = 2 GiB) for every
     caller — a deliberate behavior change from the pre-r13 rows-only
     guard."""
-    n = df.limit(max_rows + 1).count()
+    if max_bytes is None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"{what}: the query set has >{max_rows} rows but is "
+                f"collected/broadcast as a side input by this operator. "
+                f"Reduce the query set, or raise {knob} if the driver "
+                f"genuinely has the memory."
+            )
+        return
+    # ONE bounded job for both checks (r16, VERDICT r15 item 8: the r15
+    # Bernoulli-sample rewrite paid a row-cap count job PLUS a second
+    # full-width sample scan per guard call): count the (max_rows+1)-capped
+    # input and sum approximate bytes over a seeded Bernoulli subset in the
+    # same aggregation. The byte expression only evaluates on sampled rows
+    # (lazy CASE WHEN); the sample stays unbiased (rand is row-position
+    # independent, unlike the pre-r15 order-biased limit() head). The rate
+    # keys off max_rows (known before the scan): callers with caps at or
+    # under 2×SIDE_INPUT_BYTE_SAMPLE sum exactly (rate 1.0); the
+    # big-cap callers sample ~2·SIDE_INPUT_BYTE_SAMPLE/max_rows of their
+    # rows. An empty sample over a non-empty input (tiny n under a huge
+    # cap) falls back to one exact, still row-capped, aggregation.
+    q = min(1.0, 2.0 * SIDE_INPUT_BYTE_SAMPLE / max(max_rows, 1))
+    row = (
+        df.limit(max_rows + 1)
+        .withColumn("__samp", F.rand(7) < q)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("__samp"), _approx_row_bytes(df))
+            ).alias("b"),
+            F.count(F.when(F.col("__samp"), F.lit(1))).alias("bn"),
+        )
+        .collect()[0]
+    )
+    n = row["n"]
     if n > max_rows:
         raise ValueError(
             f"{what}: the query set has >{max_rows} rows but is collected/"
             f"broadcast as a side input by this operator. Reduce the query "
             f"set, or raise {knob} if the driver genuinely has the memory."
         )
-    if max_bytes is not None and n:
-        # Unbiased mean-row-bytes estimate: a limit() head is order-biased
-        # (a narrow head hides a wide tail — variable-length text/binary
-        # columns, ADVICE r14); a Bernoulli sample over the (already
-        # row-capped, so bounded) input is not. Small inputs are summed
-        # exactly. Oversample 2x so the expected sample stays near
-        # SIDE_INPUT_BYTE_SAMPLE even with sampling variance.
-        sampled = (
-            df
-            if n <= SIDE_INPUT_BYTE_SAMPLE
-            else df.sample(False, min(1.0, 2.0 * SIDE_INPUT_BYTE_SAMPLE / n), seed=7)
-        )
-        row = sampled.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(_approx_row_bytes(df)).alias("b"),
-        ).collect()[0]
-        est = int((row["b"] or 0) / max(row["n"], 1) * n)
+    if n:
+        b, bn = row["b"], row["bn"]
+        if not bn:
+            ex = df.limit(n).agg(
+                F.sum(_approx_row_bytes(df)).alias("b")
+            ).collect()[0]
+            b, bn = ex["b"], n
+        est = int((b or 0) / max(bn, 1) * n)
         if est > max_bytes:
             raise ValueError(
                 f"{what}: ~{est >> 20} MiB (estimated from a sample of "
-                f"{row['n']} rows) exceeds the {max_bytes >> 20} MiB "
+                f"{bn} rows) exceeds the {max_bytes >> 20} MiB "
                 f"side-input byte budget (rows are within the {knob} cap "
                 f"but too wide). Reduce the input, or raise max_bytes if "
                 f"the driver genuinely has the memory."
@@ -547,6 +580,7 @@ def incremental_embedding_candidates(
     bands: int = 16,
     band_bits: int = 8,
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for a NEW embedding batch against an
     existing ``stage_embedding_lsh_index`` table, plus new-vs-new pairs:
@@ -561,10 +595,14 @@ def incremental_embedding_candidates(
     # Materialize the batch's signatures once (r15-opt): they are read
     # three times below (vs_corpus plus both sides of vs_new), and each
     # un-checkpointed reference re-runs the scan + signature GEMM. The
-    # batch is O(day) × bands rows — bounded by design.
-    new_sigs = band_signatures(
-        new_vecs, id_col, vec_col, bands, band_bits, dim
-    ).localCheckpoint()
+    # batch is O(day) × bands rows — bounded by design. Re-adjudicated
+    # r16 cold (VERDICT r15 item 1) vs lazy persist and vs none: kept.
+    from scio_spark.functions.dedup import stage_bounded
+
+    new_sigs = stage_bounded(
+        band_signatures(new_vecs, id_col, vec_col, bands, band_bits, dim),
+        checkpoint_dir,
+    )
     vs_corpus = (
         new_sigs.withColumnRenamed("__id", "id_a")
         .join(index.withColumnRenamed("__id", "id_b"), ["band", "sig"])
@@ -595,6 +633,7 @@ def incremental_embedding_dedup(
     bands: int = 16,
     band_bits: int = 8,
     dim: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup, verified: staged-index candidates
     (O(batch) per ingestion) exact-rescored against ``corpus_vecs`` (the
@@ -602,7 +641,8 @@ def incremental_embedding_dedup(
     score ≥ threshold and ≥1 new side. The vector analog of the
     incremental_dedup contract row."""
     cands = incremental_embedding_candidates(
-        new_vecs, index, id_col, vec_col, bands, band_bits, dim
+        new_vecs, index, id_col, vec_col, bands, band_bits, dim,
+        checkpoint_dir,
     )
     return _exact_rescore(
         corpus_vecs, cands, threshold, id_col, vec_col, score_decimals

@@ -1,9 +1,10 @@
 """Dump .explain("formatted") for named contract queries to
-plans/r15/<query>_<tag>.txt — the before/after plan evidence for the
+plans/<round>/<query>_<tag>.txt — the before/after plan evidence for the
 optimization rounds (judge checks plan claims against these files).
 
 Usage: python tools/explain_dump.py <tag> <query> [query ...]
        SPARK_GRAFT_SF_DIR picks the data dir (default sf0.1 — bench scale).
+       SCIO_PLANS_ROUND picks the plans/ subdir (default r16).
 """
 
 from __future__ import annotations
@@ -26,7 +27,9 @@ def main():
     spark = build_session("explain_dump")
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
-    outdir = os.path.join(REPO, "plans", "r15")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SCIO_PLANS_ROUND", "r16")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
