@@ -160,6 +160,68 @@ def _rank_exact(
     )
 
 
+def _gemm_cut(
+    cands: DataFrame,
+    vectors: DataFrame,
+    q_ids: np.ndarray,
+    q_mat64: np.ndarray,
+    k: int,
+    margin: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-score candidate cut between the ADC stage and the JVM fold
+    rescore (r16, VERDICT r15 item 3). ADC scores are quantized (their
+    error vs the exact dot is unbounded), so the exhaustive-oracle regime
+    (k·oversample ≥ index rows) keeps EVERY candidate at the ADC cut —
+    |queries| × |index| pairs then flow into the sequential-fold rescore
+    + window, interpreted expression work that runs on however few tasks
+    the index scan produced. This stage attaches the index's float
+    vectors to the candidates (one broadcast hash join — the index side
+    is the by-construction-bounded broadcast), scores them with an EXACT
+    float64 GEMM per Arrow batch, and keeps per (batch × query) the
+    top-(k+4) WITH ties and the rounding margin
+    (similarity.keep_candidates / cut_margin — the same containment
+    argument as the HNSW exact-rescore cut: GEMM-vs-fold drift is covered
+    by cut_margin's two-sided eps and the margin includes a full rounding
+    step, so the final rounded ranking cannot prefer a dropped candidate;
+    the global top-k per query is contained in every batch-local
+    top-(k+ties) union). Volume into the fold rescore drops from
+    |queries| × |index| to ~|queries| × (k + ties)."""
+    import pandas as pd
+
+    from .similarity import keep_candidates as _keep
+
+    bc = vectors.sparkSession.sparkContext.broadcast((q_ids, q_mat64))
+    withvec = cands.join(
+        F.broadcast(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+            )
+        ),
+        "neighbor_id",
+    )
+
+    def gen(batches):
+        ids, mat = bc.value
+        pos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_n = [], []
+            for qid, grp in pdf.groupby("query_id"):
+                qv = mat[pos[int(qid)]]
+                block = np.array(list(grp["__cv"]), dtype=np.float64)
+                sims = block @ qv
+                kk = min(k + 4, len(sims))
+                sel = _keep(sims, kk, margin)
+                out_q.extend([int(qid)] * len(sel))
+                out_n.extend(grp["neighbor_id"].to_numpy()[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    return withvec.mapInPandas(gen, "query_id long, neighbor_id long")
+
+
 def _adc_candidates(
     coded: DataFrame,
     q_ids: np.ndarray,
@@ -723,6 +785,13 @@ def search_pq_index(
     q_mat = np.array([r[1] for r in qrows], dtype=np.float32)
     tables = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_mat), m, sub), books)
     cands = _adc_candidates(coded, q_ids, tables, kk_keep, id_col)
+    from .similarity import cut_margin
+
+    cands = _gemm_cut(
+        cands, idx,
+        q_ids, np.array([r[1] for r in qrows], dtype=np.float64),
+        k, cut_margin(score_decimals), id_col, vec_col,
+    )
     return _rank_exact(
         cands, idx, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )
@@ -945,6 +1014,13 @@ def search_ivfpq_index(
                     yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
     cands = coded.mapInPandas(gen, "query_id long, neighbor_id long")
+    from .similarity import cut_margin
+
+    cands = _gemm_cut(
+        cands, idx,
+        q_ids, np.array([r[1] for r in qrows], dtype=np.float64),
+        k, cut_margin(score_decimals), id_col, vec_col,
+    )
     return _rank_exact(
         cands, idx, queries, k, score_decimals, id_col, vec_col, broadcast_q=True
     )
