@@ -495,12 +495,15 @@ def stage_bounded(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
 
 
 def release_cached(df: DataFrame, blocking: bool = False) -> None:
-    """Unpersist the internal cache an operator attached to its result
-    (``_scio_cached``). Call AFTER the consuming action; no-op for results
-    without an attached cache."""
+    """Unpersist the internal cache(s) an operator attached to its result
+    (``_scio_cached`` — one DataFrame or a list of them). Call AFTER the
+    consuming action; no-op for results without an attached cache."""
     cached = getattr(df, "_scio_cached", None)
-    if cached is not None:
-        cached.unpersist(blocking)
+    if cached is None:
+        return
+    for c in cached if isinstance(cached, (list, tuple)) else [cached]:
+        if c is not None:
+            c.unpersist(blocking)
 
 
 # ----------------------------------------------------- duplicate clustering
@@ -536,6 +539,15 @@ def connected_components(
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    # r16 note: a lazy-persist variant of this staging (cache instead of
+    # localCheckpoint, materialized by the mass-check aggs) was built and
+    # cold-A/B'd — it LOST badly (dedup_clusters 6.9/3.8 -> 11-53 s
+    # cold/warm across interleaved fresh-session runs; InMemoryRelation
+    # columnar encode + cache-miss recompute through nested cached plans
+    # swamps the ~0.2 s/job the eager checkpoints cost) and was reverted.
+    # The eager localCheckpoint-per-round form below is the measured
+    # winner; the plan-truncation property it provides is also what keeps
+    # deep (20+ round) graphs analyzer-safe.
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
@@ -565,7 +577,7 @@ def connected_components(
         ).collect()[0]["m"]
 
     mass = label_mass(labels)
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -613,11 +625,15 @@ def dedup_clusters(
     comps = connected_components(
         pairs, src=src, dst=dst, checkpoint_dir=checkpoint_dir
     )
-    return (
+    out = (
         df.join(comps, df[id_col] == comps.node, "left")
         .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
         .drop("node")
     )
+    _c = getattr(comps, "_scio_cached", None)
+    if _c is not None:
+        out._scio_cached = _c
+    return out
 
 
 # --------------------------------------------------- eval decontamination
